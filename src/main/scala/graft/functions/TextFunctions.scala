@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives used by the text-analysis and dedup
+  * operators. Everything here is built from `org.apache.spark.sql.functions`
+  * higher-order array functions, so it stays inside whole-stage codegen —
+  * no UDFs, no Python workers (the reference's per-row Python UDF boundary,
+  * SURVEY.md §2.9, is exactly what we're designing out).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. The synthetic corpus is single-space word soup;
+    * `\s+` keeps it robust to real text.
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Word n-gram shingles as space-joined strings.
+    * transform(sequence(...)) keeps it native; empty array when the doc has
+    * fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val tk = tokens(text)
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+  }
+
+  /** Distinct shingle set (for Jaccard). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Exact Jaccard similarity of two pre-deduplicated shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** MinHash signature: k permutations approximated by seeding xxhash64
+    * with the permutation index. O(k·|shingles|) native expressions.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleArr, s => xxhash64(concat(j.cast("string"), s)))))
+
+  /** LSH band keys from a minhash signature: hash of each r-row band.
+    * Equal band key ⇒ candidate pair. bands*rows must equal the signature
+    * length.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(
+        "_",
+        b.cast("string"),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows)))).cast("string")))
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
+    * One pass: fold token hashes into a 64-long vector of signed bit sums
+    * (zip_with), then collapse signs into the hash. All native expressions;
+    * `call_function` is used where the Scala DSL only accepts Int shift
+    * amounts but the SQL function takes a column.
+    */
+  def simhash64(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val bitIdx = sequence(lit(0), lit(63))
+    val sums = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(bitIdx, i =>
+            call_function("shiftright", h, i).bitwiseAND(lit(1L)) * 2L - 1L),
+          (a, b) => a + b))
+    aggregate(
+      zip_with(
+        sums,
+        bitIdx,
+        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Deterministic document fingerprint: minimum md5 over word shingles —
+    * a 1-permutation MinHash. md5 is bit-identical in DuckDB, so this one
+    * IS oracle-checkable, unlike the xxhash64-seeded signature.
+    */
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** Rolling Karp-Rabin-style content hash: polynomial fold of token
+    * hashes — order-sensitive (unlike the min-fingerprint). Folded in a
+    * 40-bit ring (mask after every step) so it never overflows Long —
+    * ANSI-mode safe by construction.
+    */
+  def rollingHash(text: Column): Column = {
+    val mask = (1L << 40) - 1
+    aggregate(
+      transform(tokens(text), t => xxhash64(t).bitwiseAND(lit(mask))),
+      lit(0L),
+      (acc, h) => (acc * 1000003L + h).bitwiseAND(lit(mask)))
+  }
+
+  // --- language-ID heuristic (charset/diacritic based) ---------------------
+
+  /** Character-class language guess: CJK ⇒ zh; else diacritic classes for
+    * de/es/fr; else en. Deterministic, regex-only, and expressible in the
+    * DuckDB oracle with the same regexes.
+    */
+  def langIdGuess(text: Column): Column =
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(text.rlike("[äöüß]"), "de")
+      .when(text.rlike("[ñ¡¿]"), "es")
+      .when(text.rlike("[àâçèêëîïôùûœ]"), "fr")
+      .otherwise("en")
+
+  /** Stopword ratio: fraction of tokens in a fixed English stopword list. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  def stopwordRatio(text: Column): Column = {
+    val tk = tokens(text)
+    val hits = size(filter(tk, t => t.isin(stopwords.map(x => x: Any): _*)))
+    when(size(tk) === 0, 0.0).otherwise(hits.cast("double") / size(tk).cast("double"))
+  }
+
+  /** BPE-ish subword token count: letter runs, digit runs, single
+    * punctuation — the standard pre-tokenizer shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, healthy
+    * stopword share and moderate average word length. Pure arithmetic —
+    * portable to the SQL oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val tk       = tokens(text)
+    val nTokens  = size(tk).cast("double")
+    val nChars   = length(text).cast("double")
+    val avgWord  = when(nTokens === 0, 0.0).otherwise(nChars / nTokens)
+    val lenScore = least(nTokens / 50.0, lit(1.0))
+    val swScore  = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val wlScore  = when(avgWord >= 3 && avgWord <= 10, 1.0).otherwise(0.5)
+    round((lenScore + swScore + wlScore) / 3.0, 4)
+  }
+}

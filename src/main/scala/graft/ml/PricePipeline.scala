@@ -1,0 +1,121 @@
+package graft.ml
+
+import graft.core.Tables
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Price-prediction pipeline — the engine twin of the reference's
+  * `notebook_to_py/price-prediction.py` (SURVEY.md §2.10 M1–M12),
+  * transplanted onto `orders`: predict o_totalprice from indexed
+  * categoricals + date parts.
+  *
+  * Reference-shape choices kept deliberately:
+  *  - per-column StringIndexer fit loop (M1, `price-prediction.py:159-167`)
+  *    — but unlike the reference we `cache()` the featurized frame before
+  *    the model loop (`price-prediction.py` refits the whole lazy chain per
+  *    indexer; SURVEY §3.2.3 flags it as an intentional inefficiency — we
+  *    take the fix since fidelity here is API-shape, not wall-time).
+  *  - `VectorAssembler.handleInvalid="skip"` (M2).
+  *  - nine regressor configs M3–M11 with the reference's hyperparameters.
+  *  - metric set r2/mse/rmse/mae via RegressionEvaluator (M12). The
+  *    reference's "Adjusted R²" evaluator bug (it reports plain R² twice,
+  *    `price-prediction.py:225-226`) is reproduced as `r2adj == r2` and
+  *    documented here rather than silently fixed.
+  */
+object PricePipeline {
+
+  val labelCol = "o_totalprice"
+
+  /** Feature engineering: date parts + categorical index columns. */
+  def featurize(t: Tables): DataFrame = {
+    val base = t.orders
+      .withColumn("order_year", year(col("o_orderdate")).cast("double"))
+      .withColumn("order_month", month(col("o_orderdate")).cast("double"))
+      .na.drop(Seq(labelCol, "o_orderpriority", "o_orderstatus"))
+
+    val stringCols = Seq("o_orderpriority", "o_orderstatus")
+    val indexed = stringCols.foldLeft(base) { (df, c) =>
+      new StringIndexer()
+        .setInputCol(c).setOutputCol(s"${c}_indexed")
+        .setHandleInvalid("skip")
+        .fit(df).transform(df)
+    }
+
+    new VectorAssembler()
+      .setInputCols(Array("order_year", "order_month",
+        "o_orderpriority_indexed", "o_orderstatus_indexed"))
+      .setOutputCol("features")
+      .setHandleInvalid("skip")
+      .transform(indexed)
+      .select(col("features"), col(labelCol).as("label"))
+  }
+
+  /** The reference's nine regressor configurations (M3–M11). */
+  def regressors: Seq[(String, org.apache.spark.ml.Estimator[_])] = Seq(
+    "LinearRegression" -> new LinearRegression()
+      .setMaxIter(100).setRegParam(0.1).setElasticNetParam(0.7),
+    "Lasso" -> new LinearRegression()
+      .setMaxIter(100).setRegParam(0.1).setElasticNetParam(1.0),
+    "Ridge" -> new LinearRegression()
+      .setMaxIter(100).setRegParam(0.3).setElasticNetParam(0.1),
+    "IsotonicRegression" -> new IsotonicRegression(),
+    "FMRegressor" -> new FMRegressor().setStepSize(0.01).setSeed(42),
+    "DecisionTree" -> new DecisionTreeRegressor().setMaxDepth(5).setSeed(42),
+    "RandomForest" -> new RandomForestRegressor()
+      .setNumTrees(2).setMaxDepth(2).setSeed(42),
+    "GradientBoosting" -> new GBTRegressor()
+      .setMaxIter(10).setMaxDepth(5).setSeed(42),
+    "GeneralizedLinear" -> new GeneralizedLinearRegression()
+      .setFamily("gaussian").setLink("identity").setMaxIter(10).setRegParam(0.3))
+
+  /** Fit + evaluate one model; returns (r2, r2adj, mse, rmse, mae).
+    * r2adj == r2 reproduces the reference bug (see object doc).
+    */
+  def fitEval(name: String, reg: org.apache.spark.ml.Estimator[_],
+              train: DataFrame, test: DataFrame): (String, Double, Double, Double, Double, Double) = {
+    val model = reg.fit(train).asInstanceOf[org.apache.spark.ml.Transformer]
+    val pred = model.transform(test)
+    def m(metric: String): Double =
+      new RegressionEvaluator().setMetricName(metric)
+        .setLabelCol("label").setPredictionCol("prediction")
+        .evaluate(pred)
+    val r2 = m("r2")
+    (name, r2, r2, m("mse"), m("rmse"), m("mae"))
+  }
+
+  /** Run a subset of models end-to-end → metrics table with the reference's
+    * comparison-table shape (`price-prediction.py:503-527`).
+    */
+  def metricsTable(t: Tables, modelNames: Seq[String]): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val data = featurize(t).cache()
+    try {
+      val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
+      val rows = regressors
+        .filter { case (n, _) => modelNames.contains(n) }
+        .map { case (n, r) => fitEval(n, r, train, test) }
+      rows.toDF("model", "r2", "r2adj", "mse", "rmse", "mae")
+        .select(
+          col("model"),
+          round(col("r2"), 4).as("r2"),
+          round(col("r2adj"), 4).as("r2adj"),
+          round(col("mse"), 2).as("mse"),
+          round(col("rmse"), 2).as("rmse"),
+          round(col("mae"), 2).as("mae"))
+    } finally data.unpersist()
+  }
+
+  /** Fast subset for the correctness harness (Verify runs every query;
+    * tree ensembles are exercised in tests and bench instead).
+    */
+  def fastMetrics(t: Tables): DataFrame =
+    metricsTable(t, Seq("LinearRegression", "DecisionTree", "GeneralizedLinear"))
+
+  /** All nine reference models. */
+  def fullMetrics(t: Tables): DataFrame =
+    metricsTable(t, regressors.map(_._1))
+}

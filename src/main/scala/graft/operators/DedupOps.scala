@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at training-pipeline scale. Four families:
+  *
+  *  - exact (hash group-by) — one shuffle on a 16-byte digest, never on
+  *    the full text;
+  *  - MinHash + LSH banding — signature is O(k·shingles) map-side work,
+  *    candidates come from an equi-join on band keys (shuffle carries
+  *    (bandKey, docId, sig) tuples only), verification re-checks true
+  *    Jaccard on the candidate set. This is the 100 TB path: cost is
+  *    bounded by bucket sizes, not n².
+  *  - SimHash — 64-bit sketch, candidates via band equi-join on 16-bit
+  *    sub-keys, verified by Hamming distance.
+  *  - exact n-gram Jaccard — the brute-force truth: explode shingles and
+  *    self-join. Quadratic in bucket size; kept as the oracle-checkable
+  *    ground truth and the recall yardstick for the sketch variants.
+  *
+  * Pair outputs are canonicalized (doc_a < doc_b) and deterministic.
+  */
+object DedupOps {
+
+  /** Exact dedup stats: docs vs distinct texts per source, hashing the text
+    * to md5 first so the shuffle carries digests, not documents.
+    */
+  def exactDupStats(t: Tables): DataFrame =
+    t.documents
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("h").as("n_distinct"))
+      .withColumn("n_dupes", col("n_docs") - col("n_distinct"))
+      .orderBy("source")
+
+  /** Exact dedup: keep one row per distinct text (deterministic winner =
+    * min doc_id). At scale: group on digest, not text.
+    */
+  def exactDedup(t: Tables): DataFrame =
+    t.documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** Ground-truth near-duplicate pairs by exact 3-gram Jaccard ≥ minJaccard.
+    *
+    * Shape: explode distinct shingles → self-equi-join on shingle (skew
+    * guard: drop shingles appearing in more than `maxDf` docs — a stopword
+    * shingle would otherwise create a quadratic bucket) → count shared
+    * shingles per pair → Jaccard from |A|+|B|−|A∩B|.
+    */
+  def ngramJaccardPairs(t: Tables, minJaccard: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    val docs = t.documents
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+
+    val exploded = docs
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+
+    // document frequency guard against hot shingles
+    val rare = exploded
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+
+    val e = exploded.join(rare, "s")
+    val a = e.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val b = e.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn(
+        "jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-duplicate pairs: signature k=16, 8 bands × 2 rows,
+    * candidates from band-key equi-join, verified with true Jaccard.
+    * P(candidate | j=0.8) ≈ 1-(1-0.64)^8 ≈ 0.9997 at this config.
+    */
+  def minhashDupPairs(t: Tables, minJaccard: Double = 0.8,
+                      k: Int = 16, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    val docs = t.documents
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
+
+    val a = docs.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-duplicates: 64-bit sketch, candidates share one of four
+    * 16-bit bands, verified by Hamming distance ≤ maxHamming.
+    */
+  def simhashDupPairs(t: Tables, maxHamming: Int = 3): DataFrame = {
+    val sh = t.documents
+      .select(col("doc_id"), simhash64(col("text")).as("sh64"))
+      .withColumn(
+        "band",
+        explode(array((0 until 4).map(i =>
+          concat_ws("_", lit(i),
+            shiftright(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
+
+    val a = sh.select(col("band"), col("doc_id").as("doc_a"), col("sh64").as("h_a"))
+    val b = sh.select(col("band"), col("doc_id").as("doc_b"), col("sh64").as("h_b"))
+
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamming64(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

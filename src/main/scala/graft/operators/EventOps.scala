@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics over the `events` table, batch-side. The same
+  * transformations run as a Structured Streaming job in
+  * [[graft.streaming.EventStream]]; keeping the logic `Column`-based means
+  * one definition serves both (Spark's unified batch/stream model).
+  *
+  * JSON props are parsed with `from_json` once into a typed struct — at
+  * 100 TB you never re-parse JSON per expression; parse once, project many.
+  */
+object EventOps {
+
+  val propsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
+
+  /** from_json + struct field access + agg (extension surface — the
+    * reference never parses JSON, FIXTURES.md §2).
+    */
+  def jsonPropStats(t: Tables): DataFrame =
+    t.events
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** get_json_object string-path variant of the same extraction. */
+  def jsonGetObject(t: Tables): DataFrame =
+    t.events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .filter(col("k") > 50)
+
+  /** Tumbling event-time window (1 hour): the batch twin of the streaming
+    * windowed aggregation. `window()` is a plain projection — groups land
+    * hash-partitioned by (window, type), no global state.
+    */
+  def hourlyTypeCounts(t: Tables): DataFrame =
+    t.events
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sessionization in batch: a session break is a >30-minute gap per user;
+    * session id = running count of breaks (lag + windowed sum) — the batch
+    * equivalent of `mapGroupsWithState` session logic, fully parallel per
+    * user partition.
+    */
+  def userSessions(t: Tables): DataFrame = {
+    val byUser   = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    // floor-seconds via unix_timestamp (NTZ has no direct bigint cast);
+    // the oracle mirrors this with floor(epoch(ts))
+    val tsSec    = unix_timestamp(col("ts").cast("timestamp"))
+    val gapSec   = tsSec - lag(tsSec, 1).over(byUser)
+    val isBreak  = when(gapSec.isNull || gapSec > 1800, 1).otherwise(0)
+    t.events
+      .withColumn("brk", isBreak)
+      .withColumn("session_id", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("events_in_session"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Event funnel: users who clicked and later purchased (self-join on
+    * user with time predicate — a range join; at scale, bucket by user so
+    * the join is key-equi on user_id with the time filter applied post-join).
+    */
+  def clickToPurchase(t: Tables): DataFrame = {
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("click_ts"))
+    val buys = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("buy_ts"))
+    clicks
+      .join(buys, col("u") === col("u2") && col("buy_ts") > col("click_ts"))
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("click_buy_pairs"))
+      .orderBy("user_id")
+  }
+}

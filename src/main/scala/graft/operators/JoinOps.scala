@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join / set-operation surface (SURVEY.md §2.3 — capability parity; the
+  * reference is single-table, so semantics are standard SQL).
+  *
+  * Scale stance: dimension tables (region 5 rows, nation 25, supplier,
+  * part) are always broadcast — at 100 TB the fact side never shuffles for
+  * a dim join. Fact-to-fact joins (orders ⋈ lineitem) shuffle on the join
+  * key and lean on AQE for skew splitting; both sides arrive hash-
+  * partitioned on the key so downstream groupBy on the same key reuses the
+  * exchange.
+  */
+object JoinOps {
+
+  /** Star-schema rollup: customer ⋈ nation ⋈ region (both dims broadcast)
+    * → per-region customer count + avg account balance.
+    */
+  def customersPerRegion(t: Tables): DataFrame =
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("num_customers"),
+        round(avg("c_acctbal"), 2).as("avg_acctbal"))
+      .orderBy("r_name")
+
+  /** Fact ⋈ fact: revenue per order priority. The shuffle partitions both
+    * sides on orderkey; the groupBy key is low-cardinality so the final
+    * aggregate is a cheap second exchange of #groups rows per partition.
+    */
+  def revenueByPriority(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("num_items"))
+      .orderBy("o_orderpriority")
+
+  /** Broadcast dim join on the fact table: revenue by part brand. */
+  def revenueByBrand(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("p_brand")
+
+  /** LEFT SEMI = EXISTS: customers that have at least one order. */
+  def customersWithOrders(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** LEFT ANTI = NOT EXISTS: customers with no orders. */
+  def customersWithoutOrders(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** LEFT OUTER with null-patching coalesce: order count per customer
+    * including zero-order customers.
+    */
+  def orderCountPerCustomer(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("num_orders"))
+      .orderBy("c_custkey")
+
+  /** UNION ALL of two status slices, re-aggregated. */
+  def unionSlices(t: Tables): DataFrame = {
+    val f = t.orders.filter(col("o_orderstatus") === "F")
+    val p = t.orders.filter(col("o_orderstatus") === "P")
+    f.unionAll(p)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** EXCEPT (distinct): high-value order keys that are not 'F' status. */
+  def exceptSlices(t: Tables): DataFrame = {
+    val high = t.orders.filter(col("o_totalprice") > 200000).select("o_orderkey")
+    val f    = t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    high.except(f)
+  }
+
+  /** INTERSECT (distinct): customers appearing in both halves of a split. */
+  def intersectSlices(t: Tables): DataFrame = {
+    val early = t.orders.filter(year(col("o_orderdate")) <= 1998).select("o_custkey")
+    val late  = t.orders.filter(year(col("o_orderdate")) >= 1999).select("o_custkey")
+    early.intersect(late)
+  }
+
+  /** Scalar "subquery" done engine-side (ref flattens it by hand through the
+    * driver, `data-understanding.py:229-232`): orders above the global mean
+    * price, counted per status. The 1-row aggregate is broadcast.
+    */
+  def aboveAveragePrice(t: Tables): DataFrame = {
+    val mean = t.orders.agg(avg("o_totalprice").as("mean_price"))
+    t.orders
+      .crossJoin(broadcast(mean))
+      .filter(col("o_totalprice") > col("mean_price"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_above_avg"))
+      .orderBy("o_orderstatus")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (array<float>, 64-dim).
+  *
+  *  - Brute force: broadcast the query vector, score every row, global
+  *    top-k via sort+limit (TakeOrderedAndProject — only k rows per
+  *    partition reach the driver). Exact; O(n·d) — the correctness
+  *    baseline.
+  *  - Sign-LSH: bucket vectors by sign bits of leading dimensions; a query
+  *    probes only its own bucket (expected n/2^bits candidates). The scale
+  *    path: bucket assignment is a projection, the probe is a pushed-down
+  *    equality filter on a (in production: partition) column.
+  *  - Near-dup pairs: same buckets, intra-bucket self-join, cosine ≥ τ.
+  *
+  * All vector math in double precision (see VectorFunctions).
+  */
+object SimilarityOps {
+
+  private def withQuery(t: Tables, queryId: Long): DataFrame = {
+    val q = t.embeddings
+      .filter(col("vec_id") === queryId)
+      .select(toDoubleArr(col("embedding")).as("q_emb"))
+    t.embeddings
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
+      .crossJoin(broadcast(q))
+  }
+
+  /** Exact top-k cosine neighbors of `queryId`. */
+  def bruteForceTopK(t: Tables, queryId: Long = 0L, k: Int = 10): DataFrame =
+    withQuery(t, queryId)
+      .withColumn("cos_sim", round(cosine(col("emb"), col("q_emb")), 6))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "label", "cos_sim")
+
+  /** ANN via sign-bit LSH: probe the query's bucket only, exact cosine
+    * rerank inside it.
+    */
+  def lshTopK(t: Tables, queryId: Long = 0L, k: Int = 5, bits: Int = 6): DataFrame =
+    withQuery(t, queryId)
+      .withColumn("bucket", signBucket(col("emb"), bits))
+      .withColumn("q_bucket", signBucket(col("q_emb"), bits))
+      .filter(col("bucket") === col("q_bucket"))
+      .withColumn("cos_sim", round(cosine(col("emb"), col("q_emb")), 6))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "label", "cos_sim")
+
+  /** Embedding near-duplicate pairs: label-blocked exact variant (the
+    * cluster label doubles as a blocking key — the oracle-checkable ground
+    * truth for the LSH variant below).
+    */
+  def embeddingNearDupExact(t: Tables, minCos: Double = 0.9): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select("vec_a", "vec_b", "label", "cos_sim")
+  }
+
+  /** Embedding near-duplicate pairs via sign-LSH buckets — no label needed;
+    * the unsupervised scale path (bucket join instead of n² blocking).
+    */
+  def embeddingNearDupLsh(t: Tables, minCos: Double = 0.9, bits: Int = 8): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("bucket", signBucket(col("emb"), bits))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** Per-label embedding stats: avg L2 norm + count (sanity surface for the
+    * vector math, fully oracle-checkable).
+    */
+  def normsByLabel(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("label"), l2Norm(toDoubleArr(col("embedding"))).as("norm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("norm"), 4).as("avg_norm"))
+      .orderBy("label")
+}

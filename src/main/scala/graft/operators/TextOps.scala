@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality / token-counting / fingerprinting layer a training-data pipeline
+  * runs before dedup and filtering. All per-document work is embarrassingly
+  * parallel projections (no shuffle); the only exchanges are the final
+  * low-cardinality aggregates.
+  */
+object TextOps {
+
+  /** Token statistics per source: whitespace tokens vs BPE-ish subword
+    * tokens, char counts — the "how big is this corpus in tokens" query.
+    */
+  def tokenStats(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("source"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        bpeishTokenCount(col("text")).as("bpe_tokens"),
+        length(col("text")).as("chars"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        sum("bpe_tokens").as("total_bpe_tokens"),
+        round(avg("chars"), 2).as("avg_chars"))
+      .orderBy("source")
+
+  /** Per-document quality scores, aggregated per language label. */
+  def qualityByLang(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("lang"),
+        qualityScore(col("text")).as("q"),
+        stopwordRatio(col("text")).as("sw"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("q"), 4).as("avg_quality"),
+        round(avg("sw"), 4).as("avg_stopword_ratio"))
+      .orderBy("lang")
+
+  /** Charset-heuristic language ID vs the dataset's lang label (confusion
+    * counts). The synthetic corpus is ASCII word soup, so the heuristic
+    * predicts 'en' — the query's value is the operator plumbing + oracle.
+    */
+  def langIdConfusion(t: Tables): DataFrame =
+    t.documents
+      .select(col("lang").as("labeled_lang"), langIdGuess(col("text")).as("guessed_lang"))
+      .groupBy("labeled_lang", "guessed_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("labeled_lang", "guessed_lang")
+
+  /** Deterministic whole-document fingerprints: md5 of the raw text plus
+    * the min-shingle fingerprint (1-perm MinHash). md5 is bit-identical in
+    * the DuckDB oracle.
+    */
+  def fingerprints(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("doc_md5"),
+        minShingleFingerprint(col("text"), 3).as("min_shingle_md5"))
+
+  /** Order-sensitive rolling content hash (xxhash64-based — engine-side
+    * determinism is covered by tests; not SQL-oracle-expressible).
+    */
+  def rollingHashes(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), rollingHash(col("text")).as("rolling_hash"))
+
+  /** Length/quality filter — the classic "drop junk docs" pipeline stage:
+    * keeps docs in a token-length band with healthy stopword share.
+    */
+  def qualityFilter(t: Tables): DataFrame =
+    t.documents
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 100)
+      .filter(stopwordRatio(col("text")) >= 0.05)
+      .select("doc_id", "lang", "source", "n_tokens")
+}

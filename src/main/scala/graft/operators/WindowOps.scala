@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.5 W1–W2 plus the analytic
+  * neighbourhood the reference never reaches: rank/lag/lead/frames).
+  *
+  * Scale stance: every window here is PARTITIONED (by custkey / segment) —
+  * the work is one hash shuffle then per-partition sort, embarrassingly
+  * parallel. The reference's global-order `row_number` (W1,
+  * `data-understanding.py:211-214`) is a known single-partition hazard; it
+  * only ever appears over already-aggregated tiny frames (see
+  * CoreQueries.q3StatusShare) or is replaced by a partitioned window +
+  * deterministic key sort.
+  */
+object WindowOps {
+
+  /** W2 analogue: row_number per partition, top-3 customers by balance per
+    * market segment. Unique custkey tiebreak keeps it deterministic.
+    */
+  def topCustomersPerSegment(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    t.customer
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+  }
+
+  /** Running total per customer over order time (frame agg). */
+  def runningRevenuePerCustomer(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_total")
+  }
+
+  /** lag/lead analytics: price delta between consecutive orders of a customer. */
+  def orderPriceDelta(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    t.orders
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn(
+        "price_delta",
+        round(col("o_totalprice") - col("prev_price"), 2))
+      .filter(col("prev_price").isNotNull)
+      .select("o_custkey", "o_orderkey", "price_delta")
+  }
+
+  /** rank + dense_rank (ties handled differently by each — exercised on a
+    * tie-prone integer column).
+    */
+  def partSizeRanks(t: Tables): DataFrame = {
+    val w = Window.partitionBy("p_type").orderBy(desc("p_size"), asc("p_partkey"))
+    t.part
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select("p_type", "p_partkey", "p_size", "rnk", "drnk")
+  }
+
+  /** ntile bucketing: quartile of order value within each year. */
+  def priceQuartiles(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy(year(col("o_orderdate")))
+      .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+    t.orders
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("quartile")
+  }
+}
