@@ -91,8 +91,8 @@ object SparkEntry {
     // --- similarity search (training-data extensions) ---
     "ann_brute_force"    -> q(t => SimilarityOps.bruteForceTopK(t, 0L, 10)),
     "ann_lsh"            -> q(t => SimilarityOps.lshTopK(t, 0L, 5, 6)),
-    "emb_neardup_exact"  -> q(t => SimilarityOps.embeddingNearDupExact(t, 0.5)),
-    "emb_neardup_lsh"    -> q(t => SimilarityOps.embeddingNearDupLsh(t, 0.5, 8)),
+    "emb_neardup_exact"  -> q(t => SimilarityOps.embeddingNearDupExact(t, 0.35)),
+    "emb_neardup_lsh"    -> q(t => SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)),
     "emb_norms_by_label" -> q(SimilarityOps.normsByLabel),
     // --- ML + multimodal (reference parity M1-M14 / extension) ---
     "ml_price_metrics"    -> q(PricePipeline.fastMetrics),
@@ -107,32 +107,32 @@ object SparkEntry {
     "q1_group_count_avg" ->
       """SELECT l_returnflag,
         |       count(l_returnflag) AS num_items,
-        |       round(avg(l_extendedprice), 2) AS avg_price
+        |       floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q2_median_by_priority" ->
       """SELECT upper(o_orderpriority) AS priority,
         |       count(*) AS num_orders,
-        |       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+        |       floor((quantile_cont(o_totalprice, 0.5)) * 100 + 0.5) / 100 AS median_price
         |FROM orders GROUP BY upper(o_orderpriority)""".stripMargin,
     "q2_approx_median" ->
       """SELECT o_orderpriority,
-        |       round(quantile_disc(o_totalprice, 0.5), 2) AS approx_median_price
+        |       floor((quantile_disc(o_totalprice, 0.5)) * 100 + 0.5) / 100 AS approx_median_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q3_status_share" ->
       """WITH c AS (
         |  SELECT o_orderpriority, count(*) AS f_count
         |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority)
         |SELECT o_orderpriority, f_count,
-        |       round(f_count * 100.0 / sum(f_count) OVER (), 2) AS percentage
+        |       floor((f_count * 100.0 / sum(f_count) OVER ()) * 100 + 0.5) / 100 AS percentage
         |FROM c""".stripMargin,
     "agg_multikey_avg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(avg(l_extendedprice), 2) AS avg_price,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+        |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "agg_by_year" ->
       """SELECT year(o_orderdate) AS order_year,
-        |       round(avg(o_totalprice), 2) AS avg_price,
+        |       floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price,
         |       count(*) AS num_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
     "agg_skewness" ->
@@ -144,20 +144,20 @@ object SparkEntry {
         |         avg(l_quantity * l_quantity) AS q2,
         |         avg(l_quantity * l_quantity * l_quantity) AS q3
         |  FROM lineitem)
-        |SELECT round((m3 - 3*m1*(m2 - m1*m1) - m1*m1*m1) / pow(m2 - m1*m1, 1.5), 4) AS skew_price,
-        |       round((q3 - 3*q1*(q2 - q1*q1) - q1*q1*q1) / pow(q2 - q1*q1, 1.5), 4) AS skew_qty
+        |SELECT floor(((m3 - 3*m1*(m2 - m1*m1) - m1*m1*m1) / pow(m2 - m1*m1, 1.5)) * 10000 + 0.5) / 10000 AS skew_price,
+        |       floor(((q3 - 3*q1*(q2 - q1*q1) - q1*q1*q1) / pow(q2 - q1*q1, 1.5)) * 10000 + 0.5) / 10000 AS skew_qty
         |FROM m""".stripMargin,
     "agg_describe_stats" ->
       """SELECT count(l_extendedprice) AS cnt,
-        |       round(avg(l_extendedprice), 2) AS mean_price,
-        |       round(stddev(l_extendedprice), 2) AS std_price,
-        |       round(min(l_extendedprice), 2) AS min_price,
-        |       round(max(l_extendedprice), 2) AS max_price
+        |       floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS mean_price,
+        |       floor((stddev(l_extendedprice)) * 100 + 0.5) / 100 AS std_price,
+        |       floor((min(l_extendedprice)) * 100 + 0.5) / 100 AS min_price,
+        |       floor((max(l_extendedprice)) * 100 + 0.5) / 100 AS max_price
         |FROM lineitem""".stripMargin,
     "agg_selectexpr_sum" ->
-      "SELECT round(sum(l_quantity), 2) AS total_qty FROM lineitem",
+      "SELECT floor((sum(l_quantity)) * 100 + 0.5) / 100 AS total_qty FROM lineitem",
     "agg_global_sum" ->
-      """SELECT round(sum(o_totalprice), 2) AS total_revenue,
+      """SELECT floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_revenue,
         |       count(*) AS num_orders FROM orders""".stripMargin,
     "filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -189,7 +189,7 @@ object SparkEntry {
         |            WHEN o_totalprice >= 50000 THEN 'low'
         |            ELSE 'minimal' END AS tier,
         |       count(*) AS n,
-        |       round(avg(o_totalprice), 2) AS avg_price
+        |       floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
     "regexp_extract_num" ->
       """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS cust_num
@@ -201,9 +201,9 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |       round(l_extendedprice * (1 - l_discount), 2) AS net_price,
-        |       round(sqrt(l_extendedprice), 4) AS sqrt_price,
-        |       round(ln(l_extendedprice), 4) AS log_price
+        |       floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS net_price,
+        |       floor((sqrt(l_extendedprice)) * 10000 + 0.5) / 10000 AS sqrt_price,
+        |       floor((ln(l_extendedprice)) * 10000 + 0.5) / 10000 AS log_price
         |FROM lineitem""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
@@ -217,19 +217,19 @@ object SparkEntry {
         |  AND l_suppkey IS NOT NULL""".stripMargin,
     "join_customers_per_region" ->
       """SELECT r_name, count(*) AS num_customers,
-        |       round(avg(c_acctbal), 2) AS avg_acctbal
+        |       floor((avg(c_acctbal)) * 100 + 0.5) / 100 AS avg_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
     "join_revenue_by_priority" ->
       """SELECT o_orderpriority,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
         |       count(*) AS num_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "join_revenue_by_brand" ->
-      """SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue
+      """SELECT p_brand, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
     "join_semi_with_orders" ->
@@ -270,13 +270,13 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
     "window_running_revenue" ->
       """SELECT o_custkey, o_orderkey,
-        |       round(sum(o_totalprice) OVER (
+        |       floor((sum(o_totalprice) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_total
         |FROM orders""".stripMargin,
     "window_price_delta" ->
       """SELECT o_custkey, o_orderkey,
-        |       round(o_totalprice - prev_price, 2) AS price_delta
+        |       floor((o_totalprice - prev_price) * 100 + 0.5) / 100 AS price_delta
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         lag(o_totalprice, 1) OVER (
@@ -291,7 +291,7 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY p_type ORDER BY p_size DESC, p_partkey ASC))
         |WHERE rnk <= 5""".stripMargin,
     "window_price_quartiles" ->
-      """SELECT quartile, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      """SELECT quartile, count(*) AS n, floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
         |FROM (
         |  SELECT o_totalprice,
         |         ntile(4) OVER (PARTITION BY year(o_orderdate)
@@ -300,7 +300,7 @@ object SparkEntry {
         |GROUP BY quartile""".stripMargin,
     "events_json_stats" ->
       """SELECT event_type, count(*) AS n,
-        |       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
+        |       floor((avg(CAST(json_extract(props, '$.k') AS INTEGER))) * 10000 + 0.5) / 10000 AS avg_k,
         |       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "events_json_get" ->
@@ -308,11 +308,11 @@ object SparkEntry {
         |FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) > 50""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        |       count(*) AS n, round(sum(value), 2) AS total_value
+        |       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_hourly_streaming" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        |       count(*) AS n, round(sum(value), 2) AS total_value
+        |       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       """WITH g AS (
@@ -329,7 +329,7 @@ object SparkEntry {
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS events_in_session,
-        |       round(sum(value), 2) AS session_value
+        |       floor((sum(value)) * 100 + 0.5) / 100 AS session_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     "events_click_to_purchase" ->
       """SELECT c.user_id AS user_id, count(*) AS click_buy_pairs
@@ -341,7 +341,7 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |       sum(len(string_split_regex(text, '\s+'))) AS total_ws_tokens,
         |       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
-        |       round(avg(length(text)), 2) AS avg_chars
+        |       floor((avg(length(text))) * 100 + 0.5) / 100 AS avg_chars
         |FROM documents GROUP BY source""".stripMargin,
     "text_langid_confusion" ->
       """SELECT lang AS labeled_lang,
@@ -354,13 +354,111 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "text_fingerprints" ->
       """WITH toks AS (
-        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk FROM documents),
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS tk FROM documents)
+        |SELECT doc_id, md5(text) AS doc_md5,
+        |       list_min([md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |                 for i in range(1, len(tk)-1)]) AS min_shingle_md5
+        |FROM toks""".stripMargin,
+    "text_quality_by_lang" ->
+      """WITH s AS (
+        |  SELECT lang, string_split_regex(text, '\s+') AS tk,
+        |         length(text)::DOUBLE AS nchars
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, len(tk)::DOUBLE AS nt, nchars,
+        |         CASE WHEN len(tk)=0 THEN 0.0
+        |              ELSE len(list_filter(tk, t -> list_contains(
+        |                ['the','a','an','of','and','to','in','is','it','for'], t)))::DOUBLE
+        |                / len(tk) END AS sw
+        |  FROM s),
+        |q AS (
+        |  SELECT lang, sw,
+        |         floor(((least(nt/50.0, 1.0) + least(sw*5.0, 1.0) +
+        |                 (CASE WHEN (CASE WHEN nt=0 THEN 0.0 ELSE nchars/nt END) >= 3
+        |                        AND (CASE WHEN nt=0 THEN 0.0 ELSE nchars/nt END) <= 10
+        |                       THEN 1.0 ELSE 0.5 END)) / 3.0) * 10000 + 0.5) / 10000 AS q
+        |  FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |       floor(avg(q)*10000 + 0.5)/10000 AS avg_quality,
+        |       floor(avg(sw)*10000 + 0.5)/10000 AS avg_stopword_ratio
+        |FROM q GROUP BY lang""".stripMargin,
+    "text_quality_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, source, len(tk) AS n_tokens,
+        |         CASE WHEN len(tk)=0 THEN 0.0
+        |              ELSE len(list_filter(tk, t -> list_contains(
+        |                ['the','a','an','of','and','to','in','is','it','for'], t)))::DOUBLE
+        |                / len(tk) END AS sw
+        |  FROM s)
+        |SELECT doc_id, lang, source, n_tokens FROM m
+        |WHERE n_tokens >= 20 AND n_tokens <= 100 AND sw >= 0.05""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
         |sh AS (
-        |  SELECT doc_id, md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS h
-        |  FROM toks, range(1, greatest(len(tk) - 1, 1)) r(i))
-        |SELECT t.doc_id, md5(t.text) AS doc_md5, m.fp AS min_shingle_md5
-        |FROM toks t JOIN (SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id) m
-        |  ON t.doc_id = m.doc_id""".stripMargin,
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                for i in range(1, len(tk)-1)]) AS sh
+        |  FROM toks),
+        |d AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+        |e AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM d),
+        |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+        |er AS (SELECT e.* FROM e JOIN rare USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+        |  FROM er a JOIN er b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4)
+        |SELECT doc_a, doc_b,
+        |       floor((inter::DOUBLE / (n_a + n_b - inter)) * 10000 + 0.5)/10000 AS jaccard
+        |FROM pairs
+        |WHERE floor((inter::DOUBLE / (n_a + n_b - inter)) * 10000 + 0.5)/10000 >= 0.3""".stripMargin,
+    "emb_neardup_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, emb, sqrt(list_sum([x*x for x in emb])) AS nrm FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |         floor((list_sum([a.emb[i]*b.emb[i] for i in range(1, len(a.emb)+1)])
+        |                / (a.nrm*b.nrm)) * 1000000 + 0.5)/1000000 AS cos_sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, label, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin,
+    "emb_neardup_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm,
+        |         (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END)||
+        |         (CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END)||
+        |         (CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END)||
+        |         (CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         floor((list_sum([a.emb[i]*b.emb[i] for i in range(1, len(a.emb)+1)])
+        |                / (a.nrm*b.nrm)) * 1000000 + 0.5)/1000000 AS cos_sim
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin,
+    "ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, emb, sqrt(list_sum([x*x for x in emb])) AS nrm,
+        |         (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END)||
+        |         (CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END)||
+        |         (CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM e),
+        |q AS (SELECT emb AS qe, nrm AS qn, bucket AS qb FROM n WHERE vec_id = 0)
+        |SELECT n.vec_id, n.label,
+        |       floor((list_sum([n.emb[i]*qe[i] for i in range(1, len(n.emb)+1)])
+        |              / (n.nrm*qn)) * 1000000 + 0.5)/1000000 AS cos_sim
+        |FROM n, q
+        |WHERE n.vec_id <> 0 AND n.bucket = qb
+        |ORDER BY cos_sim DESC, n.vec_id ASC
+        |LIMIT 5""".stripMargin,
     "dedup_exact_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_distinct,
@@ -372,13 +470,13 @@ object SparkEntry {
     "ann_brute_force" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
-        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |                                    CAST(qe AS DOUBLE[])), 6) AS cos_sim
+        |       floor((list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                    CAST(qe AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "emb_norms_by_label" ->
       """SELECT label, count(*) AS n,
-        |       round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-        |                                              x -> x * x)))), 4) AS avg_norm
+        |       floor((avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                              x -> x * x))))) * 10000 + 0.5) / 10000 AS avg_norm
         |FROM embeddings GROUP BY label""".stripMargin)
 }

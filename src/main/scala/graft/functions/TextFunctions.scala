@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives used by the text-analysis and dedup
@@ -150,6 +151,6 @@ object TextFunctions {
     val lenScore = least(nTokens / 50.0, lit(1.0))
     val swScore  = least(stopwordRatio(text) * 5.0, lit(1.0))
     val wlScore  = when(avgWord >= 3 && avgWord <= 10, 1.0).otherwise(0.5)
-    round((lenScore + swScore + wlScore) / 3.0, 4)
+    roundN((lenScore + swScore + wlScore) / 3.0, 4)
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,7 +30,7 @@ object CoreQueries {
       .groupBy("l_returnflag")
       .agg(
         count("l_returnflag").as("num_items"),
-        round(avg("l_extendedprice"), 2).as("avg_price"))
+        roundN(avg("l_extendedprice"), 2).as("avg_price"))
       .orderBy(desc("num_items"))
 
   /** Query 2 analogue (ref `data-understanding.py:202-216`): count + median
@@ -43,7 +44,7 @@ object CoreQueries {
       .groupBy(upper(col("o_orderpriority")).as("priority"))
       .agg(
         count(lit(1)).as("num_orders"),
-        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("median_price"))
+        roundN(percentile(col("o_totalprice"), lit(0.5)), 2).as("median_price"))
       .orderBy("priority")
 
   /** percentile_approx as the reference actually runs it (A4) — kept as a
@@ -55,7 +56,7 @@ object CoreQueries {
     t.orders
       .groupBy("o_orderpriority")
       .agg(
-        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)), 2)
+        roundN(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)), 2)
           .as("approx_median_price"))
       .orderBy("o_orderpriority")
 
@@ -72,7 +73,7 @@ object CoreQueries {
     counts
       .withColumn(
         "percentage",
-        round(col("f_count") * 100.0 / sum("f_count").over(Window.partitionBy()), 2))
+        roundN(col("f_count") * 100.0 / sum("f_count").over(Window.partitionBy()), 2))
       .orderBy(desc("percentage"))
   }
 
@@ -81,8 +82,8 @@ object CoreQueries {
     t.lineitem
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(avg("l_extendedprice"), 2).as("avg_price"),
-        round(sum("l_quantity"), 2).as("sum_qty"))
+        roundN(avg("l_extendedprice"), 2).as("avg_price"),
+        roundN(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** A7: group-by multiple avgs ordered by key (ref `data-viz&cleaning.py:263`). */
@@ -90,7 +91,7 @@ object CoreQueries {
     t.orders
       .groupBy(year(col("o_orderdate")).as("order_year"))
       .agg(
-        round(avg("o_totalprice"), 2).as("avg_price"),
+        roundN(avg("o_totalprice"), 2).as("avg_price"),
         count(lit(1)).as("num_orders"))
       .orderBy("order_year")
 
@@ -100,8 +101,8 @@ object CoreQueries {
     */
   def aggSkewness(t: Tables): DataFrame =
     t.lineitem.agg(
-      round(skewness("l_extendedprice"), 4).as("skew_price"),
-      round(skewness("l_quantity"), 4).as("skew_qty"))
+      roundN(skewness("l_extendedprice"), 4).as("skew_price"),
+      roundN(skewness("l_quantity"), 4).as("skew_qty"))
 
   /** A10: describe()-style stats block (ref `data-viz&cleaning.py:108`),
     * engine-side as one aggregation (describe() itself returns strings).
@@ -109,21 +110,25 @@ object CoreQueries {
   def aggDescribeStats(t: Tables): DataFrame =
     t.lineitem.agg(
       count("l_extendedprice").as("cnt"),
-      round(avg("l_extendedprice"), 2).as("mean_price"),
-      round(stddev("l_extendedprice"), 2).as("std_price"),
-      round(min("l_extendedprice"), 2).as("min_price"),
-      round(max("l_extendedprice"), 2).as("max_price"))
+      roundN(avg("l_extendedprice"), 2).as("mean_price"),
+      roundN(stddev("l_extendedprice"), 2).as("std_price"),
+      roundN(min("l_extendedprice"), 2).as("min_price"),
+      roundN(max("l_extendedprice"), 2).as("max_price"))
 
-  /** A11: SQL-expression surface via selectExpr (ref `data-viz&cleaning.py:445`). */
+  /** A11: SQL-expression surface via selectExpr (ref `data-viz&cleaning.py:445`).
+    * The half-up rounding is spelled inline (floor(x·100+0.5)/100) because the
+    * SQL parser only sees built-ins — `roundN` is a Scala-side helper.
+    */
   def aggSelectExprSum(t: Tables): DataFrame =
-    t.lineitem.selectExpr("round(sum(l_quantity), 2) as total_qty")
+    t.lineitem.selectExpr(
+      "floor(sum(l_quantity) * 100 + 0.5) / 100 as total_qty")
 
   /** A5 engine-side: global agg consumed as a scalar — kept distributed as a
     * 1-row frame instead of `collect()[0][0]` (ref `data-understanding.py:229`).
     */
   def aggGlobalSum(t: Tables): DataFrame =
     t.orders.agg(
-      round(sum("o_totalprice"), 2).as("total_revenue"),
+      roundN(sum("o_totalprice"), 2).as("total_revenue"),
       count(lit(1)).as("num_orders"))
 
   /** P6: conjunctive range predicate (ref `data-viz&cleaning.py:130,173`).
@@ -185,7 +190,7 @@ object CoreQueries {
           .when(col("o_totalprice") >= 50000, "low")
           .otherwise("minimal"))
       .groupBy("tier")
-      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+      .agg(count(lit(1)).as("n"), roundN(avg("o_totalprice"), 2).as("avg_price"))
       .orderBy("tier")
 
   /** F3: regexp_extract (ref `data-understanding.py:190` year extraction). */
@@ -215,9 +220,9 @@ object CoreQueries {
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
-        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
-        round(log(col("l_extendedprice")), 4).as("log_price"))
+        roundN(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
+        roundN(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        roundN(log(col("l_extendedprice")), 4).as("log_price"))
 
   /** O1–O3: global sort + limit → TakeOrderedAndProject. A unique tiebreak
     * key keeps the selected row set deterministic for the oracle.

@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 
 /** Document deduplication at training-pipeline scale. Four families:
@@ -78,7 +79,7 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
       .withColumn(
         "jaccard",
-        round(col("inter").cast("double") /
+        roundN(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
@@ -104,7 +105,7 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b")
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jaccard", roundN(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }

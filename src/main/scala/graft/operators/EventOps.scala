@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,7 +28,7 @@ object EventOps {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        round(avg("k"), 4).as("avg_k"),
+        roundN(avg("k"), 4).as("avg_k"),
         max("k").as("max_k"))
       .orderBy("event_type")
 
@@ -50,7 +51,7 @@ object EventOps {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum("value"), 2).as("total_value"))
+        roundN(sum("value"), 2).as("total_value"))
       .orderBy("hour_start", "event_type")
 
   /** Sessionization in batch: a session break is a >30-minute gap per user;
@@ -72,7 +73,7 @@ object EventOps {
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("events_in_session"),
-        round(sum("value"), 2).as("session_value"))
+        roundN(sum("value"), 2).as("session_value"))
       .orderBy("user_id", "session_id")
   }
 

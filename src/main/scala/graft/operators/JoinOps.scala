@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import org.apache.spark.sql.DataFrame
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 
 /** Join / set-operation surface (SURVEY.md §2.3 — capability parity; the
@@ -26,7 +27,7 @@ object JoinOps {
       .groupBy("r_name")
       .agg(
         count(lit(1)).as("num_customers"),
-        round(avg("c_acctbal"), 2).as("avg_acctbal"))
+        roundN(avg("c_acctbal"), 2).as("avg_acctbal"))
       .orderBy("r_name")
 
   /** Fact ⋈ fact: revenue per order priority. The shuffle partitions both
@@ -38,7 +39,7 @@ object JoinOps {
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"),
         count(lit(1)).as("num_items"))
       .orderBy("o_orderpriority")
@@ -48,7 +49,7 @@ object JoinOps {
     t.lineitem
       .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(round(sum("l_extendedprice"), 2).as("revenue"))
+      .agg(roundN(sum("l_extendedprice"), 2).as("revenue"))
       .orderBy("p_brand")
 
   /** LEFT SEMI = EXISTS: customers that have at least one order. */

@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -35,7 +36,7 @@ object SimilarityOps {
   /** Exact top-k cosine neighbors of `queryId`. */
   def bruteForceTopK(t: Tables, queryId: Long = 0L, k: Int = 10): DataFrame =
     withQuery(t, queryId)
-      .withColumn("cos_sim", round(cosine(col("emb"), col("q_emb")), 6))
+      .withColumn("cos_sim", roundN(cosine(col("emb"), col("q_emb")), 6))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
       .select("vec_id", "label", "cos_sim")
@@ -48,7 +49,7 @@ object SimilarityOps {
       .withColumn("bucket", signBucket(col("emb"), bits))
       .withColumn("q_bucket", signBucket(col("q_emb"), bits))
       .filter(col("bucket") === col("q_bucket"))
-      .withColumn("cos_sim", round(cosine(col("emb"), col("q_emb")), 6))
+      .withColumn("cos_sim", roundN(cosine(col("emb"), col("q_emb")), 6))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
       .select("vec_id", "label", "cos_sim")
@@ -64,7 +65,7 @@ object SimilarityOps {
     val b = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos_sim", roundN(cosine(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos_sim") >= minCos)
       .select("vec_a", "vec_b", "label", "cos_sim")
   }
@@ -80,7 +81,7 @@ object SimilarityOps {
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos_sim", roundN(cosine(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos_sim") >= minCos)
       .select("vec_a", "vec_b", "cos_sim")
   }
@@ -94,6 +95,6 @@ object SimilarityOps {
       .groupBy("label")
       .agg(
         count(lit(1)).as("n"),
-        round(avg("norm"), 4).as("avg_norm"))
+        roundN(avg("norm"), 4).as("avg_norm"))
       .orderBy("label")
 }

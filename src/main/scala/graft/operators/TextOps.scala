@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the language-ID /
@@ -28,7 +29,7 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         sum("ws_tokens").as("total_ws_tokens"),
         sum("bpe_tokens").as("total_bpe_tokens"),
-        round(avg("chars"), 2).as("avg_chars"))
+        roundN(avg("chars"), 2).as("avg_chars"))
       .orderBy("source")
 
   /** Per-document quality scores, aggregated per language label. */
@@ -41,8 +42,8 @@ object TextOps {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg("q"), 4).as("avg_quality"),
-        round(avg("sw"), 4).as("avg_stopword_ratio"))
+        roundN(avg("q"), 4).as("avg_quality"),
+        roundN(avg("sw"), 4).as("avg_stopword_ratio"))
       .orderBy("lang")
 
   /** Charset-heuristic language ID vs the dataset's lang label (confusion

@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 
 /** Window-function surface (SURVEY.md §2.5 W1–W2 plus the analytic
@@ -38,7 +39,7 @@ object WindowOps {
       .orderBy(asc("o_orderdate"), asc("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.orders
-      .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+      .withColumn("running_total", roundN(sum("o_totalprice").over(w), 2))
       .select("o_custkey", "o_orderkey", "running_total")
   }
 
@@ -51,7 +52,7 @@ object WindowOps {
       .withColumn("prev_price", lag("o_totalprice", 1).over(w))
       .withColumn(
         "price_delta",
-        round(col("o_totalprice") - col("prev_price"), 2))
+        roundN(col("o_totalprice") - col("prev_price"), 2))
       .filter(col("prev_price").isNotNull)
       .select("o_custkey", "o_orderkey", "price_delta")
   }
@@ -78,7 +79,7 @@ object WindowOps {
       .groupBy("quartile")
       .agg(
         count(lit(1)).as("n"),
-        round(avg("o_totalprice"), 2).as("avg_price"))
+        roundN(avg("o_totalprice"), 2).as("avg_price"))
       .orderBy("quartile")
   }
 }

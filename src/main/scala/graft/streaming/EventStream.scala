@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -29,10 +30,11 @@ object EventStream {
 
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source rejects a literal file path (basePath must be
+    // a directory) — a glob that matches only events.parquet sidesteps it
     spark.readStream
       .schema(eventSchema)
-      .option("basePath", dir) // the file-stream source needs a directory root
-      .parquet(s"$dir/events.parquet")
+      .parquet(s"$dir/{events}.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -45,7 +47,7 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), roundN(sum("value"), 2).as("total_value"))
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")
