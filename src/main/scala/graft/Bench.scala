@@ -1,23 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  *
+  * Each query is materialized through the `noop` sink — `count()` would let
+  * Catalyst prune every projection and aggregate down to a row count,
+  * benchmarking a different (much cheaper) plan than the one Verify checks.
+  * The noop sink executes the full physical plan and discards rows at the
+  * writer, so timings reflect real operator cost with zero driver collect.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm up session-level one-time costs (JIT, codegen, collation
+    // registry, parquet reader init) so they don't land on whichever query
+    // alphabetically touches a string/hash expression first: the flagship
+    // plus a tiny composite exercising the expression classes the suite uses.
+    try {
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      import org.apache.spark.sql.functions._
+      spark.range(1000).toDF("id")
+        .withColumn("s", concat(lit("warm_"), col("id").cast("string")))
+        .filter(!lower(col("s")).like("%zz%") && !col("s").contains("qq"))
+        .select(upper(col("s")).as("u"), md5(col("s")).as("m"),
+          xxhash64(col("s")).as("x"),
+          regexp_extract(col("s"), "([0-9]+)", 1).as("r"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

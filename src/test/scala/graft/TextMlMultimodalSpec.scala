@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+import graft.ml.{PricePipeline, Recommender}
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextMlMultimodalSpec extends SparkTestBase {
+
+  test("token stats cover every document") {
+    val got = TextOps.tokenStats(t).agg(sum("n_docs")).head().getLong(0)
+    assert(got == t.documents.count())
+  }
+
+  test("quality filter output is a subset with band-limited token counts") {
+    val rows = TextOps.qualityFilter(t).collect()
+    rows.foreach { r =>
+      val n = r.getInt(3)
+      assert(n >= 20 && n <= 100)
+    }
+  }
+
+  test("fingerprints are deterministic across runs") {
+    val a = TextOps.fingerprints(t).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = TextOps.fingerprints(t).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+  }
+
+  test("rolling hashes stay in the 40-bit ring") {
+    TextOps.rollingHashes(t).collect().foreach { r =>
+      val h = r.getLong(1)
+      assert(h >= 0 && h < (1L << 40))
+    }
+  }
+
+  test("multimodal decode: schema survives the binary hop, bytes counted") {
+    val assets = MultimodalOps.syntheticAssets(t)
+    val decoded = MultimodalOps.decodeAssets(spark, assets).toDF()
+    assert(decoded.count() == t.documents.count())
+    assert(decoded.columns.toSet == Set("asset_id", "format", "n_bytes", "features"))
+    // payload is the utf-8 text; ASCII corpus ⇒ n_bytes == n_chars
+    val joined = decoded.join(t.documents, col("asset_id") === col("doc_id"))
+      .filter(col("n_bytes") =!= length(col("text"))).count()
+    assert(joined == 0)
+  }
+
+  test("multimodal stub decode is deterministic and fixed-dim") {
+    val payload = "some bytes".getBytes("UTF-8")
+    val f1 = MultimodalOps.stubDecodeFeatures(payload, 16)
+    val f2 = MultimodalOps.stubDecodeFeatures(payload, 16)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == 16)
+    f1.foreach(v => assert(v >= 0.0f && v < 1.0f))
+  }
+
+  test("recommender returns k results excluding the query doc") {
+    val got = Recommender.similarDocs(t, 0L, 5).collect()
+    assert(got.length == 5)
+    assert(!got.map(_.getLong(0)).contains(0L))
+    val scores = got.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("recommender ranks an exact duplicate first if one exists") {
+    // fixtures contain exact text duplicates (dedup_exact_stats > 0);
+    // a duplicate of doc 0 must score 1.0 if present
+    val dupOf0 = t.documents.as("a").join(t.documents.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") =!= col("b.doc_id"))
+      .filter(col("a.doc_id") === 0).select(col("b.doc_id")).collect().map(_.getLong(0))
+    if (dupOf0.nonEmpty) {
+      val top = Recommender.similarDocs(t, 0L, 1).head()
+      assert(math.abs(top.getDouble(3) - 1.0) < 1e-6)
+    }
+  }
+
+  test("price pipeline: metrics are finite, rmse^2 ≈ mse") {
+    val rows = PricePipeline.fastMetrics(t).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val Seq(r2, r2adj, mse, rmse, mae) = (1 to 5).map(r.getDouble)
+      assert(!r2.isNaN && r2 <= 1.0)
+      assert(r2 == r2adj) // documented reference bug: adjusted R² reports R²
+      assert(math.abs(rmse * rmse - mse) / mse < 0.01)
+      assert(mae >= 0 && rmse >= mae)
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+
+/** Dedup + similarity operators on tiny literal corpora where ground truth
+  * is hand-computable, plus recall checks of the sketch variants against
+  * the exact ones on the sf0.001 fixtures.
+  */
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Tables over a temp dir holding the given literal frames as parquet. */
+  private def litTables(docs: DataFrame = null, embs: DataFrame = null): Tables = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-test-").toString
+    if (docs != null) docs.write.parquet(s"$dir/documents.parquet")
+    if (embs != null) embs.write.parquet(s"$dir/embeddings.parquet")
+    Tables(spark, dir)
+  }
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "web"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "book"),  // near dup of 0
+    (3L, "completely different text with no shared shingles at all", "en", "web"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("exactDedup keeps min doc_id per distinct text") {
+    val got = DedupOps.exactDedup(litTables(docs = docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("ngramJaccardPairs finds exact and near dups with correct jaccard") {
+    val got = DedupOps.ngramJaccardPairs(litTables(docs = docs), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((0L, 1L)) == 1.0)
+    // doc0 vs doc2: 7 shingles each, 6 shared → 6/8 = 0.75
+    assert(got((0L, 2L)) == 0.75)
+    assert(!got.contains((0L, 3L)))
+  }
+
+  test("minhash pairs: exact dups always collide; no false high jaccard") {
+    val got = DedupOps.minhashDupPairs(litTables(docs = docs), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((0L, 1L)) == 1.0) // identical signature → same bands
+    got.values.foreach(j => assert(j >= 0.3))
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val got = DedupOps.simhashDupPairs(litTables(docs = docs), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((0L, 1L)) == 0)
+  }
+
+  test("minhash recall vs exact jaccard on fixtures (threshold 0.5)") {
+    val exact = DedupOps.ngramJaccardPairs(t, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sketch = DedupOps.minhashDupPairs(t, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step re-checks true jaccard, so sketch ⊆ exact ...
+    assert(sketch.subsetOf(exact))
+    // ... and at j≥0.5 with 8 bands × 2 rows recall should be near-total
+    if (exact.nonEmpty) assert(sketch.size.toDouble / exact.size >= 0.8)
+  }
+
+  private val embs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), "a"),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), "a"),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), "a"),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), "b")) // opposite to 0
+    .toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks by cosine desc") {
+    val got = SimilarityOps.bruteForceTopK(litTables(embs = embs), 0L, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L)) // cos: 0.994, 0, -1
+  }
+
+  test("embeddingNearDupExact respects label blocking and threshold") {
+    val got = SimilarityOps.embeddingNearDupExact(litTables(embs = embs), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L))) // 0-3 blocked by label, 0-2 below threshold
+  }
+
+  test("lshTopK reranks with exact cosine inside the probed bucket") {
+    // every LSH hit must appear in the exact brute-force ranking with the
+    // same cosine (LSH prunes candidates, never changes scores)
+    val brute = SimilarityOps.bruteForceTopK(t, 0L, Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lsh = SimilarityOps.lshTopK(t, 0L, 5, 6).collect()
+    lsh.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(2)))
+  }
+
+  test("canonical pair ordering (doc_a < doc_b) on fixture outputs") {
+    SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)
+      .collect().foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    SimilarityOps.embeddingNearDupExact(t, 0.35)
+      .collect().foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+}

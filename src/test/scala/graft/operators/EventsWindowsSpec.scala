@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+class EventsWindowsSpec extends SparkTestBase {
+
+  test("hourly window counts partition all events") {
+    val total = EventOps.hourlyTypeCounts(t).agg(sum("n")).head().getLong(0)
+    assert(total == t.events.count())
+  }
+
+  test("sessions partition all events per user") {
+    val total = EventOps.userSessions(t).agg(sum("events_in_session")).head().getLong(0)
+    assert(total == t.events.count())
+  }
+
+  test("session gaps: no session spans a >30 min gap (spot-check heaviest user)") {
+    val heavy = t.events.groupBy("user_id").count()
+      .orderBy(desc("count")).head().getLong(0)
+    val ts = t.events.filter(col("user_id") === heavy)
+      .select(unix_timestamp(col("ts").cast("timestamp")))
+      .orderBy("ts").collect().map(_.getLong(0))
+    val expectedSessions = 1 + ts.sliding(2).count(p => p.length == 2 && p(1) - p(0) > 1800)
+    val gotSessions = EventOps.userSessions(t)
+      .filter(col("user_id") === heavy).count()
+    assert(gotSessions == expectedSessions)
+  }
+
+  test("streaming hourly counts == batch hourly counts") {
+    val stream = EventStream.hourlyCounts(spark, "/root/testdata/sf0.001",
+      s"spec_stream_${System.nanoTime()}")
+    val batch = EventOps.hourlyTypeCounts(t)
+    assert(stream.count() == batch.count())
+    assert(stream.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stream).count() == 0)
+  }
+
+  test("streaming sessionization emits closed sessions consistent with batch") {
+    val stream = EventStream.sessionize(spark, "/root/testdata/sf0.001",
+      s"spec_sess_${System.nanoTime()}")
+    // the stream never sees end-of-input, so only timed-out (closed)
+    // sessions are emitted: every emitted session must match a batch session
+    val batch = EventOps.userSessions(t)
+      .select(col("user_id"), col("events_in_session"), col("session_value"))
+    val unmatched = stream
+      .withColumn("session_value",
+        org.apache.spark.sql.functions.floor(col("session_value") * 100 + 0.5) / 100)
+      .exceptAll(batch).count()
+    assert(unmatched == 0)
+  }
+
+  test("json extraction: both paths agree") {
+    val a = EventOps.jsonGetObject(t).count()
+    val b = t.events
+      .withColumn("k", from_json(col("props"), EventOps.propsSchema).getField("k"))
+      .filter(col("k") > 50).count()
+    assert(a == b)
+  }
+
+  test("window ranks are dense within partitions and bounded by k") {
+    val rows = WindowOps.topCustomersPerSegment(t).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+    }
+  }
+
+  test("running revenue final value equals customer total") {
+    val last = WindowOps.runningRevenuePerCustomer(t)
+      .groupBy("o_custkey").agg(max("running_total").as("final"))
+    val totals = t.orders.groupBy("o_custkey")
+      .agg((floor(sum("o_totalprice") * 100 + 0.5) / 100).as("expected"))
+    val joined = last.join(totals, "o_custkey")
+      .filter(abs(col("final") - col("expected")) > 0.01)
+    // running sum accumulates in window order vs one-shot sum: tiny fp
+    // drift allowed, never more than a cent
+    assert(joined.count() == 0)
+  }
+
+  test("price quartiles split orders into 4 near-equal buckets") {
+    val rows = WindowOps.priceQuartiles(t).collect()
+    assert(rows.length == 4)
+    // ntile is per year-partition: each partition puts its remainder (≤3
+    // rows) in the lower quartiles, so cross-year counts differ by at most
+    // one per year partition
+    val nYears = t.orders.select(year(col("o_orderdate"))).distinct().count()
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= nYears)
+    assert(counts.sum == t.orders.count())
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class JoinOpsSpec extends SparkTestBase {
+
+  test("semi + anti partition the customer table") {
+    val semi = JoinOps.customersWithOrders(t).count()
+    val anti = JoinOps.customersWithoutOrders(t).count()
+    assert(semi + anti == t.customer.count())
+  }
+
+  test("customersPerRegion covers all regions and all customers") {
+    val rows = JoinOps.customersPerRegion(t).collect()
+    assert(rows.length == t.region.count())
+    assert(rows.map(_.getLong(1)).sum == t.customer.count())
+  }
+
+  test("dim joins broadcast (no shuffle on the fact side for region/nation)") {
+    val plan = JoinOps.customersPerRegion(t).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("left join keeps zero-order customers") {
+    val df = JoinOps.orderCountPerCustomer(t)
+    assert(df.count() == t.customer.count())
+    val zero = df.filter(col("num_orders") === 0).count()
+    assert(zero == JoinOps.customersWithoutOrders(t).count())
+  }
+
+  test("revenueByPriority totals match an unjoined sum") {
+    // every lineitem has a parent order, so the join must not drop rows
+    val joined = JoinOps.revenueByPriority(t).agg(sum("num_items")).head().getLong(0)
+    assert(joined == t.lineitem.count())
+  }
+
+  test("except/intersect slices are disjoint/consistent") {
+    val high = t.orders.filter(col("o_totalprice") > 200000).select("o_orderkey").distinct().count()
+    val ex   = JoinOps.exceptSlices(t).count()
+    assert(ex <= high)
+    val inter = JoinOps.intersectSlices(t)
+    assert(inter.count() == inter.distinct().count()) // INTERSECT is distinct
+  }
+
+  test("aboveAveragePrice counts match a two-pass computation") {
+    val mean = t.orders.agg(avg("o_totalprice")).head().getDouble(0)
+    val expected = t.orders.filter(col("o_totalprice") > mean).count()
+    val got = JoinOps.aboveAveragePrice(t).agg(sum("n_above_avg")).head().getLong(0)
+    assert(got == expected)
+  }
+}
