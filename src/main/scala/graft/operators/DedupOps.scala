@@ -55,13 +55,18 @@ object DedupOps {
     * shingles per pair → Jaccard from |A|+|B|−|A∩B|.
     */
   def ngramJaccardPairs(t: Tables, minJaccard: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    // shingles become 64-bit keys at the scan: |A∩B| and |A| are hash-
+    // invariant, and the explode + self-join below shuffle longs, not text
     val docs = t.documents
-      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .select(col("doc_id"), shingleHashSet(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
 
+    // one hash exchange on the shingle key serves the df-guard aggregate,
+    // the guard semi-join and both self-join sides (ReuseExchange)
     val exploded = docs
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .repartition(col("s"))
 
     // document frequency guard against hot shingles
     val rare = exploded
@@ -92,11 +97,25 @@ object DedupOps {
   def minhashDupPairs(t: Tables, minJaccard: Double = 0.8,
                       k: Int = 16, bands: Int = 8): DataFrame = {
     val rows = k / bands
+    // Shingle sets as 64-bit keys: the band join's shuffle payload is an
+    // array<long> per side instead of shingle text (~3× lighter), and the
+    // verification jaccard is integer-set intersection.
+    //
+    // The repartition barriers are load-bearing, not cosmetic:
+    //  - after `sh`: CollapseProject would otherwise inline the shingle
+    //    pipeline into the signature's per-permutation lambda — the whole
+    //    split→shingle→distinct→hash chain re-evaluated k× per row
+    //    (measured 8× slower at sf0.1);
+    //  - by `band`: the self-join needs a hash exchange on the key anyway;
+    //    placing it on the shared frame lets ReuseExchange compute the
+    //    signature pipeline ONCE and feed both join sides from one shuffle.
     val docs = t.documents
-      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .select(col("doc_id"), shingleHashSet(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      .repartition(col("doc_id"))
       .withColumn("sig", minhashSignature(col("sh"), k))
       .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
+      .repartition(col("band"))
 
     val a = docs.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -114,13 +133,18 @@ object DedupOps {
     * 16-bit bands, verified by Hamming distance ≤ maxHamming.
     */
   def simhashDupPairs(t: Tables, maxHamming: Int = 3): DataFrame = {
+    // same two barriers as minhashDupPairs: materialize the (expensive)
+    // 64-bit sketch once before the 4 band projections reference it, and
+    // share one band-partitioned exchange between the self-join sides
     val sh = t.documents
       .select(col("doc_id"), simhash64(col("text")).as("sh64"))
+      .repartition(col("doc_id"))
       .withColumn(
         "band",
         explode(array((0 until 4).map(i =>
           concat_ws("_", lit(i),
             shiftright(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
+      .repartition(col("band"))
 
     val a = sh.select(col("band"), col("doc_id").as("doc_a"), col("sh64").as("h_a"))
     val b = sh.select(col("band"), col("doc_id").as("doc_b"), col("sh64").as("h_b"))
