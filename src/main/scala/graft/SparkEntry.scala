@@ -50,6 +50,13 @@ object SparkEntry {
     "topk_orders"           -> q(CoreQueries.topKOrders),
     "project_derive"        -> q(CoreQueries.projectDerive),
     "dedup_exact_keys"      -> q(CoreQueries.dedupExact),
+    "agg_rollup"            -> q(CoreQueries.aggRollup),
+    "agg_cube"              -> q(CoreQueries.aggCube),
+    "agg_count_distinct"    -> q(CoreQueries.aggCountDistinct),
+    "agg_approx_distinct"   -> q(CoreQueries.aggApproxDistinct),
+    "sample_orders"         -> q(CoreQueries.sampleOrders),
+    "split_counts"          -> q(CoreQueries.splitCounts),
+    "row_ids"               -> q(CoreQueries.rowIds),
     // --- joins & set ops (§2.3) ---
     "join_customers_per_region" -> q(JoinOps.customersPerRegion),
     "join_revenue_by_priority"  -> q(JoinOps.revenueByPriority),
@@ -80,6 +87,7 @@ object SparkEntry {
     "text_quality_by_lang"  -> q(TextOps.qualityByLang),
     "text_langid_confusion" -> q(TextOps.langIdConfusion),
     "text_fingerprints"     -> q(TextOps.fingerprints),
+    "text_category_counts"  -> q(TextOps.categoryCounts),
     "text_rolling_hash"     -> q(TextOps.rollingHashes),
     "text_quality_filter"   -> q(TextOps.qualityFilter),
     // --- deduplication (training-data extensions) ---
@@ -459,6 +467,28 @@ object SparkEntry {
         |WHERE n.vec_id <> 0 AND n.bucket = qb
         |ORDER BY cos_sim DESC, n.vec_id ASC
         |LIMIT 5""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "text_category_counts" ->
+      """SELECT CASE
+        |         WHEN text IS NULL THEN 'scalar'
+        |         WHEN lower(text) LIKE '%stream%' OR lower(text) LIKE '%window%'
+        |              OR lower(text) LIKE '%watermark%' THEN 'streaming'
+        |         WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+        |              OR lower(text) LIKE '%hash%' THEN 'relational'
+        |         ELSE 'scalar' END AS category,
+        |       count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
     "dedup_exact_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_distinct,

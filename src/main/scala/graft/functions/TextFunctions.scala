@@ -121,6 +121,25 @@ object TextFunctions {
       (acc, h) => (acc * 1000003L + h).bitwiseAND(lit(mask)))
   }
 
+  /** Keyword-list categorizer as a native when-chain — the engine twin of
+    * the reference's `categorize_description` Python UDF (SURVEY §2.9 U1,
+    * ref `data-understanding.py:131-147`): first-match-wins over substring
+    * keyword groups, null-safe default. Native expressions keep it inside
+    * whole-stage codegen; the reference pays a Python worker per row.
+    * Keyword groups are parameters; defaults fit the fixture vocabulary.
+    */
+  def keywordCategory(
+      text: Column,
+      groups: Seq[(String, Seq[String])] = Seq(
+        "streaming"  -> Seq("stream", "window", "watermark"),
+        "relational" -> Seq("join", "merge", "hash")),
+      default: String = "scalar"): Column = {
+    val lowered = lower(text)
+    groups.foldLeft(when(text.isNull, default)) { case (chain, (cat, kws)) =>
+      chain.when(kws.map(k => lowered.contains(k)).reduce(_ || _), cat)
+    }.otherwise(default)
+  }
+
   // --- language-ID heuristic (charset/diacritic based) ---------------------
 
   /** Character-class language guess: CJK ⇒ zh; else diacritic classes for

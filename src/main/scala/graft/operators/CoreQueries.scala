@@ -254,4 +254,66 @@ object CoreQueries {
       .select("l_orderkey", "l_partkey", "l_suppkey")
       .na.drop()
       .distinct()
+
+  /** ROLLUP hierarchy totals (SURVEY §2.4 "nearby surface"): per
+    * (flag, status), per flag, and grand total in one pass —
+    * partial-aggregatable, one shuffle, #groups × 3 output rows.
+    */
+  def aggRollup(t: Tables): DataFrame =
+    t.lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), roundN(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** CUBE: all grouping-set combinations of (status, priority). */
+  def aggCube(t: Tables): DataFrame =
+    t.orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Exact distinct count: shuffles the distinct (flag, partkey) pairs. */
+  def aggCountDistinct(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_parts"))
+      .orderBy("l_returnflag")
+
+  /** Approximate distinct count (HLL++): a fixed-size sketch per partition
+    * instead of shuffling distinct keys — the 100 TB version of
+    * [[aggCountDistinct]]. Deterministic for a given rsd but not equal to
+    * the exact count ⇒ rows-only in the oracle gate; the spec bounds the
+    * relative error.
+    */
+  def aggApproxDistinct(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** D3: seeded Bernoulli sample (ref `performance_py/...py:87`).
+    * Partition-layout dependent ⇒ rows-only in the oracle gate; the spec
+    * asserts fraction bounds and seed stability.
+    */
+  def sampleOrders(t: Tables): DataFrame =
+    t.orders.sample(withReplacement = false, 0.1, seed = 42)
+      .select("o_orderkey", "o_totalprice")
+
+  /** D4: seeded randomSplit (ref `price-prediction.py:195`), surfaced as
+    * per-split counts.
+    */
+  def splitCounts(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val Array(train, test) = t.orders.randomSplit(Array(0.8, 0.2), seed = 42)
+    Seq(("train", train.count()), ("test", test.count())).toDF("split", "n")
+  }
+
+  /** F10: monotonically_increasing_id — unique but partition-dependent
+    * (SURVEY §2.8 quirk: ids are not stable between runs/layouts); the spec
+    * checks uniqueness, the gate checks rows only.
+    */
+  def rowIds(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderkey"), monotonically_increasing_id().as("row_id"))
 }

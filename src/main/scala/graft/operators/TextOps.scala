@@ -75,6 +75,17 @@ object TextOps {
     t.documents
       .select(col("doc_id"), rollingHash(col("text")).as("rolling_hash"))
 
+  /** U1-style keyword categorization (native when-chain, no UDF) rolled up
+    * per category — the reference's dealer-categorization shape over the
+    * fixture vocabulary.
+    */
+  def categoryCounts(t: Tables): DataFrame =
+    t.documents
+      .withColumn("category", keywordCategory(col("text")))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("category")
+
   /** Length/quality filter — the classic "drop junk docs" pipeline stage:
     * keeps docs in a token-length band with healthy stopword share.
     */

@@ -98,6 +98,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(df.as[String].head() == "1010")
   }
 
+  test("keywordCategory: native when-chain matches an equivalent Scala UDF (U1)") {
+    val cats = Seq("streaming" -> Seq("stream", "window", "watermark"),
+      "relational" -> Seq("join", "merge", "hash"))
+    val refUdf = udf((s: String) =>
+      if (s == null) "scalar"
+      else cats.collectFirst {
+        case (c, kws) if kws.exists(s.toLowerCase.contains) => c
+      }.getOrElse("scalar"))
+    val df = Seq("big stream of rows", "hash join plan", "plain scan", null)
+      .toDF("text")
+      .select(keywordCategory(col("text")).as("native"), refUdf(col("text")).as("viaUdf"))
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("streaming", "relational", "scalar", "scalar"))
+  }
+
   test("minShingleFingerprint matches min of md5 shingles") {
     val df = Seq("a b c d").toDF("text")
       .select(minShingleFingerprint(col("text"), 3).as("fp"),

@@ -67,4 +67,48 @@ class CoreQueriesSpec extends SparkTestBase {
   test("aggGlobalSum returns exactly one row") {
     assert(CoreQueries.aggGlobalSum(t).count() == 1)
   }
+
+  test("rollup: grand total row equals table count, per-flag rows sum to it") {
+    val rows = CoreQueries.aggRollup(t).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getLong(2) == t.lineitem.count())
+    val perFlag = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).sum
+    assert(perFlag == t.lineitem.count())
+  }
+
+  test("cube emits all four grouping-set combinations") {
+    val rows = CoreQueries.aggCube(t).collect()
+    def kinds(r: org.apache.spark.sql.Row) = (r.isNullAt(0), r.isNullAt(1))
+    assert(rows.map(kinds).toSet == Set((false, false), (false, true), (true, false), (true, true)))
+  }
+
+  test("approx distinct within rsd bound of exact") {
+    val exact = CoreQueries.aggCountDistinct(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    CoreQueries.aggApproxDistinct(t).collect().foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      assert(math.abs(r.getLong(1) - e) / e < 0.1) // 5 sigma of rsd=0.02
+    }
+  }
+
+  test("seeded sample: fraction bounds and seed stability") {
+    val n = t.orders.count().toDouble
+    val s1 = CoreQueries.sampleOrders(t)
+    val c1 = s1.count()
+    assert(c1 > n * 0.05 && c1 < n * 0.15)
+    val c2 = CoreQueries.sampleOrders(t).count()
+    assert(c1 == c2) // same seed + same partition layout
+  }
+
+  test("randomSplit partitions the table") {
+    val rows = CoreQueries.splitCounts(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("train") + rows("test") == t.orders.count())
+    assert(rows("train") > rows("test"))
+  }
+
+  test("monotonically increasing ids are unique") {
+    val df = CoreQueries.rowIds(t)
+    assert(df.select("row_id").distinct().count() == df.count())
+  }
 }
