@@ -109,6 +109,8 @@ object DedupOps {
     //  - by `band`: the self-join needs a hash exchange on the key anyway;
     //    placing it on the shared frame lets ReuseExchange compute the
     //    signature pipeline ONCE and feed both join sides from one shuffle.
+    // (An explode + k-min-aggregate formulation was measured too: the extra
+    // sig⋈docs join it needs costs more than the interpreted lambda saves.)
     val docs = t.documents
       .select(col("doc_id"), shingleHashSet(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -133,12 +135,25 @@ object DedupOps {
     * 16-bit bands, verified by Hamming distance ≤ maxHamming.
     */
   def simhashDupPairs(t: Tables, maxHamming: Int = 3): DataFrame = {
-    // same two barriers as minhashDupPairs: materialize the (expensive)
-    // 64-bit sketch once before the 4 band projections reference it, and
-    // share one band-partitioned exchange between the self-join sides
-    val sh = t.documents
-      .select(col("doc_id"), simhash64(col("text")).as("sh64"))
-      .repartition(col("doc_id"))
+    // The 64-bit sketch is computed as 64 codegen'd sign-sums over the
+    // exploded token hashes (same bit rule as TextFunctions.simhash64 —
+    // identical output, proven equal in the spec) instead of the
+    // interpreted per-token/per-bit higher-order fold.
+    val bitSums = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .select(col("doc_id"), xxhash64(col("tk")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("b0"),
+        (1 until 64).map(i =>
+          sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")): _*)
+    val sh64 = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+
+    // one band-partitioned exchange shared by both self-join sides
+    val sh = bitSums
+      .select(col("doc_id"), sh64.as("sh64"))
       .withColumn(
         "band",
         explode(array((0 until 4).map(i =>
