@@ -59,13 +59,23 @@ object SimilarityOps {
     * truth for the LSH variant below).
     */
   def embeddingNearDupExact(t: Tables, minCos: Double = 0.9): DataFrame = {
+    // norms are O(n·d) per vector BEFORE the join — computing cosine(a,b)
+    // per pair would redo both norms per pair, O(pairs·d) wasted; the
+    // blocking-key repartition also lets both self-join sides share one
+    // exchange (and materializes emb/nrm against projection-collapse)
     val e = t.embeddings
       .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+      .withColumn("nrm", l2Norm(col("emb")))
+      .repartition(col("label"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", roundN(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos_sim", roundN(
+        when(col("nrm_a") === 0.0 || col("nrm_b") === 0.0, 0.0)
+          .otherwise(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))), 6))
       .filter(col("cos_sim") >= minCos)
       .select("vec_a", "vec_b", "label", "cos_sim")
   }
@@ -74,14 +84,22 @@ object SimilarityOps {
     * the unsupervised scale path (bucket join instead of n² blocking).
     */
   def embeddingNearDupLsh(t: Tables, minCos: Double = 0.9, bits: Int = 8): DataFrame = {
+    // same shape as the exact variant: per-vector norms before the join,
+    // one bucket-partitioned exchange shared by both sides
     val e = t.embeddings
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
       .withColumn("bucket", signBucket(col("emb"), bits))
-    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
-    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+      .repartition(col("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", roundN(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos_sim", roundN(
+        when(col("nrm_a") === 0.0 || col("nrm_b") === 0.0, 0.0)
+          .otherwise(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))), 6))
       .filter(col("cos_sim") >= minCos)
       .select("vec_a", "vec_b", "cos_sim")
   }

@@ -62,11 +62,19 @@ object TextOps {
     * the DuckDB oracle.
     */
   def fingerprints(t: Tables): DataFrame =
+    // explode + min-aggregate instead of the scalar HOF expression
+    // (minShingleFingerprint): md5-per-shingle runs inside whole-stage
+    // codegen and the partial (map-side) aggregate reduces each doc to one
+    // row before any exchange. explode_outer keeps sub-n-token docs (null
+    // fingerprint), matching the HOF's array_min-of-empty semantics.
     t.documents
+      .select(col("doc_id"), col("text"), explode_outer(shingles(col("text"), 3)).as("s"))
+      .groupBy("doc_id", "text")
+      .agg(min(md5(col("s"))).as("min_shingle_md5"))
       .select(
         col("doc_id"),
         md5(col("text")).as("doc_md5"),
-        minShingleFingerprint(col("text"), 3).as("min_shingle_md5"))
+        col("min_shingle_md5"))
 
   /** Order-sensitive rolling content hash (xxhash64-based — engine-side
     * determinism is covered by tests; not SQL-oracle-expressible).
