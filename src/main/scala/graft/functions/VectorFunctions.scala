@@ -16,10 +16,21 @@ object VectorFunctions {
   /** Elementwise cast array<float> → array<double>. */
   def toDoubleArr(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the codegen'd [[graft.plans.DotProduct]] expression —
+    * requires [[graft.plans.GraftExtensions]] on the session (all engine
+    * entry points register it). Same IEEE fold order and null semantics as
+    * [[dotHof]]; the HOF twin runs interpreted (CodegenFallback) and exists
+    * for extension-less sessions and as the equivalence-test oracle.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def l2Norm(v: Column): Column = call_function("graft_l2norm", v)
+
+  /** Built-in-only formulations (no session extension needed). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def l2Norm(v: Column): Column =
+  def l2NormHof(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
 
   /** Cosine similarity of two double arrays; 0 when either norm is 0. */

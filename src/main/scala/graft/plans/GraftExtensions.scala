@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Engine extension installer — the public `SparkSessionExtensions` seam.
+  * Activate with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`); the
+  * custom expressions then resolve by name in SQL and via
+  * `call_function("graft_dot", ...)` in the DataFrame API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2Norm(args(0))))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Custom Catalyst expressions for dense-vector math (SURVEY.md §4.2
+  * extension territory).
+  *
+  * The built-in way to express a dot product —
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — is semantically fine but
+  * higher-order functions are CodegenFallback: every element evaluation is
+  * an interpreted virtual call with boxed doubles. These expressions emit a
+  * tight primitive loop via `doGenCode`, keeping ANN scoring inside
+  * whole-stage codegen. Registered as SQL functions `graft_dot` /
+  * `graft_l2norm` through [[GraftExtensions]] (the public
+  * `SparkSessionExtensions.injectFunction` seam).
+  *
+  * Null semantics mirror the higher-order formulation: null input array →
+  * null; mismatched lengths or a null element → null (zip_with pads with
+  * null and `null * x` poisons the fold).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double s = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
+         |    s += $a.getDouble(i) * $b.getDouble(i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(Σ xᵢ²) with the same codegen/null story as [[DotProduct]]. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i)
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int n = $a.numElements();
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  if ($a.isNullAt(i)) { ${ev.isNull} = true; break; }
+         |  double v = $a.getDouble(i);
+         |  s += v * v;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = Math.sqrt(s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -86,6 +86,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(rows(1).getDouble(2) == 0.0)                  // orthogonal
   }
 
+  test("codegen graft_dot/graft_l2norm match the HOF formulations incl. null semantics") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),   // plain
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),        // length mismatch → null
+      (Seq(0.1, -0.7, 0.33), Seq(1e300, 2.0, -3.5))) // magnitudes
+      .toDF("a", "b")
+      .select(
+        dot(col("a"), col("b")).as("fast"),
+        dotHof(col("a"), col("b")).as("hof"),
+        l2Norm(col("a")).as("nfast"),
+        l2NormHof(col("a")).as("nhof"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1)) // bit-identical
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // and the expression really is codegen'd, not CodegenFallback (use a
+    // non-foldable source — a literal frame constant-folds to a LocalTableScan)
+    val plan = spark.range(10)
+      .select(array(col("id").cast("double")).as("a"))
+      .select(dot(col("a"), col("a")).as("d"))
+      .queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark whole-stage-codegen'd operators in treeString;
+    // a CodegenFallback expression would force a plain (unstarred) Project
+    assert(plan.contains("*(1) Project [graft_dot"))
+  }
+
   test("cosine is 0 (not NaN) on zero vectors") {
     val df = Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
       .select(cosine(col("a"), col("b")).as("c"))
