@@ -80,6 +80,7 @@ object SparkEntry {
     "events_hourly"            -> q(EventOps.hourlyTypeCounts),
     "events_sessions"          -> q(EventOps.userSessions),
     "events_click_to_purchase" -> q(EventOps.clickToPurchase),
+    "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
     "events_hourly_streaming"  -> ((s, dir) =>
       EventStream.hourlyCounts(s, dir, s"graft_stream_${System.nanoTime()}")),
     // --- text analysis (training-data extensions) ---
@@ -345,6 +346,17 @@ object SparkEntry {
         |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') b
         |  ON c.user_id = b.user_id AND b.ts > c.ts
         |GROUP BY c.user_id""".stripMargin,
+    "events_asof_purchase" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |       (SELECT min(p.ts) FROM p
+        |        WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS next_purchase_ts
+        |FROM c""".stripMargin,
     "text_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       sum(len(string_split_regex(text, '\s+'))) AS total_ws_tokens,

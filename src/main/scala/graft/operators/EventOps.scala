@@ -92,4 +92,35 @@ object EventOps {
       .agg(count(lit(1)).as("click_buy_pairs"))
       .orderBy("user_id")
   }
+
+  /** AS-OF join (forward): every click matched to the first purchase of
+    * the same user at-or-after the click. Spark has no asof-join operator;
+    * the naive form is a user⋈user range join whose output explodes
+    * quadratically in events-per-user. This formulation unions both event
+    * slices into one stream and takes `first(purchase_ts, ignoreNulls)
+    * OVER (... ROWS BETWEEN CURRENT AND UNBOUNDED FOLLOWING)` — ONE
+    * shuffle on user_id, linear in events, no join at all. Ordering by
+    * (ts, is_purchase desc) makes a same-instant purchase eligible
+    * (at-or-after semantics).
+    */
+  def nextPurchaseAsof(t: Tables): DataFrame = {
+    val ev = t.events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "purchase").as("is_p"))
+      .withColumn("p_ts", when(col("is_p"), col("ts")))
+    // at equal ts the purchase must sort AFTER the click so it still lies
+    // in the click's [current, following] frame — asc on the boolean puts
+    // false (click) first
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(asc("ts"), asc("is_p"), asc("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("next_purchase_ts", first("p_ts", ignoreNulls = true).over(w))
+      .filter(!col("is_p"))
+      .select("event_id", "user_id", "ts", "next_purchase_ts")
+      .withColumnRenamed("ts", "click_ts")
+  }
 }

@@ -98,6 +98,30 @@ object JoinOps {
     early.intersect(late)
   }
 
+  /** Salted equi-join for skewed keys: when one join-key value carries a
+    * disproportionate share of the fact rows, the standard hash shuffle
+    * sends that whole share to ONE reducer. Salting splits each fact row
+    * into one of `salts` sub-keys and replicates the (small, but not
+    * broadcastable) build side once per salt, so a hot key fans out over
+    * `salts` reducers. AQE's skew-join handles this at runtime for sort-
+    * merge joins; the explicit form works on any plan shape and any Spark
+    * deployment, and is the pattern to reach for at 100 TB when a key's
+    * share exceeds a single executor's memory.
+    *
+    * Semantics are exactly `fact.join(build, key)` (inner) — proven by the
+    * equivalence spec. The salt column is derived from
+    * monotonically_increasing_id, so rows spread evenly regardless of the
+    * key distribution; its value never affects the result, only placement.
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltedFact = fact.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val explodedBuild = build.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(explodedBuild, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Scalar "subquery" done engine-side (ref flattens it by hand through the
     * driver, `data-understanding.py:229-232`): orders above the global mean
     * price, counted per status. The 1-row aggregate is broadcast.

@@ -51,6 +51,27 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(unmatched == 0)
   }
 
+  test("asof join: one row per click, next purchase is at-or-after the click") {
+    val asof = EventOps.nextPurchaseAsof(t)
+    val clicks = t.events.filter(col("event_type") === "click").count()
+    assert(asof.count() == clicks)
+    assert(asof.filter(col("next_purchase_ts") < col("click_ts")).count() == 0)
+    // spot-check one user against a naive computation (epoch micros — the
+    // ts columns are timestamp_ntz, which collects as LocalDateTime)
+    val u = asof.filter(col("next_purchase_ts").isNotNull).head().getLong(1)
+    def micros(c: org.apache.spark.sql.Column) =
+      unix_micros(c.cast("timestamp"))
+    val naive = t.events.filter(col("event_type") === "purchase" && col("user_id") === u)
+      .select(micros(col("ts"))).collect().map(_.getLong(0))
+    asof.filter(col("user_id") === u)
+      .filter(col("next_purchase_ts").isNotNull)
+      .select(micros(col("click_ts")), micros(col("next_purchase_ts")))
+      .collect().foreach { r =>
+        val expected = naive.filter(_ >= r.getLong(0)).min
+        assert(r.getLong(1) == expected)
+      }
+  }
+
   test("json extraction: both paths agree") {
     val a = EventOps.jsonGetObject(t).count()
     val b = t.events

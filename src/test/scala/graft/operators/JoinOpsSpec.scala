@@ -44,6 +44,16 @@ class JoinOpsSpec extends SparkTestBase {
     assert(inter.count() == inter.distinct().count()) // INTERSECT is distinct
   }
 
+  test("salted join is row-for-row equivalent to the plain equi-join") {
+    val fact = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    val buildKeyed = t.customer.select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = fact.join(buildKeyed, Seq("o_custkey"))
+    val salted = JoinOps.saltedJoin(fact, buildKeyed, "o_custkey", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
   test("aboveAveragePrice counts match a two-pass computation") {
     val mean = t.orders.agg(avg("o_totalprice")).head().getDouble(0)
     val expected = t.orders.filter(col("o_totalprice") > mean).count()
