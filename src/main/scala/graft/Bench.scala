@@ -40,6 +40,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // X2 (ref wraps every query in psutil.cpu_percent spans): process-CPU time
+    // around the suite via the JVM's OS bean
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val cpuT0 = osBean.getProcessCpuTime
+    val wallT0 = System.nanoTime()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -51,7 +58,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // X1 (ref estimates dataset MB by stringifying rows — SURVEY §2.12
+    // flags that as a full extra scan): parquet footprint from the files
+    val sfBytes = new java.io.File(sfDir).listFiles()
+      .map(f => if (f.isDirectory) f.listFiles().map(_.length).sum else f.length()).sum
+    val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
+    val cpuPct = 100.0 * cpuSec /
+      ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0}}""")
     spark.stop()
   }
 }

@@ -92,7 +92,14 @@ object PricePipeline {
   def metricsTable(t: Tables, modelNames: Seq[String]): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val data = featurize(t).cache()
+    // Iterative fits run one treeAggregate job per L-BFGS/boosting
+    // iteration; with the default 32 partitions that is 32 tasks × ~100
+    // iterations of pure scheduling overhead for a frame this small. A few
+    // thousand rows per partition is the right grain — cap partitions low
+    // for the cached training frame (at real scale rows/2^17 keeps ~100k
+    // rows per task).
+    val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism / 4, 8))
+    val data = featurize(t).repartition(parts).cache()
     try {
       val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
       val rows = regressors
