@@ -83,6 +83,8 @@ object SparkEntry {
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
     "events_hourly_streaming"  -> ((s, dir) =>
       EventStream.hourlyCounts(s, dir, s"graft_stream_${System.nanoTime()}")),
+    "events_sessions_streaming" -> ((s, dir) =>
+      EventStream.sessionize(s, dir, s"graft_sess_${System.nanoTime()}")),
     // --- text analysis (training-data extensions) ---
     "text_token_stats"      -> q(TextOps.tokenStats),
     "text_quality_by_lang"  -> q(TextOps.qualityByLang),

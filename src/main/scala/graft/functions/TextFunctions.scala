@@ -148,6 +148,25 @@ object TextFunctions {
     }.otherwise(default)
   }
 
+  /** The reference's dealer categorizer with its exact keyword lists
+    * (ref `notebook_to_py/data-understanding.py:131-147`): null → 'Private
+    * party', online keywords → 'Online dealership', physical keywords →
+    * 'Physical dealership', else 'Private party'.
+    *
+    * Preserved quirk: the reference checks `'carMax' in description.lower()`
+    * — a capital-M needle against lowered text, so that keyword can never
+    * match. Reproduced as-is (observable-behavior parity, SURVEY §7.3).
+    */
+  def dealerCategory(description: Column): Column =
+    keywordCategory(
+      description,
+      Seq(
+        "Online dealership" -> Seq("carvana", "vroom", "shift", "carMax"),
+        "Physical dealership" -> Seq("finance", "call", "guaranteed",
+          "inspection", "test drive", "call us today", "auction",
+          "visit our", "automotive")),
+      default = "Private party")
+
   // --- language-ID heuristic (charset/diacritic based) ---------------------
 
   /** Character-class language guess: CJK ⇒ zh; else diacritic classes for
