@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
     "dedup_minhash"       -> q(t => DedupOps.minhashDupPairs(t, 0.3)),
+    "dedup_minhash_mllib" -> q(t => DedupOps.minhashDupPairsMllib(t, 0.3)),
     "dedup_simhash"       -> q(t => DedupOps.simhashDupPairs(t, 6)),
     // --- similarity search (training-data extensions) ---
     "ann_brute_force"    -> q(t => SimilarityOps.bruteForceTopK(t, 0L, 10)),

@@ -131,6 +131,39 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** MinHash+LSH via the MLlib built-ins (SURVEY §4.2: prefer
+    * `MinHashLSH` over custom code when its semantics fit): shingles →
+    * HashingTF presence vectors → MinHashLSH(seed) →
+    * approxSimilarityJoin at Jaccard DISTANCE ≤ 1−minJaccard.
+    *
+    * Kept alongside the hand-built [[minhashDupPairs]]: the built-in owns
+    * its hash family and banding (1 row per table), so the two return the
+    * same high-similarity pairs but different borderline candidates; the
+    * custom variant exists because its banded signature (8×2) has a
+    * sharper probability curve at the 0.3–0.5 thresholds these queries
+    * use, and its candidate verification reports exact Jaccard rather
+    * than the estimator distance.
+    */
+  def minhashDupPairsMllib(t: Tables, minJaccard: Double = 0.8,
+                           numHashTables: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = t.documents
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("vec")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val vecs = tf.transform(docs)
+    val lsh = new MinHashLSH().setInputCol("vec").setOutputCol("bands")
+      .setNumHashTables(numHashTables).setSeed(42)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - minJaccard, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        roundN(lit(1.0) - col("jaccard_dist"), 4).as("jaccard"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
   /** SimHash near-duplicates: 64-bit sketch, candidates share one of four
     * 16-bit bands, verified by Hamming distance ≤ maxHamming.
     */

@@ -73,6 +73,30 @@ class TextMlMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("all nine reference regressor configs fit and evaluate") {
+    val rows = PricePipeline.fullMetrics(t).collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getString(0)).toSet == PricePipeline.regressors.map(_._1).toSet)
+    rows.foreach { r =>
+      assert(!r.getDouble(3).isNaN && r.getDouble(3) >= 0) // mse
+      assert(r.getDouble(1) == r.getDouble(2))             // r2adj == r2 quirk
+    }
+  }
+
+  test("mllib MinHashLSH variant finds the exact-duplicate pairs too") {
+    import graft.operators.DedupOps
+    val custom = DedupOps.minhashDupPairs(t, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mllib = DedupOps.minhashDupPairsMllib(t, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact duplicates (jaccard 1.0) always collide in every hash table of
+    // BOTH schemes — the two variants must agree on them
+    val exact = DedupOps.ngramJaccardPairs(t, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(custom))
+    assert(exact.subsetOf(mllib))
+  }
+
   test("price pipeline: metrics are finite, rmse^2 ≈ mse") {
     val rows = PricePipeline.fastMetrics(t).collect()
     assert(rows.length == 3)
