@@ -67,6 +67,14 @@ object Bench {
     val cpuPct = 100.0 * cpuSec /
       ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0}}""")
+
+    // X3 parity (ref `performance_py/...py:1457-1465`): results as a
+    // driver-built table -> header CSV, when a sink path is configured
+    sys.env.get("SPARK_GRAFT_BENCH_CSV").foreach { out =>
+      import spark.implicits._
+      graft.sources.CsvIO.write(
+        results.toDF("query", "seconds").orderBy("query"), out)
+    }
     spark.stop()
   }
 }

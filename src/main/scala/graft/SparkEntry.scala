@@ -103,6 +103,7 @@ object SparkEntry {
     // --- similarity search (training-data extensions) ---
     "ann_brute_force"    -> q(t => SimilarityOps.bruteForceTopK(t, 0L, 10)),
     "ann_lsh"            -> q(t => SimilarityOps.lshTopK(t, 0L, 5, 6)),
+    "ann_ivf"            -> q(t => SimilarityOps.ivfTopK(t, 0L, 10, 16, 4)),
     "emb_neardup_exact"  -> q(t => SimilarityOps.embeddingNearDupExact(t, 0.35)),
     "emb_neardup_lsh"    -> q(t => SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)),
     "emb_norms_by_label" -> q(SimilarityOps.normsByLabel),

@@ -54,6 +54,49 @@ object SimilarityOps {
       .limit(k)
       .select("vec_id", "label", "cos_sim")
 
+  /** IVF-style ANN: a KMeans coarse quantizer partitions the vectors into
+    * nlist cells; a query probes only its nprobe nearest cells and exact
+    * cosine reranks inside them. At 100 TB the cell id becomes a partition
+    * column, so a probe is partition pruning + a scan of nprobe/nlist of
+    * the data; recall is tunable via nprobe. Seeded ⇒ deterministic cells,
+    * but KMeans initialization is engine-specific ⇒ rows-only in the
+    * oracle gate, recall-tested against brute force in the spec.
+    */
+  def ivfTopK(t: Tables, queryId: Long = 0L, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = t.embeddings
+      .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("features", array_to_vector(col("emb")))
+    val model = new KMeans().setK(nlist).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(e)
+    val assigned = model.transform(e)
+
+    // centroid scores for the query vector, computed once on the driver —
+    // nlist is tiny (≤ a few thousand even at scale) by construction
+    val qEmb = assigned.filter(col("vec_id") === queryId)
+      .select("emb").head().getSeq[Double](0).toArray
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        var d = 0.0; var j = 0
+        while (j < arr.length) { d += (arr(j) - qEmb(j)) * (arr(j) - qEmb(j)); j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+
+    val q = assigned.filter(col("vec_id") === queryId).select(col("emb").as("q_emb"))
+    assigned
+      .filter(col("cell").isin(probeCells.toSeq: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", roundN(cosine(col("emb"), col("q_emb")), 6))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "label", "cos_sim")
+  }
+
   /** Embedding near-duplicate pairs: label-blocked exact variant (the
     * cluster label doubles as a blocking key — the oracle-checkable ground
     * truth for the LSH variant below).

@@ -107,6 +107,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     lsh.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(2)))
   }
 
+  test("ivf ANN: scores are exact cosines; recall@10 vs brute force is reasonable") {
+    val brute = SimilarityOps.bruteForceTopK(t, 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bruteAll = SimilarityOps.bruteForceTopK(t, 0L, Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // sf0.001 has only 200 vectors → 16 cells are tiny and noisy; probe
+    // half of them here (the sf≥0.01 driver query uses 4/16 where cells
+    // hold enough vectors to be meaningful)
+    val ivf = SimilarityOps.ivfTopK(t, 0L, 10, 16, 8).collect()
+    assert(ivf.length == 10)
+    // any vector IVF returns must carry its exact cosine score
+    ivf.foreach(r => assert(bruteAll(r.getLong(0)) == r.getDouble(2)))
+    val hits = ivf.map(_.getLong(0)).count(brute.contains)
+    assert(hits >= 5, s"recall@10 only $hits/10")
+  }
+
   test("canonical pair ordering (doc_a < doc_b) on fixture outputs") {
     SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)
       .collect().foreach(r => assert(r.getLong(0) < r.getLong(1)))
