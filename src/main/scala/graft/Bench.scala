@@ -60,9 +60,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // X1 (ref estimates dataset MB by stringifying rows — SURVEY §2.12
-    // flags that as a full extra scan): parquet footprint from the files
-    val sfBytes = new java.io.File(sfDir).listFiles()
-      .map(f => if (f.isDirectory) f.listFiles().map(_.length).sum else f.length()).sum
+    // flags that as a full extra scan): parquet footprint from the files.
+    // Walk defensively — a bad sfDir must not lose the JSON line after all
+    // queries already ran.
+    val sfBytes =
+      try {
+        val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+        try stream.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally stream.close()
+      } catch { case _: Throwable => -1L }
     val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
     val cpuPct = 100.0 * cpuSec /
       ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())

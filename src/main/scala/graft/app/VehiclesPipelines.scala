@@ -274,11 +274,16 @@ object VehiclesPipelines {
         }
         s
       })
+      // NOTE: TF-IDF over the constant `Made` column is degenerate — every
+      // document in the filtered set has the same single term, so IDF is 0
+      // and all scores tie (the reference has the identical degeneracy and
+      // its rdd.sortBy pick is partition-arbitrary). The extra sort keys
+      // make the tied selection deterministic here.
       val q = normalized.limit(1).select(col("features_norm").as("q_vec"))
       val top = normalized
         .crossJoin(broadcast(q))
         .withColumn("score", dotUdf(col("features_norm"), col("q_vec")))
-        .orderBy(desc("score"))
+        .orderBy(desc("score"), asc("price"), asc("model"), asc("year"))
         .limit(6)
       val prices = top.select("price").collect().drop(1).map(_.getString(0))
 

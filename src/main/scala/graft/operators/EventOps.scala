@@ -97,11 +97,14 @@ object EventOps {
     * the same user at-or-after the click. Spark has no asof-join operator;
     * the naive form is a user⋈user range join whose output explodes
     * quadratically in events-per-user. This formulation unions both event
-    * slices into one stream and takes `first(purchase_ts, ignoreNulls)
-    * OVER (... ROWS BETWEEN CURRENT AND UNBOUNDED FOLLOWING)` — ONE
-    * shuffle on user_id, linear in events, no join at all. Ordering by
-    * (ts, is_purchase desc) makes a same-instant purchase eligible
-    * (at-or-after semantics).
+    * slices into one stream sorted DESCENDING and takes a running
+    * `min(purchase_ts)` over `[unboundedPreceding, currentRow]` — at each
+    * click the frame holds exactly the events with ts at-or-after it, so
+    * the running min is the next purchase. ONE shuffle on user_id and no
+    * join; the growing frame evaluates incrementally (O(events) per user —
+    * an `[current, unboundedFollowing]` frame would rescan the tail per
+    * row, O(events²)). At equal ts the purchase sorts first in descending
+    * order (desc on the boolean), keeping at-or-after ties eligible.
     */
   def nextPurchaseAsof(t: Tables): DataFrame = {
     val ev = t.events
@@ -110,15 +113,12 @@ object EventOps {
         col("event_id"), col("user_id"), col("ts"),
         (col("event_type") === "purchase").as("is_p"))
       .withColumn("p_ts", when(col("is_p"), col("ts")))
-    // at equal ts the purchase must sort AFTER the click so it still lies
-    // in the click's [current, following] frame — asc on the boolean puts
-    // false (click) first
     val w = Window
       .partitionBy("user_id")
-      .orderBy(asc("ts"), asc("is_p"), asc("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(desc("ts"), desc("is_p"), desc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev
-      .withColumn("next_purchase_ts", first("p_ts", ignoreNulls = true).over(w))
+      .withColumn("next_purchase_ts", min("p_ts").over(w))
       .filter(!col("is_p"))
       .select("event_id", "user_id", "ts", "next_purchase_ts")
       .withColumnRenamed("ts", "click_ts")

@@ -115,6 +115,8 @@ object JoinOps {
     */
   def saltedJoin(fact: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(!fact.columns.contains("_salt") && !build.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column; rename or drop it on the inputs first")
     val saltedFact = fact.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val explodedBuild = build.withColumn("_salt",

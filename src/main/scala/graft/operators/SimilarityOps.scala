@@ -75,9 +75,16 @@ object SimilarityOps {
     val assigned = model.transform(e)
 
     // centroid scores for the query vector, computed once on the driver —
-    // nlist is tiny (≤ a few thousand even at scale) by construction
-    val qEmb = assigned.filter(col("vec_id") === queryId)
-      .select("emb").head().getSeq[Double](0).toArray
+    // nlist is tiny (≤ a few thousand even at scale) by construction.
+    // A missing queryId yields an empty result like the sibling variants,
+    // not a driver exception.
+    val qRows = assigned.filter(col("vec_id") === queryId).select("emb").take(1)
+    if (qRows.isEmpty) {
+      return assigned.filter(lit(false))
+        .withColumn("cos_sim", lit(0.0))
+        .select("vec_id", "label", "cos_sim")
+    }
+    val qEmb = qRows(0).getSeq[Double](0).toArray
     val probeCells = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         val arr = c.toArray

@@ -67,14 +67,15 @@ object TextOps {
     // codegen and the partial (map-side) aggregate reduces each doc to one
     // row before any exchange. explode_outer keeps sub-n-token docs (null
     // fingerprint), matching the HOF's array_min-of-empty semantics.
+    // Grouping carries (doc_id, doc_md5) — hashing the text BEFORE the
+    // explode so the exchange key is a 32-char digest, never the document
+    // body ("shuffle digests, not documents").
     t.documents
-      .select(col("doc_id"), col("text"), explode_outer(shingles(col("text"), 3)).as("s"))
-      .groupBy("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("doc_md5"),
+        explode_outer(shingles(col("text"), 3)).as("s"))
+      .groupBy("doc_id", "doc_md5")
       .agg(min(md5(col("s"))).as("min_shingle_md5"))
-      .select(
-        col("doc_id"),
-        md5(col("text")).as("doc_md5"),
-        col("min_shingle_md5"))
+      .select("doc_id", "doc_md5", "min_shingle_md5")
 
   /** Order-sensitive rolling content hash (xxhash64-based — engine-side
     * determinism is covered by tests; not SQL-oracle-expressible).

@@ -47,17 +47,24 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // locals via freshName: with a non-nullable input nullSafeExec pastes
+      // this body unbraced, so two instances in one generated method (e.g.
+      // a dot and two norms composing a cosine) would otherwise collide on
+      // duplicate declarations, fail janino, and fall back to interpreted
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double s = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    s += $a.getDouble(i) * $b.getDouble(i);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = s;
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
        """.stripMargin
     })
@@ -92,15 +99,20 @@ case class L2Norm(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // freshName for the same duplicate-declaration reason as DotProduct
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
       s"""
-         |int n = $a.numElements();
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |  double v = $a.getDouble(i);
-         |  s += v * v;
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
          |}
-         |if (!${ev.isNull}) ${ev.value} = Math.sqrt(s);
+         |if (!${ev.isNull}) ${ev.value} = Math.sqrt($s);
        """.stripMargin
     })
 

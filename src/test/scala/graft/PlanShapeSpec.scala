@@ -48,10 +48,23 @@ class PlanShapeSpec extends SparkTestBase {
     // point is the dim join above is explicitly broadcast)
   }
 
-  test("minhash self-join reuses one exchange for both sides") {
-    val p = plan(DedupOps.minhashDupPairs(t, 0.3))
-    assert(p.contains("ReusedExchange") ||
-      p.count(_ == 'x') >= 0 && p.contains("Exchange hashpartitioning(band"))
+  test("minhash self-join reuses one exchange for both sides at scale") {
+    // At fixture scale AQE converts the band join to broadcast (fine — the
+    // recompute is then trivially cheap); the property that matters at
+    // scale is the sort-merge shape, where the second side must come from
+    // a reused stage rather than recomputing the sketch pipeline. Pin the
+    // at-scale shape by disabling the broadcast conversion, and read the
+    // final adaptive plan post-execution (AQE reuses stages at runtime).
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = DedupOps.minhashDupPairs(t, 0.3)
+      df.collect() // executes THIS QueryExecution (a write would plan its own)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"))
+      assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
+        "band exchange not shared between the self-join sides")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("window functions partition by key, never a global single-partition sort") {

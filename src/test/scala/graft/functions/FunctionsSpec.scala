@@ -111,6 +111,16 @@ class FunctionsSpec extends SparkTestBase {
     // '*(n)' prefixes mark whole-stage-codegen'd operators in treeString;
     // a CodegenFallback expression would force a plain (unstarred) Project
     assert(plan.contains("*(1) Project [graft_dot"))
+    // composition regression: a dot and two norms in ONE projection share
+    // the generated method — duplicate codegen locals would fail janino
+    // and silently fall back to interpreted
+    val composed = spark.range(10)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), col("id").cast("double")).as("b"))
+      .select((dot(col("a"), col("b")) / (l2Norm(col("a")) * l2Norm(col("b")))).as("cos"))
+    val cplan = composed.queryExecution.executedPlan.toString
+    assert(cplan.contains("*(1) Project"))
+    assert(composed.collect().length == 10)
   }
 
   test("cosine is 0 (not NaN) on zero vectors") {
