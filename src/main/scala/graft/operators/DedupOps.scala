@@ -136,18 +136,24 @@ object DedupOps {
     * HashingTF presence vectors → MinHashLSH(seed) →
     * approxSimilarityJoin at Jaccard DISTANCE ≤ 1−minJaccard.
     *
-    * Kept alongside the hand-built [[minhashDupPairs]]: the built-in owns
-    * its hash family and banding (1 row per table), so the two return the
-    * same high-similarity pairs but different borderline candidates; the
-    * custom variant exists because its banded signature (8×2) has a
-    * sharper probability curve at the 0.3–0.5 thresholds these queries
-    * use, and its candidate verification reports exact Jaccard rather
-    * than the estimator distance.
+    * Kept alongside the hand-built [[minhashDupPairs]], and run at a HIGH
+    * similarity threshold: MLlib's scheme is numHashTables tables of one
+    * hash each, so candidate probability is 1−(1−j)^T — OR-amplification
+    * with no banding. At j≈0.1 (typical unrelated pair here) that is
+    * ~0.57: a near-quadratic candidate set at low thresholds (measured
+    * 8–25 s vs 3 s at sf0.1 for threshold 0.3). The custom 8×2-banded
+    * signature keeps P(candidate)=1−(1−j²)^8 ≈ 0.08 at j=0.1 and is the
+    * low-threshold workhorse; the built-in is the right tool for
+    * high-similarity (≥0.7) dedup where its candidate noise vanishes.
     */
   def minhashDupPairsMllib(t: Tables, minJaccard: Double = 0.8,
-                           numHashTables: Int = 8): DataFrame = {
+                           numHashTables: Int = 8): DataFrame =
+    minhashDupPairsMllibOn(t.documents, minJaccard, numHashTables)
+
+  def minhashDupPairsMllibOn(documents: DataFrame, minJaccard: Double = 0.8,
+                             numHashTables: Int = 8): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    val docs = t.documents
+    val docs = documents
       .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     val tf = new HashingTF().setInputCol("sh").setOutputCol("vec")
