@@ -57,6 +57,7 @@ object SparkEntry {
     "sample_orders"         -> q(CoreQueries.sampleOrders),
     "split_counts"          -> q(CoreQueries.splitCounts),
     "row_ids"               -> q(CoreQueries.rowIds),
+    "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
     // --- joins & set ops (§2.3) ---
     "join_customers_per_region" -> q(JoinOps.customersPerRegion),
     "join_revenue_by_priority"  -> q(JoinOps.revenueByPriority),
@@ -358,6 +359,17 @@ object SparkEntry {
         |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') b
         |  ON c.user_id = b.user_id AND b.ts > c.ts
         |GROUP BY c.user_id""".stripMargin,
+    "sql_top_unshipped" ->
+      """SELECT l_orderkey,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        |       o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "events_asof_purchase" ->
       """WITH e AS (
         |  SELECT event_id, user_id,

@@ -316,4 +316,25 @@ object CoreQueries {
   def rowIds(t: Tables): DataFrame =
     t.orders
       .select(col("o_orderkey"), monotonically_increasing_id().as("row_id"))
+
+  /** Full `spark.sql` surface over registered views (TPC-H Q3 shape):
+    * the SQL text goes through the same Catalyst pipeline as the DataFrame
+    * DSL — one parser/optimizer, two front doors.
+    */
+  def sqlTopUnshippedOrders(t: Tables): DataFrame = {
+    t.customer.createOrReplaceTempView("v_customer")
+    t.orders.createOrReplaceTempView("v_orders")
+    t.lineitem.createOrReplaceTempView("v_lineitem")
+    t.spark.sql(
+      """SELECT l_orderkey,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        |       o_orderdate
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin)
+  }
 }
