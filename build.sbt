@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured best for the 75-query bench at local[32]: an A/B against
+  // 24g showed the larger heap nearly doubling total wall time with wild
+  // per-query variance (G1 pause behavior under broadcast/sparse-vector
+  // churn) — bigger is not faster here
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
