@@ -86,6 +86,8 @@ object SparkEntry {
       EventStream.hourlyCounts(s, dir, s"graft_stream_${System.nanoTime()}")),
     "events_sessions_streaming" -> ((s, dir) =>
       EventStream.sessionize(s, dir, s"graft_sess_${System.nanoTime()}")),
+    "events_dedup_streaming" -> ((s, dir) =>
+      EventStream.dedupCounts(s, dir, s"graft_dedup_${System.nanoTime()}")),
     // --- text analysis (training-data extensions) ---
     "text_token_stats"      -> q(TextOps.tokenStats),
     "text_quality_by_lang"  -> q(TextOps.qualityByLang),
@@ -359,6 +361,9 @@ object SparkEntry {
         |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') b
         |  ON c.user_id = b.user_id AND b.ts > c.ts
         |GROUP BY c.user_id""".stripMargin,
+    "events_dedup_streaming" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "sql_top_unshipped" ->
       """SELECT l_orderkey,
         |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,

@@ -60,6 +60,29 @@ object EventStream {
       .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
   }
 
+  /** Streaming exact dedup — the training-pipeline "drop replayed events"
+    * stage: dropDuplicatesWithinWatermark keys state by event_id and
+    * evicts it once the watermark passes, so state stays bounded on an
+    * unbounded stream (a plain dropDuplicates would grow state forever).
+    * Emits per-type counts of the deduplicated stream; equals the batch
+    * distinct count, which the oracle checks.
+    */
+  def dedupCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double, props: String)
   case class SessionState(count: Long, total: Double, lastSec: Long)

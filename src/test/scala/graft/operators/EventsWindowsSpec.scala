@@ -72,6 +72,23 @@ class EventsWindowsSpec extends SparkTestBase {
       }
   }
 
+  test("streaming dedup drops replayed events: duplicated input, single-copy counts") {
+    // write every event twice into a temp stream source; the deduplicated
+    // per-type counts must equal the single-copy batch counts
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read
+      .schema(EventStream.eventSchema)
+      .parquet("/root/testdata/sf0.001/{events}.parquet")
+    raw.unionAll(raw).write.parquet(s"$dir/events.parquet")
+
+    val streamed = EventStream.dedupCounts(spark, dir, s"spec_dedup_${System.nanoTime()}")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = t.events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("json extraction: both paths agree") {
     val a = EventOps.jsonGetObject(t).count()
     val b = t.events
