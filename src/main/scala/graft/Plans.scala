@@ -1,0 +1,46 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints `explain("formatted")` for a representative
+  * query per operator family — the artifact behind PLANS.md. Usage:
+  * `sbt 'runMain graft.Plans [sfDir]'`.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t = Tables(spark, sfDir)
+
+    val picks: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q1_group_count_avg (scan pruning + partial/final agg)" ->
+        operators.CoreQueries.q1GroupCountAvg(t),
+      "filter_range (predicate pushdown to parquet)" ->
+        operators.CoreQueries.filterRange(t),
+      "topk_orders (TakeOrderedAndProject)" ->
+        operators.CoreQueries.topKOrders(t),
+      "join_customers_per_region (broadcast dim joins)" ->
+        operators.JoinOps.customersPerRegion(t),
+      "events_asof_purchase (window asof, no range join)" ->
+        operators.EventOps.nextPurchaseAsof(t),
+      "dedup_minhash (shared band exchange)" ->
+        operators.DedupOps.minhashDupPairs(t, 0.3),
+      "ann_brute_force (codegen'd graft_dot/graft_l2norm)" ->
+        operators.SimilarityOps.bruteForceTopK(t, 0L, 10))
+
+    picks.foreach { case (label, df) =>
+      println(s"\n===== $label =====")
+      df.explain("formatted")
+    }
+    spark.stop()
+  }
+}
