@@ -58,6 +58,10 @@ object SparkEntry {
     "split_counts"          -> q(CoreQueries.splitCounts),
     "row_ids"               -> q(CoreQueries.rowIds),
     "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
+    "pivot_flag_status"     -> q(CoreQueries.pivotFlagStatus),
+    "stat_corr_covar"       -> q(CoreQueries.statCorrCovar),
+    "sample_stratified"     -> q(CoreQueries.stratifiedSample),
+    "topk_part_keys"        -> q(t => CoreQueries.topPartKeys(t)),
     // --- joins & set ops (§2.3) ---
     "join_customers_per_region" -> q(JoinOps.customersPerRegion),
     "join_revenue_by_priority"  -> q(JoinOps.revenueByPriority),
@@ -364,6 +368,20 @@ object SparkEntry {
     "events_dedup_streaming" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "pivot_flag_status" ->
+      """SELECT l_linestatus,
+        |       floor(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) * 100 + 0.5) / 100 AS qty_a,
+        |       floor(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) * 100 + 0.5) / 100 AS qty_n,
+        |       floor(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) * 100 + 0.5) / 100 AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "stat_corr_covar" ->
+      """SELECT floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+        |       floor(covar_samp(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS covar_qty_price
+        |FROM lineitem""".stripMargin,
+    "topk_part_keys" ->
+      """SELECT l_partkey, count(*) AS n
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY n DESC, l_partkey ASC LIMIT 20""".stripMargin,
     "sql_top_unshipped" ->
       """SELECT l_orderkey,
         |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,

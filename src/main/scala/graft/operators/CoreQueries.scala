@@ -317,6 +317,49 @@ object CoreQueries {
     t.orders
       .select(col("o_orderkey"), monotonically_increasing_id().as("row_id"))
 
+  /** Pivot: one column per return flag, a row per line status — wide-format
+    * reporting. Values are enumerated explicitly so the plan is a single
+    * pass (an unenumerated pivot first runs a distinct job to discover
+    * them).
+    */
+  def pivotFlagStatus(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(roundN(sum("l_quantity"), 2))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy("l_linestatus")
+
+  /** Pearson correlation + sample covariance (the reference's
+    * correlation-matrix intent, `data-viz&cleaning.py` commented plots) —
+    * single-pass co-moment aggregation.
+    */
+  def statCorrCovar(t: Tables): DataFrame =
+    t.lineitem.agg(
+      roundN(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+      roundN(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qty_price"))
+
+  /** Stratified sample (sampleBy): per-stratum Bernoulli fractions — the
+    * class-balancing tool for skewed training data. Seeded but partition-
+    * layout dependent ⇒ rows-only; the spec bounds per-stratum fractions.
+    */
+  def stratifiedSample(t: Tables): DataFrame =
+    t.orders.stat
+      .sampleBy("o_orderstatus", Map("F" -> 0.05, "O" -> 0.05, "P" -> 0.5), 42L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Heavy hitters: top-k most frequent part keys in lineitem —
+    * agg-then-TakeOrdered, the distributed word-count shape.
+    */
+  def topPartKeys(t: Tables, k: Int = 20): DataFrame =
+    t.lineitem
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("l_partkey"))
+      .limit(k)
+
   /** Full `spark.sql` surface over registered views (TPC-H Q3 shape):
     * the SQL text goes through the same Catalyst pipeline as the DataFrame
     * DSL — one parser/optimizer, two front doors.

@@ -107,6 +107,48 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(rows("train") > rows("test"))
   }
 
+  test("pivot cells match the long-format multi-key aggregation") {
+    val wide = CoreQueries.pivotFlagStatus(t).collect()
+      .flatMap { r =>
+        Seq("A" -> 1, "N" -> 2, "R" -> 3).flatMap { case (f, i) =>
+          if (r.isNullAt(i)) None else Some((f, r.getString(0)) -> r.getDouble(i))
+        }
+      }.toMap
+    val long = CoreQueries.aggMultiKeyAvg(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(wide == long)
+  }
+
+  test("corr in [-1,1]; covar consistent with corr * sd products") {
+    val r = CoreQueries.statCorrCovar(t).head()
+    val c = r.getDouble(0)
+    assert(c >= -1.0 && c <= 1.0)
+    val sds = t.lineitem.agg(
+      stddev_samp("l_quantity"), stddev_samp("l_extendedprice")).head()
+    val expected = c * sds.getDouble(0) * sds.getDouble(1)
+    assert(math.abs(r.getDouble(1) - expected) / math.max(1.0, math.abs(expected)) < 0.01)
+  }
+
+  test("stratified sample respects per-stratum fractions") {
+    val totals = t.orders.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = Map("F" -> 0.05, "O" -> 0.05, "P" -> 0.5)
+    CoreQueries.stratifiedSample(t).collect().foreach { r =>
+      val got = r.getLong(1).toDouble / totals(r.getString(0))
+      val want = fracs(r.getString(0))
+      assert(got > want * 0.3 && got < want * 2.5,
+        s"stratum ${r.getString(0)}: got fraction $got, want ~$want")
+    }
+  }
+
+  test("heavy hitters equal a manual count-sort") {
+    val got = CoreQueries.topPartKeys(t, 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val manual = t.lineitem.groupBy("l_partkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, n) => (-n, k) }.take(5).toSeq
+    assert(got == manual)
+  }
+
   test("monotonically increasing ids are unique") {
     val df = CoreQueries.rowIds(t)
     assert(df.select("row_id").distinct().count() == df.count())
