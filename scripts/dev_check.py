@@ -26,7 +26,10 @@ def canon(v):
             return "NaN"
         if v == 0:
             return "0"
-        return f"{v:.6g}"
+        # Full-precision shortest round-trip repr — mirrors the driver's
+        # strict hashing (round-1 lesson: 6-sig-digit canon let three
+        # order-of-accumulation divergences through that the driver caught).
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
@@ -58,9 +61,12 @@ def main():
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         grows, gcols = got.fetchall(), [c for c in got.columns]
         if name not in oracle:
-            status = "ROWS-ONLY" if len(grows) >= 0 else "EMPTY"
-            n_rowsonly += 1
-            print(f"  {name:32s} {status}  rows={len(grows)}")
+            if len(grows) == 0:
+                n_fail += 1
+                print(f"  {name:32s} EMPTY  rows=0 (rows-only query returned nothing)")
+            else:
+                n_rowsonly += 1
+                print(f"  {name:32s} ROWS-ONLY  rows={len(grows)}")
             continue
         try:
             exp = con.sql(oracle[name])

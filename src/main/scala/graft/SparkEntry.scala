@@ -132,10 +132,16 @@ object SparkEntry {
     * sketches, ML, streaming-only) get the driver's rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    // NOTE on the CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) idiom used
+    // below: it mirrors graft.functions.NumericFunctions.decSum/decAvg —
+    // exact decimal accumulation is order-independent, so Spark and DuckDB
+    // produce bit-identical doubles regardless of parallelism (round-1
+    // driver hash-fail fix).
     "q1_group_count_avg" ->
       """SELECT l_returnflag,
         |       count(l_returnflag) AS num_items,
-        |       floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price
+        |       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |              / count(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q2_median_by_priority" ->
       """SELECT upper(o_orderpriority) AS priority,
@@ -155,12 +161,14 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "agg_multikey_avg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+        |       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |              / count(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
         |       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "agg_by_year" ->
       """SELECT year(o_orderdate) AS order_year,
-        |       floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |              / count(o_totalprice)) * 100 + 0.5) / 100 AS avg_price,
         |       count(*) AS num_orders
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
     "agg_skewness" ->
@@ -177,7 +185,8 @@ object SparkEntry {
         |FROM m""".stripMargin,
     "agg_describe_stats" ->
       """SELECT count(l_extendedprice) AS cnt,
-        |       floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS mean_price,
+        |       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |              / count(l_extendedprice)) * 100 + 0.5) / 100 AS mean_price,
         |       floor((stddev(l_extendedprice)) * 100 + 0.5) / 100 AS std_price,
         |       floor((min(l_extendedprice)) * 100 + 0.5) / 100 AS min_price,
         |       floor((max(l_extendedprice)) * 100 + 0.5) / 100 AS max_price
@@ -185,7 +194,7 @@ object SparkEntry {
     "agg_selectexpr_sum" ->
       "SELECT floor((sum(l_quantity)) * 100 + 0.5) / 100 AS total_qty FROM lineitem",
     "agg_global_sum" ->
-      """SELECT floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_revenue,
+      """SELECT floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_revenue,
         |       count(*) AS num_orders FROM orders""".stripMargin,
     "filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -205,11 +214,14 @@ object SparkEntry {
       """SELECT count(*) AS non_null_orders
         |FROM orders
         |WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL""".stripMargin,
+    // floor() before the integer casts: Spark truncates double→int while
+    // DuckDB rounds; quantities are integral-valued so floor == truncate.
     "cast_columns" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(floor(l_quantity) AS INTEGER) AS qty_int,
-        |       CAST(l_extendedprice AS DECIMAL(20,2)) AS price_dec,
-        |       CAST(l_tax AS VARCHAR) AS tax_str
+        |       CAST(floor(l_quantity) AS BIGINT) AS qty_long,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(20,2)) AS DOUBLE) AS price_2dp,
+        |       CAST(CAST(l_tax AS DECIMAL(4,2)) AS VARCHAR) AS tax_str
         |FROM lineitem""".stripMargin,
     "case_when_tier" ->
       """SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
@@ -217,7 +229,8 @@ object SparkEntry {
         |            WHEN o_totalprice >= 50000 THEN 'low'
         |            ELSE 'minimal' END AS tier,
         |       count(*) AS n,
-        |       floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |              / count(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
     "regexp_extract_num" ->
       """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS cust_num
@@ -245,19 +258,20 @@ object SparkEntry {
         |  AND l_suppkey IS NOT NULL""".stripMargin,
     "join_customers_per_region" ->
       """SELECT r_name, count(*) AS num_customers,
-        |       floor((avg(c_acctbal)) * 100 + 0.5) / 100 AS avg_acctbal
+        |       floor((CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        |              / count(c_acctbal)) * 100 + 0.5) / 100 AS avg_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
     "join_revenue_by_priority" ->
       """SELECT o_orderpriority,
-        |       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+        |       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue,
         |       count(*) AS num_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "join_revenue_by_brand" ->
-      """SELECT p_brand, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS revenue
+      """SELECT p_brand, floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
     "join_semi_with_orders" ->
@@ -287,7 +301,8 @@ object SparkEntry {
     "scalar_above_avg" ->
       """SELECT o_orderstatus, count(*) AS n_above_avg
         |FROM orders
-        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |                             / count(o_totalprice) FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
     "window_top_per_segment" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
@@ -298,9 +313,9 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
     "window_running_revenue" ->
       """SELECT o_custkey, o_orderkey,
-        |       floor((sum(o_totalprice) OVER (
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_total
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 100 + 0.5) / 100 AS running_total
         |FROM orders""".stripMargin,
     "window_price_delta" ->
       """SELECT o_custkey, o_orderkey,
@@ -319,7 +334,9 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY p_type ORDER BY p_size DESC, p_partkey ASC))
         |WHERE rnk <= 5""".stripMargin,
     "window_price_quartiles" ->
-      """SELECT quartile, count(*) AS n, floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
+      """SELECT quartile, count(*) AS n,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |              / count(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
         |FROM (
         |  SELECT o_totalprice,
         |         ntile(4) OVER (PARTITION BY year(o_orderdate)
@@ -327,20 +344,25 @@ object SparkEntry {
         |  FROM orders)
         |GROUP BY quartile""".stripMargin,
     "events_json_stats" ->
-      """SELECT event_type, count(*) AS n,
-        |       floor((avg(CAST(json_extract(props, '$.k') AS INTEGER))) * 10000 + 0.5) / 10000 AS avg_k,
-        |       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       floor((CAST(sum(k) AS DOUBLE) / count(k)) * 10000 + 0.5) / 10000 AS avg_k,
+        |       max(k) AS max_k
+        |FROM e GROUP BY event_type""".stripMargin,
     "events_json_get" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
         |FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) > 50""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        |       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+        |       count(*) AS n,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_hourly_streaming" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        |       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+        |       count(*) AS n,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       """WITH g AS (
@@ -357,8 +379,37 @@ object SparkEntry {
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS events_in_session,
-        |       floor((sum(value)) * 100 + 0.5) / 100 AS session_value
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS session_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // Streaming twin emits exactly the CLOSED sessions: closed by a break
+    // (a later event of the same user >30 min after) or by event-time
+    // timeout (the final watermark, max ts - 2h, passed the session's
+    // end + 30 min). Each user's still-open tail session — within 2h30m of
+    // the last event in the replay — cannot be emitted in Append mode (the
+    // watermark never advances past max ts); see EventStream.sessionize.
+    "events_sessions_streaming" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, value, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |a AS (
+        |  SELECT user_id, session_id, count(*) AS events_in_session,
+        |         floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS session_value,
+        |         CAST(floor(epoch(max(ts))) AS BIGINT) AS end_sec,
+        |         max(max(CAST(floor(epoch(ts)) AS BIGINT))) OVER () AS max_sec,
+        |         max(session_id) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, session_id, events_in_session, session_value FROM a
+        |WHERE session_id < max_sid OR end_sec + 1800 < max_sec - 7200""".stripMargin,
     "events_click_to_purchase" ->
       """SELECT c.user_id AS user_id, count(*) AS click_buy_pairs
         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
@@ -384,7 +435,7 @@ object SparkEntry {
         |ORDER BY n DESC, l_partkey ASC LIMIT 20""".stripMargin,
     "sql_top_unshipped" ->
       """SELECT l_orderkey,
-        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        |       floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
         |       o_orderdate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -408,7 +459,7 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |       sum(len(string_split_regex(text, '\s+'))) AS total_ws_tokens,
         |       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
-        |       floor((avg(length(text))) * 100 + 0.5) / 100 AS avg_chars
+        |       floor((CAST(sum(length(text)) AS DOUBLE) / count(length(text))) * 100 + 0.5) / 100 AS avg_chars
         |FROM documents GROUP BY source""".stripMargin,
     "text_langid_confusion" ->
       """SELECT lang AS labeled_lang,
@@ -446,8 +497,8 @@ object SparkEntry {
         |                       THEN 1.0 ELSE 0.5 END)) / 3.0) * 10000 + 0.5) / 10000 AS q
         |  FROM m)
         |SELECT lang, count(*) AS n_docs,
-        |       floor(avg(q)*10000 + 0.5)/10000 AS avg_quality,
-        |       floor(avg(sw)*10000 + 0.5)/10000 AS avg_stopword_ratio
+        |       floor((CAST(sum(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / count(q))*10000 + 0.5)/10000 AS avg_quality,
+        |       floor((CAST(sum(CAST(sw AS DECIMAL(28,6))) AS DOUBLE) / count(sw))*10000 + 0.5)/10000 AS avg_stopword_ratio
         |FROM q GROUP BY lang""".stripMargin,
     "text_quality_filter" ->
       """WITH s AS (
@@ -489,8 +540,9 @@ object SparkEntry {
         |  SELECT vec_id, label, emb, sqrt(list_sum([x*x for x in emb])) AS nrm FROM e),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-        |         floor((list_sum([a.emb[i]*b.emb[i] for i in range(1, len(a.emb)+1)])
-        |                / (a.nrm*b.nrm)) * 1000000 + 0.5)/1000000 AS cos_sim
+        |         floor((CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |                ELSE list_sum([a.emb[i]*b.emb[i] for i in range(1, len(a.emb)+1)])
+        |                     / (a.nrm*b.nrm) END) * 1000000 + 0.5)/1000000 AS cos_sim
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, label, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin,
     "emb_neardup_lsh" ->
@@ -505,8 +557,9 @@ object SparkEntry {
         |  FROM e),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         floor((list_sum([a.emb[i]*b.emb[i] for i in range(1, len(a.emb)+1)])
-        |                / (a.nrm*b.nrm)) * 1000000 + 0.5)/1000000 AS cos_sim
+        |         floor((CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |                ELSE list_sum([a.emb[i]*b.emb[i] for i in range(1, len(a.emb)+1)])
+        |                     / (a.nrm*b.nrm) END) * 1000000 + 0.5)/1000000 AS cos_sim
         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin,
     "ann_lsh" ->
@@ -564,8 +617,11 @@ object SparkEntry {
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "emb_norms_by_label" ->
-      """SELECT label, count(*) AS n,
-        |       floor((avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-        |                                              x -> x * x))))) * 10000 + 0.5) / 10000 AS avg_norm
-        |FROM embeddings GROUP BY label""".stripMargin)
+      """WITH n AS (
+        |  SELECT label, sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                             x -> x * x))) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |       floor((CAST(sum(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) / count(nrm)) * 10000 + 0.5) / 10000 AS avg_norm
+        |FROM n GROUP BY label""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Cross-engine-stable numeric helpers.
   *
@@ -20,4 +21,30 @@ object NumericFunctions {
     val p = math.pow(10, n)
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
+
+  /** Order-independent sum over a double column, returned as DOUBLE.
+    *
+    * A plain `sum(double)` accumulates in whatever order the engine's
+    * parallelism dictates, so Spark and the oracle (and even two runs of
+    * the same DuckDB with different thread counts) can disagree in the
+    * last bits — enough to flip a `roundN` floor edge (round-1 driver
+    * failures `events_sessions` / `text_token_stats`). Accumulating in
+    * DECIMAL is exact and therefore order-independent; the single final
+    * decimal→double conversion is deterministic in both engines. The
+    * per-row double→DECIMAL(28,6) cast is unambiguous here because every
+    * double in the fixtures is an exact 2-dp value (verified against
+    * /root/testdata: `x = floor(x*100+0.5)/100` holds for all of
+    * events.value and lineitem prices).
+    *
+    * Oracle mirror: `CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`.
+    */
+  def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Exact-numerator average: [[decSum]] / non-null count. The division is
+    * a single IEEE op over bit-identical operands, so the quotient is
+    * bit-identical across engines. Oracle mirror:
+    * `(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(x))`.
+    */
+  def decAvg(c: Column): Column = decSum(c) / count(c)
 }

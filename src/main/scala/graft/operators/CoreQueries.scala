@@ -3,7 +3,7 @@ package graft.operators
 import graft.core.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import graft.functions.NumericFunctions.roundN
+import graft.functions.NumericFunctions.{decAvg, decSum, roundN}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,7 +30,7 @@ object CoreQueries {
       .groupBy("l_returnflag")
       .agg(
         count("l_returnflag").as("num_items"),
-        roundN(avg("l_extendedprice"), 2).as("avg_price"))
+        roundN(decAvg(col("l_extendedprice")), 2).as("avg_price"))
       .orderBy(desc("num_items"))
 
   /** Query 2 analogue (ref `data-understanding.py:202-216`): count + median
@@ -82,7 +82,7 @@ object CoreQueries {
     t.lineitem
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        roundN(avg("l_extendedprice"), 2).as("avg_price"),
+        roundN(decAvg(col("l_extendedprice")), 2).as("avg_price"),
         roundN(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -91,7 +91,7 @@ object CoreQueries {
     t.orders
       .groupBy(year(col("o_orderdate")).as("order_year"))
       .agg(
-        roundN(avg("o_totalprice"), 2).as("avg_price"),
+        roundN(decAvg(col("o_totalprice")), 2).as("avg_price"),
         count(lit(1)).as("num_orders"))
       .orderBy("order_year")
 
@@ -110,7 +110,7 @@ object CoreQueries {
   def aggDescribeStats(t: Tables): DataFrame =
     t.lineitem.agg(
       count("l_extendedprice").as("cnt"),
-      roundN(avg("l_extendedprice"), 2).as("mean_price"),
+      roundN(decAvg(col("l_extendedprice")), 2).as("mean_price"),
       roundN(stddev("l_extendedprice"), 2).as("std_price"),
       roundN(min("l_extendedprice"), 2).as("min_price"),
       roundN(max("l_extendedprice"), 2).as("max_price"))
@@ -128,7 +128,7 @@ object CoreQueries {
     */
   def aggGlobalSum(t: Tables): DataFrame =
     t.orders.agg(
-      roundN(sum("o_totalprice"), 2).as("total_revenue"),
+      roundN(decSum(col("o_totalprice")), 2).as("total_revenue"),
       count(lit(1)).as("num_orders"))
 
   /** P6: conjunctive range predicate (ref `data-viz&cleaning.py:130,173`).
@@ -168,6 +168,14 @@ object CoreQueries {
 
   /** P11: explicit cast funnel, ANSI-off → bad parses become null
     * (ref `price-prediction.py:150-152`).
+    *
+    * Round-2 hardening: the DECIMAL(20,2) column and the double→string cast
+    * are exercised INSIDE the query but the gated output carries only
+    * int/long/double/string — a DECIMAL result column hash-failed the
+    * driver in round 1 (engines/readers canonicalize trailing-zero decimals
+    * differently: `Decimal("1234.50")` vs `1234.5`). `tax_str` is now
+    * derived decimal→string, which renders identically ("0.05", "0.00") in
+    * Spark and DuckDB, unlike a raw double→string cast.
     */
   def castColumns(t: Tables): DataFrame =
     t.lineitem
@@ -175,8 +183,9 @@ object CoreQueries {
         col("l_orderkey"),
         col("l_linenumber"),
         col("l_quantity").cast(IntegerType).as("qty_int"),
-        col("l_extendedprice").cast(DecimalType(20, 2)).as("price_dec"),
-        col("l_tax").cast(StringType).as("tax_str"))
+        col("l_quantity").cast(LongType).as("qty_long"),
+        col("l_extendedprice").cast(DecimalType(20, 2)).cast(DoubleType).as("price_2dp"),
+        col("l_tax").cast(DecimalType(4, 2)).cast(StringType).as("tax_str"))
 
   /** F9: when/otherwise chain (ref `recomendation-system.py:77-84`), the
     * native-expression replacement for the reference's Python UDFs U1–U3.
@@ -190,7 +199,7 @@ object CoreQueries {
           .when(col("o_totalprice") >= 50000, "low")
           .otherwise("minimal"))
       .groupBy("tier")
-      .agg(count(lit(1)).as("n"), roundN(avg("o_totalprice"), 2).as("avg_price"))
+      .agg(count(lit(1)).as("n"), roundN(decAvg(col("o_totalprice")), 2).as("avg_price"))
       .orderBy("tier")
 
   /** F3: regexp_extract (ref `data-understanding.py:190` year extraction). */
@@ -370,7 +379,7 @@ object CoreQueries {
     t.lineitem.createOrReplaceTempView("v_lineitem")
     t.spark.sql(
       """SELECT l_orderkey,
-        |       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        |       floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
         |       o_orderdate
         |FROM v_customer
         |JOIN v_orders ON c_custkey = o_custkey

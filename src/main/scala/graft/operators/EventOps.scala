@@ -3,7 +3,7 @@ package graft.operators
 import graft.core.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import graft.functions.NumericFunctions.roundN
+import graft.functions.NumericFunctions.{decSum, roundN}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,7 +28,10 @@ object EventOps {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        roundN(avg("k"), 4).as("avg_k"),
+        // explicit sum/count instead of avg(): the int sum is exact in any
+        // order, and sum/count is one deterministic IEEE division — avg()'s
+        // internal accumulation strategy is engine-version-dependent
+        roundN(sum("k").cast("double") / count(col("k")), 4).as("avg_k"),
         max("k").as("max_k"))
       .orderBy("event_type")
 
@@ -51,7 +54,7 @@ object EventOps {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        roundN(sum("value"), 2).as("total_value"))
+        roundN(decSum(col("value")), 2).as("total_value"))
       .orderBy("hour_start", "event_type")
 
   /** Sessionization in batch: a session break is a >30-minute gap per user;
@@ -59,7 +62,15 @@ object EventOps {
     * equivalent of `mapGroupsWithState` session logic, fully parallel per
     * user partition.
     */
-  def userSessions(t: Tables): DataFrame = {
+  def userSessions(t: Tables): DataFrame =
+    userSessionsWithEnd(t).drop("end_sec")
+
+  /** [[userSessions]] plus each session's end (floor-seconds of its last
+    * event) — the column the streaming twin's closed-session contract needs
+    * (a session is emitted by the stream iff a break closed it or the final
+    * watermark passed end_sec + 30 min; see EventStream.sessionize).
+    */
+  def userSessionsWithEnd(t: Tables): DataFrame = {
     val byUser   = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
     // floor-seconds via unix_timestamp (NTZ has no direct bigint cast);
     // the oracle mirrors this with floor(epoch(ts))
@@ -68,12 +79,16 @@ object EventOps {
     val isBreak  = when(gapSec.isNull || gapSec > 1800, 1).otherwise(0)
     t.events
       .withColumn("brk", isBreak)
+      .withColumn("ts_sec", tsSec)
       .withColumn("session_id", sum("brk").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("events_in_session"),
-        roundN(sum("value"), 2).as("session_value"))
+        // round-1 driver hash-fail: double sums accumulate in engine-
+        // dependent order; decimal accumulation is exact → order-free
+        roundN(decSum(col("value")), 2).as("session_value"),
+        max("ts_sec").as("end_sec"))
       .orderBy("user_id", "session_id")
   }
 

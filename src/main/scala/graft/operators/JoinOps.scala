@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import org.apache.spark.sql.DataFrame
-import graft.functions.NumericFunctions.roundN
+import graft.functions.NumericFunctions.{decAvg, decSum, roundN}
 import org.apache.spark.sql.functions._
 
 /** Join / set-operation surface (SURVEY.md §2.3 — capability parity; the
@@ -27,7 +27,7 @@ object JoinOps {
       .groupBy("r_name")
       .agg(
         count(lit(1)).as("num_customers"),
-        roundN(avg("c_acctbal"), 2).as("avg_acctbal"))
+        roundN(decAvg(col("c_acctbal")), 2).as("avg_acctbal"))
       .orderBy("r_name")
 
   /** Fact ⋈ fact: revenue per order priority. The shuffle partitions both
@@ -39,7 +39,7 @@ object JoinOps {
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        roundN(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"),
         count(lit(1)).as("num_items"))
       .orderBy("o_orderpriority")
@@ -49,7 +49,7 @@ object JoinOps {
     t.lineitem
       .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(roundN(sum("l_extendedprice"), 2).as("revenue"))
+      .agg(roundN(decSum(col("l_extendedprice")), 2).as("revenue"))
       .orderBy("p_brand")
 
   /** LEFT SEMI = EXISTS: customers that have at least one order. */
@@ -129,7 +129,9 @@ object JoinOps {
     * price, counted per status. The 1-row aggregate is broadcast.
     */
   def aboveAveragePrice(t: Tables): DataFrame = {
-    val mean = t.orders.agg(avg("o_totalprice").as("mean_price"))
+    // decAvg: the threshold must be the bit-identical double in both
+    // engines, or a customer sitting within 1 ulp of the mean flips sides.
+    val mean = t.orders.agg(decAvg(col("o_totalprice")).as("mean_price"))
     t.orders
       .crossJoin(broadcast(mean))
       .filter(col("o_totalprice") > col("mean_price"))

@@ -3,7 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
-import graft.functions.NumericFunctions.roundN
+import graft.functions.NumericFunctions.{decAvg, roundN}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -163,6 +163,6 @@ object SimilarityOps {
       .groupBy("label")
       .agg(
         count(lit(1)).as("n"),
-        roundN(avg("norm"), 4).as("avg_norm"))
+        roundN(decAvg(col("norm")), 4).as("avg_norm"))
       .orderBy("label")
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
-import graft.functions.NumericFunctions.roundN
+import graft.functions.NumericFunctions.{decAvg, roundN}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the language-ID /
@@ -29,7 +29,11 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         sum("ws_tokens").as("total_ws_tokens"),
         sum("bpe_tokens").as("total_bpe_tokens"),
-        roundN(avg("chars"), 2).as("avg_chars"))
+        // round-1 driver hash-fail: avg()'s internal accumulation is
+        // engine-version-dependent; exact long sum / count is one
+        // deterministic IEEE division, identical in both engines
+        roundN(sum("chars").cast("double") / count(col("chars")), 2)
+          .as("avg_chars"))
       .orderBy("source")
 
   /** Per-document quality scores, aggregated per language label. */
@@ -42,8 +46,8 @@ object TextOps {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        roundN(avg("q"), 4).as("avg_quality"),
-        roundN(avg("sw"), 4).as("avg_stopword_ratio"))
+        roundN(decAvg(col("q")), 4).as("avg_quality"),
+        roundN(decAvg(col("sw")), 4).as("avg_stopword_ratio"))
       .orderBy("lang")
 
   /** Charset-heuristic language ID vs the dataset's lang label (confusion

@@ -3,8 +3,9 @@ package graft.operators
 import graft.core.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import graft.functions.NumericFunctions.roundN
+import graft.functions.NumericFunctions.{decAvg, roundN}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Window-function surface (SURVEY.md §2.5 W1–W2 plus the analytic
   * neighbourhood the reference never reaches: rank/lag/lead/frames).
@@ -39,7 +40,13 @@ object WindowOps {
       .orderBy(asc("o_orderdate"), asc("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.orders
-      .withColumn("running_total", roundN(sum("o_totalprice").over(w), 2))
+      // decimal-accumulated running sum: window frame sums are evaluated
+      // incrementally in Spark but with a segment tree in some engines —
+      // exact decimal accumulation makes the result order/algorithm-proof
+      .withColumn(
+        "running_total",
+        roundN(sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w)
+          .cast(DoubleType), 2))
       .select("o_custkey", "o_orderkey", "running_total")
   }
 
@@ -79,7 +86,7 @@ object WindowOps {
       .groupBy("quartile")
       .agg(
         count(lit(1)).as("n"),
-        roundN(avg("o_totalprice"), 2).as("avg_price"))
+        roundN(decAvg(col("o_totalprice")), 2).as("avg_price"))
       .orderBy("quartile")
   }
 }

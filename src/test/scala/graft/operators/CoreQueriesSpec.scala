@@ -45,11 +45,17 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(topk == full)
   }
 
-  test("castColumns: decimal and string casts preserve row count and null-safety") {
+  test("castColumns: decimal/string casts preserve row count and null-safety") {
     val df = CoreQueries.castColumns(t)
     assert(df.count() == t.lineitem.count())
-    assert(df.schema("price_dec").dataType.typeName == "decimal(20,2)")
+    // decimal casts are exercised inside the query; the gated output is
+    // representation-stable types only (round-2: decimal result columns
+    // canonicalize differently across engines/readers)
+    assert(df.schema("price_2dp").dataType.typeName == "double")
+    assert(df.schema("tax_str").dataType.typeName == "string")
     assert(df.filter(col("qty_int").isNull).count() == 0)
+    // tax_str is decimal-derived: always exactly two fraction digits
+    assert(df.filter(!col("tax_str").rlike("^[0-9]+\\.[0-9]{2}$")).count() == 0)
   }
 
   test("dedupExact removes duplicates idempotently") {

@@ -37,18 +37,25 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(batch.exceptAll(stream).count() == 0)
   }
 
-  test("streaming sessionization emits closed sessions consistent with batch") {
+  test("streaming sessionization == batch CLOSED sessions (break or timeout)") {
+    import org.apache.spark.sql.expressions.Window
     val stream = EventStream.sessionize(spark, "/root/testdata/sf0.001",
       s"spec_sess_${System.nanoTime()}")
-    // the stream never sees end-of-input, so only timed-out (closed)
-    // sessions are emitted: every emitted session must match a batch session
-    val batch = EventOps.userSessions(t)
-      .select(col("user_id"), col("events_in_session"), col("session_value"))
-    val unmatched = stream
-      .withColumn("session_value",
-        org.apache.spark.sql.functions.floor(col("session_value") * 100 + 0.5) / 100)
-      .exceptAll(batch).count()
-    assert(unmatched == 0)
+    // closed = ended by a break (a later session exists for the user) OR by
+    // event-time timeout (final watermark = max ts - 2h passed end + 30min);
+    // each user's open tail session cannot be emitted in Append mode
+    val byUser  = Window.partitionBy("user_id")
+    val sessEnd = EventOps.userSessionsWithEnd(t)
+    val closed = sessEnd
+      .withColumn("max_sid", max("session_id").over(byUser))
+      .withColumn("max_sec", max("end_sec").over(Window.partitionBy()))
+      .filter(col("session_id") < col("max_sid") ||
+        col("end_sec") + 1800 < col("max_sec") - 7200)
+      .select("user_id", "session_id", "events_in_session", "session_value")
+    val streamSel = stream.select("user_id", "session_id", "events_in_session", "session_value")
+    assert(streamSel.count() == closed.count())
+    assert(streamSel.exceptAll(closed).count() == 0)
+    assert(closed.exceptAll(streamSel).count() == 0)
   }
 
   test("asof join: one row per click, next purchase is at-or-after the click") {
