@@ -105,15 +105,13 @@ object SparkEntry {
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
     "dedup_minhash"       -> q(t => DedupOps.minhashDupPairs(t, 0.3)),
-    // EXPLICIT CAP: the MLlib scheme (1 hash per table, no banding) emits
-    // ~0.57·n² candidates on this corpus regardless of threshold (see the
-    // operator's scaladoc), so the inventory query demonstrates it on the
-    // first 1000 docs; the full-corpus agreement check runs in the specs.
-    "dedup_minhash_mllib" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      DedupOps.minhashDupPairsMllibOn(
-        t.documents.filter(org.apache.spark.sql.functions.col("doc_id") < 1000), 0.7)
-    }),
+    // Full corpus at threshold 0.7: MLlib's scheme (1 hash per table, no
+    // banding) is OR-amplified, so it is run where its candidate noise
+    // vanishes — high-similarity dedup (see the operator's scaladoc for
+    // the P(candidate) analysis; the low-threshold workhorse is the
+    // banded dedup_minhash above).
+    "dedup_minhash_mllib" -> ((s, dir) =>
+      DedupOps.minhashDupPairsMllib(Tables(s, dir), 0.7)),
     "dedup_simhash"       -> q(t => DedupOps.simhashDupPairs(t, 6)),
     // --- similarity search (training-data extensions) ---
     "ann_brute_force"    -> q(t => SimilarityOps.bruteForceTopK(t, 0L, 10)),
@@ -533,6 +531,44 @@ object SparkEntry {
         |       floor((inter::DOUBLE / (n_a + n_b - inter)) * 10000 + 0.5)/10000 AS jaccard
         |FROM pairs
         |WHERE floor((inter::DOUBLE / (n_a + n_b - inter)) * 10000 + 0.5)/10000 >= 0.3""".stripMargin,
+    // Bit-exact twin of DedupOps.minhashDupPairs (k=16, 8 bands × 2 rows,
+    // threshold 0.3): md5 permutation mins and md5 band keys reproduce the
+    // engine's signature exactly; Jaccard is computed on text shingle sets
+    // (hash-invariant, equal to the engine's long-hashed sets).
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                for i in range(1, len(tk)-1)]) AS sh
+        |  FROM toks),
+        |d AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         [list_min([md5(j::VARCHAR || ':' || s) for s in sh])
+        |          for j in range(0, 16)] AS sig
+        |  FROM d),
+        |band AS (
+        |  SELECT doc_id, sh,
+        |         unnest([b::VARCHAR || '_' || md5(sig[b*2+1] || ',' || sig[b*2+2])
+        |                 for b in range(0, 8)]) AS band
+        |  FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.sh AS sh_a, b.sh AS sh_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |         floor((len(list_intersect(sh_a, sh_b))::DOUBLE
+        |                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))))
+        |               * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |       list_reduce(string_split_regex(text, '\s+'),
+        |                   (acc, t) -> md5(acc || '|' || t)) AS rolling_hash
+        |FROM documents""".stripMargin,
     "emb_neardup_exact" ->
       """WITH e AS (
         |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS emb FROM embeddings),

@@ -67,6 +67,20 @@ object TextFunctions {
       sequence(lit(0), lit(k - 1)),
       j => array_min(transform(shingleHashes, h => xxhash64(j, h))))
 
+  /** MinHash signature with md5 permutations over TEXT shingles: same
+    * banding math as [[minhashSignature]], but md5 is bit-identical in the
+    * DuckDB oracle (`md5(j || ':' || s)`), so a query built on this
+    * signature is hash-checkable end-to-end. The per-permutation min is a
+    * lexicographic min over lowercase-hex strings — identical ordering in
+    * both engines (pure ASCII, binary collation). ~2× the hashing cost of
+    * the xxhash64 variant; same O(k·|shingles|) shape.
+    */
+  def md5MinhashSignature(shingleTexts: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleTexts, s =>
+        md5(concat(j.cast("string"), lit(":"), s)))))
+
   /** LSH band keys from a minhash signature: hash of each r-row band.
     * Equal band key ⇒ candidate pair. bands*rows must equal the signature
     * length.
@@ -78,6 +92,17 @@ object TextFunctions {
         "_",
         b.cast("string"),
         xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows)))).cast("string")))
+
+  /** Oracle-expressible twin of [[bandKeys]] for md5 signatures:
+    * `b || '_' || md5(sig[b·r+1] || ',' ... || sig[b·r+r])`.
+    */
+  def md5BandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(
+        "_",
+        b.cast("string"),
+        md5(concat_ws(",", slice(sig, b * rows + 1, lit(rows))))))
 
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
     * One pass: fold token hashes into a 64-long vector of signed bit sums
@@ -116,17 +141,22 @@ object TextFunctions {
   def minShingleFingerprint(text: Column, n: Int): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 
-  /** Rolling Karp-Rabin-style content hash: polynomial fold of token
-    * hashes — order-sensitive (unlike the min-fingerprint). Folded in a
-    * 40-bit ring (mask after every step) so it never overflows Long —
-    * ANSI-mode safe by construction.
+  /** Rolling order-sensitive content hash: a left fold chaining each token
+    * into an md5 state — `h_i = md5(h_{i-1} || '|' || token_i)` seeded with
+    * the first token (a hash-chain fingerprint; reordering any two tokens
+    * changes the result, unlike the min-fingerprint). md5 makes it
+    * bit-identical in the DuckDB oracle:
+    * `list_reduce(tokens, (acc, t) -> md5(acc || '|' || t))` — the
+    * first-element seed mirrors list_reduce's no-initial-value semantics.
+    * (Round 1 used a 40-bit xxhash64 polynomial ring — order-sensitive too
+    * but not oracle-expressible; same per-token O(1) work either way.)
     */
   def rollingHash(text: Column): Column = {
-    val mask = (1L << 40) - 1
+    val tk = tokens(text)
     aggregate(
-      transform(tokens(text), t => xxhash64(t).bitwiseAND(lit(mask))),
-      lit(0L),
-      (acc, h) => (acc * 1000003L + h).bitwiseAND(lit(mask)))
+      slice(tk, lit(2), size(tk)),
+      element_at(tk, 1),
+      (acc, t) => md5(concat(acc, lit("|"), t)))
   }
 
   /** Keyword-list categorizer as a native when-chain — the engine twin of

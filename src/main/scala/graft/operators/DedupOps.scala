@@ -93,14 +93,21 @@ object DedupOps {
   /** MinHash+LSH near-duplicate pairs: signature k=16, 8 bands × 2 rows,
     * candidates from band-key equi-join, verified with true Jaccard.
     * P(candidate | j=0.8) ≈ 1-(1-0.64)^8 ≈ 0.9997 at this config.
+    *
+    * Round 2: the signature permutations are md5-based
+    * (TextFunctions.md5MinhashSignature), which the DuckDB oracle
+    * reproduces bit-for-bit — this query is hash-gated, not rows-only.
+    * The band join's shuffle payload still carries the shingle sets as
+    * 64-bit keys (array<long>, ~3× lighter than text; Jaccard is
+    * hash-invariant, so the verification values are unchanged and equal
+    * to the oracle's text-set Jaccard).
     */
   def minhashDupPairs(t: Tables, minJaccard: Double = 0.8,
                       k: Int = 16, bands: Int = 8): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands " +
+        "(bands*rows == k, or the signature tail is silently ignored)")
     val rows = k / bands
-    // Shingle sets as 64-bit keys: the band join's shuffle payload is an
-    // array<long> per side instead of shingle text (~3× lighter), and the
-    // verification jaccard is integer-set intersection.
-    //
     // The repartition barriers are load-bearing, not cosmetic:
     //  - after `sh`: CollapseProject would otherwise inline the shingle
     //    pipeline into the signature's per-permutation lambda — the whole
@@ -112,11 +119,16 @@ object DedupOps {
     // (An explode + k-min-aggregate formulation was measured too: the extra
     // sig⋈docs join it needs costs more than the interpreted lambda saves.)
     val docs = t.documents
-      .select(col("doc_id"), shingleHashSet(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh_txt"))
+      .filter(size(col("sh_txt")) > 0)
       .repartition(col("doc_id"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
+      .withColumn("sig", md5MinhashSignature(col("sh_txt"), k))
+      .withColumn("band", explode(md5BandKeys(col("sig"), bands, rows)))
+      // hash the shingles to longs AFTER the signature: the shared band
+      // exchange (and both join sides fed from it) never carries shingle
+      // text or the signature — only (doc_id, band, array<long>)
+      .withColumn("sh", transform(col("sh_txt"), s => xxhash64(s)))
+      .select("doc_id", "band", "sh")
       .repartition(col("band"))
 
     val a = docs.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))

@@ -47,11 +47,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(df.as[Int].head() == 3)
   }
 
-  test("rollingHash is order-sensitive") {
+  test("rollingHash is order-sensitive and seeds with the first token") {
     val df = Seq("a b c", "c b a").toDF("text").select(rollingHash(col("text")).as("h"))
-    val hs = df.as[Long].collect()
+    val hs = df.as[String].collect()
     assert(hs(0) != hs(1))
-    assert(hs.forall(h => h >= 0 && h < (1L << 40)))
+    // chain: md5(md5(a|b)|c), mirroring DuckDB list_reduce semantics
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(hs(0) == md5s(md5s("a|b") + "|c"))
+    // single-token doc: the token itself (list_reduce no-init semantics)
+    val one = Seq("solo").toDF("text").select(rollingHash(col("text")).as("h"))
+    assert(one.as[String].head() == "solo")
   }
 
   test("langIdGuess charset heuristic") {
