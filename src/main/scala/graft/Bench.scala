@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.Tables
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
@@ -10,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   * benchmarking a different (much cheaper) plan than the one Verify checks.
   * The noop sink executes the full physical plan and discards rows at the
   * writer, so timings reflect real operator cost with zero driver collect.
+  *
+  * Beyond the query map, two reference workloads from BASELINE.md are
+  * timed so the numbers are directly comparable:
+  *  - `sample_loading`: CSV read with inferSchema + size estimate + 10%
+  *    sample (the reference's most expensive published phase, 22.9–42.6 s
+  *    on its cluster; `performance_py/2-cores-6-instances.py:78-104`). The
+  *    CSV itself is derived from the parquet fixture once, untimed.
+  *  - `ml_fit_*`: fit + 5-metric evaluation for LinearRegression /
+  *    DecisionTree / RandomForest on the shared cached feature frame
+  *    (BASELINE.md model rows: 53.5 / 38.7 / 35.9 s @100 MB).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,9 +37,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm up session-level one-time costs (JIT, codegen, collation
-    // registry, parquet reader init) so they don't land on whichever query
-    // alphabetically touches a string/hash expression first: the flagship
-    // plus a tiny composite exercising the expression classes the suite uses.
+    // registry, parquet reader init, JSON parser, streaming engine) so they
+    // don't land on whichever query alphabetically touches the expression
+    // class first. Round-1 driver bench showed events_json_stats at 15 s
+    // (vs 0.4 s steady-state) and the first streaming query at 11 s —
+    // first-touch init for from_json/get_json_object and the streaming
+    // runtime; both paths are exercised here explicitly.
     try {
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
       import org.apache.spark.sql.functions._
@@ -38,6 +52,18 @@ object Bench {
         .select(upper(col("s")).as("u"), md5(col("s")).as("m"),
           xxhash64(col("s")).as("x"),
           regexp_extract(col("s"), "([0-9]+)", 1).as("r"))
+        .write.format("noop").mode("overwrite").save()
+      // JSON expression path (from_json + get_json_object codegen/parser init)
+      spark.range(1000).toDF("id")
+        .withColumn("j", concat(lit("{\"k\":"), col("id").cast("string"), lit("}")))
+        .select(
+          from_json(col("j"), graft.operators.EventOps.propsSchema).getField("k").as("k1"),
+          get_json_object(col("j"), "$.k").cast("int").as("k2"))
+        .filter(col("k1") === col("k2"))
+        .write.format("noop").mode("overwrite").save()
+      // Streaming engine init (micro-batch planner, state store, memory sink)
+      graft.streaming.EventStream
+        .dedupCounts(spark, sfDir, s"bench_warm_${System.nanoTime()}")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
@@ -51,21 +77,86 @@ object Bench {
     // two runs per query, report the min: a single pass conflates each
     // query's cost with whatever JIT/GC state the previous queries left
     // behind (measured 55-108s total swing run-to-run); min-of-2 reports
-    // steady-state per-query cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // steady-state per-query cost. A failed run records the sentinel -1
+    // and the name lands in failed_queries — a broken query must not look
+    // like a fast one (round-1 advice).
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timed(name: String)(body: => Unit): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try body
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          return -1.0
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val (a, b) = (once(), once())
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
+
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed(name) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // --- Sample loading (reference phase; see object doc) ---
+    // CSV derived from the fixture once, untimed; the timed phase is
+    // inferSchema load (a full pass) + stringified-sample size estimate +
+    // 10% sample materialization — the reference's exact workload shape.
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_bench_csv").toString
+    val loadingResults =
+      try {
+        Tables(spark, sfDir).lineitem
+          .write.option("header", "true").mode("overwrite").csv(csvDir)
+        Seq("sample_loading" -> timed("sample_loading") {
+          val df = spark.read
+            .option("header", "true").option("inferSchema", "true").csv(csvDir)
+          val sampleRows = df.limit(100).collect()
+          val rowBytes =
+            if (sampleRows.isEmpty) 0L
+            else sampleRows.map(_.mkString(",").length.toLong).sum / sampleRows.length
+          val estMb = rowBytes * df.count() / 1e6 // full pass, like the reference
+          require(estMb >= 0)
+          df.sample(withReplacement = false, 0.1, seed = 42)
+            .write.format("noop").mode("overwrite").save()
+        })
+      } finally {
+        // best-effort temp cleanup; never lose the JSON line over it
+        try {
+          val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(csvDir))
+          try stream.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally stream.close()
+        } catch { case _: Throwable => () }
+      }
+
+    // --- ML fits (reference model rows) ---
+    // One cached feature frame, per-model fit+eval timed — matches the
+    // reference, which featurizes once and times each model's fit+metrics.
+    val mlResults = {
+      val t = Tables(spark, sfDir)
+      val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism / 4, 8))
+      val feat = graft.ml.PricePipeline.featurize(t).repartition(parts).cache()
+      try {
+        feat.count() // materialize outside the timings
+        val Array(train, test) = feat.randomSplit(Array(0.8, 0.2), seed = 42)
+        Seq("LinearRegression", "DecisionTree", "RandomForest").map { m =>
+          val reg = graft.ml.PricePipeline.regressors.toMap.apply(m)
+          s"ml_fit_$m" -> timed(s"ml_fit_$m") {
+            graft.ml.PricePipeline.fitEval(m, reg, train, test)
+            ()
+          }
+        }
+      } finally { feat.unpersist(); () }
+    }
+
+    val results = queryResults ++ loadingResults ++ mlResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // X1 (ref estimates dataset MB by stringifying rows — SURVEY §2.12
     // flags that as a full extra scan): parquet footprint from the files.
     // Walk defensively — a bad sfDir must not lose the JSON line after all
@@ -80,7 +171,8 @@ object Bench {
     val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
     val cpuPct = 100.0 * cpuSec /
       ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"runs_per_query":2,"aggregation":"min"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured

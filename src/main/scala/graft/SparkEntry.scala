@@ -57,6 +57,7 @@ object SparkEntry {
     "sample_orders"         -> q(CoreQueries.sampleOrders),
     "split_counts"          -> q(CoreQueries.splitCounts),
     "row_ids"               -> q(CoreQueries.rowIds),
+    "row_ids_stable"        -> q(CoreQueries.rowIdsStable),
     "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
     "pivot_flag_status"     -> q(CoreQueries.pivotFlagStatus),
     "stat_corr_covar"       -> q(CoreQueries.statCorrCovar),
@@ -244,6 +245,10 @@ object SparkEntry {
         |       floor((sqrt(l_extendedprice)) * 10000 + 0.5) / 10000 AS sqrt_price,
         |       floor((ln(l_extendedprice)) * 10000 + 0.5) / 10000 AS log_price
         |FROM lineitem""".stripMargin,
+    "row_ids_stable" ->
+      """SELECT o_orderkey,
+        |       row_number() OVER (ORDER BY o_orderkey) AS row_id
+        |FROM orders""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

@@ -326,6 +326,31 @@ object CoreQueries {
     t.orders
       .select(col("o_orderkey"), monotonically_increasing_id().as("row_id"))
 
+  /** F10 stable twin (SURVEY §7.3's promised fix): deterministic 1-based
+    * row ids = the global rank of a unique key. A `row_number() OVER
+    * (ORDER BY key)` window would move ALL rows to one partition; instead
+    * the frame is range-partitioned and sorted by the key and ids are
+    * assigned as partition-local index + cumulative partition offsets
+    * (`RDD.zipWithIndex` — a count pass over partition sizes, then a map
+    * pass; both fully parallel, O(#partitions) driver data). The ids are
+    * independent of the partition boundaries because the key is unique and
+    * globally range-sorted, so the output is oracle-checkable:
+    * `row_number() OVER (ORDER BY o_orderkey)`.
+    */
+  def rowIdsStable(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.orders
+      .select(col("o_orderkey"))
+      .repartitionByRange(col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .as[Long]
+      .rdd
+      .zipWithIndex()
+      .map { case (key, i) => (key, i + 1) }
+      .toDF("o_orderkey", "row_id")
+  }
+
   /** Pivot: one column per return flag, a row per line status — wide-format
     * reporting. Values are enumerated explicitly so the plan is a single
     * pass (an unenumerated pivot first runs a distinct job to discover

@@ -58,6 +58,19 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(df.filter(!col("tax_str").rlike("^[0-9]+\\.[0-9]{2}$")).count() == 0)
   }
 
+  test("rowIdsStable: contiguous 1..n ids equal to the key's global rank") {
+    val rows = CoreQueries.rowIdsStable(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    // id == rank of the unique key, independent of partitioning
+    val byKey = rows.sortBy(_._1)
+    assert(byKey.map(_._2).toSeq == (1L to rows.length).toSeq)
+    // stable across runs (unlike monotonically_increasing_id)
+    val again = CoreQueries.rowIdsStable(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.toMap == again)
+  }
+
   test("dedupExact removes duplicates idempotently") {
     val once = CoreQueries.dedupExact(t)
     assert(once.count() == once.dropDuplicates().count())
