@@ -124,7 +124,8 @@ object SparkEntry {
     // --- ML + multimodal (reference parity M1-M14 / extension) ---
     "ml_price_metrics"    -> q(PricePipeline.fastMetrics),
     "ml_recommend_tfidf"  -> q(t => Recommender.similarDocs(t, 0L, 5)),
-    "multimodal_features" -> q(MultimodalOps.assetFeatureStats))
+    "multimodal_features" -> q(MultimodalOps.assetFeatureStats),
+    "multimodal_binary_ingest" -> q(MultimodalOps.binaryIngestStats))
 
   /** DuckDB oracle SQL. Column names/aliases MUST match the Spark output —
     * the driver sorts columns by name before hashing. Omitted keys (hash
@@ -574,6 +575,43 @@ object SparkEntry {
         |       list_reduce(string_split_regex(text, '\s+'),
         |                   (acc, t) -> md5(acc || '|' || t)) AS rolling_hash
         |FROM documents""".stripMargin,
+    // Bit-exact twin of DedupOps.simhashDupPairs (maxHamming=6): the 64
+    // per-bit sign sums, the '0'/'1' sketch string, the four 16-bit bands
+    // and the hamming sum are generated below with the same md5-nibble bit
+    // rule ((strpos('0123456789abcdef', substr(md5(tk), 1+i/4, 1))-1 >>
+    // (3-i%4)) & 1) the engine uses.
+    "dedup_simhash" -> {
+      val bitSums = (0 until 64).map { i =>
+        s"sum((((strpos('0123456789abcdef', substr(h, ${1 + i / 4}, 1)) - 1) >> ${3 - i % 4}) & 1) * 2 - 1) AS b$i"
+      }.mkString(",\n         ")
+      val simExpr = (0 until 64)
+        .map(i => s"(CASE WHEN b$i > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val hamming = (1 to 64)
+        .map(i => s"(CASE WHEN substr(sim_a, $i, 1) <> substr(sim_b, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tk FROM documents),
+         |h AS (SELECT doc_id, md5(tk) AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id,
+         |         $bitSums
+         |  FROM h GROUP BY doc_id),
+         |sim AS (SELECT doc_id, $simExpr AS sim FROM bits),
+         |band AS (
+         |  SELECT doc_id, sim,
+         |         unnest([b::VARCHAR || '_' || substr(sim, b*16 + 1, 16)
+         |                 for b in range(0, 4)]) AS band
+         |  FROM sim),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sim AS sim_a, b.sim AS sim_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |hm AS (
+         |  SELECT doc_a, doc_b, CAST($hamming AS INTEGER) AS hamming
+         |  FROM pairs)
+         |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 6""".stripMargin
+    },
     "emb_neardup_exact" ->
       """WITH e AS (
         |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS emb FROM embeddings),

@@ -104,14 +104,29 @@ object TextFunctions {
         b.cast("string"),
         md5(concat_ws(",", slice(sig, b * rows + 1, lit(rows))))))
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    * One pass: fold token hashes into a 64-long vector of signed bit sums
-    * (zip_with), then collapse signs into the hash. All native expressions;
-    * `call_function` is used where the Scala DSL only accepts Int shift
-    * amounts but the SQL function takes a column.
+  /** Bit i (0-based, MSB-first per hex digit) of an md5 hex string: decode
+    * the nibble at position i/4 via its index in "0123456789abcdef" (the
+    * DuckDB mirror is `(strpos('0123456789abcdef', substr(h,p,1))-1 >> k)
+    * & 1` — md5 hex is the cross-engine-stable 64-bit hash source; see
+    * round-2 oracle work). `i` may be a column (HOF lambda) — positions are
+    * computed with column arithmetic via `call_function`.
     */
-  def simhash64(text: Column): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
+  private def md5Bit(h: Column, i: Column): Column = {
+    val pos = (i / lit(4)).cast("int") + 1          // hex char (1-based)
+    val k   = lit(3) - pmod(i, lit(4))              // bit within the nibble
+    val v   = conv(call_function("substr", h, pos, lit(1)), 16, 10).cast("int")
+    call_function("shiftright", v, k).bitwiseAND(lit(1))
+  }
+
+  /** 64-bit SimHash over tokens as a 64-char '0'/'1' string: per-bit
+    * majority vote of token md5 bits. One pass: fold token hashes into a
+    * 64-long vector of signed bit sums (zip_with), then collapse signs
+    * into the bitstring. The string representation (rather than packing
+    * into a long) keeps the value bit-identical and directly comparable in
+    * the DuckDB oracle. All native expressions.
+    */
+  def simhashBits(text: Column): Column = {
+    val hs = transform(tokens(text), t => md5(t))
     val bitIdx = sequence(lit(0), lit(63))
     val sums = aggregate(
       hs,
@@ -119,20 +134,19 @@ object TextFunctions {
       (acc, h) =>
         zip_with(
           acc,
-          transform(bitIdx, i =>
-            call_function("shiftright", h, i).bitwiseAND(lit(1L)) * 2L - 1L),
+          transform(bitIdx, i => (md5Bit(h, i) * 2 - 1).cast("long")),
           (a, b) => a + b))
-    aggregate(
-      zip_with(
-        sums,
-        bitIdx,
-        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, v) => acc.bitwiseOR(v))
+    array_join(transform(sums, s => when(s > 0, "1").otherwise("0")), "")
   }
 
-  /** Hamming distance between two 64-bit simhashes. */
-  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  /** Hamming distance between two equal-length '0'/'1' bitstrings: a sum
+    * of 64 static character comparisons — codegen-friendly (no lambda).
+    */
+  def hammingBits(a: Column, b: Column, n: Int = 64): Column =
+    (1 to n).map(i =>
+      when(substring(a, i, 1) =!= substring(b, i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("int")
 
   /** Deterministic document fingerprint: minimum md5 over word shingles —
     * a 1-permutation MinHash. md5 is bit-identical in DuckDB, so this one

@@ -50,6 +50,35 @@ object MultimodalOps {
       (pmod(col("doc_id"), lit(64)) + 16).cast(IntegerType).as("height"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** Real binary ingestion via Spark's `binaryFile` source — the production
+    * entry point [[syntheticAssets]] stands in for. Each matched file
+    * becomes one row of (path, modificationTime, length, content); at scale
+    * this is the object-store asset scan, filtered server-side with
+    * `pathGlobFilter` / `modifiedAfter` so only matching objects are
+    * listed. The sandbox ships no image/audio files, so the demo reads the
+    * fixture parquet files themselves as opaque payloads — the source
+    * mechanics (schema, laziness, glob pushdown) are identical.
+    */
+  def binaryAssets(spark: SparkSession, dir: String,
+                   glob: String = "*.parquet"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length").as("byte_len"),
+        col("content"))
+
+  /** Gate query over [[binaryAssets]]: per-file name, size, and content
+    * digest — proves the binary payload survives the source intact
+    * (md5(content) vs the on-disk bytes is asserted in the spec). Rows-only
+    * in the oracle gate: the oracle sees table views, not the directory.
+    */
+  def binaryIngestStats(t: Tables): DataFrame =
+    binaryAssets(t.spark, t.dir)
+      .select(col("file_name"), col("byte_len"), md5(col("content")).as("content_md5"))
+      .orderBy("file_name")
+
   /** STUB decode kernel — stands in for an image/audio codec. Deterministic
     * function of the payload bytes only: a production decoder replaces this
     * body and nothing else changes.

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import graft.functions.NumericFunctions.roundN
 import org.apache.spark.sql.functions._
 
@@ -184,41 +184,49 @@ object DedupOps {
 
   /** SimHash near-duplicates: 64-bit sketch, candidates share one of four
     * 16-bit bands, verified by Hamming distance ≤ maxHamming.
+    *
+    * Round 2: the per-token bit source is md5 hex nibbles instead of
+    * xxhash64, and the sketch is carried as a 64-char '0'/'1' string —
+    * both reproducible bit-for-bit in the DuckDB oracle, so this query is
+    * hash-gated. Same banding/verification shape and cost profile as the
+    * round-1 long-packed version (the sketch is 64 bytes instead of 8 on
+    * the band exchange — still constant-size per doc).
     */
   def simhashDupPairs(t: Tables, maxHamming: Int = 3): DataFrame = {
-    // The 64-bit sketch is computed as 64 codegen'd sign-sums over the
-    // exploded token hashes (same bit rule as TextFunctions.simhash64 —
-    // identical output, proven equal in the spec) instead of the
-    // interpreted per-token/per-bit higher-order fold.
+    // The sketch is computed as 64 codegen'd sign-sums over the exploded
+    // token hashes (same bit rule as TextFunctions.simhashBits — identical
+    // output, proven equal in the spec) instead of the interpreted
+    // per-token/per-bit higher-order fold.
+    def bit(i: Int): Column = {
+      val v = conv(substring(col("h"), 1 + i / 4, 1), 16, 10).cast("int")
+      shiftright(v, 3 - i % 4).bitwiseAND(lit(1))
+    }
     val bitSums = t.documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-      .select(col("doc_id"), xxhash64(col("tk")).as("h"))
+      .select(col("doc_id"), md5(col("tk")).as("h"))
       .groupBy("doc_id")
       .agg(
-        sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("b0"),
-        (1 until 64).map(i =>
-          sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")): _*)
-    val sh64 = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
+        sum(bit(0) * 2 - 1).as("b0"),
+        (1 until 64).map(i => sum(bit(i) * 2 - 1).as(s"b$i")): _*)
+    val simBits = concat((0 until 64)
+      .map(i => when(col(s"b$i") > 0, "1").otherwise("0")): _*)
 
     // one band-partitioned exchange shared by both self-join sides
     val sh = bitSums
-      .select(col("doc_id"), sh64.as("sh64"))
+      .select(col("doc_id"), simBits.as("sim"))
       .withColumn(
         "band",
         explode(array((0 until 4).map(i =>
-          concat_ws("_", lit(i),
-            shiftright(col("sh64"), i * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
+          concat_ws("_", lit(i), substring(col("sim"), i * 16 + 1, 16))): _*)))
       .repartition(col("band"))
 
-    val a = sh.select(col("band"), col("doc_id").as("doc_a"), col("sh64").as("h_a"))
-    val b = sh.select(col("band"), col("doc_id").as("doc_b"), col("sh64").as("h_b"))
+    val a = sh.select(col("band"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = sh.select(col("band"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
 
     a.join(b, Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hamming64(col("h_a"), col("h_b")))
+      .withColumn("hamming", hammingBits(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

@@ -42,11 +42,11 @@ class PropertiesSpec extends SparkTestBase {
   }
 
   test("simhash: hamming(a,a)=0 and hamming ≤ 64 on all pairs") {
-    val hs = corpus.select(simhash64(col("text")).as("h"))
+    val hs = corpus.select(simhashBits(col("text")).as("h"))
     val pairs = hs.as("a").crossJoin(hs.as("b"))
-      .select(hamming64(col("a.h"), col("b.h")).as("d"))
+      .select(hammingBits(col("a.h"), col("b.h")).as("d"))
     assert(pairs.filter(col("d") < 0 || col("d") > 64).count() == 0)
-    assert(hs.select(hamming64(col("h"), col("h")).as("d"))
+    assert(hs.select(hammingBits(col("h"), col("h")).as("d"))
       .filter(col("d") =!= 0).count() == 0)
   }
 

@@ -34,6 +34,23 @@ class TextMlMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("binaryFile source: one row per fixture file, content bytes intact") {
+    val rows = MultimodalOps.binaryIngestStats(t).collect()
+    val dir = new java.io.File("/root/testdata/sf0.001")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(rows.length == files.length)
+    val sizes = files.map(f => f.getName -> f.length()).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == sizes(r.getString(0)))
+      // digest matches the on-disk bytes — payload survived the source
+      val bytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, r.getString(0)).toPath)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(r.getString(2) == md5hex)
+    }
+  }
+
   test("multimodal decode: schema survives the binary hop, bytes counted") {
     val assets = MultimodalOps.syntheticAssets(t)
     val decoded = MultimodalOps.decodeAssets(spark, assets).toDF()

@@ -34,17 +34,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(df.as[Double].head() == 0.5)
   }
 
-  test("simhash64: identical texts collide, different texts differ") {
+  test("simhashBits: identical texts collide, different texts differ") {
     val df = Seq("the quick brown fox", "the quick brown fox", "entirely other words here")
-      .toDF("text").select(simhash64(col("text")).as("h"))
-    val hs = df.as[Long].collect()
+      .toDF("text").select(simhashBits(col("text")).as("h"))
+    val hs = df.as[String].collect()
+    assert(hs.forall(_.matches("[01]{64}")))
     assert(hs(0) == hs(1))
     assert(hs(0) != hs(2))
   }
 
-  test("hamming64") {
-    val df = Seq((0L, 7L)).toDF("a", "b").select(hamming64(col("a"), col("b")).as("d"))
+  test("hammingBits") {
+    val df = Seq(("0" * 61 + "111", "0" * 64)).toDF("a", "b")
+      .select(hammingBits(col("a"), col("b")).as("d"))
     assert(df.as[Int].head() == 3)
+    val same = Seq(("10" * 32, "10" * 32)).toDF("a", "b")
+      .select(hammingBits(col("a"), col("b")).as("d"))
+    assert(same.as[Int].head() == 0)
   }
 
   test("rollingHash is order-sensitive and seeds with the first token") {
