@@ -196,18 +196,24 @@ object DedupOps {
     // The sketch is computed as 64 codegen'd sign-sums over the exploded
     // token hashes (same bit rule as TextFunctions.simhashBits — identical
     // output, proven equal in the spec) instead of the interpreted
-    // per-token/per-bit higher-order fold.
-    def bit(i: Int): Column = {
-      val v = conv(substring(col("h"), 1 + i / 4, 1), 16, 10).cast("int")
-      shiftright(v, 3 - i % 4).bitwiseAND(lit(1))
+    // per-token/per-bit higher-order fold. Each hex nibble is decoded ONCE
+    // per token (ascii arithmetic — '0'..'9' = 48.., 'a'..'f' = 97..; a
+    // per-bit conv(substring) would re-decode every nibble 4×, measured
+    // ~3× slower at sf0.1), then the 64 bits are cheap shifts.
+    def nib(p: Int): Column = {
+      val a = ascii(substring(col("h"), p + 1, 1))
+      when(a >= 97, a - 87).otherwise(a - 48)
     }
     val bitSums = t.documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
       .select(col("doc_id"), md5(col("tk")).as("h"))
+      .select(col("doc_id") +: (0 until 16).map(p => nib(p).as(s"n$p")): _*)
       .groupBy("doc_id")
       .agg(
-        sum(bit(0) * 2 - 1).as("b0"),
-        (1 until 64).map(i => sum(bit(i) * 2 - 1).as(s"b$i")): _*)
+        sum(shiftright(col("n0"), 3).bitwiseAND(lit(1)) * 2 - 1).as("b0"),
+        (1 until 64).map(i =>
+          sum(shiftright(col(s"n${i / 4}"), 3 - i % 4).bitwiseAND(lit(1)) * 2 - 1)
+            .as(s"b$i")): _*)
     val simBits = concat((0 until 64)
       .map(i => when(col(s"b$i") > 0, "1").otherwise("0")): _*)
 
