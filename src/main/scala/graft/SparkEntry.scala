@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
     "dedup_minhash"       -> q(t => DedupOps.minhashDupPairs(t, 0.3)),
+    "dedup_clusters"      -> q(t => DedupOps.dupClusters(t, 0.5)),
     // Full corpus at threshold 0.7: MLlib's scheme (1 hash per table, no
     // banding) is OR-amplified, so it is run where its candidate noise
     // vanishes — high-similarity dedup (see the operator's scaladoc for
@@ -126,6 +127,40 @@ object SparkEntry {
     "ml_recommend_tfidf"  -> q(t => Recommender.similarDocs(t, 0L, 5)),
     "multimodal_features" -> q(MultimodalOps.assetFeatureStats),
     "multimodal_binary_ingest" -> q(MultimodalOps.binaryIngestStats))
+
+  /** Shared oracle CTE: the md5-minhash candidate pairs with verified
+    * Jaccard (mirrors DedupOps.minhashDupPairs with k=16, 8 bands × 2
+    * rows). Ends with relation `j(doc_a, doc_b, jaccard)`; callers append
+    * their threshold filter.
+    */
+  private val minhashPairsCte: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |                                for i in range(1, len(tk)-1)]) AS sh
+      |  FROM toks),
+      |d AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |         [list_min([md5(j::VARCHAR || ':' || s) for s in sh])
+      |          for j in range(0, 16)] AS sig
+      |  FROM d),
+      |band AS (
+      |  SELECT doc_id, sh,
+      |         unnest([b::VARCHAR || '_' || md5(sig[b*2+1] || ',' || sig[b*2+2])
+      |                 for b in range(0, 8)]) AS band
+      |  FROM sig),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.sh AS sh_a, b.sh AS sh_b
+      |  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |         floor((len(list_intersect(sh_a, sh_b))::DOUBLE
+      |                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))))
+      |               * 10000 + 0.5) / 10000 AS jaccard
+      |  FROM pairs)""".stripMargin
 
   /** DuckDB oracle SQL. Column names/aliases MUST match the Spark output —
     * the driver sorts columns by name before hashing. Omitted keys (hash
@@ -537,39 +572,33 @@ object SparkEntry {
         |       floor((inter::DOUBLE / (n_a + n_b - inter)) * 10000 + 0.5)/10000 AS jaccard
         |FROM pairs
         |WHERE floor((inter::DOUBLE / (n_a + n_b - inter)) * 10000 + 0.5)/10000 >= 0.3""".stripMargin,
-    // Bit-exact twin of DedupOps.minhashDupPairs (k=16, 8 bands × 2 rows,
-    // threshold 0.3): md5 permutation mins and md5 band keys reproduce the
-    // engine's signature exactly; Jaccard is computed on text shingle sets
+    // Bit-exact twin of DedupOps.minhashDupPairs (k=16, 8 bands × 2 rows):
+    // md5 permutation mins and md5 band keys reproduce the engine's
+    // signature exactly; Jaccard is computed on text shingle sets
     // (hash-invariant, equal to the engine's long-hashed sets).
     "dedup_minhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |                                for i in range(1, len(tk)-1)]) AS sh
-        |  FROM toks),
-        |d AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-        |sig AS (
-        |  SELECT doc_id, sh,
-        |         [list_min([md5(j::VARCHAR || ':' || s) for s in sh])
-        |          for j in range(0, 16)] AS sig
-        |  FROM d),
-        |band AS (
-        |  SELECT doc_id, sh,
-        |         unnest([b::VARCHAR || '_' || md5(sig[b*2+1] || ',' || sig[b*2+2])
-        |                 for b in range(0, 8)]) AS band
-        |  FROM sig),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.sh AS sh_a, b.sh AS sh_b
-        |  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id),
-        |j AS (
-        |  SELECT doc_a, doc_b,
-        |         floor((len(list_intersect(sh_a, sh_b))::DOUBLE
-        |                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))))
-        |               * 10000 + 0.5) / 10000 AS jaccard
-        |  FROM pairs)
-        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+    // Duplicate-cluster resolution over the same verified pair graph at
+    // threshold 0.5: a recursive CTE computes each node's transitive
+    // closure, the cluster representative is the component-min doc_id —
+    // the oracle for the engine's min-label-propagation loop.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |jp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |walk(id, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src),
+         |reps AS (
+         |  SELECT id, least(id, min(r)) AS rep FROM walk GROUP BY id)
+         |SELECT id AS doc_id, rep AS cluster_rep,
+         |       count(*) OVER (PARTITION BY rep) AS cluster_size
+         |FROM reps""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |       list_reduce(string_split_regex(text, '\s+'),

@@ -72,6 +72,36 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("dupClusters: component-min representative, sizes, transitivity") {
+    // docs 0,1 identical and 2 near-dup of both → one component {0,1,2}
+    // with rep 0 (even when the 1–2 edge is implied only transitively);
+    // doc 3 shares nothing → not in any cluster
+    val got = DedupOps.dupClusters(litTables(docs = docs), 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got.values.forall { case (rep, size) => rep == 0L && size == 3L })
+  }
+
+  test("dupClusters agrees with brute-force components on the fixtures") {
+    val pairs = DedupOps.minhashDupPairs(t, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = DedupOps.dupClusters(t, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(n => assert(got(n) == find(n), s"node $n"))
+  }
+
   test("minhash recall vs exact jaccard on fixtures (threshold 0.5)") {
     val exact = DedupOps.ngramJaccardPairs(t, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
