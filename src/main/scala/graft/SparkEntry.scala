@@ -121,6 +121,7 @@ object SparkEntry {
     "ann_ivf"            -> q(t => SimilarityOps.ivfTopK(t, 0L, 10, 16, 4)),
     "emb_neardup_exact"  -> q(t => SimilarityOps.embeddingNearDupExact(t, 0.35)),
     "emb_neardup_lsh"    -> q(t => SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)),
+    "emb_neardup_clusters" -> q(t => SimilarityOps.embNearDupClusters(t, 0.35, 8)),
     "emb_norms_by_label" -> q(SimilarityOps.normsByLabel),
     // --- ML + multimodal (reference parity M1-M14 / extension) ---
     "ml_price_metrics"    -> q(PricePipeline.fastMetrics),
@@ -161,6 +162,28 @@ object SparkEntry {
       |                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))))
       |               * 10000 + 0.5) / 10000 AS jaccard
       |  FROM pairs)""".stripMargin
+
+  /** Shared oracle CTE: sign-LSH bucketed embedding near-dup candidate
+    * pairs with cosine (mirrors SimilarityOps.embeddingNearDupLsh with 8
+    * sign bits). Ends with relation `p(vec_a, vec_b, cos_sim)`; callers
+    * append their threshold filter.
+    */
+  private val embLshPairsCte: String =
+    """e AS (
+      |  SELECT vec_id, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm,
+      |         (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END)||
+      |         (CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END)||
+      |         (CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END)||
+      |         (CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      |  FROM e),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         floor((CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+      |                ELSE list_sum([a.emb[i]*b.emb[i] for i in range(1, len(a.emb)+1)])
+      |                     / (a.nrm*b.nrm) END) * 1000000 + 0.5)/1000000 AS cos_sim
+      |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
   /** DuckDB oracle SQL. Column names/aliases MUST match the Spark output —
     * the driver sorts columns by name before hashing. Omitted keys (hash
@@ -654,22 +677,26 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, label, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin,
     "emb_neardup_lsh" ->
-      """WITH e AS (
-        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm,
-        |         (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END)||
-        |         (CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END)||
-        |         (CASE WHEN emb[5] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[6] >= 0 THEN '1' ELSE '0' END)||
-        |         (CASE WHEN emb[7] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[8] >= 0 THEN '1' ELSE '0' END) AS bucket
-        |  FROM e),
-        |p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         floor((CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
-        |                ELSE list_sum([a.emb[i]*b.emb[i] for i in range(1, len(a.emb)+1)])
-        |                     / (a.nrm*b.nrm) END) * 1000000 + 0.5)/1000000 AS cos_sim
-        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin,
+      s"""WITH $embLshPairsCte
+         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin,
+    // Cluster resolution over the embedding near-dup pair graph — same
+    // recursive-closure oracle shape as dedup_clusters.
+    "emb_neardup_clusters" ->
+      s"""WITH RECURSIVE $embLshPairsCte,
+         |jp AS (SELECT vec_a, vec_b FROM p WHERE cos_sim >= 0.35),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM jp
+         |  UNION
+         |  SELECT vec_b AS src, vec_a AS dst FROM jp),
+         |walk(id, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src),
+         |reps AS (
+         |  SELECT id, least(id, min(r)) AS rep FROM walk GROUP BY id)
+         |SELECT id AS vec_id, rep AS cluster_rep,
+         |       count(*) OVER (PARTITION BY rep) AS cluster_size
+         |FROM reps""".stripMargin,
     "ann_lsh" ->
       """WITH e AS (
         |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS emb FROM embeddings),

@@ -146,58 +146,11 @@ object DedupOps {
   /** Duplicate-cluster resolution: connected components over the verified
     * near-dup pair graph, each document labelled with its cluster
     * representative (= component-min doc_id) — the step that turns pair
-    * lists into "keep one per cluster" for a training corpus.
-    *
-    * Algorithm: min-label propagation. Every node starts labelled with its
-    * own id; each round every node takes the min of its label and its
-    * neighbours' labels; converged when no label changes. Near-dup
-    * components are tiny (diameter ≲ 3 — a dup cluster is near-clique), so
-    * this converges in 2–4 rounds; each round is one shuffle of the edge
-    * list (cached once) joined to the current labels. `localCheckpoint`
-    * truncates the growing lineage so round N's plan does not replay
-    * rounds 1..N-1. For general graphs with long chains the
-    * large-star/small-star variant bounds rounds at O(log n); dup graphs
-    * don't need it.
-    *
-    * The driver-side loop is control flow only — per round it reads ONE
-    * scalar (the changed-label count); data never leaves the executors.
+    * lists into "keep one per cluster" for a training corpus. Algorithm
+    * and scale notes in [[GraphOps.connectedComponents]].
     */
-  def dupClusters(t: Tables, minJaccard: Double = 0.5, maxRounds: Int = 20): DataFrame = {
-    val pairs = minhashDupPairs(t, minJaccard).select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .cache()
-
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var rounds  = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src"))
-        .agg(min("label").as("nmin"))
-      val updated = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(
-          col("id"),
-          col("label").as("old_label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("label") < col("old_label")).count()
-      labels = updated.select("id", "label")
-      rounds += 1
-    }
-    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
-    edges.unpersist()
-
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
-      .orderBy("doc_id")
-  }
+  def dupClusters(t: Tables, minJaccard: Double = 0.5): DataFrame =
+    GraphOps.clusters(minhashDupPairs(t, minJaccard).select("doc_a", "doc_b"))
 
   /** MinHash+LSH via the MLlib built-ins (SURVEY §4.2: prefer
     * `MinHashLSH` over custom code when its semantics fit): shingles →

@@ -154,6 +154,14 @@ object SimilarityOps {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
+  /** Cluster resolution over the embedding near-dup pair graph (same
+    * GraphOps label propagation as DedupOps.dupClusters): each vector in a
+    * near-dup component labelled with its component-min vec_id + size.
+    */
+  def embNearDupClusters(t: Tables, minCos: Double = 0.35, bits: Int = 8): DataFrame =
+    GraphOps.clusters(embeddingNearDupLsh(t, minCos, bits).select("vec_a", "vec_b"))
+      .withColumnsRenamed(Map("doc_id" -> "vec_id"))
+
   /** Per-label embedding stats: avg L2 norm + count (sanity surface for the
     * vector math, fully oracle-checkable).
     */

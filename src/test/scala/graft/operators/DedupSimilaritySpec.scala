@@ -102,6 +102,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     nodes.foreach(n => assert(got(n) == find(n), s"node $n"))
   }
 
+  test("embNearDupClusters agrees with union-find over the LSH pairs") {
+    val pairs = SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = SimilarityOps.embNearDupClusters(t, 0.35, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(n => assert(got(n) == find(n), s"node $n"))
+  }
+
   test("minhash recall vs exact jaccard on fixtures (threshold 0.5)") {
     val exact = DedupOps.ngramJaccardPairs(t, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
