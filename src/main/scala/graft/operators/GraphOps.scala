@@ -30,8 +30,12 @@ object GraphOps {
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val Array(ca, cb) = pairs.columns.take(2)
-    val edges = pairs.select(col(ca).as("src"), col(cb).as("dst"))
-      .union(pairs.select(col(cb).as("src"), col(ca).as("dst")))
+    // materialize the (possibly expensive) pair pipeline ONCE before the
+    // union doubles it into an edge list — without this the upstream query
+    // (e.g. the whole minhash pipeline) executes twice to fill the cache
+    val p = pairs.select(col(ca).as("src"), col(cb).as("dst")).localCheckpoint(true)
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
 
     var labels = edges.select(col("src").as("id")).distinct()
