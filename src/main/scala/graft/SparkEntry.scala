@@ -101,6 +101,8 @@ object SparkEntry {
     "text_category_counts"  -> q(TextOps.categoryCounts),
     "text_rolling_hash"     -> q(TextOps.rollingHashes),
     "text_quality_filter"   -> q(TextOps.qualityFilter),
+    "text_top_tokens"       -> q(t => TextOps.topTokens(t)),
+    "text_redact_ids"       -> q(TextOps.redactIds),
     // --- deduplication (training-data extensions) ---
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
@@ -523,6 +525,15 @@ object SparkEntry {
         |       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
         |       floor((CAST(sum(length(text)) AS DOUBLE) / count(length(text))) * 100 + 0.5) / 100 AS avg_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "text_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "text_redact_ids" ->
+      """SELECT c_custkey,
+        |       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted_name,
+        |       len(regexp_extract_all(c_name, '[0-9]+')) AS n_redactions
+        |FROM customer""".stripMargin,
     "text_langid_confusion" ->
       """SELECT lang AS labeled_lang,
         |       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'

@@ -99,6 +99,33 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("category")
 
+  /** Corpus vocabulary top-k: most frequent whitespace tokens — the
+    * distributed word count with a deterministic tiebreak. Partial
+    * aggregation reduces each partition to its local token counts before
+    * the single exchange; TakeOrderedAndProject caps driver traffic at k
+    * rows per partition.
+    */
+  def topTokens(t: Tables, k: Int = 20): DataFrame =
+    t.documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(k)
+
+  /** PII-scrub stage shape: regexp_replace every digit run in a name-like
+    * column with a placeholder, plus the per-row count of redactions —
+    * the redact-and-audit pattern a training pipeline runs before export.
+    * (Spark and DuckDB both replace ALL matches here — DuckDB via the 'g'
+    * flag — so the strings are engine-identical.)
+    */
+  def redactIds(t: Tables): DataFrame =
+    t.customer
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("redacted_name"),
+        size(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0))).as("n_redactions"))
+
   /** Length/quality filter — the classic "drop junk docs" pipeline stage:
     * keeps docs in a token-length band with healthy stopword share.
     */

@@ -34,6 +34,27 @@ class TextMlMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("topTokens: descending counts matching a brute-force word count") {
+    val got = TextOps.topTokens(t, 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length <= 20)
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+    val brute = t.documents.select("text").collect()
+      .flatMap(_.getString(0).split("\\s+"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (tok, n) => assert(brute(tok) == n, tok) }
+  }
+
+  test("redactIds: digit runs replaced, redaction count audited") {
+    val rows = TextOps.redactIds(t).collect()
+    assert(rows.length == t.customer.count())
+    rows.foreach { r =>
+      assert(!r.getString(1).exists(_.isDigit))
+      assert(r.getString(1).contains("<ID>"))
+      assert(r.getInt(2) == 1) // fixture names carry exactly one digit run
+    }
+  }
+
   test("binaryFile source: one row per fixture file, content bytes intact") {
     val rows = MultimodalOps.binaryIngestStats(t).collect()
     val dir = new java.io.File("/root/testdata/sf0.001")
