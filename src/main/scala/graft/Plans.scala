@@ -35,7 +35,11 @@ object Plans {
       "dedup_minhash (shared band exchange)" ->
         operators.DedupOps.minhashDupPairs(t, 0.3),
       "ann_brute_force (codegen'd graft_dot/graft_l2norm)" ->
-        operators.SimilarityOps.bruteForceTopK(t, 0L, 10))
+        operators.SimilarityOps.bruteForceTopK(t, 0L, 10),
+      "dedup_simhash (64 sign-sum aggs, shared band exchange)" ->
+        operators.DedupOps.simhashDupPairs(t, 6),
+      "text_top_tokens (word count: partial agg + TakeOrderedAndProject)" ->
+        operators.TextOps.topTokens(t))
 
     picks.foreach { case (label, df) =>
       println(s"\n===== $label =====")

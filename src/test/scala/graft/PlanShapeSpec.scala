@@ -39,6 +39,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert("partial_count|partial_avg".r.findFirstIn(p).isDefined)
   }
 
+  test("vocabulary top-k: partial word counts combine before the exchange") {
+    val p = plan(TextOps.topTokens(t))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
   test("dim-table joins broadcast; fact-fact joins shuffle on the key") {
     assert(plan(JoinOps.revenueByBrand(t)).contains("BroadcastHashJoin"))
     val factFact = plan(JoinOps.revenueByPriority(t))
