@@ -93,6 +93,8 @@ object SparkEntry {
       EventStream.sessionize(s, dir, s"graft_sess_${System.nanoTime()}")),
     "events_dedup_streaming" -> ((s, dir) =>
       EventStream.dedupCounts(s, dir, s"graft_dedup_${System.nanoTime()}")),
+    "dedup_minhash_streaming" -> ((s, dir) =>
+      streaming.DedupStream.minhashPairs(s, dir, s"graft_mhs_${System.nanoTime()}", 0.3)),
     // --- text analysis (training-data extensions) ---
     "text_token_stats"      -> q(TextOps.tokenStats),
     "text_quality_by_lang"  -> q(TextOps.qualityByLang),
@@ -611,6 +613,11 @@ object SparkEntry {
     // signature exactly; Jaccard is computed on text shingle sets
     // (hash-invariant, equal to the engine's long-hashed sets).
     "dedup_minhash" ->
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+    // The streaming stateful variant emits exactly the batch pair set over
+    // a finite replay (see DedupStream.minhashPairs) — same oracle.
+    "dedup_minhash_streaming" ->
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
     // Duplicate-cluster resolution over the same verified pair graph at

@@ -102,33 +102,44 @@ object DedupOps {
     * hash-invariant, so the verification values are unchanged and equal
     * to the oracle's text-set Jaccard).
     */
-  def minhashDupPairs(t: Tables, minJaccard: Double = 0.8,
-                      k: Int = 16, bands: Int = 8): DataFrame = {
+  /** Shared banding pipeline: (doc_id, band, sh) — one row per (doc,
+    * band key), shingle sets as 64-bit longs. Used by the batch self-join
+    * and the streaming stateful variant (Spark's unified model: the same
+    * Column pipeline plans in both modes).
+    *
+    * The repartition barrier after `sh_txt` is load-bearing, not cosmetic:
+    * CollapseProject would otherwise inline the shingle pipeline into the
+    * signature's per-permutation lambda — the whole
+    * split→shingle→distinct→hash chain re-evaluated k× per row (measured
+    * 8× slower at sf0.1). (An explode + k-min-aggregate formulation was
+    * measured too: the extra sig⋈docs join it needs costs more than the
+    * interpreted lambda saves.)
+    */
+  def bandedDocs(documents: DataFrame, k: Int = 16, bands: Int = 8): DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands " +
         "(bands*rows == k, or the signature tail is silently ignored)")
     val rows = k / bands
-    // The repartition barriers are load-bearing, not cosmetic:
-    //  - after `sh`: CollapseProject would otherwise inline the shingle
-    //    pipeline into the signature's per-permutation lambda — the whole
-    //    split→shingle→distinct→hash chain re-evaluated k× per row
-    //    (measured 8× slower at sf0.1);
-    //  - by `band`: the self-join needs a hash exchange on the key anyway;
-    //    placing it on the shared frame lets ReuseExchange compute the
-    //    signature pipeline ONCE and feed both join sides from one shuffle.
-    // (An explode + k-min-aggregate formulation was measured too: the extra
-    // sig⋈docs join it needs costs more than the interpreted lambda saves.)
-    val docs = t.documents
+    documents
       .select(col("doc_id"), shingleSet(col("text"), 3).as("sh_txt"))
       .filter(size(col("sh_txt")) > 0)
       .repartition(col("doc_id"))
       .withColumn("sig", md5MinhashSignature(col("sh_txt"), k))
       .withColumn("band", explode(md5BandKeys(col("sig"), bands, rows)))
-      // hash the shingles to longs AFTER the signature: the shared band
-      // exchange (and both join sides fed from it) never carries shingle
-      // text or the signature — only (doc_id, band, array<long>)
+      // hash the shingles to longs AFTER the signature: downstream
+      // exchanges never carry shingle text or the signature — only
+      // (doc_id, band, array<long>)
       .withColumn("sh", transform(col("sh_txt"), s => xxhash64(s)))
       .select("doc_id", "band", "sh")
+  }
+
+  def minhashDupPairs(t: Tables, minJaccard: Double = 0.8,
+                      k: Int = 16, bands: Int = 8): DataFrame = {
+    // repartition by `band`: the self-join needs a hash exchange on the
+    // key anyway; placing it on the shared frame lets ReuseExchange
+    // compute the signature pipeline ONCE and feed both join sides from
+    // one shuffle.
+    val docs = bandedDocs(t.documents, k, bands)
       .repartition(col("band"))
 
     val a = docs.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))

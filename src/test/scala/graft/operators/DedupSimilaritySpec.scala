@@ -102,6 +102,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     nodes.foreach(n => assert(got(n) == find(n), s"node $n"))
   }
 
+  test("streaming minhash pairs == batch minhash pairs (same oracle)") {
+    val stream = graft.streaming.DedupStream.minhashPairs(
+      spark, "/root/testdata/sf0.001", s"spec_mhs_${System.nanoTime()}", 0.3)
+    val batch = DedupOps.minhashDupPairs(t, 0.3)
+    // set equality, bit-exact including the rounded jaccard doubles
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (s, b) = (asSet(stream), asSet(batch))
+    assert(s.size == stream.count())
+    assert(s == b)
+  }
+
   test("embNearDupClusters agrees with union-find over the LSH pairs") {
     val pairs = SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
