@@ -59,6 +59,7 @@ object SparkEntry {
     "row_ids"               -> q(CoreQueries.rowIds),
     "row_ids_stable"        -> q(CoreQueries.rowIdsStable),
     "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
+    "partitioned_roundtrip" -> q(graft.sources.PartitionedParquet.partitionedRoundtrip),
     "pivot_flag_status"     -> q(CoreQueries.pivotFlagStatus),
     "stat_corr_covar"       -> q(CoreQueries.statCorrCovar),
     "sample_stratified"     -> q(CoreQueries.stratifiedSample),
@@ -312,6 +313,11 @@ object SparkEntry {
       """SELECT o_orderkey,
         |       row_number() OVER (ORDER BY o_orderkey) AS row_id
         |FROM orders""".stripMargin,
+    "partitioned_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderstatus""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
