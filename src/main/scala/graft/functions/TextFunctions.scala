@@ -57,23 +57,14 @@ object TextFunctions {
     when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
   }
 
-  /** MinHash signature over pre-hashed shingles: k permutations
-    * approximated by re-hashing each shingle key with the permutation index
-    * (xxhash64 is variadic — hashing (j, h) avoids building a string per
-    * permutation per shingle). O(k·|shingles|) integer-only work.
-    */
-  def minhashSignature(shingleHashes: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleHashes, h => xxhash64(j, h))))
-
-  /** MinHash signature with md5 permutations over TEXT shingles: same
-    * banding math as [[minhashSignature]], but md5 is bit-identical in the
-    * DuckDB oracle (`md5(j || ':' || s)`), so a query built on this
-    * signature is hash-checkable end-to-end. The per-permutation min is a
-    * lexicographic min over lowercase-hex strings — identical ordering in
-    * both engines (pure ASCII, binary collation). ~2× the hashing cost of
-    * the xxhash64 variant; same O(k·|shingles|) shape.
+  /** MinHash signature: k permutations approximated by re-hashing each
+    * shingle with the permutation index — `md5(j || ':' || s)` — and
+    * taking the per-permutation min. md5 is bit-identical in the DuckDB
+    * oracle, so queries built on this signature are hash-checkable
+    * end-to-end; the min is a lexicographic min over lowercase-hex
+    * strings, identically ordered in both engines (pure ASCII, binary
+    * collation). O(k·|shingles|) hashing — ~2× an xxhash64-based variant
+    * (round 1 used one; traded for oracle checkability in round 2).
     */
   def md5MinhashSignature(shingleTexts: Column, k: Int): Column =
     transform(
@@ -81,20 +72,10 @@ object TextFunctions {
       j => array_min(transform(shingleTexts, s =>
         md5(concat(j.cast("string"), lit(":"), s)))))
 
-  /** LSH band keys from a minhash signature: hash of each r-row band.
-    * Equal band key ⇒ candidate pair. bands*rows must equal the signature
+  /** LSH band keys from a minhash signature: md5 of each r-row band with
+    * the band index prefixed (`b || '_' || md5(sig[b·r+1] || ',' ...)`).
+    * Equal band key ⇒ candidate pair. bands·rows must equal the signature
     * length.
-    */
-  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => concat_ws(
-        "_",
-        b.cast("string"),
-        xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows)))).cast("string")))
-
-  /** Oracle-expressible twin of [[bandKeys]] for md5 signatures:
-    * `b || '_' || md5(sig[b·r+1] || ',' ... || sig[b·r+r])`.
     */
   def md5BandKeys(sig: Column, bands: Int, rows: Int): Column =
     transform(
