@@ -447,8 +447,9 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
         |s AS (
         |  SELECT user_id, value,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS events_in_session,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS session_value
@@ -459,6 +460,12 @@ object SparkEntry {
     // end + 30 min). Each user's still-open tail session — within 2h30m of
     // the last event in the replay — cannot be emitted in Append mode (the
     // watermark never advances past max ts); see EventStream.sessionize.
+    // The timeout boundary is stated in MILLISECONDS to match Spark exactly:
+    // the engine compares a floor-second-derived timeout (lastSec*1000 +
+    // 1800_000 — ts.getTime/1000 floors) against the ms watermark
+    // (floor-ms(max ts) - 7200_000); fixture timestamps all carry
+    // sub-second parts, so a floor-second max would misclassify a session
+    // sitting exactly on the 2h30m boundary.
     "events_sessions_streaming" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, ts,
@@ -470,18 +477,19 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
         |s AS (
         |  SELECT user_id, value, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS session_id
         |  FROM g),
         |a AS (
         |  SELECT user_id, session_id, count(*) AS events_in_session,
         |         floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS session_value,
         |         CAST(floor(epoch(max(ts))) AS BIGINT) AS end_sec,
-        |         max(max(CAST(floor(epoch(ts)) AS BIGINT))) OVER () AS max_sec,
+        |         max(max(epoch_ms(ts))) OVER () AS max_ms,
         |         max(session_id) OVER (PARTITION BY user_id) AS max_sid
         |  FROM s GROUP BY user_id, session_id)
         |SELECT user_id, session_id, events_in_session, session_value FROM a
-        |WHERE session_id < max_sid OR end_sec + 1800 < max_sec - 7200""".stripMargin,
+        |WHERE session_id < max_sid OR (end_sec + 1800) * 1000 < max_ms - 7200000""".stripMargin,
     "events_click_to_purchase" ->
       """SELECT c.user_id AS user_id, count(*) AS click_buy_pairs
         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
@@ -529,8 +537,8 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "text_token_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |       sum(len(string_split_regex(text, '\s+'))) AS total_ws_tokens,
-        |       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
+        |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
         |       floor((CAST(sum(length(text)) AS DOUBLE) / count(length(text))) * 100 + 0.5) / 100 AS avg_chars
         |FROM documents GROUP BY source""".stripMargin,
     "text_top_tokens" ->

@@ -18,6 +18,26 @@ object PartitionedParquet {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** One temp dir per JVM for the roundtrip gate, deleted on exit: the
+    * write is mode("overwrite"), so Bench's min-of-2 + Verify reuse the
+    * same directory instead of leaking a full partitioned copy of orders
+    * per invocation (round-2 advice). A fixed dir also keeps the returned
+    * DataFrame lazy — deleting eagerly after the call would require
+    * materializing inside it.
+    */
+  private lazy val roundtripDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val stream = java.nio.file.Files.walk(dir)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally stream.close()
+      } catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
+
   /** Gate query: orders → partitioned-by-year parquet → read back with a
     * partition filter → per-status rollup. The oracle computes the same
     * aggregate straight from the source table, so the hash gate checks the
@@ -26,7 +46,7 @@ object PartitionedParquet {
     * `PartitionedParquetSpec`.
     */
   def partitionedRoundtrip(t: Tables): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val dir = roundtripDir
     writePartitioned(
       t.orders.withColumn("order_year", year(col("o_orderdate"))),
       dir, "order_year")

@@ -91,6 +91,6 @@ object DedupStream {
     q.stop()
     // a pair may collide in several bands (and across micro-batches);
     // jaccard is identical for every emission of the pair
-    spark.table(queryName).dropDuplicates("doc_a", "doc_b")
+    EventStream.drained(spark, queryName).dropDuplicates("doc_a", "doc_b")
   }
 }

@@ -28,6 +28,19 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Capture a drained memory-sink table and DROP its temp view: Dataset
+    * analysis is eager, so the returned plan holds the sink's rows
+    * directly and the catalog entry is just a name binding — without the
+    * drop, every replay (Bench runs each streaming query 2× plus a warmup,
+    * all under fresh nanoTime names) pins its emitted rows in the session
+    * catalog for the JVM's lifetime (round-2 advice).
+    */
+  private[streaming] def drained(spark: SparkSession, queryName: String): DataFrame = {
+    val out = spark.table(queryName)
+    spark.catalog.dropTempView(queryName)
+    out
+  }
+
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source rejects a literal file path (basePath must be
@@ -56,7 +69,7 @@ object EventStream {
     q.processAllAvailable()
     q.stop()
     // UTC session ⇒ cast to NTZ keeps wall-clock time; matches the batch twin
-    spark.table(queryName)
+    drained(spark, queryName)
       .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
   }
 
@@ -80,7 +93,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    drained(spark, queryName)
   }
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -152,6 +165,6 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    drained(spark, queryName)
   }
 }
