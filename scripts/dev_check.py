@@ -79,6 +79,23 @@ def main():
             n_fail += 1
             print(f"  {name:32s} COLS-MISMATCH got={sorted(gcols)} exp={sorted(ecols)}")
             continue
+        # Type-stability audit (round-2 lesson): this script fetches Python
+        # values, where DuckDB HUGEINT and Spark int64 stringify the same —
+        # but the DRIVER canonicalizes via the column type, so an oracle
+        # column whose DuckDB type is HUGEINT (integer sum()) or DECIMAL
+        # hash-fails there even with identical values. Benign width drift
+        # (INTEGER vs BIGINT) canonicalizes identically and is allowed.
+        gtypes = dict(zip(gcols, [str(t) for t in got.types]))
+        etypes = dict(zip(ecols, [str(t) for t in exp.types]))
+        hazard = {c: (gtypes[c], etypes[c]) for c in gtypes
+                  if gtypes[c] != etypes[c]
+                  and any(h in gtypes[c] + etypes[c]
+                          for h in ("HUGEINT", "DECIMAL", "FLOAT"))}
+        if hazard:
+            n_fail += 1
+            print(f"  {name:32s} TYPE-HAZARD {hazard} "
+                  "(CAST the oracle column to the Spark output type)")
+            continue
         if len(grows) != len(erows):
             n_fail += 1
             print(f"  {name:32s} ROWS-MISMATCH got={len(grows)} exp={len(erows)}")

@@ -193,6 +193,21 @@ object SparkEntry {
   /** DuckDB oracle SQL. Column names/aliases MUST match the Spark output —
     * the driver sorts columns by name before hashing. Omitted keys (hash
     * sketches, ML, streaming-only) get the driver's rows-only check.
+    *
+    * TYPE-STABILITY RULE (every output column of every new oracle, enforced
+    * by dev_check.py's TYPE-HAZARD gate):
+    *  1. The DuckDB type of each OUTPUT column must equal the Spark output
+    *     type. DuckDB widens integer `sum()`/windowed sums to HUGEINT —
+    *     always `CAST(sum(...) AS BIGINT)`; INT128 canonicalizes
+    *     differently from int64 in the driver even when values match
+    *     (round-2's three red rows were exactly this).
+    *  2. No DECIMAL or FLOAT outputs: double sums/avgs go through the exact
+    *     DECIMAL(28,6) accumulation idiom and are CAST back to DOUBLE
+    *     (mirrors NumericFunctions.decSum/decAvg).
+    *  3. Rounding is floor(x*10^n+0.5)/10^n on BOTH sides — never round()
+    *     (Spark rounds the decimal string, DuckDB the binary double).
+    *  4. Benign width drift (Spark int32 vs DuckDB BIGINT) is fine; both
+    *     stringify identically.
     */
   def oracleSql: Map[String, String] = Map(
     // NOTE on the CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) idiom used
