@@ -96,6 +96,9 @@ object SparkEntry {
       EventStream.dedupCounts(s, dir, s"graft_dedup_${System.nanoTime()}")),
     "dedup_minhash_streaming" -> ((s, dir) =>
       streaming.DedupStream.minhashPairs(s, dir, s"graft_mhs_${System.nanoTime()}", 0.3)),
+    "dedup_minhash_windowed" -> ((s, dir) =>
+      streaming.DedupStream.minhashPairsWindowed(
+        s, dir, s"graft_mhw_${System.nanoTime()}", 0.3, 200)),
     // --- text analysis (training-data extensions) ---
     "text_token_stats"      -> q(TextOps.tokenStats),
     "text_quality_by_lang"  -> q(TextOps.qualityByLang),
@@ -649,6 +652,15 @@ object SparkEntry {
     "dedup_minhash_streaming" ->
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+    // Trailing-window variant: event time is timestamp_seconds(doc_id+86400)
+    // (one doc per second in id order; the shift keeps doc 0 off epoch 0,
+    // which stateful ops always drop as late), so the |Δts| ≤ 200 s window
+    // contract is exactly doc_b − doc_a ≤ 200 — stated directly. Excludes
+    // roughly half the full pair set, so the gate exercises the window.
+    "dedup_minhash_windowed" ->
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM j
+         |WHERE jaccard >= 0.3 AND doc_b - doc_a <= 200""".stripMargin,
     // Duplicate-cluster resolution over the same verified pair graph at
     // threshold 0.5: a recursive CTE computes each node's transitive
     // closure, the cluster representative is the component-min doc_id —

@@ -115,22 +115,25 @@ object DedupOps {
     * measured too: the extra sig⋈docs join it needs costs more than the
     * interpreted lambda saves.)
     */
-  def bandedDocs(documents: DataFrame, k: Int = 16, bands: Int = 8): DataFrame = {
+  def bandedDocs(documents: DataFrame, k: Int = 16, bands: Int = 8,
+                 carry: Seq[String] = Nil): DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands " +
         "(bands*rows == k, or the signature tail is silently ignored)")
     val rows = k / bands
     documents
-      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh_txt"))
+      .select(col("doc_id") +: carry.map(col) :+
+        shingleSet(col("text"), 3).as("sh_txt"): _*)
       .filter(size(col("sh_txt")) > 0)
       .repartition(col("doc_id"))
       .withColumn("sig", md5MinhashSignature(col("sh_txt"), k))
       .withColumn("band", explode(md5BandKeys(col("sig"), bands, rows)))
       // hash the shingles to longs AFTER the signature: downstream
       // exchanges never carry shingle text or the signature — only
-      // (doc_id, band, array<long>)
+      // (doc_id, band, array<long>) + any carried metadata (the streaming
+      // windowed variant carries its event-time column through here)
       .withColumn("sh", transform(col("sh_txt"), s => xxhash64(s)))
-      .select("doc_id", "band", "sh")
+      .select(col("doc_id") +: col("band") +: col("sh") +: carry.map(col): _*)
   }
 
   def minhashDupPairs(t: Tables, minJaccard: Double = 0.8,

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.operators.DedupOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
@@ -39,6 +40,8 @@ object DedupStream {
     StructField("n_chars", LongType)))
 
   case class BandDoc(doc_id: Long, band: String, sh: Array[Long])
+  case class TsBandDoc(doc_id: Long, band: String, sh: Array[Long],
+                       ts: java.sql.Timestamp)
   case class PairOut(doc_a: Long, doc_b: Long, jaccard: Double)
 
   /** Bit-identical twin of the batch Column formulation
@@ -91,6 +94,99 @@ object DedupStream {
     q.stop()
     // a pair may collide in several bands (and across micro-batches);
     // jaccard is identical for every emission of the pair
+    EventStream.drained(spark, queryName).dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Trailing-window near-dup pairs with BOUNDED state — the
+    * unbounded-stream variant [[minhashPairs]] deliberately lacks (it keeps
+    * every document per band forever, exact over a finite replay).
+    *
+    * Contract: a pair (a, b) is emitted iff the docs land in a shared LSH
+    * band, |event_time(a) − event_time(b)| ≤ `window`, and true Jaccard ≥
+    * `minJaccard`. The window predicate is checked EXPLICITLY per pair, so
+    * the emitted set is deterministic regardless of how the stream is
+    * micro-batched; watermark eviction is purely the state bound.
+    *
+    * Eviction: per band, entries with ts < watermark − window are dropped
+    * on every invocation — no in-watermark arrival (Spark drops inputs
+    * below the watermark before a stateful operator) can be within
+    * `window` of them anymore. A band silent past its newest entry + window
+    * gets an event-time timeout and drops its whole bucket. State per band
+    * is therefore O(arrival rate × (window + watermark delay)) — the
+    * trailing window a continuously-fed corpus needs, with RocksDB as the
+    * state store at real scale.
+    */
+  def minhashPairsWindowedOn(banded: Dataset[TsBandDoc], windowMs: Long,
+                             minJaccard: Double): Dataset[PairOut] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(_.band)
+      .flatMapGroupsWithState[List[(Long, Array[Long], Long)], PairOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, it, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed newest entry + window: bucket unreachable
+            state.remove()
+            Iterator.empty
+          } else {
+            val evictBelow = state.getCurrentWatermarkMs() - windowMs
+            var seen = state.getOption.getOrElse(Nil)
+              .filter(_._3 >= evictBelow)
+            val pairs = scala.collection.mutable.ListBuffer.empty[PairOut]
+            it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              val ms = d.ts.getTime
+              seen.foreach { case (oid, osh, oms) =>
+                if (oid != d.doc_id && math.abs(ms - oms) <= windowMs) {
+                  val j = jaccardRounded(d.sh, osh)
+                  if (j >= minJaccard)
+                    pairs += PairOut(
+                      math.min(oid, d.doc_id), math.max(oid, d.doc_id), j)
+                }
+              }
+              seen = (d.doc_id, d.sh, ms) :: seen
+            }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(seen)
+              state.setTimeoutTimestamp(
+                math.max(seen.map(_._3).max + windowMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            pairs.iterator
+          }
+      }
+  }
+
+  /** Gate query: trailing-window dedup over the documents replay with a
+    * DETERMINISTIC event time — ts = timestamp_seconds(doc_id + 86400),
+    * i.e. one document ingested per second in id order. That makes the
+    * window contract oracle-expressible: the emitted pairs are exactly the
+    * batch MinHash pairs with doc_b − doc_a ≤ windowSec, which the DuckDB
+    * oracle states directly (and which excludes about half the full pair
+    * set at windowSec=200 — the gate exercises the window, not just the
+    * join). The +86400 shift keeps doc 0 off epoch 0: stateful operators
+    * drop rows with ts <= watermark as late, and the initial watermark IS
+    * 0, so an event time of exactly 1970-01-01T00:00:00 is always late.
+    */
+  def minhashPairsWindowed(spark: SparkSession, dir: String, queryName: String,
+                           minJaccard: Double = 0.3,
+                           windowSec: Long = 200): DataFrame = {
+    import spark.implicits._
+    val docs = spark.readStream
+      .schema(docSchema)
+      .parquet(s"$dir/{documents}.parquet")
+      .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
+    val banded = DedupOps.bandedDocs(docs, carry = Seq("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[TsBandDoc]
+    val out = minhashPairsWindowedOn(banded, windowSec * 1000, minJaccard)
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
     EventStream.drained(spark, queryName).dropDuplicates("doc_a", "doc_b")
   }
 }

@@ -114,6 +114,63 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(s == b)
   }
 
+  test("windowed streaming minhash: window contract holds and state is bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DedupStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // +1000 s base: event time exactly at epoch 0 is ALWAYS late (stateful
+    // ops drop ts <= watermark; initial watermark = 0), so stay clear of it
+    def ts(sec: Long) = new java.sql.Timestamp((sec + 1000) * 1000)
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docsStream = mem.toDF.toDF("doc_id", "text", "ts")
+    val banded = DedupOps.bandedDocs(docsStream, carry = Seq("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[DedupStream.TsBandDoc]
+    val out = DedupStream.minhashPairsWindowedOn(banded, 100 * 1000L, 0.3)
+    val name = s"spec_mhw_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // batch 1: dup pair (1,2) 50 s apart — inside the 100 s window
+      mem.addData(
+        (1L, dup, ts(0)), (2L, dup + " with a tail", ts(50)),
+        (100L, "some completely unrelated filler words here", ts(10)))
+      q.processAllAvailable()
+      // batch 2: lone filler far ahead advances the watermark to 10 000 s
+      mem.addData((101L, "more unrelated filler words to advance time", ts(10000)))
+      q.processAllAvailable()
+      // batch 3: doc 3 duplicates doc 1's text but arrives 10 100 s later —
+      // outside the window, and doc 1's band entries are already evicted
+      mem.addData((3L, dup, ts(10100)))
+      q.processAllAvailable()
+
+      val pairs = spark.table(name)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)),
+        "in-window dup emitted once; cross-window dup (1,3)/(2,3) excluded")
+
+      // bounded state: docs 1/2/100 fanned out 8 band rows each, but after
+      // the watermark passed their ts + window only docs 101 and 3 may
+      // remain (≤ 16 rows; unbounded variant would hold all 40)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 16, s"state rows=$stateRows not evicted")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  test("windowed streaming minhash == batch pairs filtered to the id window") {
+    val got = graft.streaming.DedupStream.minhashPairsWindowed(
+      spark, "/root/testdata/sf0.001", s"spec_mhw2_${System.nanoTime()}", 0.3, 200)
+    val want = DedupOps.minhashDupPairs(t, 0.3)
+      .filter($"doc_b" - $"doc_a" <= 200)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asSet(got) == asSet(want))
+  }
+
   test("embNearDupClusters agrees with union-find over the LSH pairs") {
     val pairs = SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
