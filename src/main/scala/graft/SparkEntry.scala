@@ -31,6 +31,9 @@ object SparkEntry {
     "q1_group_count_avg"    -> q(CoreQueries.q1GroupCountAvg),
     "q2_median_by_priority" -> q(CoreQueries.q2MedianByPriority),
     "q2_approx_median"      -> q(CoreQueries.q2ApproxMedian),
+    // rows-only: GK sketch at default accuracy is engine-specific;
+    // spec-gated against the Greenwald-Khanna rank-error bound instead
+    "q2_approx_median_default" -> q(CoreQueries.q2ApproxMedianDefault),
     "q3_status_share"       -> q(CoreQueries.q3StatusShare),
     "agg_multikey_avg"      -> q(CoreQueries.aggMultiKeyAvg),
     "agg_by_year"           -> q(CoreQueries.aggByYear),
@@ -127,6 +130,9 @@ object SparkEntry {
     "ann_brute_force"    -> q(t => SimilarityOps.bruteForceTopK(t, 0L, 10)),
     "ann_lsh"            -> q(t => SimilarityOps.lshTopK(t, 0L, 5, 6)),
     "ann_ivf"            -> q(t => SimilarityOps.ivfTopK(t, 0L, 10, 16, 4)),
+    // rows-only: MLlib random projections are engine-specific even seeded;
+    // spec recall-tests vs ann_brute_force like ann_ivf
+    "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshTopK(t, 0L, 10)),
     "emb_neardup_exact"  -> q(t => SimilarityOps.embeddingNearDupExact(t, 0.35)),
     "emb_neardup_lsh"    -> q(t => SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)),
     "emb_neardup_clusters" -> q(t => SimilarityOps.embNearDupClusters(t, 0.35, 8)),

@@ -60,6 +60,23 @@ object CoreQueries {
           .as("approx_median_price"))
       .orderBy("o_orderpriority")
 
+  /** percentile_approx at the DEFAULT accuracy 10000 — the exact call shape
+    * the reference runs (ref `data-understanding.py:202`,
+    * `performance_py/2-cores-6-instances.py:155-159`). The GK sketch result
+    * is engine-specific at this accuracy, so the gate is rows-only; the
+    * spec asserts the Greenwald–Khanna contract instead: the returned value
+    * is an element of the group whose rank is within ε·N (ε = 1/10000) of
+    * the target rank.
+    */
+  def q2ApproxMedianDefault(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("num_orders"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_median_price"))
+      .orderBy("o_orderpriority")
+
   /** Query 3 analogue (ref `data-understanding.py:241-257`): share of
     * 'F'-status orders per priority. The reference collects the grand total
     * to the driver and re-embeds it as a literal; engine-side we keep it

@@ -104,6 +104,50 @@ object SimilarityOps {
       .select("vec_id", "label", "cos_sim")
   }
 
+  /** ANN via MLlib's [[org.apache.spark.ml.feature.BucketedRandomProjectionLSH]]
+    * — the built-in SURVEY §4.2 names, kept as a thin twin next to the
+    * custom sign-LSH (same division of labor as dedup_minhash_mllib vs the
+    * banded minhash). BRP-LSH hashes by Euclidean distance, so vectors are
+    * L2-normalized first ([[org.apache.spark.ml.feature.Normalizer]]):
+    * on unit vectors d² = 2 − 2·cos, making Euclidean NN order identical
+    * to cosine NN order and cos = 1 − d²/2 exact arithmetic. Random
+    * projections are seeded but engine-specific ⇒ rows-only in the oracle
+    * gate; the spec recall-tests against [[bruteForceTopK]] like ann_ivf.
+    *
+    * At scale: `approxNearestNeighbors` prunes to hash-bucket collisions
+    * (any of numTables tables), the same bucketed-probe shape as the custom
+    * variant — the hash values become partition columns and a probe is
+    * partition pruning, not a scan.
+    */
+  def brpLshTopK(t: Tables, queryId: Long = 0L, k: Int = 10,
+                 bucketLength: Double = 0.5, numTables: Int = 3): DataFrame = {
+    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = t.embeddings
+      .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("raw", array_to_vector(col("emb")))
+    val unit = new Normalizer().setP(2.0)
+      .setInputCol("raw").setOutputCol("features")
+      .transform(e)
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(unit)
+    val qRows = unit.filter(col("vec_id") === queryId).select("features").take(1)
+    if (qRows.isEmpty) {
+      return unit.filter(lit(false))
+        .withColumn("cos_sim", lit(0.0))
+        .select("vec_id", "label", "cos_sim")
+    }
+    val key = qRows(0).getAs[org.apache.spark.ml.linalg.Vector](0)
+    model
+      .approxNearestNeighbors(unit.filter(col("vec_id") =!= queryId), key, k)
+      .withColumn("cos_sim",
+        roundN(lit(1.0) - col("distCol") * col("distCol") / 2.0, 6))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .select("vec_id", "label", "cos_sim")
+  }
+
   /** Embedding near-duplicate pairs: label-blocked exact variant (the
     * cluster label doubles as a blocking key — the oracle-checkable ground
     * truth for the LSH variant below).

@@ -172,4 +172,28 @@ class CoreQueriesSpec extends SparkTestBase {
     val df = CoreQueries.rowIds(t)
     assert(df.select("row_id").distinct().count() == df.count())
   }
+
+  test("q2 default-accuracy approx median: group element within the GK rank bound") {
+    val eps = 1.0 / 10000 // ε = 1/accuracy, percentile_approx's documented bound
+    val rows = CoreQueries.q2ApproxMedianDefault(t).collect()
+    val groups = t.orders.select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(rows.nonEmpty && rows.length == groups.size)
+    rows.foreach { r =>
+      val vs = groups(r.getString(0))
+      val n = vs.length
+      assert(r.getLong(1) == n)
+      val v = r.getDouble(2)
+      assert(vs.contains(v), s"approx median $v is not an element of the group")
+      // the value's rank interval [below+1, atOrBelow] must intersect
+      // the ε-window around the target rank 0.5·n
+      val below = vs.count(_ < v)
+      val atOrBelow = vs.count(_ <= v)
+      val loRank = (0.5 - eps) * n - 1
+      val hiRank = (0.5 + eps) * n + 1
+      assert(below + 1 <= hiRank && atOrBelow >= loRank,
+        s"rank interval [${below + 1}, $atOrBelow] outside ε-bound [$loRank, $hiRank] (n=$n)")
+    }
+  }
 }

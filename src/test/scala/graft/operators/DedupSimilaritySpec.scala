@@ -245,6 +245,19 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(hits >= 5, s"recall@10 only $hits/10")
   }
 
+  test("BRP-LSH ANN (MLlib built-in): exact cosines on unit vectors; recall@10") {
+    val brute10 = SimilarityOps.bruteForceTopK(t, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val bruteAll = SimilarityOps.bruteForceTopK(t, 0L, Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val brp = SimilarityOps.brpLshTopK(t, 0L, 10).collect()
+    assert(brp.length == 10)
+    // on L2-normalized vectors 1 − d²/2 IS the cosine (within 1e-6 rounding)
+    brp.foreach(r => assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(2)) <= 2e-6))
+    val hits = brp.map(_.getLong(0)).count(brute10.contains)
+    assert(hits >= 5, s"recall@10 only $hits/10")
+  }
+
   test("canonical pair ordering (doc_a < doc_b) on fixture outputs") {
     SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)
       .collect().foreach(r => assert(r.getLong(0) < r.getLong(1)))
