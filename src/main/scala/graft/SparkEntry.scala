@@ -199,6 +199,30 @@ object SparkEntry {
       |                     / (a.nrm*b.nrm) END) * 1000000 + 0.5)/1000000 AS cos_sim
       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
+  /** MLlib's default English stop-word list (StopWordsRemover resource
+    * `org/apache/spark/ml/feature/stopwords/english.txt`, 181 words) MINUS
+    * the 50 contractions containing an apostrophe: the recommender's
+    * tokens come from splitting on `[^a-z0-9_]`, so a token can never
+    * contain `'` and the contraction entries are provably unmatchable —
+    * the subset filter is semantically identical to the full list.
+    */
+  private val englishStopwordsSql: String = Seq(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his", "himself",
+    "she", "her", "hers", "herself", "it", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom", "this",
+    "that", "these", "those", "am", "is", "are", "was", "were", "be", "been",
+    "being", "have", "has", "had", "having", "do", "does", "did", "doing",
+    "a", "an", "the", "and", "but", "if", "or", "because", "as", "until",
+    "while", "of", "at", "by", "for", "with", "about", "against", "between",
+    "into", "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under", "again",
+    "further", "then", "once", "here", "there", "when", "where", "why",
+    "how", "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very", "s", "t", "can", "will", "just", "don", "should", "now",
+    "cannot", "could", "ought", "would").map(w => s"'$w'").mkString(", ")
+
   /** DuckDB oracle SQL. Column names/aliases MUST match the Spark output —
     * the driver sorts columns by name before hashing. Omitted keys (hash
     * sketches, ML, streaming-only) get the driver's rows-only check.
@@ -823,5 +847,49 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, count(*) AS n,
         |       floor((CAST(sum(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) / count(nrm)) * 10000 + 0.5) / 10000 AS avg_norm
-        |FROM n GROUP BY label""".stripMargin)
+        |FROM n GROUP BY label""".stripMargin,
+    // TF-IDF recommender, fully relational (round-2 verdict item 8):
+    // RegexTokenizer(\W, lowercase) = split on [^a-z0-9_] after lower()
+    // (Java \w is ASCII); StopWordsRemover = NOT IN the default english
+    // list above; CountVectorizer = per-doc term counts (vocab order is
+    // irrelevant to a dot product — terms join by name); IDF(minDocFreq=5)
+    // = tf * ln((m+1)/(df+1)) with idf pinned to 0 below the df cutoff;
+    // Normalizer(p=2) = w/nrm with the zero-norm guard; score = dot of
+    // normalized weights over shared terms, half-up-rounded at 1e6 on both
+    // sides. Docs sharing no term with the query score 0 in the engine and
+    // are absent here — they can never enter a positive top-5.
+    "ml_recommend_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         [t for t in string_split_regex(lower(text), '[^a-z0-9_]')
+         |          if t <> ''] AS toks
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |f AS (SELECT doc_id, term FROM ex
+         |      WHERE term NOT IN ($englishStopwordsSql)),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         |       FROM f GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+         |          FROM f GROUP BY term),
+         |m AS (SELECT count(*)::DOUBLE AS m FROM documents),
+         |w AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         tf.tf * (CASE WHEN dfreq.df >= 5
+         |                       THEN ln((m.m + 1) / (dfreq.df + 1))
+         |                       ELSE 0.0 END) AS w
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN m),
+         |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+         |wn AS (
+         |  SELECT w.doc_id, w.term,
+         |         CASE WHEN nrm.nrm = 0 THEN 0.0 ELSE w.w / nrm.nrm END AS wn
+         |  FROM w JOIN nrm USING (doc_id)),
+         |q AS (SELECT term, wn AS qwn FROM wn WHERE doc_id = 0),
+         |s AS (
+         |  SELECT wn.doc_id, sum(wn.wn * q.qwn) AS dot
+         |  FROM wn JOIN q USING (term) WHERE wn.doc_id <> 0 GROUP BY wn.doc_id)
+         |SELECT s.doc_id, d.lang, d.source,
+         |       floor(dot * 1000000 + 0.5) / 1000000 AS score
+         |FROM s JOIN documents d USING (doc_id)
+         |ORDER BY score DESC, s.doc_id
+         |LIMIT 5""".stripMargin)
 }

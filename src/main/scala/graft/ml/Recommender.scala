@@ -1,6 +1,7 @@
 package graft.ml
 
 import graft.core.Tables
+import graft.functions.NumericFunctions.roundN
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.feature._
 import org.apache.spark.sql.DataFrame
@@ -55,7 +56,7 @@ object Recommender {
       .select(vector_to_array(col("features_norm")).as("q_arr"))
     vecs.filter(col("doc_id") =!= queryDocId)
       .crossJoin(broadcast(q))
-      .withColumn("score", round(
+      .withColumn("score", roundN(
         call_function("graft_dot",
           vector_to_array(col("features_norm")), col("q_arr")), 6))
       .orderBy(desc("score"), asc("doc_id"))
