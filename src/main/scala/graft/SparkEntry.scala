@@ -112,6 +112,9 @@ object SparkEntry {
     "text_quality_filter"   -> q(TextOps.qualityFilter),
     "text_top_tokens"       -> q(t => TextOps.topTokens(t)),
     "text_redact_ids"       -> q(TextOps.redactIds),
+    // --- corpus packing / budget sampling (training-data extensions) ---
+    "pack_concat_chunks"    -> q(t => PackingOps.packConcatChunks(t, 1024)),
+    "sample_token_budget"   -> q(t => PackingOps.sampleTokenBudget(t, 8000)),
     // --- deduplication (training-data extensions) ---
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
@@ -593,6 +596,36 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // The engine computes the global running total with range partitioning
+    // + two parallel passes (PackingOps.exclusiveRunningTotal); the oracle
+    // states the same quantity as the naive single-partition window — the
+    // formulations agree exactly because doc_id (resp. the md5 shuffle
+    // key) is unique, so the order is total.
+    "pack_concat_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |         sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |           - n_tok AS cum0
+        |  FROM tk)
+        |SELECT CAST(floor(cum0 / 1024) AS BIGINT) AS bin_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1""".stripMargin,
+    "sample_token_budget" ->
+      """WITH tk AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok,
+        |         md5(doc_id::VARCHAR) AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |         sum(n_tok) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+        |           - n_tok AS cum0
+        |  FROM tk)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
+        |FROM c WHERE cum0 < 8000""".stripMargin,
     "text_redact_ids" ->
       """SELECT c_custkey,
         |       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted_name,

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Corpus packing / budget-sampling operators — the "assemble the training
+  * mix" layer that runs after text analysis and dedup: pack documents into
+  * fixed-token-budget chunks (the GPT-style concat-then-chunk batch shape)
+  * and draw a deterministic token-budget sample of the corpus.
+  *
+  * Both are built on one primitive, a GLOBAL exclusive running total in a
+  * deterministic key order. The naive formulation — `sum(v) OVER (ORDER BY
+  * key ROWS UNBOUNDED PRECEDING)` — moves the whole corpus through one
+  * partition (the same hazard `CoreQueries.rowIdsStable` avoids), so the
+  * primitive here computes it with range partitioning + two parallel
+  * passes instead; only #partitions longs ever reach the driver.
+  */
+object PackingOps {
+
+  /** Exclusive global running total of `valueCol` (must be LongType) in
+    * ascending `keyCol` order, WITHOUT a single-partition window: range-
+    * partition + sort by the key, sum each partition (pass 1, one long per
+    * partition to the driver), prefix-sum those into per-partition offsets,
+    * then stream each partition adding its offset (pass 2). Both passes are
+    * fully parallel — the same two-pass shape as `RDD.zipWithIndex`, and
+    * like it, the arranged lineage executes twice (at 100 TB, checkpoint
+    * the arranged frame first). Result is independent of the partition
+    * boundaries because the key is unique and globally range-sorted.
+    */
+  def exclusiveRunningTotal(df: DataFrame, keyCol: String, valueCol: String,
+                            outCol: String): DataFrame = {
+    require(df.schema(valueCol).dataType == LongType,
+      s"$valueCol must be LongType (got ${df.schema(valueCol).dataType})")
+    val spark = df.sparkSession
+    val arranged = df.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+    val valueIdx = arranged.schema.fieldIndex(valueCol)
+    val rowRdd = arranged.rdd
+    val partSums = rowRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(valueIdx))
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val out = rowRdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r =>
+        val c = run
+        run += r.getLong(valueIdx)
+        Row.fromSeq(r.toSeq :+ c)
+      }
+    }
+    spark.createDataFrame(out, arranged.schema.add(outCol, LongType, nullable = false))
+  }
+
+  /** Concat-then-chunk sequence packing: documents in stable doc_id order
+    * are laid head-to-tail and cut into `binTokens`-sized chunks; a
+    * document's bin is `floor(exclusive_prefix / binTokens)` — the
+    * deterministic streaming pack (documents may straddle a boundary; the
+    * bin is where the document STARTS). Emits per-bin stats: doc count and
+    * token total. Fully oracle-expressible as a window cumulative sum.
+    */
+  def packConcatChunks(t: Tables, binTokens: Long = 1024): DataFrame = {
+    val tk = t.documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    exclusiveRunningTotal(tk, "doc_id", "n_tok", "cum0")
+      .withColumn("bin_id", floor(col("cum0") / binTokens))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
+      .orderBy("bin_id")
+  }
+
+  /** Deterministic token-budget sample: documents are ordered by
+    * md5(doc_id) — a seeded-shuffle stand-in that both engines compute
+    * bit-identically — and taken while the exclusive token prefix is under
+    * `budget` (the classic stop-after-crossing rule: the crossing document
+    * is included, nothing after it). The "give me ~N tokens of this
+    * corpus, reproducibly" operator.
+    */
+  def sampleTokenBudget(t: Tables, budget: Long = 8000): DataFrame = {
+    val tk = t.documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tok"),
+      md5(col("doc_id").cast(StringType)).as("shuffle_key"))
+    exclusiveRunningTotal(tk, "shuffle_key", "n_tok", "cum0")
+      .filter(col("cum0") < budget)
+      .select("doc_id", "n_tok")
+  }
+}

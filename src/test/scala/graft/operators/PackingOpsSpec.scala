@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+class PackingOpsSpec extends SparkTestBase {
+
+  private def tokenFrame = t.documents.select(
+    col("doc_id"),
+    size(tokens(col("text"))).cast(LongType).as("n_tok"))
+
+  test("exclusiveRunningTotal == naive single-partition window, any partitioning") {
+    val naive = tokenFrame
+      .withColumn("cum0",
+        sum("n_tok").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (parts <- Seq("3", "17")) {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val got = PackingOps.exclusiveRunningTotal(tokenFrame, "doc_id", "n_tok", "cum0")
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(got == naive, s"running total diverged at $parts partitions")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
+  test("packConcatChunks: bins are contiguous and conserve the corpus exactly") {
+    val bins = PackingOps.packConcatChunks(t, 1024).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totalTokens = tokenFrame.agg(sum("n_tok")).collect()(0).getLong(0)
+    assert(bins.map(_._3).sum == totalTokens, "token totals must conserve")
+    assert(bins.map(_._2).sum == t.documents.count(), "doc counts must conserve")
+    assert(bins.map(_._1).toSeq == (0L until bins.length).toSeq, "bin ids contiguous from 0")
+    // every bin holds at least one document's start; a bin's token total
+    // can exceed 1024 only by the tail of its last (straddling) document
+    val maxDoc = tokenFrame.agg(max("n_tok")).collect()(0).getLong(0)
+    bins.dropRight(1).foreach { case (id, _, tok) =>
+      assert(tok > 1024 - maxDoc, s"bin $id implausibly small ($tok tokens)")
+    }
+  }
+
+  test("sampleTokenBudget: prefix-closed in md5 order and within budget") {
+    val got = PackingOps.sampleTokenBudget(t, 8000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent formulation: naive window cumsum over the md5 order
+    val naive = t.documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"),
+        md5(col("doc_id").cast(StringType)).as("k"))
+      .withColumn("cum0",
+        sum("n_tok").over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok"))
+      .filter(col("cum0") < 8000)
+      .select("doc_id", "n_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == naive.toSet)
+    assert(got.nonEmpty && got.length < t.documents.count(),
+      "budget must select a strict, non-empty subset at fixture scale")
+    // stop-after-crossing: total minus the crossing doc stays under budget
+    val total = got.map(_._2).sum
+    assert(total >= 8000 - got.map(_._2).max && total < 8000 + got.map(_._2).max)
+  }
+}
