@@ -115,6 +115,7 @@ object SparkEntry {
     // --- corpus packing / budget sampling (training-data extensions) ---
     "pack_concat_chunks"    -> q(t => PackingOps.packConcatChunks(t, 1024)),
     "sample_token_budget"   -> q(t => PackingOps.sampleTokenBudget(t, 8000)),
+    "sample_mixture"        -> q(t => PackingOps.sampleMixture(t, 600)),
     // --- deduplication (training-data extensions) ---
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
@@ -626,6 +627,18 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
         |FROM c WHERE cum0 < 8000""".stripMargin,
+    "sample_mixture" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tok,
+        |         md5(doc_id::VARCHAR) AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY k
+        |                          ROWS UNBOUNDED PRECEDING) - n_tok AS cum0
+        |  FROM tk)
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
+        |FROM c WHERE cum0 < 600""".stripMargin,
     "text_redact_ids" ->
       """SELECT c_custkey,
         |       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted_name,

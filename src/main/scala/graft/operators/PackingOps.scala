@@ -57,6 +57,60 @@ object PackingOps {
     spark.createDataFrame(out, arranged.schema.add(outCol, LongType, nullable = false))
   }
 
+  /** Per-group variant of [[exclusiveRunningTotal]]: the exclusive running
+    * total of `valueCol` within each `groupCol` (StringType), ordered by
+    * `keyCol` — WITHOUT `sum() OVER (PARTITION BY group ORDER BY key)`,
+    * which funnels each group through ONE task and dies when a group is
+    * large (exactly the mixture-sampling case: few sources, huge corpora).
+    * Rows are range-partitioned by (group, key) — a group may span several
+    * consecutive partitions — then the same two passes run with per-
+    * (partition, group) sums; the driver holds O(#partitions × #groups
+    * touching a boundary) longs.
+    */
+  def exclusiveRunningTotalPerGroup(df: DataFrame, groupCol: String,
+                                    keyCol: String, valueCol: String,
+                                    outCol: String): DataFrame = {
+    require(df.schema(valueCol).dataType == LongType,
+      s"$valueCol must be LongType (got ${df.schema(valueCol).dataType})")
+    require(df.schema(groupCol).dataType == StringType,
+      s"$groupCol must be StringType (got ${df.schema(groupCol).dataType})")
+    val spark = df.sparkSession
+    val arranged = df.repartitionByRange(col(groupCol), col(keyCol))
+      .sortWithinPartitions(groupCol, keyCol)
+    val gIdx = arranged.schema.fieldIndex(groupCol)
+    val vIdx = arranged.schema.fieldIndex(valueCol)
+    val rowRdd = arranged.rdd
+    val partGroupSums = rowRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        it.foreach { r =>
+          val g = r.getString(gIdx)
+          m.update(g, m.getOrElse(g, 0L) + r.getLong(vIdx))
+        }
+        Iterator((i, m.toMap))
+      }
+      .collect().sortBy(_._1)
+    // offsets(i)(g) = total of group g in partitions before i; correct
+    // because the range partitioning puts a group's rows in ascending key
+    // order across consecutive partitions
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val offsets: Array[Map[String, Long]] = partGroupSums.map { case (_, m) =>
+      val snapshot = m.keys.map(g => g -> running.getOrElse(g, 0L)).toMap
+      m.foreach { case (g, s) => running.update(g, running.getOrElse(g, 0L) + s) }
+      snapshot
+    }
+    val out = rowRdd.mapPartitionsWithIndex { (i, it) =>
+      val run = scala.collection.mutable.Map(offsets(i).toSeq: _*)
+      it.map { r =>
+        val g = r.getString(gIdx)
+        val c = run.getOrElse(g, 0L)
+        run.update(g, c + r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ c)
+      }
+    }
+    spark.createDataFrame(out, arranged.schema.add(outCol, LongType, nullable = false))
+  }
+
   /** Concat-then-chunk sequence packing: documents in stable doc_id order
     * are laid head-to-tail and cut into `binTokens`-sized chunks; a
     * document's bin is `floor(exclusive_prefix / binTokens)` — the
@@ -90,5 +144,22 @@ object PackingOps {
     exclusiveRunningTotal(tk, "shuffle_key", "n_tok", "cum0")
       .filter(col("cum0") < budget)
       .select("doc_id", "n_tok")
+  }
+
+  /** Deterministic mixture sampling: each source contributes up to
+    * `perSourceBudget` tokens, drawn in md5(doc_id) shuffle order with the
+    * same stop-after-crossing rule — the "assemble a training mix with
+    * fixed per-source token ratios, reproducibly" operator. Built on the
+    * per-group running total, so no per-source single-task window even
+    * when one source is most of the corpus.
+    */
+  def sampleMixture(t: Tables, perSourceBudget: Long = 600): DataFrame = {
+    val tk = t.documents.select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast(LongType).as("n_tok"),
+      md5(col("doc_id").cast(StringType)).as("shuffle_key"))
+    exclusiveRunningTotalPerGroup(tk, "source", "shuffle_key", "n_tok", "cum0")
+      .filter(col("cum0") < perSourceBudget)
+      .select("doc_id", "source", "n_tok")
   }
 }

@@ -44,6 +44,45 @@ class PackingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("exclusiveRunningTotalPerGroup == partitioned window, group-spanning partitions") {
+    val src = t.documents.select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast(LongType).as("n_tok"),
+      md5(col("doc_id").cast(StringType)).as("k"))
+    val naive = src
+      .withColumn("cum0",
+        sum("n_tok").over(Window.partitionBy("source").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // 29 range partitions over 20 sources forces several groups to span a
+    // partition boundary — the case the per-group offsets must get right
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "29")
+    try {
+      val got = PackingOps
+        .exclusiveRunningTotalPerGroup(src, "source", "k", "n_tok", "cum0")
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      assert(got == naive)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("sampleMixture: per-source budgets honored independently") {
+    val got = PackingOps.sampleMixture(t, 600).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = got.groupBy(_._2)
+    assert(bySource.size == t.documents.select("source").distinct().count(),
+      "every source must contribute")
+    bySource.foreach { case (src, docs) =>
+      val total = docs.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      // stop-after-crossing per source: under budget before the crossing
+      // doc, never more than one doc over
+      assert(total < 600 + maxDoc, s"$src over budget: $total")
+      assert(total >= 600 - maxDoc || docs.length == 25,
+        s"$src implausibly under budget: $total")
+    }
+  }
+
   test("sampleTokenBudget: prefix-closed in md5 order and within budget") {
     val got = PackingOps.sampleTokenBudget(t, 8000).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
