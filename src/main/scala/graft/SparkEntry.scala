@@ -63,6 +63,7 @@ object SparkEntry {
     "row_ids_stable"        -> q(CoreQueries.rowIdsStable),
     "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
     "partitioned_roundtrip" -> q(graft.sources.PartitionedParquet.partitionedRoundtrip),
+    "json_roundtrip"        -> q(graft.sources.JsonIO.jsonRoundtrip),
     "pivot_flag_status"     -> q(CoreQueries.pivotFlagStatus),
     "stat_corr_covar"       -> q(CoreQueries.statCorrCovar),
     "sample_stratified"     -> q(CoreQueries.stratifiedSample),
@@ -97,6 +98,7 @@ object SparkEntry {
       EventStream.sessionize(s, dir, s"graft_sess_${System.nanoTime()}")),
     "events_dedup_streaming" -> ((s, dir) =>
       EventStream.dedupCounts(s, dir, s"graft_dedup_${System.nanoTime()}")),
+    "events_file_sink" -> ((s, dir) => EventStream.fileSinkRoundtrip(s, dir)),
     "dedup_minhash_streaming" -> ((s, dir) =>
       streaming.DedupStream.minhashPairs(s, dir, s"graft_mhs_${System.nanoTime()}", 0.3)),
     "dedup_minhash_windowed" -> ((s, dir) =>
@@ -488,6 +490,14 @@ object SparkEntry {
         |       count(*) AS n,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // events_file_sink's engine side lands the stream in exactly-once
+    // parquet files and reads them back through _spark_metadata; the
+    // oracle aggregates the source directly — a hash match proves no row
+    // was dropped or doubled by the sink.
+    "events_file_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, ts,
@@ -627,6 +637,13 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
         |FROM c WHERE cum0 < 8000""".stripMargin,
+    // json_roundtrip's engine side goes documents → JSON lines → read-back;
+    // the oracle aggregates the source table directly, so a hash match
+    // proves the JSON escape/parse path is lossless.
+    "json_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang, source""".stripMargin,
     "sample_mixture" ->
       """WITH tk AS (
         |  SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tok,

@@ -96,6 +96,59 @@ object EventStream {
     drained(spark, queryName)
   }
 
+  /** One (output, checkpoint) temp-dir pair per INPUT dir per JVM, deleted
+    * on exit. Keyed by input dir because the checkpoint tracks consumed
+    * source files: reusing it for the same input makes replays no-ops (the
+    * committed output is simply re-read — idempotent under Bench's
+    * min-of-2), while a different input dir must get a fresh checkpoint or
+    * its rows would APPEND onto the previous corpus's output.
+    */
+  private val fileSinkDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def fileSinkDirsFor(dir: String): (String, String) =
+    fileSinkDirs.getOrElseUpdate(dir, {
+      def tmp(prefix: String): String = {
+        val d = java.nio.file.Files.createTempDirectory(prefix)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            val stream = java.nio.file.Files.walk(d)
+            try stream.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally stream.close()
+          } catch { case _: Throwable => () }
+        }))
+        d.toString
+      }
+      (tmp("graft_fsink_out_"), tmp("graft_fsink_ckpt_"))
+    })
+
+  /** Streaming parquet FILE sink roundtrip — the continuous-ingest landing
+    * path (readStream → stateless transform → exactly-once parquet files).
+    * The sink commits files through its `_spark_metadata` transaction log
+    * and the batch read-back resolves through that log, so partially
+    * written files are invisible — that exactly-once contract is what the
+    * hash gate checks: the oracle computes the same per-type rollup
+    * straight from the source table, and any dropped or doubled row (e.g.
+    * from a replayed micro-batch after recovery) breaks the match.
+    */
+  def fileSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (outDir, ckptDir) = fileSinkDirsFor(dir)
+    val q = readEvents(spark, dir)
+      .select("event_id", "event_type", "value")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), roundN(decSum(col("value")), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double, props: String)
 

@@ -28,6 +28,24 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(gotSessions == expectedSessions)
   }
 
+  test("streaming parquet file sink: exactly-once roundtrip, idempotent replay") {
+    val first = EventStream.fileSinkRoundtrip(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = t.events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.NumericFunctions.roundN(
+          graft.functions.NumericFunctions.decSum(col("value")), 2).as("total_value"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(first.toSeq == batch.toSeq, "file-sink roundtrip must preserve the stream exactly")
+    // replay against the same checkpoint: source files already committed →
+    // nothing appended, read-back unchanged (the exactly-once contract)
+    val second = EventStream.fileSinkRoundtrip(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(second.toSeq == first.toSeq, "replay must be a no-op, not an append")
+  }
+
   test("streaming hourly counts == batch hourly counts") {
     val stream = EventStream.hourlyCounts(spark, "/root/testdata/sf0.001",
       s"spec_stream_${System.nanoTime()}")
