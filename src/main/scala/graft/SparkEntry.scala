@@ -78,6 +78,7 @@ object SparkEntry {
     "set_union_slices"          -> q(JoinOps.unionSlices),
     "set_except_slices"         -> q(JoinOps.exceptSlices),
     "set_intersect_slices"      -> q(JoinOps.intersectSlices),
+    "set_union_by_name"         -> q(JoinOps.unionByNameSlices),
     "scalar_above_avg"          -> q(JoinOps.aboveAveragePrice),
     // --- windows (§2.5) ---
     "window_top_per_segment" -> q(WindowOps.topCustomersPerSegment),
@@ -99,6 +100,8 @@ object SparkEntry {
     "events_dedup_streaming" -> ((s, dir) =>
       EventStream.dedupCounts(s, dir, s"graft_dedup_${System.nanoTime()}")),
     "events_file_sink" -> ((s, dir) => EventStream.fileSinkRoundtrip(s, dir)),
+    "events_stream_join" -> ((s, dir) =>
+      EventStream.clickPurchaseJoin(s, dir, s"graft_ssj_${System.nanoTime()}")),
     "dedup_minhash_streaming" -> ((s, dir) =>
       streaming.DedupStream.minhashPairs(s, dir, s"graft_mhs_${System.nanoTime()}", 0.3)),
     "dedup_minhash_windowed" -> ((s, dir) =>
@@ -124,6 +127,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
     "dedup_minhash"       -> q(t => DedupOps.minhashDupPairs(t, 0.3)),
     "dedup_clusters"      -> q(t => DedupOps.dupClusters(t, 0.5)),
+    "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
     // Full corpus at threshold 0.7: MLlib's scheme (1 hash per table, no
     // banding) is OR-amplified, so it is run where its candidate noise
     // vanishes — high-similarity dedup (see the operator's scaladoc for
@@ -561,6 +565,35 @@ object SparkEntry {
     "events_dedup_streaming" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    // Inner stream-stream join with both-side watermarks emits every
+    // in-interval match exactly once over a finite replay — the oracle is
+    // simply the batch interval join.
+    "events_stream_join" ->
+      """SELECT c.user_id AS user_id, count(*) AS click_buy_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') b
+        |  ON c.user_id = b.user_id AND b.ts > c.ts
+        |     AND b.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS digest FROM documents),
+        |corpus AS (SELECT DISTINCT digest FROM d WHERE source <> 'src0')
+        |SELECT min(doc_id) AS doc_id, digest, count(*) AS n_copies
+        |FROM d
+        |WHERE source = 'src0' AND digest NOT IN (SELECT digest FROM corpus)
+        |GROUP BY digest""".stripMargin,
+    "set_union_by_name" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, NULL AS c_name
+        |  FROM customer WHERE c_acctbal > 5000
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, NULL AS c_acctbal, c_name
+        |  FROM customer WHERE c_acctbal <= 0)
+        |SELECT c_mktsegment, count(*) AS n,
+        |       count(c_acctbal) AS n_with_balance,
+        |       count(c_name) AS n_with_name
+        |FROM u GROUP BY c_mktsegment""".stripMargin,
     "pivot_flag_status" ->
       """SELECT l_linestatus,
         |       floor(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) * 100 + 0.5) / 100 AS qty_a,

@@ -47,6 +47,25 @@ object DedupOps {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
+  /** Incremental dedup — the continuous-ingestion shape: admit documents
+    * from a NEW batch (here: one source) whose content digest is unseen in
+    * the existing corpus, one representative per novel digest (min doc_id,
+    * with its within-batch copy count). A left-anti join on md5 digests:
+    * the shuffle carries 32-byte digests, never text, and the corpus side
+    * is digest-distinct — at 100 TB that side is the (much smaller) digest
+    * index, a broadcast or bloom-filter prefilter when it fits.
+    */
+  def incrementalDedup(t: Tables, newSource: String = "src0"): DataFrame = {
+    val d = t.documents.select(
+      col("doc_id"), col("source"), md5(col("text")).as("digest"))
+    val corpus = d.filter(col("source") =!= newSource).select("digest").distinct()
+    d.filter(col("source") === newSource)
+      .join(corpus, Seq("digest"), "left_anti")
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "digest", "n_copies")
+  }
+
   /** Ground-truth near-duplicate pairs by exact 3-gram Jaccard ≥ minJaccard.
     *
     * Shape: explode distinct shingles → self-equi-join on shingle (skew

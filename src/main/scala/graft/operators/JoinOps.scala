@@ -98,6 +98,28 @@ object JoinOps {
     early.intersect(late)
   }
 
+  /** unionByName with allowMissingColumns — the heterogeneous-feed shape:
+    * two extracts of the same entity with different column sets are
+    * aligned BY NAME (positional union would silently mis-assign) and the
+    * columns one side lacks are null-filled. The rollup counts non-null
+    * per aligned column, so the gate pins exactly which side contributed
+    * which column. Column alignment is resolved at plan time — zero
+    * runtime cost over a plain union.
+    */
+  def unionByNameSlices(t: Tables): DataFrame = {
+    val a = t.customer.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val b = t.customer.filter(col("c_acctbal") <= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("c_acctbal")).as("n_with_balance"),
+        count(col("c_name")).as("n_with_name"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Salted equi-join for skewed keys: when one join-key value carries a
     * disproportionate share of the fact rows, the standard hash shuffle
     * sends that whole share to ONE reducer. Salting splits each fact row

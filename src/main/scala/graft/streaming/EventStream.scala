@@ -149,6 +149,46 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** Stream-stream INNER join with an event-time interval — the funnel
+    * query (click followed by a purchase within the hour) as a genuine
+    * two-stream join, not a batch self-join. Both sides carry watermarks
+    * and the join condition bounds `buy_ts` to (click_ts, click_ts + 1 h]:
+    * that pair is what lets Spark compute state-cleanup bounds — a click
+    * older than watermark − 1 h can never match a future purchase and its
+    * state row is evicted, so state is O(arrival rate × (watermark delay +
+    * interval)) on an unbounded stream. Matches emit as they arrive
+    * (inner join, append mode), so over the finite replay the emitted
+    * pair set is exactly the batch interval join, which the oracle states
+    * directly; the per-user rollup runs in batch on the drained sink.
+    */
+  def clickPurchaseJoin(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val buys = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "2 hours")
+    val joined = clicks.join(buys,
+      col("u") === col("u2") &&
+        col("buy_ts") > col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined
+      .select(col("u").as("user_id"), col("click_ts"), col("buy_ts"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    drained(spark, queryName)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("click_buy_pairs"))
+      .orderBy("user_id")
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double, props: String)
 

@@ -245,6 +245,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(hits >= 5, s"recall@10 only $hits/10")
   }
 
+  test("incremental dedup: admitted digests are novel, distinct, and complete") {
+    val admitted = DedupOps.incrementalDedup(t, "src0").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val corpusDigests = t.documents.filter($"source" =!= "src0")
+      .select(org.apache.spark.sql.functions.md5($"text")).collect().map(_.getString(0)).toSet
+    val batchDigests = t.documents.filter($"source" === "src0")
+      .select(org.apache.spark.sql.functions.md5($"text")).collect().map(_.getString(0))
+    // novel: nothing admitted exists in the corpus
+    assert(admitted.forall(a => !corpusDigests.contains(a._2)))
+    // one representative per novel digest, and ALL novel digests admitted
+    assert(admitted.map(_._2).distinct.length == admitted.length)
+    assert(admitted.map(_._2).toSet == batchDigests.toSet -- corpusDigests)
+    // copy counts conserve the batch rows carrying novel digests
+    assert(admitted.map(_._3).sum ==
+      batchDigests.count(d => !corpusDigests.contains(d)))
+  }
+
   test("BRP-LSH ANN (MLlib built-in): exact cosines on unit vectors; recall@10") {
     val brute10 = SimilarityOps.bruteForceTopK(t, 0L, 10)
       .collect().map(_.getLong(0)).toSet

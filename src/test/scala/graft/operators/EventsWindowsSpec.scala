@@ -46,6 +46,23 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(second.toSeq == first.toSeq, "replay must be a no-op, not an append")
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val streamed = EventStream.clickPurchaseJoin(spark, "/root/testdata/sf0.001",
+      s"spec_ssj_${System.nanoTime()}")
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("click_ts"))
+    val buys = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("buy_ts"))
+    val batch = clicks.join(buys,
+        col("u") === col("u2") && col("buy_ts") > col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("u").as("user_id")).agg(count(lit(1)).as("click_buy_pairs"))
+    val got  = streamed.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming hourly counts == batch hourly counts") {
     val stream = EventStream.hourlyCounts(spark, "/root/testdata/sf0.001",
       s"spec_stream_${System.nanoTime()}")

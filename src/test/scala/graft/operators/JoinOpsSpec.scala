@@ -60,4 +60,16 @@ class JoinOpsSpec extends SparkTestBase {
     val got = JoinOps.aboveAveragePrice(t).agg(sum("n_above_avg")).head().getLong(0)
     assert(got == expected)
   }
+
+  test("unionByName aligns columns by name and null-fills the missing side") {
+    val rows = JoinOps.unionByNameSlices(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nA = t.customer.filter(col("c_acctbal") > 5000).count()
+    val nB = t.customer.filter(col("c_acctbal") <= 0).count()
+    // each side contributes its own column and NULLs for the other's:
+    // non-null balances come only from slice A, names only from slice B
+    assert(rows.map(_._2).sum == nA + nB)
+    assert(rows.map(_._3).sum == nA)
+    assert(rows.map(_._4).sum == nB)
+  }
 }
