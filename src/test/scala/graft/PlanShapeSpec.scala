@@ -85,4 +85,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Window"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("packing running total plans with NO window operator at all") {
+    // the whole point of the two-pass primitive: a sum() OVER (ORDER BY ...)
+    // would put a WindowExec over a single-partition range exchange
+    val p = plan(PackingOps.packConcatChunks(t, 1024))
+    assert(!p.contains("Window"), "packing must not fall back to a window")
+    val q = plan(PackingOps.sampleMixture(t, 600))
+    assert(!q.contains("Window"), "mixture sampling must not fall back to a window")
+  }
+
+  test("incremental dedup: anti-join on digests, text never enters an exchange") {
+    val p = plan(DedupOps.incrementalDedup(t, "src0"))
+    assert(p.contains("LeftAnti"), "corpus membership must be a left-anti join")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"exchange carries document text: $line")
+    }
+  }
+
+  test("unionByName alignment adds no exchange beyond the aggregate's") {
+    val p = plan(JoinOps.unionByNameSlices(t))
+    assert(p.contains("Union"))
+    // one shuffle for the final group-by only: alignment itself is free
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected at most the aggregate exchange, got $exchanges")
+  }
 }
