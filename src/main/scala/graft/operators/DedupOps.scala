@@ -52,15 +52,58 @@ object DedupOps {
     * the existing corpus, one representative per novel digest (min doc_id,
     * with its within-batch copy count). A left-anti join on md5 digests:
     * the shuffle carries 32-byte digests, never text, and the corpus side
-    * is digest-distinct — at 100 TB that side is the (much smaller) digest
-    * index, a broadcast or bloom-filter prefilter when it fits.
+    * is digest-distinct — the (much smaller) digest index.
+    *
+    * The corpus-index side is planned by size, in three tiers:
+    *
+    *  1. `n ≤ maxBroadcastDigests` → `broadcast()` hint: the anti-join is
+    *     a BroadcastHashJoin, the batch side never shuffles.
+    *  2. `n ≤ maxBloomDigests` → a bloom prefilter (n·~9.6 bits at 1% fpp,
+    *     built distributed via `stat.bloomFilter`, broadcast once) splits
+    *     the batch: digests the filter rejects are *definitely* novel and
+    *     bypass the join entirely; only the ~fpp·batch + true-dup remainder
+    *     reaches the exact shuffled anti-join. The probe is a sketch
+    *     operation with no SQL form, so it is the one deliberate UDF in
+    *     this file — it runs on 32-byte digests, never text.
+    *  3. else → plain shuffled left-anti (both sides hash-exchange on the
+    *     digest; at 10¹⁰⁺ corpus digests even the bloom bitmap outgrows a
+    *     sane broadcast).
+    *
+    * The index is `localCheckpoint`ed so the size probe (one count) and the
+    * join consume one materialization. At real 100 TB operation the index
+    * would be a maintained table with known stats; the count stands in for
+    * those stats here.
     */
-  def incrementalDedup(t: Tables, newSource: String = "src0"): DataFrame = {
+  def incrementalDedup(
+      t: Tables,
+      newSource: String = "src0",
+      maxBroadcastDigests: Long = 4L * 1000 * 1000,
+      maxBloomDigests: Long = 500L * 1000 * 1000,
+      bloomFpp: Double = 0.01): DataFrame = {
     val d = t.documents.select(
       col("doc_id"), col("source"), md5(col("text")).as("digest"))
-    val corpus = d.filter(col("source") =!= newSource).select("digest").distinct()
-    d.filter(col("source") === newSource)
-      .join(corpus, Seq("digest"), "left_anti")
+    val corpus = d.filter(col("source") =!= newSource)
+      .select("digest").distinct()
+      .localCheckpoint(true)
+    val batch   = d.filter(col("source") === newSource)
+    val nCorpus = corpus.count()
+
+    val novel =
+      if (nCorpus <= maxBroadcastDigests) {
+        batch.join(broadcast(corpus), Seq("digest"), "left_anti")
+      } else if (nCorpus <= maxBloomDigests) {
+        val bf = t.documents.sparkSession.sparkContext.broadcast(
+          corpus.stat.bloomFilter("digest", math.max(nCorpus, 1L), bloomFpp))
+        val mightContain = udf((s: String) => bf.value.mightContainString(s))
+        val definitelyNovel = batch.filter(!mightContain(col("digest")))
+        val needExactCheck = batch.filter(mightContain(col("digest")))
+          .join(corpus, Seq("digest"), "left_anti")
+        definitelyNovel.unionByName(needExactCheck)
+      } else {
+        batch.join(corpus, Seq("digest"), "left_anti")
+      }
+
+    novel
       .groupBy("digest")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "digest", "n_copies")

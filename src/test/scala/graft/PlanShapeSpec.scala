@@ -103,6 +103,14 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup: small corpus index broadcasts (BroadcastHashJoin anti)") {
+    // fixture corpus is far below the 4M-digest threshold → tier 1
+    val p = plan(DedupOps.incrementalDedup(t, "src0"))
+    assert(p.contains("BroadcastHashJoin"),
+      "small digest index must broadcast, not shuffle the batch side")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffled anti-join:\n$p")
+  }
+
   test("unionByName alignment adds no exchange beyond the aggregate's") {
     val p = plan(JoinOps.unionByNameSlices(t))
     assert(p.contains("Union"))

@@ -262,6 +262,29 @@ class DedupSimilaritySpec extends SparkTestBase {
       batchDigests.count(d => !corpusDigests.contains(d)))
   }
 
+  test("incremental dedup: broadcast, bloom and shuffle tiers agree exactly") {
+    def rows(maxBroadcast: Long, maxBloom: Long) =
+      DedupOps.incrementalDedup(t, "src0", maxBroadcast, maxBloom)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaBroadcast = rows(Long.MaxValue, Long.MaxValue)
+    val viaBloom     = rows(0L, Long.MaxValue)
+    val viaShuffle   = rows(0L, 0L)
+    assert(viaBloom == viaBroadcast,
+      "bloom prefilter + exact anti-join must admit the same set")
+    assert(viaShuffle == viaBroadcast)
+    // the bloom split is doing work on this fixture: the prefilter must
+    // let some definitely-novel digests bypass the exact join (fpp=1% on a
+    // fixture where most batch digests are novel)
+    val corpus = t.documents.filter($"source" =!= "src0")
+      .select(org.apache.spark.sql.functions.md5($"text").as("digest")).distinct()
+    val bf = spark.sparkContext.broadcast(
+      corpus.stat.bloomFilter("digest", math.max(corpus.count(), 1L), 0.01))
+    val batch = t.documents.filter($"source" === "src0")
+      .select(org.apache.spark.sql.functions.md5($"text")).collect().map(_.getString(0))
+    val bypass = batch.count(d => !bf.value.mightContainString(d))
+    assert(bypass > 0, "bloom prefilter rejected nothing — split is dead code on fixture")
+  }
+
   test("BRP-LSH ANN (MLlib built-in): exact cosines on unit vectors; recall@10") {
     val brute10 = SimilarityOps.bruteForceTopK(t, 0L, 10)
       .collect().map(_.getLong(0)).toSet
