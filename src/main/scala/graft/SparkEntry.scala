@@ -151,7 +151,10 @@ object SparkEntry {
     "ml_price_metrics"    -> q(PricePipeline.fastMetrics),
     "ml_recommend_tfidf"  -> q(t => Recommender.similarDocs(t, 0L, 5)),
     "multimodal_features" -> q(MultimodalOps.assetFeatureStats),
-    "multimodal_binary_ingest" -> q(MultimodalOps.binaryIngestStats))
+    "multimodal_binary_ingest" -> q(MultimodalOps.binaryIngestStats),
+    // rows-only: PNG files in a driver temp dir -> binaryFile -> real
+    // ImageIO decode; pixel-exactness is spec'd (TextMlMultimodalSpec)
+    "multimodal_png_files" -> q(MultimodalOps.pngFileDecodeStats))
 
   /** Shared oracle CTE: the md5-minhash candidate pairs with verified
     * Jaccard (mirrors DedupOps.minhashDupPairs with k=16, 8 bands × 2

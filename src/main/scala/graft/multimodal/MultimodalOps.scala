@@ -1,24 +1,33 @@
 package graft.multimodal
 
 import graft.core.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata
-  * struct, with a partition-wise batch "decode" stage.
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Multimodal-column operators: opaque `binary` payloads + typed metadata
+  * struct, with a partition-wise batch decode stage running a REAL image
+  * codec (`javax.imageio` — PNG encode/decode ships with the JDK, no new
+  * dependency).
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (`stubDecodeFeatures`) — it derives a
-  * fixed-size feature vector from the bytes with a rolling hash. Everything
-  * around it is the real Spark shape a production decoder plugs into:
-  *
-  *  - assets are rows of (id, meta struct, binary payload);
+  *  - assets are rows of (id, meta struct, binary payload); payloads here
+  *    are genuine PNG files, synthesized deterministically per asset id;
   *  - decode runs via `mapPartitions` on a typed Dataset — the JVM
-  *    equivalent of `mapInPandas`: one iterator per partition, so a real
-  *    decoder amortizes model/codec init per partition, not per row;
-  *  - output schema is columnar (id, width, height, format, features),
-  *    ready for the similarity operators downstream.
+  *    equivalent of `mapInPandas`: one iterator per partition, so codec
+  *    init (`ImageIO.setUseCache(false)`) happens per partition, not per
+  *    row, and a heavier decoder (video frames, audio resample) slots into
+  *    the same shape;
+  *  - output is columnar (id, decoded width/height, per-channel means, a
+  *    luminance histogram feature vector), ready for the similarity
+  *    operators downstream.
+  *
+  * At 100 TB the payloads come from an object store via the `binaryFile`
+  * source ([[binaryAssets]] / [[pngFileAssets]]); generation and decode are
+  * both per-row executor work with no shuffle until the final aggregate.
   */
 object MultimodalOps {
 
@@ -28,8 +37,14 @@ object MultimodalOps {
   case class Asset(asset_id: Long, format: String, width: Int, height: Int,
                    payload: Array[Byte])
 
-  case class AssetFeatures(asset_id: Long, format: String, n_bytes: Int,
-                           features: Array[Float])
+  /** Real decoded features: dimensions and channel statistics read from the
+    * pixels, plus an 8-bin luminance histogram (normalized) as the feature
+    * vector for downstream similarity.
+    */
+  case class DecodedAsset(asset_id: Long, format: String, n_bytes: Int,
+                          width: Int, height: Int,
+                          mean_r: Double, mean_g: Double, mean_b: Double,
+                          features: Array[Float])
 
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -38,26 +53,90 @@ object MultimodalOps {
     StructField("height", IntegerType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  /** Synthesize a deterministic asset table from `documents` (text bytes as
-    * the opaque payload; metadata derived from stable columns). Stands in
-    * for `spark.read.format("binaryFile")` at test scale.
+  /** Deterministic test-pattern RGB for pixel (x, y) of asset `id` — the
+    * closed form the specs check decoded channel means against.
     */
-  def syntheticAssets(t: Tables): DataFrame =
-    t.documents.select(
-      col("doc_id").as("asset_id"),
-      concat(lit("img/"), col("source")).as("format"),
-      (pmod(col("n_chars"), lit(64)) + 16).cast(IntegerType).as("width"),
-      (pmod(col("doc_id"), lit(64)) + 16).cast(IntegerType).as("height"),
-      encode(col("text"), "UTF-8").as("payload"))
+  private[multimodal] def patternRgb(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 31 + y * 7 + id * 13) % 256).toInt,
+    ((x * 7 + y * 31 + id * 29) % 256).toInt,
+    ((x + y + id) % 256).toInt)
 
-  /** Real binary ingestion via Spark's `binaryFile` source — the production
-    * entry point [[syntheticAssets]] stands in for. Each matched file
-    * becomes one row of (path, modificationTime, length, content); at scale
-    * this is the object-store asset scan, filtered server-side with
+  private[multimodal] def assetDims(id: Long): (Int, Int) =
+    (16 + (id % 16).toInt, 16 + ((id * 7) % 16).toInt)
+
+  /** Render the deterministic pattern for `id` and ENCODE it as a real PNG
+    * via `javax.imageio` — the payload is a parseable image file, not a
+    * stand-in byte string.
+    */
+  private[multimodal] def renderPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = patternRgb(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode kernel: parse the payload with `ImageIO` (PNG/JPEG/BMP —
+    * whatever readers the JVM registers), read dimensions and pixels,
+    * compute per-channel means and an 8-bin luminance histogram. Throws on
+    * undecodable payloads — corrupt assets should fail loudly, not flow on.
+    */
+  private[multimodal] def decodeImage(payload: Array[Byte]): (Int, Int, Double, Double, Double, Array[Float]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr, sg, sb = 0L
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        // integer ITU-R 601 luma; bin width 32
+        hist(((r * 299 + g * 587 + b * 114) / 1000) >> 5) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    (w, h, sr / n, sg / n, sb / n, hist.map(c => (c / n).toFloat))
+  }
+
+  /** Synthesize a deterministic PNG asset table from `documents` metadata:
+    * payload generation is per-row executor work (no driver filesystem, no
+    * shuffle), so it scales exactly like the production manifest→fetch
+    * stage it stands in for.
+    */
+  def syntheticAssets(t: Tables): Dataset[Asset] = {
+    import t.spark.implicits._
+    t.documents.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, source) =>
+          val (w, h) = assetDims(id)
+          Asset(id, "png/" + source, w, h, renderPng(id, w, h))
+        }
+      }
+  }
+
+  /** Real binary ingestion via Spark's `binaryFile` source — each matched
+    * file becomes one row of (path, modificationTime, length, content); at
+    * scale this is the object-store asset scan, filtered server-side with
     * `pathGlobFilter` / `modifiedAfter` so only matching objects are
-    * listed. The sandbox ships no image/audio files, so the demo reads the
-    * fixture parquet files themselves as opaque payloads — the source
-    * mechanics (schema, laziness, glob pushdown) are identical.
+    * listed.
     */
   def binaryAssets(spark: SparkSession, dir: String,
                    glob: String = "*.parquet"): DataFrame =
@@ -79,38 +158,68 @@ object MultimodalOps {
       .select(col("file_name"), col("byte_len"), md5(col("content")).as("content_md5"))
       .orderBy("file_name")
 
-  /** STUB decode kernel — stands in for an image/audio codec. Deterministic
-    * function of the payload bytes only: a production decoder replaces this
-    * body and nothing else changes.
+  /** One temp dir per JVM holding [[pngFileCount]] deterministic PNG files,
+    * deleted on JVM exit (same lifecycle as PartitionedParquet's roundtrip
+    * dir): the on-disk entry point for the binaryFile→decode demo.
     */
-  private[multimodal] def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Long](dim)
-    var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
-      acc(i % dim) = acc(i % dim) * 31 + b + 1
-      i += 1
+  val pngFileCount = 64
+  private lazy val pngDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_png_")
+    (0 until pngFileCount).foreach { i =>
+      val (w, h) = assetDims(i.toLong)
+      java.nio.file.Files.write(
+        dir.resolve(f"asset_$i%05d.png"), renderPng(i.toLong, w, h))
     }
-    acc.map(v => ((v & 0xffff).toFloat) / 65536.0f)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val stream = java.nio.file.Files.walk(dir)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally stream.close()
+      } catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
+
+  /** PNG files on disk → `binaryFile` source → typed assets. The production
+    * path end-to-end: list + read from storage, id parsed from the object
+    * name, payload stays opaque until the decode stage.
+    */
+  def pngFileAssets(spark: SparkSession): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(pngDir)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "asset_(\\d+)", 1)
+          .cast(LongType).as("asset_id"),
+        lit("png/file").as("format"),
+        lit(0).as("width"), // unknown until decode — binary source has no pixel metadata
+        lit(0).as("height"),
+        col("content").as("payload"))
+      .as[Asset]
   }
 
   /** Partition-wise batch decode (mapInPandas-shaped): iterator in,
-    * iterator out; per-partition init happens once, rows stream through.
+    * iterator out; per-partition codec init happens once, rows stream
+    * through the real `ImageIO` decoder.
     */
-  def decodeAssets(spark: SparkSession, assets: DataFrame, dim: Int = 16): Dataset[AssetFeatures] = {
+  def decodeAssets(spark: SparkSession, assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     import spark.implicits._
-    assets.as[Asset].mapPartitions { it =>
-      // per-partition decoder init would go here (codec handles, model load)
+    assets.mapPartitions { it =>
+      ImageIO.setUseCache(false) // per-partition codec init: in-memory streams, no temp-file cache
       it.map { a =>
-        AssetFeatures(a.asset_id, a.format, a.payload.length,
-          stubDecodeFeatures(a.payload, dim))
+        val (w, h, mr, mg, mb, hist) = decodeImage(a.payload)
+        DecodedAsset(a.asset_id, a.format, a.payload.length, w, h, mr, mg, mb, hist)
       }
     }
   }
 
-  /** End-to-end query: synthesize → decode → aggregate per format. The
-    * aggregate keys on the metadata column, proving schema survives the
-    * binary hop.
+  /** End-to-end gate query: synthesize PNGs → decode with the real codec →
+    * aggregate per format. The aggregate keys on the metadata column
+    * (schema survives the binary hop) and averages genuinely-decoded pixel
+    * statistics — decoded width and channel means, not payload-derived
+    * hashes.
     */
   def assetFeatureStats(t: Tables): DataFrame = {
     val decoded = decodeAssets(t.spark, syntheticAssets(t)).toDF()
@@ -119,7 +228,24 @@ object MultimodalOps {
       .agg(
         count(lit(1)).as("n_assets"),
         sum("n_bytes").as("total_bytes"),
+        round(avg(col("width")), 4).as("avg_width"),
+        round(avg(col("height")), 4).as("avg_height"),
+        round(avg(col("mean_r")), 4).as("avg_mean_r"),
         round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
       .orderBy("format")
+  }
+
+  /** Gate query for the on-disk path: PNG files → binaryFile → decode →
+    * per-asset decoded dimensions and luma. Proves the whole
+    * storage→source→codec chain on real files.
+    */
+  def pngFileDecodeStats(t: Tables): DataFrame = {
+    val decoded = decodeAssets(t.spark, pngFileAssets(t.spark)).toDF()
+    decoded.select(
+      col("asset_id"), col("n_bytes"), col("width"), col("height"),
+      round(col("mean_r"), 4).as("mean_r"),
+      round(col("mean_g"), 4).as("mean_g"),
+      round(col("mean_b"), 4).as("mean_b"))
+      .orderBy("asset_id")
   }
 }

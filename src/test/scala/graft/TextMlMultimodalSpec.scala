@@ -72,24 +72,73 @@ class TextMlMultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("multimodal decode: schema survives the binary hop, bytes counted") {
+  test("multimodal decode: real codec recovers dimensions from the pixels") {
     val assets = MultimodalOps.syntheticAssets(t)
     val decoded = MultimodalOps.decodeAssets(spark, assets).toDF()
     assert(decoded.count() == t.documents.count())
-    assert(decoded.columns.toSet == Set("asset_id", "format", "n_bytes", "features"))
-    // payload is the utf-8 text; ASCII corpus ⇒ n_bytes == n_chars
-    val joined = decoded.join(t.documents, col("asset_id") === col("doc_id"))
-      .filter(col("n_bytes") =!= length(col("text"))).count()
-    assert(joined == 0)
+    assert(decoded.columns.toSet == Set(
+      "asset_id", "format", "n_bytes", "width", "height",
+      "mean_r", "mean_g", "mean_b", "features"))
+    // decoded width/height must equal the generator's metadata dims —
+    // they come out of ImageIO parsing the PNG header, not out of metadata
+    decoded.collect().foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = MultimodalOps.assetDims(id)
+      assert(r.getInt(3) == w && r.getInt(4) == h, s"asset $id dims")
+      // luminance histogram is a probability vector over the pixels
+      val hist = r.getSeq[Float](8)
+      assert(hist.length == 8)
+      assert(math.abs(hist.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
   }
 
-  test("multimodal stub decode is deterministic and fixed-dim") {
-    val payload = "some bytes".getBytes("UTF-8")
-    val f1 = MultimodalOps.stubDecodeFeatures(payload, 16)
-    val f2 = MultimodalOps.stubDecodeFeatures(payload, 16)
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1.length == 16)
-    f1.foreach(v => assert(v >= 0.0f && v < 1.0f))
+  test("decodeImage returns exact pixel stats for a hand-built image") {
+    // 2x2 PNG: red, green / blue, white — means computable by hand
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, mr, mg, mb, hist) = MultimodalOps.decodeImage(bos.toByteArray)
+    assert(w == 2 && h == 2)
+    assert(mr == (255 + 0 + 0 + 255) / 4.0)   // 127.5
+    assert(mg == (0 + 255 + 0 + 255) / 4.0)   // 127.5
+    assert(mb == (0 + 0 + 255 + 255) / 4.0)   // 127.5
+    // integer lumas: red 76, green 149, blue 29, white 255 → bins 2,4,0,7
+    assert(hist.toSeq == Seq(0.25f, 0f, 0.25f, 0f, 0.25f, 0f, 0f, 0.25f))
+  }
+
+  test("decoded channel means match the generator pattern's closed form") {
+    val decoded = MultimodalOps.decodeAssets(spark, MultimodalOps.syntheticAssets(t))
+      .toDF().filter(col("asset_id") < 5).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = MultimodalOps.assetDims(id)
+      val pix = for (y <- 0 until h; x <- 0 until w) yield MultimodalOps.patternRgb(id, x, y)
+      assert(math.abs(r.getDouble(5) - pix.map(_._1).sum.toDouble / pix.size) < 1e-9)
+      assert(math.abs(r.getDouble(6) - pix.map(_._2).sum.toDouble / pix.size) < 1e-9)
+      assert(math.abs(r.getDouble(7) - pix.map(_._3).sum.toDouble / pix.size) < 1e-9)
+    }
+  }
+
+  test("png roundtrip is lossless and deterministic (RGB, no alpha)") {
+    val bytes1 = MultimodalOps.renderPng(42L, 20, 18)
+    val bytes2 = MultimodalOps.renderPng(42L, 20, 18)
+    assert(bytes1.toSeq == bytes2.toSeq)
+    val (w, h, _, _, _, _) = MultimodalOps.decodeImage(bytes1)
+    assert(w == 20 && h == 18)
+  }
+
+  test("png files -> binaryFile -> decode: dims and means from real files") {
+    val rows = MultimodalOps.pngFileDecodeStats(t).collect()
+    assert(rows.length == MultimodalOps.pngFileCount)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = MultimodalOps.assetDims(id)
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"file asset $id dims")
+      assert(r.getInt(1) > 0)
+    }
   }
 
   test("recommender returns k results excluding the query doc") {
