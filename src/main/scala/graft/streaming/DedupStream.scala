@@ -114,7 +114,8 @@ object DedupStream {
     * gets an event-time timeout and drops its whole bucket. State per band
     * is therefore O(arrival rate × (window + watermark delay)) — the
     * trailing window a continuously-fed corpus needs, with RocksDB as the
-    * state store at real scale.
+    * state store at real scale (RocksDbStateSpec replays this operator
+    * under RocksDBStateStoreProvider and proves the identical pair set).
     */
   def minhashPairsWindowedOn(banded: Dataset[TsBandDoc], windowMs: Long,
                              minJaccard: Double): Dataset[PairOut] = {
