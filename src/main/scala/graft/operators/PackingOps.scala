@@ -25,17 +25,26 @@ object PackingOps {
     * partition + sort by the key, sum each partition (pass 1, one long per
     * partition to the driver), prefix-sum those into per-partition offsets,
     * then stream each partition adding its offset (pass 2). Both passes are
-    * fully parallel — the same two-pass shape as `RDD.zipWithIndex`, and
-    * like it, the arranged lineage executes twice (at 100 TB, checkpoint
-    * the arranged frame first). Result is independent of the partition
-    * boundaries because the key is unique and globally range-sorted.
+    * fully parallel — the same two-pass shape as `RDD.zipWithIndex`.
+    *
+    * Cost of the two passes: the upstream compute and the shuffle WRITE run
+    * once (Spark reuses shuffle files across the two jobs — the map stage
+    * is skipped on pass 2); what re-executes per pass is the reduce side:
+    * shuffle fetch + within-partition sort. `checkpoint = true` trades that
+    * repeated fetch+sort for one executor-storage materialization of the
+    * arranged frame (`localCheckpoint`), which both passes then read — the
+    * right trade at 100 TB where the sort dominates; at test scale the
+    * default skips the cache. Result is identical either way (spec-pinned)
+    * and independent of partition boundaries because the key is unique and
+    * globally range-sorted.
     */
   def exclusiveRunningTotal(df: DataFrame, keyCol: String, valueCol: String,
-                            outCol: String): DataFrame = {
+                            outCol: String, checkpoint: Boolean = false): DataFrame = {
     require(df.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (got ${df.schema(valueCol).dataType})")
     val spark = df.sparkSession
-    val arranged = df.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+    val arranged0 = df.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+    val arranged = if (checkpoint) arranged0.localCheckpoint(true) else arranged0
     val valueIdx = arranged.schema.fieldIndex(valueCol)
     val rowRdd = arranged.rdd
     val partSums = rowRdd
@@ -65,18 +74,20 @@ object PackingOps {
     * Rows are range-partitioned by (group, key) — a group may span several
     * consecutive partitions — then the same two passes run with per-
     * (partition, group) sums; the driver holds O(#partitions × #groups
-    * touching a boundary) longs.
+    * touching a boundary) longs. Same `checkpoint` knob and trade as
+    * [[exclusiveRunningTotal]].
     */
   def exclusiveRunningTotalPerGroup(df: DataFrame, groupCol: String,
                                     keyCol: String, valueCol: String,
-                                    outCol: String): DataFrame = {
+                                    outCol: String, checkpoint: Boolean = false): DataFrame = {
     require(df.schema(valueCol).dataType == LongType,
       s"$valueCol must be LongType (got ${df.schema(valueCol).dataType})")
     require(df.schema(groupCol).dataType == StringType,
       s"$groupCol must be StringType (got ${df.schema(groupCol).dataType})")
     val spark = df.sparkSession
-    val arranged = df.repartitionByRange(col(groupCol), col(keyCol))
+    val arranged0 = df.repartitionByRange(col(groupCol), col(keyCol))
       .sortWithinPartitions(groupCol, keyCol)
+    val arranged = if (checkpoint) arranged0.localCheckpoint(true) else arranged0
     val gIdx = arranged.schema.fieldIndex(groupCol)
     val vIdx = arranged.schema.fieldIndex(valueCol)
     val rowRdd = arranged.rdd

@@ -104,4 +104,32 @@ class PackingOpsSpec extends SparkTestBase {
     val total = got.map(_._2).sum
     assert(total >= 8000 - got.map(_._2).max && total < 8000 + got.map(_._2).max)
   }
+
+  test("checkpoint knob: identical totals, lineage truncated at the checkpoint") {
+    val tk = t.documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    val plain = PackingOps.exclusiveRunningTotal(tk, "doc_id", "n_tok", "cum0")
+    val ckpt  = PackingOps.exclusiveRunningTotal(tk, "doc_id", "n_tok", "cum0",
+      checkpoint = true)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cum0").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(ckpt) == asMap(plain))
+    // with the knob on, both passes hang off a materialized checkpoint —
+    // the arranged lineage (scan→tokenize→exchange→sort) is gone from the
+    // physical lineage; without it, the exchange is still there
+    assert(ckpt.rdd.toDebugString.contains("CheckpointRDD"))
+    assert(!plain.rdd.toDebugString.contains("CheckpointRDD"))
+
+    val grouped = t.documents.select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    val gPlain = PackingOps.exclusiveRunningTotalPerGroup(
+      grouped, "source", "doc_id", "n_tok", "cum0")
+    val gCkpt = PackingOps.exclusiveRunningTotalPerGroup(
+      grouped, "source", "doc_id", "n_tok", "cum0", checkpoint = true)
+    assert(asMap(gCkpt) == asMap(gPlain))
+    assert(gCkpt.rdd.toDebugString.contains("CheckpointRDD"))
+  }
 }
