@@ -150,6 +150,9 @@ object SparkEntry {
     // --- ML + multimodal (reference parity M1-M14 / extension) ---
     "ml_price_metrics"    -> q(PricePipeline.fastMetrics),
     "ml_recommend_tfidf"  -> q(t => Recommender.similarDocs(t, 0L, 5)),
+    // same oracle as the dense variant: sparse merge-dot scoring is
+    // bit-identical (SparseDotSpec), so it earns its own hash gate
+    "ml_recommend_tfidf_sparse" -> q(t => Recommender.similarDocsSparse(t, 0L, 5)),
     "multimodal_features" -> q(MultimodalOps.assetFeatureStats),
     "multimodal_binary_ingest" -> q(MultimodalOps.binaryIngestStats),
     // rows-only: PNG files in a driver temp dir -> binaryFile -> real
@@ -255,7 +258,12 @@ object SparkEntry {
     *  4. Benign width drift (Spark int32 vs DuckDB BIGINT) is fine; both
     *     stringify identically.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the sparse-scored variant shares the dense oracle verbatim: same
+    // pipeline, same rounding, bit-identical scores by construction
+    ("ml_recommend_tfidf_sparse" -> oracleSqlBase("ml_recommend_tfidf"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     // NOTE on the CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) idiom used
     // below: it mirrors graft.functions.NumericFunctions.decSum/decAvg —
     // exact decimal accumulation is order-independent, so Spark and DuckDB

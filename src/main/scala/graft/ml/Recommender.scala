@@ -41,13 +41,20 @@ object Recommender {
     *
     * Scoring is `vector_to_array` + the codegen'd `graft_dot` expression
     * (graft.plans.VectorExpressions), keeping the hot loop inside
-    * whole-stage codegen. A/B at sf0.01 (min of 3, noop sink): graft_dot
-    * 0.29 s vs a sparse merge-dot Scala UDF 0.35 s — the fixture corpus
-    * draws from a ~29-word vocabulary, so the "sparse" TF-IDF vectors are
-    * effectively dense and densifying costs nothing. CAVEAT for real
-    * corpora: with vocabularies of 10⁵+ and nnz≈doc length, vector_to_array
-    * materializes |vocab| doubles per row and the sparse merge-dot (O(nnz))
-    * is the right tool — pick per corpus shape.
+    * whole-stage codegen. The fixture corpus draws from a ~29-word
+    * vocabulary, so the "sparse" TF-IDF vectors are effectively dense and
+    * densifying costs nothing; with vocabularies of 10⁵+ and nnz ≈ doc
+    * length, use [[similarDocsSparse]] — the codegen'd O(nnz) sorted-merge
+    * `graft_sparse_dot` over the `unwrap_udt` (indices, values) arrays.
+    * Measured A/B (SparseDotSpec: 2,000 cached rows × 16 query vectors,
+    * min of 3): at a synthetic 65,536-dim / nnz=32 corpus, sparse scores
+    * in ~0.21 s wall vs ~1.9 s dense (9.2×); with a single query vector
+    * the ~150 ms fixed job overhead dominates both and the wall ratio
+    * collapses toward 1×, so the practical crossover is wherever the
+    * dense read volume (rows × dim) outgrows job overhead — a few
+    * thousand dims at fixture row counts, lower as the corpus grows.
+    * Both produce bit-identical scores (the dense loop's extra terms are
+    * exact +0.0s).
     */
   def similarDocs(t: Tables, queryDocId: Long = 0L, k: Int = 5): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
@@ -59,6 +66,34 @@ object Recommender {
       .withColumn("score", roundN(
         call_function("graft_dot",
           vector_to_array(col("features_norm")), col("q_arr")), 6))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+      .select("doc_id", "lang", "source", "score")
+  }
+
+  /** [[similarDocs]] with sparse scoring: the MLlib vector is opened with
+    * `unwrap_udt` (type 0 = sparse with indices, 1 = dense — indices then
+    * synthesized as 0..n-1) and scored by the O(nnz) sorted-merge
+    * `graft_sparse_dot`, never materializing the |vocab|-wide dense array.
+    * Same results as [[similarDocs]] bit-exactly (spec-pinned); the right
+    * variant at production vocabulary sizes.
+    */
+  def similarDocsSparse(t: Tables, queryDocId: Long = 0L, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.unwrap_udt
+    val vecs = tfidfVectors(t)
+    val u = unwrap_udt(col("features_norm"))
+    val sparse = vecs.select(
+      col("doc_id"), col("lang"), col("source"),
+      when(u.getField("type") === 0, u.getField("indices"))
+        .otherwise(sequence(lit(0), size(u.getField("values")) - 1)).as("sv_idx"),
+      u.getField("values").as("sv_val"))
+    val q = sparse.filter(col("doc_id") === queryDocId)
+      .select(col("sv_idx").as("q_idx"), col("sv_val").as("q_val"))
+    sparse.filter(col("doc_id") =!= queryDocId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", roundN(
+        call_function("graft_sparse_dot",
+          col("sv_idx"), col("sv_val"), col("q_idx"), col("q_val")), 6))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
       .select("doc_id", "lang", "source", "score")

@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         L2Norm(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sparse_dot"),
+      new ExpressionInfo(classOf[SparseDotProduct].getName, "graft_sparse_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SparseDotProduct(args(0), args(1), args(2), args(3))))
   }
 }
