@@ -4,7 +4,7 @@ import graft.core.Tables
 import graft.functions.NumericFunctions.roundN
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.feature._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** TF-IDF + cosine-similarity recommender — the engine twin of the
@@ -78,14 +78,27 @@ object Recommender {
     * Same results as [[similarDocs]] bit-exactly (spec-pinned); the right
     * variant at production vocabulary sizes.
     */
+  /** Ascending-index column for an `unwrap_udt`-opened MLlib vector: sparse
+    * (type 0) vectors carry their own indices; dense (type 1) vectors get
+    * 0..n−1 synthesized. The 0-nnz dense edge needs the explicit guard —
+    * `sequence(0, size−1)` on an EMPTY values array is `sequence(0, -1)` =
+    * `[0, -1]` (descending), a length-mismatched (indices, values) pair
+    * that `graft_sparse_dot` maps to null instead of the correct 0.0.
+    * Unreachable from CountVectorizer output (an all-stopword doc comes out
+    * as a 0-nnz SPARSE vector), but the guard makes the function total.
+    */
+  private[graft] def sparseIdx(u: Column): Column =
+    when(u.getField("type") === 0, u.getField("indices"))
+      .otherwise(when(size(u.getField("values")) === 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), size(u.getField("values")) - 1)))
+
   def similarDocsSparse(t: Tables, queryDocId: Long = 0L, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions.unwrap_udt
     val vecs = tfidfVectors(t)
     val u = unwrap_udt(col("features_norm"))
     val sparse = vecs.select(
       col("doc_id"), col("lang"), col("source"),
-      when(u.getField("type") === 0, u.getField("indices"))
-        .otherwise(sequence(lit(0), size(u.getField("values")) - 1)).as("sv_idx"),
+      sparseIdx(u).as("sv_idx"),
       u.getField("values").as("sv_val"))
     val q = sparse.filter(col("doc_id") === queryDocId)
       .select(col("sv_idx").as("q_idx"), col("sv_val").as("q_val"))

@@ -72,6 +72,25 @@ class SparseDotSpec extends SparkTestBase {
     assert(sparse.toSeq == dense.toSeq)
   }
 
+  test("0-nnz dense vector scores 0.0, not null (sequence(0,-1) edge)") {
+    import org.apache.spark.ml.linalg.Vectors
+    val df = Seq(
+      (0L, Vectors.dense(Array.empty[Double])),         // the guarded edge
+      (1L, Vectors.sparse(4, Array.empty[Int], Array.empty[Double])),
+      (2L, Vectors.dense(1.0, 0.0, 2.0, 0.0))
+    ).toDF("id", "v")
+    val u = unwrap_udt(col("v"))
+    val scored = df.select(col("id"),
+      call_function("graft_sparse_dot",
+        Recommender.sparseIdx(u), u.getField("values"),
+        array(lit(0), lit(2)), array(lit(3.0), lit(5.0))).as("s"))
+      .collect().map { r =>
+        assert(!r.isNullAt(1), s"null score for id ${r.getLong(0)}")
+        r.getLong(0) -> r.getDouble(1)
+      }.toMap
+    assert(scored == Map(0L -> 0.0, 1L -> 0.0, 2L -> 13.0))
+  }
+
   import SparseDotFixture._
 
   private lazy val sparseCorpus: DataFrame = spark.range(0, 2000)
