@@ -59,12 +59,14 @@ object DedupOps {
     *  1. `n ≤ maxBroadcastDigests` → `broadcast()` hint: the anti-join is
     *     a BroadcastHashJoin, the batch side never shuffles.
     *  2. `n ≤ maxBloomDigests` → a bloom prefilter (n·~9.6 bits at 1% fpp,
-    *     built distributed via `stat.bloomFilter`, broadcast once) splits
-    *     the batch: digests the filter rejects are *definitely* novel and
-    *     bypass the join entirely; only the ~fpp·batch + true-dup remainder
-    *     reaches the exact shuffled anti-join. The probe is a sketch
-    *     operation with no SQL form, so it is the one deliberate UDF in
-    *     this file — it runs on 32-byte digests, never text.
+    *     built distributed via `stat.bloomFilter`, shipped once in the
+    *     task binary) splits the batch: digests the filter rejects are
+    *     *definitely* novel and bypass the join entirely; only the
+    *     ~fpp·batch + true-dup remainder reaches the exact shuffled
+    *     anti-join. The probe is the codegen `graft_bloom_contains`
+    *     expression ([[graft.plans.BloomContainsString]]) over the
+    *     serialized sketch — native, not a UDF — and it runs on 32-byte
+    *     digests, never text.
     *  3. else → plain shuffled left-anti (both sides hash-exchange on the
     *     digest; at 10¹⁰⁺ corpus digests even the bloom bitmap outgrows a
     *     sane broadcast).
@@ -92,11 +94,16 @@ object DedupOps {
       if (nCorpus <= maxBroadcastDigests) {
         batch.join(broadcast(corpus), Seq("digest"), "left_anti")
       } else if (nCorpus <= maxBloomDigests) {
-        val bf = t.documents.sparkSession.sparkContext.broadcast(
-          corpus.stat.bloomFilter("digest", math.max(nCorpus, 1L), bloomFpp))
-        val mightContain = udf((s: String) => bf.value.mightContainString(s))
-        val definitelyNovel = batch.filter(!mightContain(col("digest")))
-        val needExactCheck = batch.filter(mightContain(col("digest")))
+        val bfBytes = {
+          val bf = corpus.stat.bloomFilter("digest", math.max(nCorpus, 1L), bloomFpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        val mightContain =
+          call_function("graft_bloom_contains", col("digest"), lit(bfBytes))
+        val definitelyNovel = batch.filter(!mightContain)
+        val needExactCheck = batch.filter(mightContain)
           .join(corpus, Seq("digest"), "left_anti")
         definitelyNovel.unionByName(needExactCheck)
       } else {

@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SparseDotProduct].getName, "graft_sparse_dot"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SparseDotProduct(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsString].getName, "graft_bloom_contains"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomContainsString(args(0), args(1))))
   }
 }
