@@ -153,10 +153,11 @@ object SparkEntry {
     // same oracle as the dense variant: sparse merge-dot scoring is
     // bit-identical (SparseDotSpec), so it earns its own hash gate
     "ml_recommend_tfidf_sparse" -> q(t => Recommender.similarDocsSparse(t, 0L, 5)),
+    // hash-gated: the decode pattern is closed-form arithmetic, so the
+    // oracle regenerates the pixel grid with range() joins and recomputes
+    // every output — the real ImageIO codec is pinned cross-engine
     "multimodal_features" -> q(MultimodalOps.assetFeatureStats),
     "multimodal_binary_ingest" -> q(MultimodalOps.binaryIngestStats),
-    // rows-only: PNG files in a driver temp dir -> binaryFile -> real
-    // ImageIO decode; pixel-exactness is spec'd (TextMlMultimodalSpec)
     "multimodal_png_files" -> q(MultimodalOps.pngFileDecodeStats))
 
   /** Shared oracle CTE: the md5-minhash candidate pairs with verified
@@ -956,6 +957,66 @@ object SparkEntry {
         |       floor((CAST(sum(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) / count(nrm)) * 10000 + 0.5) / 10000 AS avg_norm
         |FROM n GROUP BY label""".stripMargin,
     // TF-IDF recommender, fully relational (round-2 verdict item 8):
+    // The multimodal gates regenerate the closed-form test pattern
+    // (MultimodalOps.patternRgb / assetDims) as a pixel grid: range(0,32)
+    // joined under the per-asset width/height bound (DuckDB 1.0 has no
+    // lateral range over a column). All compared values reduce to exact
+    // integer sums and single integer/integer double divisions, so the
+    // hash pins the engine's REAL javax.imageio decode bit-for-bit —
+    // see MultimodalOps.assetFeatureStats's exactness argument.
+    "multimodal_png_files" ->
+      """WITH d AS (
+        |  SELECT i AS asset_id,
+        |         16 + i % 16 AS width,
+        |         16 + (i * 7) % 16 AS height
+        |  FROM range(0, 64) t(i)),
+        |px AS (
+        |  SELECT d.asset_id, d.width, d.height, xs.i AS x, ys.i AS y
+        |  FROM d
+        |  JOIN range(0, 32) xs(i) ON xs.i < d.width
+        |  JOIN range(0, 32) ys(i) ON ys.i < d.height)
+        |SELECT asset_id, width, height,
+        |       floor((CAST(sum((x*31 + y*7 + asset_id*13) % 256) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS mean_r,
+        |       floor((CAST(sum((x*7 + y*31 + asset_id*29) % 256) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS mean_g,
+        |       floor((CAST(sum((x + y + asset_id) % 256) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS mean_b
+        |FROM px
+        |GROUP BY asset_id, width, height""".stripMargin,
+    // per-format rollup over the documents-derived synthetic assets; the
+    // luminance bin is integer ITU-R 601 luma (r*299+g*587+b*114)//1000
+    // with bin width 32 — bin 0 = luma < 32, matching the decode kernel
+    "multimodal_features" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 'png/' || source AS format,
+        |         16 + doc_id % 16 AS w, 16 + (doc_id * 7) % 16 AS h
+        |  FROM documents),
+        |fmt AS (
+        |  SELECT format, count(*) AS n_assets,
+        |         CAST(sum(w * h) AS BIGINT) AS n_px,
+        |         floor((CAST(sum(w) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_width,
+        |         floor((CAST(sum(h) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_height
+        |  FROM d GROUP BY format),
+        |v AS (
+        |  SELECT d.format,
+        |         (xs.i*31 + ys.i*7 + d.id*13) % 256 AS r,
+        |         (xs.i*7 + ys.i*31 + d.id*29) % 256 AS g,
+        |         (xs.i + ys.i + d.id) % 256 AS b
+        |  FROM d
+        |  JOIN range(0, 32) xs(i) ON xs.i < d.w
+        |  JOIN range(0, 32) ys(i) ON ys.i < d.h),
+        |pxa AS (
+        |  SELECT format, count(*) AS npx,
+        |         CAST(sum(r) AS BIGINT) AS sr,
+        |         CAST(sum(g) AS BIGINT) AS sg,
+        |         CAST(sum(b) AS BIGINT) AS sb,
+        |         CAST(sum(CASE WHEN ((r*299 + g*587 + b*114) // 1000) // 32 = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS l0
+        |  FROM v GROUP BY format)
+        |SELECT f.format, f.n_assets, f.n_px, f.avg_width, f.avg_height,
+        |       floor((CAST(p.sr AS DOUBLE) / p.npx) * 10000 + 0.5) / 10000 AS mean_r_px,
+        |       floor((CAST(p.sg AS DOUBLE) / p.npx) * 10000 + 0.5) / 10000 AS mean_g_px,
+        |       floor((CAST(p.sb AS DOUBLE) / p.npx) * 10000 + 0.5) / 10000 AS mean_b_px,
+        |       floor((CAST(p.l0 AS DOUBLE) / p.npx) * 1000000 + 0.5) / 1000000 AS lum0_share
+        |FROM fmt f JOIN pxa p USING (format)""".stripMargin,
     // RegexTokenizer(\W, lowercase) = split on [^a-z0-9_] after lower()
     // (Java \w is ASCII); StopWordsRemover = NOT IN the default english
     // list above; CountVectorizer = per-doc term counts (vocab order is

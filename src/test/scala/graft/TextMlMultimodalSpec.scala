@@ -136,9 +136,19 @@ class TextMlMultimodalSpec extends SparkTestBase {
     rows.foreach { r =>
       val id = r.getLong(0)
       val (w, h) = MultimodalOps.assetDims(id)
-      assert(r.getInt(2) == w && r.getInt(3) == h, s"file asset $id dims")
-      assert(r.getInt(1) > 0)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"file asset $id dims")
+      // floor-rounded channel means match the closed-form pattern
+      val pix = for (y <- 0 until h; x <- 0 until w) yield MultimodalOps.patternRgb(id, x, y)
+      def m(f: ((Int, Int, Int)) => Int): Double =
+        math.floor(pix.map(f).sum.toDouble / pix.size * 10000 + 0.5) / 10000
+      assert(r.getDouble(3) == m(_._1) && r.getDouble(4) == m(_._2) &&
+        r.getDouble(5) == m(_._3), s"file asset $id channel means")
     }
+    // n_bytes left out of the gate (encoder-dependent) — assert it on the
+    // decode output directly: every payload is a real nonempty PNG
+    val decoded = MultimodalOps.decodeAssets(spark,
+      MultimodalOps.pngFileAssets(spark)).toDF().select("n_bytes").collect()
+    assert(decoded.nonEmpty && decoded.forall(_.getInt(0) > 0))
   }
 
   test("recommender returns k results excluding the query doc") {
