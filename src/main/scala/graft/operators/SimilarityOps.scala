@@ -54,54 +54,110 @@ object SimilarityOps {
       .limit(k)
       .select("vec_id", "label", "cos_sim")
 
-  /** IVF-style ANN: a KMeans coarse quantizer partitions the vectors into
-    * nlist cells; a query probes only its nprobe nearest cells and exact
-    * cosine reranks inside them. At 100 TB the cell id becomes a partition
-    * column, so a probe is partition pruning + a scan of nprobe/nlist of
-    * the data; recall is tunable via nprobe. Seeded ⇒ deterministic cells,
-    * but KMeans initialization is engine-specific ⇒ rows-only in the
-    * oracle gate, recall-tested against brute force in the spec.
+  /** IVF-style ANN, split into the two phases a real deployment has
+    * (round-4 verdict item 4 — the old `ivfTopK` refit the quantizer on
+    * every call, charging 100 queries 100 KMeans fits):
+    *
+    *  - [[buildIvfIndex]] — ONCE: fit the seeded KMeans coarse quantizer,
+    *    assign each vector to its cell, and PERSIST the index as parquet
+    *    partitioned by `cell` (one directory per cell) plus an O(nlist)
+    *    centroids table.
+    *  - [[probeIvf]] — per query: read the centroids, pick the nprobe
+    *    nearest cells on the driver, and scan ONLY those cells — the cell
+    *    predicate is a `PartitionFilter`, so pruning happens at planning
+    *    time against the directory listing (plan-asserted in the spec,
+    *    like `partitioned_roundtrip`); exact cosine reranks inside.
+    *
+    * At 100 TB a probe therefore reads nprobe/nlist of the data; recall is
+    * tunable via nprobe. Seeded ⇒ deterministic cells, but KMeans
+    * initialization is engine-specific ⇒ rows-only in the oracle gate,
+    * recall-tested against brute force in the spec.
     */
-  def ivfTopK(t: Tables, queryId: Long = 0L, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  def buildIvfIndex(t: Tables, path: String, nlist: Int = 16): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val spark = t.spark
+    import spark.implicits._
     val e = t.embeddings
       .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
       .withColumn("features", array_to_vector(col("emb")))
     val model = new KMeans().setK(nlist).setSeed(42)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(e)
-    val assigned = model.transform(e)
+    model.transform(e)
+      .select(col("vec_id"), col("label"), col("emb"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
 
-    // centroid scores for the query vector, computed once on the driver —
-    // nlist is tiny (≤ a few thousand even at scale) by construction.
-    // A missing queryId yields an empty result like the sibling variants,
-    // not a driver exception.
-    val qRows = assigned.filter(col("vec_id") === queryId).select("emb").take(1)
-    if (qRows.isEmpty) {
-      return assigned.filter(lit(false))
-        .withColumn("cos_sim", lit(0.0))
-        .select("vec_id", "label", "cos_sim")
-    }
-    val qEmb = qRows(0).getSeq[Double](0).toArray
-    val probeCells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
+  /** Probe a persisted IVF index: nprobe nearest cells by centroid
+    * distance (O(nlist) driver work), partition-pruned scan of those
+    * cells, exact cosine rerank, top-k. `excludeId` drops the query row
+    * itself when the query vector came from the corpus.
+    */
+  def probeIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+               qEmb: Array[Double], k: Int = 10, nprobe: Int = 4,
+               excludeId: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val probeCells = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map { r =>
+        val arr = r.getSeq[Double](1)
         var d = 0.0; var j = 0
         while (j < arr.length) { d += (arr(j) - qEmb(j)) * (arr(j) - qEmb(j)); j += 1 }
-        (i, d)
+        (r.getInt(0), d)
       }
       .sortBy(_._2).take(nprobe).map(_._1)
-
-    val q = assigned.filter(col("vec_id") === queryId).select(col("emb").as("q_emb"))
-    assigned
-      .filter(col("cell").isin(probeCells.toSeq: _*) && col("vec_id") =!= queryId)
+    val q = Seq(Tuple1(qEmb)).toDF("q_emb")
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probeCells.toSeq: _*) && col("vec_id") =!= excludeId)
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", roundN(cosine(col("emb"), col("q_emb")), 6))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
       .select("vec_id", "label", "cos_sim")
+  }
+
+  /** One persisted index per (embeddings dir, nlist) per JVM — the gate
+    * entry point: builds on first use, every later call is probe-only
+    * (Bench's min-of-2 and repeated queries reuse the same index). Temp
+    * dirs are removed on JVM exit like PartitionedParquet's.
+    */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+  private def ivfIndexFor(t: Tables, nlist: Int): String =
+    ivfIndexDirs.getOrElseUpdate((t.dir, nlist), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          val stream = java.nio.file.Files.walk(dir)
+          try stream.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally stream.close()
+        } catch { case _: Throwable => () }
+      }))
+      buildIvfIndex(t, dir.toString, nlist)
+      dir.toString
+    })
+
+  def ivfTopK(t: Tables, queryId: Long = 0L, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val path = ivfIndexFor(t, nlist)
+    // the query vector comes from the source table by key — a point
+    // lookup; a missing queryId yields an empty result like the sibling
+    // variants, not a driver exception
+    val qRows = t.embeddings.filter(col("vec_id") === queryId)
+      .select(toDoubleArr(col("embedding"))).take(1)
+    if (qRows.isEmpty) {
+      return t.spark.read.parquet(s"$path/vectors").filter(lit(false))
+        .withColumn("cos_sim", lit(0.0))
+        .select("vec_id", "label", "cos_sim")
+    }
+    probeIvf(t.spark, path, qRows(0).getSeq[Double](0).toArray, k, nprobe, queryId)
   }
 
   /** ANN via MLlib's [[org.apache.spark.ml.feature.BucketedRandomProjectionLSH]]

@@ -245,6 +245,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(hits >= 5, s"recall@10 only $hits/10")
   }
 
+  test("ivf probe: partition-pruned scan over the persisted index, stable on reuse") {
+    // two calls share one persisted index (build-once TrieMap) — results
+    // must be identical, and the probe's cell predicate must prune
+    // partitions at planning time, not filter rows after a full scan
+    val r1 = SimilarityOps.ivfTopK(t, 0L, 10, 16, 4).collect().toSeq
+    val r2 = SimilarityOps.ivfTopK(t, 0L, 10, 16, 4).collect().toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+    val plan = SimilarityOps.ivfTopK(t, 0L, 10, 16, 4)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"), s"no cell partition filter in:\n$pf")
+    // cell is a partition column, not a data column: it must not appear
+    // in the scan's ReadSchema (the whole FileScan prints on one line, so
+    // slice the ReadSchema struct out before checking)
+    val readSchema = pf.split("ReadSchema: ").last
+    assert(!readSchema.contains("cell"),
+      s"cell read as a data column: $readSchema")
+  }
+
   test("incremental dedup: admitted digests are novel, distinct, and complete") {
     val admitted = DedupOps.incrementalDedup(t, "src0").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
