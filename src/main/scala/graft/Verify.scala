@@ -5,12 +5,13 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * Seeded-sampling gates are partition-dependent, so they can never be
-  * hash-gated against DuckDB — but "rows-only" need not mean "unchecked".
-  * [[SamplingInvariants]] verifies the properties that ARE well-defined
-  * (bounds, disjointness/subset structure, in-session determinism) before
-  * the output is written; a violation throws, the query records as failed,
-  * and the driver's rows-only row goes red instead of silently green.
+  * Rows-only gates (seeded sampling, engine-specific sketches/ANN/ML, the
+  * directory-scoped binary ingest) can never be hash-gated against DuckDB
+  * — but "rows-only" need not mean "unchecked". [[GateInvariants]]
+  * verifies the properties that ARE well-defined for every such gate
+  * before its output is written; a violation throws, the query records as
+  * failed, and the driver's rows-only row goes red instead of silently
+  * green.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -29,7 +30,7 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        SamplingInvariants.check(name, df, fn, spark, sfDir)
+        GateInvariants.check(name, df, fn, spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -54,9 +55,10 @@ object Verify {
   }
 }
 
-/** Property checks for the seeded-sampling rows-only gates (round-4
-  * verdict item 7). Each check states an invariant that holds regardless
-  * of partition layout:
+/** Property checks for EVERY rows-only gate (round-4 verdict item 7,
+  * widened from the four sampling gates to the full ◦ set). Each check
+  * states an invariant that holds regardless of partition layout or
+  * engine-specific randomness:
   *
   *  - `sample_orders` — sampled keys are a DISTINCT SUBSET of the source
   *    keys; the row count sits inside a 6σ binomial band around
@@ -69,11 +71,31 @@ object Verify {
   *    that stratum's own fraction (0.05/0.05/0.5); deterministic.
   *  - `row_ids` — exactly one id per source row and all ids unique (the
   *    values themselves are partition-dependent by contract).
+  *  - `agg_approx_distinct` — HLL++ estimate within 6·rsd of the exact
+  *    per-group distinct count (rsd = 0.02 in the gate query).
+  *  - `q2_approx_median_default` — exact per-group counts, and the GK
+  *    sketch's median inside the exact [P49, P51] band (rank error at
+  *    default accuracy 10⁴ is ~n/10⁴ ranks ≪ 1% of ranks).
+  *  - `ann_ivf` / `ann_brp_lsh` — k rows, scores descending, every
+  *    reported score equals the exact cosine for that vec_id (ANN may
+  *    miss neighbors, never misscore them), recall@10 vs brute force
+  *    above a per-gate floor (IVF probes 4/16 cells, so its floor only
+  *    catches probing the wrong cells outright).
+  *  - `dedup_minhash_mllib` — exact duplicates (n-gram Jaccard = 1.0)
+  *    are all found (they collide in every hash table), similarities in
+  *    (threshold, 1].
+  *  - `ml_price_metrics` — the fastMetrics model trio present, finite
+  *    metrics, rmse² ≈ mse, mae ≤ rmse, and the reference's documented
+  *    r2adj == r2 quirk.
+  *  - `multimodal_binary_ingest` — one row per on-disk file with the
+  *    exact byte length and md5 of the file's bytes (payload survived
+  *    the binaryFile source bit-for-bit).
   *
-  * 6σ + 10 keeps the bands false-positive-free (≪1e-8 per gate) while
-  * still catching a wrong fraction, a double-sample, or a lost stratum.
+  * 6σ + 10 keeps the statistical bands false-positive-free (≪1e-8 per
+  * gate) while still catching a wrong fraction, a double-sample, a
+  * drifted sketch, or a lost stratum.
   */
-object SamplingInvariants {
+object GateInvariants {
   private type QueryFn = (SparkSession, String) => DataFrame
 
   private def binomialBand(n: Long, p: Double): (Long, Long) = {
@@ -86,6 +108,26 @@ object SamplingInvariants {
     val (lo, hi) = binomialBand(n, p)
     require(got >= lo && got <= hi,
       s"invariant: $what count $got outside [$lo, $hi] (p=$p of $n)")
+  }
+
+  private def annChecks(df: DataFrame, spark: SparkSession, sfDir: String,
+                        k: Int, scoreTol: Double, minHits: Int): Unit = {
+    val rows = df.collect()
+    require(rows.length == k, s"invariant: expected $k neighbors, got ${rows.length}")
+    val scores = rows.map(_.getDouble(2)).toSeq
+    require(scores == scores.sorted.reverse, "invariant: scores not descending")
+    val brute = operators.SimilarityOps
+      .bruteForceTopK(core.Tables(spark, sfDir), 0L, Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      require(math.abs(brute(r.getLong(0)) - r.getDouble(2)) <= scoreTol,
+        s"invariant: vec ${r.getLong(0)} scored ${r.getDouble(2)}, exact ${brute(r.getLong(0))}")
+    }
+    val top = operators.SimilarityOps
+      .bruteForceTopK(core.Tables(spark, sfDir), 0L, k)
+      .collect().map(_.getLong(0)).toSet
+    val hits = rows.map(_.getLong(0)).count(top.contains)
+    require(hits >= minHits, s"invariant: recall@$k only $hits/$k vs brute force")
   }
 
   def check(name: String, df: DataFrame, fn: QueryFn,
@@ -131,6 +173,75 @@ object SamplingInvariants {
       require(df.count() == n, "invariant: row_ids row count != source count")
       require(df.select(countDistinct(col("row_id"))).head().getLong(0) == n,
         "invariant: row ids not unique")
+    case "agg_approx_distinct" =>
+      val exact = core.Tables(spark, sfDir).lineitem
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      df.collect().foreach { r =>
+        val (flag, approx) = (r.getString(0), r.getLong(1))
+        val tol = math.max(6.0 * 0.02 * exact(flag), 10.0)
+        require(math.abs(approx - exact(flag)) <= tol,
+          s"invariant: HLL estimate $approx for '$flag' off exact ${exact(flag)} by > $tol")
+      }
+    case "q2_approx_median_default" =>
+      val bands = core.Tables(spark, sfDir).orders
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(o_totalprice, array(0.49, 0.51))").as("band"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+      df.collect().foreach { r =>
+        val (prio, n, med) = (r.getString(0), r.getLong(1), r.getDouble(2))
+        val (exactN, band) = bands(prio)
+        require(n == exactN, s"invariant: group count $n != exact $exactN for '$prio'")
+        require(med >= band.head && med <= band.last,
+          s"invariant: GK median $med outside exact [P49, P51] = $band for '$prio'")
+      }
+    case "ann_ivf" =>
+      // the gate probes only nprobe=4 of nlist=16 cells — recall is the
+      // tunable; the HARD invariant is score exactness (minHits=2 just
+      // catches probing the wrong cells entirely)
+      annChecks(df, spark, sfDir, k = 10, scoreTol = 0.0, minHits = 2)
+    case "ann_brp_lsh" =>
+      // cos is reconstructed as 1 − d²/2 on unit vectors: 1e-6-rounded twice
+      annChecks(df, spark, sfDir, k = 10, scoreTol = 2e-6, minHits = 5)
+    case "dedup_minhash_mllib" =>
+      val got = df.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      got.values.foreach(j => require(j >= 0.7 - 1e-4 && j <= 1.0,
+        s"invariant: similarity $j outside (threshold, 1]"))
+      val exact = operators.DedupOps
+        .ngramJaccardPairs(core.Tables(spark, sfDir), 1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      exact.foreach(p => require(got.contains(p),
+        s"invariant: exact duplicate pair $p missed (collides in every table)"))
+    case "ml_price_metrics" =>
+      val rows = df.collect()
+      require(rows.map(_.getString(0)).toSet ==
+        Set("LinearRegression", "DecisionTree", "GeneralizedLinear"),
+        "invariant: fastMetrics model set incomplete")
+      rows.foreach { r =>
+        val Seq(r2, r2adj, mse, rmse, mae) = (1 to 5).map(r.getDouble)
+        require(!r2.isNaN && r2 <= 1.0 && mse >= 0 && mae >= 0, "invariant: bad metric")
+        require(r2 == r2adj, "invariant: r2adj quirk (== r2) not reproduced")
+        require(math.abs(rmse * rmse - mse) / math.max(mse, 1e-9) < 0.01,
+          "invariant: rmse^2 != mse")
+        require(mae <= rmse, "invariant: mae > rmse is impossible")
+      }
+    case "multimodal_binary_ingest" =>
+      val onDisk = new java.io.File(sfDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md5hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          f.getName -> ((f.length(), md5hex))
+        }.toMap
+      val got = df.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      require(got == onDisk,
+        "invariant: binaryFile rows disagree with on-disk names/sizes/digests")
     case _ => ()
   }
 }

@@ -1,28 +1,42 @@
 package graft
 
 import graft.operators.CoreQueries
+import graft.multimodal.MultimodalOps
 import org.apache.spark.sql.functions._
 
-/** SamplingInvariants: the rows-only sampling gates' property harness must
-  * accept the real queries and REJECT doctored outputs — otherwise it is
-  * decoration, not a gate.
+/** GateInvariants: the rows-only gates' property harness must accept the
+  * real queries and REJECT doctored outputs — otherwise it is decoration,
+  * not a gate. (ANN/ML/mllib-minhash positives run in every Verify
+  * invocation; here the cheap families cover both directions.)
   */
 class VerifyInvariantsSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
   test("real sampling queries satisfy their invariants") {
-    SamplingInvariants.check("sample_orders",
+    GateInvariants.check("sample_orders",
       CoreQueries.sampleOrders(t), (s, d) => CoreQueries.sampleOrders(core.Tables(s, d)),
       spark, dir)
-    SamplingInvariants.check("split_counts",
+    GateInvariants.check("split_counts",
       CoreQueries.splitCounts(t), (s, d) => CoreQueries.splitCounts(core.Tables(s, d)),
       spark, dir)
-    SamplingInvariants.check("sample_stratified",
+    GateInvariants.check("sample_stratified",
       CoreQueries.stratifiedSample(t), (s, d) => CoreQueries.stratifiedSample(core.Tables(s, d)),
       spark, dir)
-    SamplingInvariants.check("row_ids",
+    GateInvariants.check("row_ids",
       CoreQueries.rowIds(t), (s, d) => CoreQueries.rowIds(core.Tables(s, d)),
+      spark, dir)
+  }
+
+  test("real sketch and ingest queries satisfy their invariants") {
+    GateInvariants.check("agg_approx_distinct",
+      CoreQueries.aggApproxDistinct(t), (s, d) => CoreQueries.aggApproxDistinct(core.Tables(s, d)),
+      spark, dir)
+    GateInvariants.check("q2_approx_median_default",
+      CoreQueries.q2ApproxMedianDefault(t), (s, d) => CoreQueries.q2ApproxMedianDefault(core.Tables(s, d)),
+      spark, dir)
+    GateInvariants.check("multimodal_binary_ingest",
+      MultimodalOps.binaryIngestStats(t), (s, d) => MultimodalOps.binaryIngestStats(core.Tables(s, d)),
       spark, dir)
   }
 
@@ -30,28 +44,42 @@ class VerifyInvariantsSpec extends SparkTestBase {
     val sample = CoreQueries.sampleOrders(t)
     // doubled sample: duplicate keys + count outside the binomial band
     intercept[IllegalArgumentException] {
-      SamplingInvariants.check("sample_orders",
+      GateInvariants.check("sample_orders",
         sample.unionAll(sample), (s, d) => CoreQueries.sampleOrders(core.Tables(s, d)),
         spark, dir)
     }
     // foreign keys: not a subset of the source
     intercept[IllegalArgumentException] {
-      SamplingInvariants.check("sample_orders",
+      GateInvariants.check("sample_orders",
         sample.withColumn("o_orderkey", col("o_orderkey") + 1000000000L),
         (s, d) => CoreQueries.sampleOrders(core.Tables(s, d)), spark, dir)
     }
     // lost split: counts no longer partition the source
     val splits = CoreQueries.splitCounts(t)
     intercept[IllegalArgumentException] {
-      SamplingInvariants.check("split_counts",
+      GateInvariants.check("split_counts",
         splits.withColumn("n", col("n") - 1),
         (s, d) => CoreQueries.splitCounts(core.Tables(s, d)), spark, dir)
     }
     // collapsed ids: row_id uniqueness violated
     intercept[IllegalArgumentException] {
-      SamplingInvariants.check("row_ids",
+      GateInvariants.check("row_ids",
         CoreQueries.rowIds(t).withColumn("row_id", lit(7L)),
         (s, d) => CoreQueries.rowIds(core.Tables(s, d)), spark, dir)
+    }
+    // drifted sketch: estimate doubled is far outside the 6-sigma rsd band
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("agg_approx_distinct",
+        CoreQueries.aggApproxDistinct(t)
+          .withColumn("approx_parts", col("approx_parts") * 2),
+        (s, d) => CoreQueries.aggApproxDistinct(core.Tables(s, d)), spark, dir)
+    }
+    // corrupted payload accounting: byte length off by one
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("multimodal_binary_ingest",
+        MultimodalOps.binaryIngestStats(t)
+          .withColumn("byte_len", col("byte_len") + 1),
+        (s, d) => MultimodalOps.binaryIngestStats(core.Tables(s, d)), spark, dir)
     }
   }
 }
