@@ -117,6 +117,7 @@ object SparkEntry {
     "text_quality_filter"   -> q(TextOps.qualityFilter),
     "text_top_tokens"       -> q(t => TextOps.topTokens(t)),
     "text_redact_ids"       -> q(TextOps.redactIds),
+    "text_repetition_stats" -> q(t => TextOps.repetitionStats(t)),
     // --- corpus packing / budget sampling (training-data extensions) ---
     "pack_concat_chunks"    -> q(t => PackingOps.packConcatChunks(t, 1024)),
     "sample_token_budget"   -> q(t => PackingOps.sampleTokenBudget(t, 8000)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "dedup_minhash"       -> q(t => DedupOps.minhashDupPairs(t, 0.3)),
     "dedup_clusters"      -> q(t => DedupOps.dupClusters(t, 0.5)),
     "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
+    "dedup_decontaminate" -> q(t => DedupOps.decontaminate(t, "src15")),
     // Full corpus at threshold 0.7: MLlib's scheme (1 hash per table, no
     // banding) is OR-amplified, so it is run where its candidate noise
     // vanishes — high-similarity dedup (see the operator's scaladoc for
@@ -587,6 +589,53 @@ object SparkEntry {
         |  ON c.user_id = b.user_id AND b.ts > c.ts
         |     AND b.ts <= c.ts + INTERVAL 1 HOUR
         |GROUP BY c.user_id""".stripMargin,
+    // benchmark decontamination: training docs sharing a word 3-gram with
+    // the eval source; shingle counts are xxhash64-invariant engine-side
+    // (same argument as dedup_ngram_jaccard), so the text-shingle oracle
+    // hash-matches
+    "dedup_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                        for i in range(1, len(tk)-1)]) AS sh
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source = 'src15'),
+        |tr AS (
+        |  SELECT doc_id, source, len(sh) AS n_shingles, unnest(sh) AS s
+        |  FROM sh WHERE source <> 'src15')
+        |SELECT doc_id, source, n_shingles, count(*) AS n_leaked,
+        |       floor(count(*)::DOUBLE / n_shingles * 10000 + 0.5) / 10000 AS leak_frac
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY doc_id, source, n_shingles""".stripMargin,
+    // Gopher-style repetition stats: most-frequent-token share + duplicate
+    // bigram fraction per doc, keep under (0.2, 0.3); exact integer counts
+    // and single integer/integer divisions on both sides
+    "text_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |         [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))] AS bg
+        |  FROM toks),
+        |bstat AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN len(bg) = 0 THEN 0.0
+        |              ELSE floor((len(bg) - len(list_distinct(bg)))::DOUBLE
+        |                         / len(bg) * 10000 + 0.5) / 10000
+        |         END AS dup_bigram_frac
+        |  FROM bg),
+        |w AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        |dom AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |         floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+        |               * 10000 + 0.5) / 10000 AS top_tok_frac
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT b.doc_id, b.source, d.n_tok, d.top_tok_frac, b.dup_bigram_frac,
+        |       (d.top_tok_frac <= 0.2 AND b.dup_bigram_frac <= 0.3) AS keep
+        |FROM bstat b JOIN dom d USING (doc_id)""".stripMargin,
     "dedup_incremental" ->
       """WITH d AS (
         |  SELECT doc_id, source, md5(text) AS digest FROM documents),

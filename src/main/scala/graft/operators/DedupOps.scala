@@ -116,6 +116,39 @@ object DedupOps {
       .select("doc_id", "digest", "n_copies")
   }
 
+  /** Benchmark decontamination — the "is my training set leaking the eval
+    * set" check every LLM data pipeline runs before training: flag every
+    * training document that shares at least one word n-gram with any
+    * document of the held-out/benchmark source, with the leaked-shingle
+    * count and fraction per flagged doc.
+    *
+    * Shape for 100 TB: the eval/benchmark side is tiny by construction
+    * (benchmarks are MBs; the corpus is the 100 TB), so its DISTINCT
+    * shingle keys are collected into a `broadcast()` and the training side
+    * is a map-side semi-probe + per-doc count — no shuffle carries text
+    * (shingles travel as xxhash64 longs), no all-pairs comparison, and the
+    * only exchange is the final per-doc aggregate on (doc_id). Counts are
+    * hash-invariant modulo ~n²/2⁶⁴ collisions (same argument as
+    * [[ngramJaccardPairs]]), so the query hash-gates against a text-shingle
+    * DuckDB oracle.
+    */
+  def decontaminate(t: Tables, evalSource: String = "src15", n: Int = 3): DataFrame = {
+    val docs = t.documents.select(
+      col("doc_id"), col("source"), shingleHashSet(col("text"), n).as("sh"))
+    val evalShingles = docs.filter(col("source") === evalSource)
+      .select(explode(col("sh")).as("s")).distinct()
+    val train = docs.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("s"))
+    train.join(broadcast(evalShingles), Seq("s"))
+      .groupBy("doc_id", "source", "n_shingles")
+      // sh is distinct per doc, so the join emits each leaked shingle once
+      .agg(count(lit(1)).as("n_leaked"))
+      .withColumn("leak_frac",
+        roundN(col("n_leaked").cast("double") / col("n_shingles"), 4))
+      .select("doc_id", "source", "n_shingles", "n_leaked", "leak_frac")
+  }
+
   /** Ground-truth near-duplicate pairs by exact 3-gram Jaccard ≥ minJaccard.
     *
     * Shape: explode distinct shingles → self-equi-join on shingle (skew

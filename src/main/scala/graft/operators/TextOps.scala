@@ -135,4 +135,49 @@ object TextOps {
       .filter(col("n_tokens") >= 20 && col("n_tokens") <= 100)
       .filter(stopwordRatio(col("text")) >= 0.05)
       .select("doc_id", "lang", "source", "n_tokens")
+
+  /** Gopher-style repetition quality stats (Rae et al. 2021, table A1:
+    * MassiveText removes docs whose most frequent word or duplicate
+    * n-grams dominate) — the within-document repetition signals a quality
+    * pipeline computes alongside [[qualityFilter]]'s length/stopword band:
+    *
+    *  - `top_tok_frac` — share of the document taken by its single most
+    *    frequent token (boilerplate/spam indicator);
+    *  - `dup_bigram_frac` — fraction of word bigrams that are repeats of
+    *    an earlier bigram in the same document (template/loop indicator);
+    *  - `keep` — both below the (Gopher-inspired) thresholds.
+    *
+    * Shape: the bigram stats are per-row array arithmetic (row-parallel,
+    * no shuffle); token dominance aggregates (doc_id, xxhash64(token))
+    * pairs — the shuffle carries longs, never tokens, partial aggregation
+    * combines map-side, and the final join is doc_id-to-doc_id. Counts
+    * are hash-invariant, so the query hash-gates against a text-token
+    * DuckDB oracle.
+    */
+  def repetitionStats(t: Tables, maxTopTokFrac: Double = 0.2,
+                      maxDupBigramFrac: Double = 0.3): DataFrame = {
+    val bigrams = t.documents
+      .withColumn("bg", shingles(col("text"), 2))
+      .select(
+        col("doc_id"), col("source"),
+        when(size(col("bg")) === 0, 0.0)
+          .otherwise(roundN(
+            (size(col("bg")) - size(array_distinct(col("bg")))).cast("double")
+              / size(col("bg")), 4))
+          .as("dup_bigram_frac"))
+    val dominance = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), max("c").as("top_c"))
+      .select(col("doc_id"), col("n_tok"),
+        roundN(col("top_c").cast("double") / col("n_tok"), 4).as("top_tok_frac"))
+    bigrams.join(dominance, Seq("doc_id"))
+      .withColumn("keep",
+        col("top_tok_frac") <= maxTopTokFrac &&
+          col("dup_bigram_frac") <= maxDupBigramFrac)
+      .select("doc_id", "source", "n_tok", "top_tok_frac", "dup_bigram_frac", "keep")
+  }
 }

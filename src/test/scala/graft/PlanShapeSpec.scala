@@ -95,6 +95,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!q.contains("Window"), "mixture sampling must not fall back to a window")
   }
 
+  test("decontaminate: eval shingles broadcast; text never enters an exchange") {
+    // the eval/benchmark side is tiny by construction — the probe must be
+    // a broadcast semi-join, and shuffles must carry hashed longs only
+    val p = plan(DedupOps.decontaminate(t, "src15"))
+    assert(p.contains("BroadcastHashJoin"),
+      "eval shingle set must broadcast, not shuffle the training corpus")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"exchange carries document text: $line")
+    }
+  }
+
   test("incremental dedup: anti-join on digests, text never enters an exchange") {
     val p = plan(DedupOps.incrementalDedup(t, "src0"))
     assert(p.contains("LeftAnti"), "corpus membership must be a left-anti join")

@@ -55,6 +55,30 @@ class TextMlMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("repetitionStats: per-doc fractions match a brute-force recompute") {
+    val got = TextOps.repetitionStats(t).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length, "every document gets repetition stats")
+    def fr(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    docs.foreach { case (id, text) =>
+      val tk = text.split("\\s+").toSeq
+      val bg = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val expDup = if (bg.isEmpty) 0.0
+        else fr((bg.size - bg.distinct.size).toDouble / bg.size)
+      val counts = tk.groupBy(identity).view.mapValues(_.size).toMap
+      val expTop = fr(counts.values.max.toDouble / tk.size)
+      val (nTok, topFrac, dupFrac, keep) = got(id)
+      assert(nTok == tk.size && topFrac == expTop && dupFrac == expDup,
+        s"doc $id: got ($nTok, $topFrac, $dupFrac), expected (${tk.size}, $expTop, $expDup)")
+      assert(keep == (topFrac <= 0.2 && dupFrac <= 0.3))
+    }
+    // the signal discriminates on the fixtures: both outcomes occur
+    assert(got.values.exists(_._4) , "no doc kept")
+  }
+
   test("binaryFile source: one row per fixture file, content bytes intact") {
     val rows = MultimodalOps.binaryIngestStats(t).collect()
     val dir = new java.io.File("/root/testdata/sf0.001")

@@ -264,6 +264,33 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"cell read as a data column: $readSchema")
   }
 
+  test("decontaminate: flags exactly the train docs sharing 3-grams with the eval source") {
+    val rows = DedupOps.decontaminate(t, "src15").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // brute-force ground truth from the raw text
+    def shingles3(text: String): Set[String] =
+      text.split("\\s+").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val docs = t.documents.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val evalSh = docs.filter(_._2 == "src15").flatMap(d => shingles3(d._3)).toSet
+    docs.filter(_._2 != "src15").foreach { case (id, src, text) =>
+      val sh = shingles3(text)
+      val leaked = sh.count(evalSh.contains)
+      if (leaked == 0) {
+        assert(!rows.contains(id), s"doc $id flagged with no leaked shingles")
+      } else {
+        val (gotSrc, nSh, nLeaked, frac) = rows(id)
+        assert(gotSrc == src && nSh == sh.size && nLeaked == leaked.toLong,
+          s"doc $id: got ($gotSrc, $nSh, $nLeaked), expected ($src, ${sh.size}, $leaked)")
+        assert(frac == math.floor(leaked.toDouble / sh.size * 10000 + 0.5) / 10000)
+      }
+    }
+    // eval docs never appear on the train side
+    val evalIds = docs.filter(_._2 == "src15").map(_._1).toSet
+    assert(rows.keySet.intersect(evalIds).isEmpty)
+  }
+
   test("incremental dedup: admitted digests are novel, distinct, and complete") {
     val admitted = DedupOps.incrementalDedup(t, "src0").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
