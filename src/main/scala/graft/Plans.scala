@@ -39,7 +39,15 @@ object Plans {
       "dedup_simhash (64 sign-sum aggs, shared band exchange)" ->
         operators.DedupOps.simhashDupPairs(t, 6),
       "text_top_tokens (word count: partial agg + TakeOrderedAndProject)" ->
-        operators.TextOps.topTokens(t))
+        operators.TextOps.topTokens(t),
+      "dedup_incremental tier 2 (codegen bloom probe, no UDF)" ->
+        operators.DedupOps.incrementalDedup(t, "src0", maxBroadcastDigests = 0L),
+      "dedup_decontaminate (broadcast eval shingles, hashed-long exchanges)" ->
+        operators.DedupOps.decontaminate(t, "src15"),
+      "ann_ivf (build-once index, partition-pruned probe)" ->
+        operators.SimilarityOps.ivfTopK(t, 0L, 10, 16, 4),
+      "text_repetition_stats (per-row bigram math + hashed dominance agg)" ->
+        operators.TextOps.repetitionStats(t))
 
     picks.foreach { case (label, df) =>
       println(s"\n===== $label =====")
