@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: an empty or near-empty corpus is a real
+  * state for a continuously-fed pipeline (first run, a filter that drops
+  * everything, a new source with no documents yet) — operators must return
+  * empty/well-defined results there, not throw. Covers the families where
+  * the edge is reachable: dedup, decontamination, text stats, packing,
+  * clustering, and scan-side similarity. (ML/KMeans fits legitimately
+  * require non-empty input and are out of scope.)
+  */
+class DegenerateInputSpec extends SparkTestBase {
+
+  /** One empty-fixture dir per JVM: every batch table written with its real
+    * schema and zero rows (events excluded — its NANOS encoding can't be
+    * reproduced by a plain write, and no spec here needs it).
+    */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { name =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+        .limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+  private lazy val et: Tables = Tables(spark, emptyDir)
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(DedupOps.exactDupStats(et).count() == 0)
+    assert(DedupOps.exactDedup(et).count() == 0)
+    assert(DedupOps.minhashDupPairs(et, 0.3).count() == 0)
+    assert(DedupOps.simhashDupPairs(et, 6).count() == 0)
+    assert(DedupOps.ngramJaccardPairs(et, 0.3).count() == 0)
+    assert(DedupOps.incrementalDedup(et, "src0").count() == 0)
+    assert(DedupOps.decontaminate(et, "src15").count() == 0)
+  }
+
+  test("decontaminate with an unknown eval source flags nothing") {
+    // eval side empty but the training side is the full fixture corpus
+    assert(DedupOps.decontaminate(t, "no_such_source").count() == 0)
+  }
+
+  test("text and packing families return empty on an empty corpus") {
+    assert(TextOps.tokenStats(et).count() == 0)
+    assert(TextOps.repetitionStats(et).count() == 0)
+    assert(TextOps.topTokens(et).count() == 0)
+    assert(TextOps.fingerprints(et).count() == 0)
+    assert(PackingOps.packConcatChunks(et, 1024).count() == 0)
+    assert(PackingOps.sampleTokenBudget(et, 8000).count() == 0)
+  }
+
+  test("cluster resolution over an empty pair graph is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(GraphOps.clusters(empty).count() == 0)
+  }
+
+  test("scan-side ANN on an empty embedding table is empty") {
+    assert(SimilarityOps.bruteForceTopK(et, 0L, 10).count() == 0)
+    assert(SimilarityOps.lshTopK(et, 0L, 5, 6).count() == 0)
+    assert(SimilarityOps.embeddingNearDupExact(et, 0.5).count() == 0)
+    assert(SimilarityOps.embeddingNearDupLsh(et, 0.5, 8).count() == 0)
+  }
+
+  test("repetition stats on a single-token document") {
+    import spark.implicits._
+    val one = Seq((1L, "hello", "en", "srcX", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_onedoc_").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "embeddings").foreach { name =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+        .limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    one.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.repetitionStats(Tables(spark, dir)).collect()
+    assert(r.length == 1)
+    // no bigrams -> dup fraction 0; one token dominates fully -> not kept
+    assert(r(0).getLong(2) == 1L && r(0).getDouble(3) == 1.0 &&
+      r(0).getDouble(4) == 0.0 && !r(0).getBoolean(5))
+  }
+}
