@@ -64,6 +64,7 @@ object SparkEntry {
     "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
     "partitioned_roundtrip" -> q(graft.sources.PartitionedParquet.partitionedRoundtrip),
     "json_roundtrip"        -> q(graft.sources.JsonIO.jsonRoundtrip),
+    "orc_roundtrip"         -> q(graft.sources.OrcIO.orcRoundtrip),
     "pivot_flag_status"     -> q(CoreQueries.pivotFlagStatus),
     "stat_corr_covar"       -> q(CoreQueries.statCorrCovar),
     "sample_stratified"     -> q(CoreQueries.stratifiedSample),
@@ -130,6 +131,7 @@ object SparkEntry {
     "dedup_clusters"      -> q(t => DedupOps.dupClusters(t, 0.5)),
     "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
     "dedup_decontaminate" -> q(t => DedupOps.decontaminate(t, "src15")),
+    "dedup_substring_spans" -> q(t => DedupOps.duplicateSpans(t.documents)),
     // Full corpus at threshold 0.7: MLlib's scheme (1 hash per table, no
     // banding) is OR-amplified, so it is run where its candidate noise
     // vanishes — high-similarity dedup (see the operator's scaladoc for
@@ -609,6 +611,41 @@ object SparkEntry {
         |       floor(count(*)::DOUBLE / n_shingles * 10000 + 0.5) / 10000 AS leak_frac
         |FROM tr JOIN ev USING (s)
         |GROUP BY doc_id, source, n_shingles""".stripMargin,
+    // Substring-span dedup: positioned text 3-grams (the engine hashes them
+    // to xxhash64 longs; duplicated-position membership is hash-invariant),
+    // df≥2 positions merged into spans by a lag/running-sum window — the
+    // same relational shape as the engine, recomputed from raw text
+    "dedup_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS tk FROM documents),
+        |ps0 AS (
+        |  SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         unnest([{'pos': i, 'sh': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]}
+        |                 for i in range(1, len(tk)-1)]) AS e
+        |  FROM toks),
+        |ps AS (SELECT doc_id, source, n_tokens, e.pos AS pos, e.sh AS sh FROM ps0),
+        |dup AS (SELECT sh FROM ps GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT ps.* FROM ps WHERE sh IN (SELECT sh FROM dup)),
+        |brk AS (
+        |  SELECT doc_id, source, n_tokens, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM dp),
+        |sp AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, source, n_tokens, span_id,
+        |         min(pos) AS p0, max(pos) AS p1
+        |  FROM sp GROUP BY doc_id, source, n_tokens, span_id)
+        |SELECT doc_id, source, n_tokens,
+        |       count(*) AS n_spans,
+        |       CAST(max(p1 - p0 + 3) AS BIGINT) AS max_span_tokens,
+        |       CAST(sum(p1 - p0 + 3) AS BIGINT) AS dup_tokens,
+        |       floor(CAST(sum(p1 - p0 + 3) AS DOUBLE) / n_tokens * 10000 + 0.5)
+        |         / 10000 AS dup_token_frac
+        |FROM spans GROUP BY doc_id, source, n_tokens""".stripMargin,
     // Gopher-style repetition stats: most-frequent-token share + duplicate
     // bigram fraction per doc, keep under (0.2, 0.3); exact integer counts
     // and single integer/integer divisions on both sides
@@ -737,6 +774,14 @@ object SparkEntry {
     "json_roundtrip" ->
       """SELECT lang, source, count(*) AS n_docs,
         |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    // orc_roundtrip's engine side goes documents → ORC → read-back; the
+    // oracle aggregates the source table directly, so a hash match proves
+    // the ORC encode/decode path is lossless for strings and integers.
+    "orc_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source""".stripMargin,
     "sample_mixture" ->
       """WITH tk AS (

@@ -149,6 +149,68 @@ object DedupOps {
       .select("doc_id", "source", "n_shingles", "n_leaked", "leak_frac")
   }
 
+  /** Exact duplicate-substring spans — substring-level dedup in the style
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499), re-expressed relationally at token
+    * n-gram granularity: position p of a document is *duplicated* when the
+    * n-gram starting there also occurs in ≥ `minDf − 1` OTHER documents;
+    * duplicated positions whose n-token windows touch or overlap
+    * (gap ≤ n) merge into maximal spans. Output per affected doc: span
+    * count, longest span, and the exact token count/fraction covered by
+    * duplicated spans — the signal substring dedup cuts on (the paper cuts
+    * repeated spans ≥ 50 tokens; a suffix array finds character-exact
+    * spans, the n-gram formulation trades that for pure relational
+    * operators with the same asymptotics).
+    *
+    * Scale shape: positioned shingles travel as xxhash64 longs (span
+    * membership is hash-invariant modulo ~n²/2⁶⁴ collisions — same
+    * argument as [[ngramJaccardPairs]]); the document-frequency aggregate
+    * and the semi-join back to positions both exchange on the 8-byte key
+    * (one row per position, never quadratic — unlike the Jaccard
+    * self-join, no df guard is needed); span merging is a lag/running-sum
+    * window partitioned per doc over integer positions. Text never
+    * shuffles.
+    *
+    * Exactness of the coverage count: within a merged span every adjacent
+    * position pair satisfies gap ≤ n, so the union of their n-token
+    * windows is the contiguous range [p0, p1+n−1] — `p1 − p0 + n` tokens.
+    */
+  def duplicateSpans(documents: DataFrame, n: Int = 3, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val pos = documents
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        posexplode(shingles(col("text"), n)).as(Seq("pos", "sh_txt")))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pos"),
+        xxhash64(col("sh_txt")).as("s"))
+
+    val dup = pos.groupBy("s")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf)
+      .select("s")
+
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    pos.join(dup, Seq("s"), "left_semi")
+      // brk: first position of a doc (lag null → comparison null → else
+      // branch) or a gap too wide to merge starts a new span
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("span_id",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "source", "n_tokens", "span_id")
+      .agg(min("pos").as("p0"), max("pos").as("p1"))
+      .withColumn("span_tokens", (col("p1") - col("p0") + lit(n)).cast("long"))
+      .groupBy("doc_id", "source", "n_tokens")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        max("span_tokens").as("max_span_tokens"),
+        sum("span_tokens").as("dup_tokens"))
+      .withColumn("dup_token_frac",
+        roundN(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Ground-truth near-duplicate pairs by exact 3-gram Jaccard ≥ minJaccard.
     *
     * Shape: explode distinct shingles → self-equi-join on shingle (skew

@@ -350,4 +350,70 @@ class DedupSimilaritySpec extends SparkTestBase {
     SimilarityOps.embeddingNearDupExact(t, 0.35)
       .collect().foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
+
+  test("duplicateSpans: span merging semantics on a hand-built fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      // "w1 w2 w3" duplicated at positions 0 and 7 (gap 7 > 3: two spans)
+      (0L, "w1 w2 w3 q1 q2 q3 q4 w1 w2 w3", "sA"),
+      (1L, "w1 w2 w3 z1 z2 z3", "sA"),
+      // consecutive duplicated positions 0,1,2 merge into one 5-token span
+      (2L, "p1 p2 p3 p4 p5", "sB"),
+      (3L, "p1 p2 p3 p4 p5 u1", "sB"),
+      // duplicated positions 0 and 3: gap == n merges (windows touch)
+      (4L, "k1 k2 k3 k4 k5 k6", "sC"),
+      // same two 3-grams split by q: gap 4 > 3 stays two spans
+      (5L, "k1 k2 k3 q k4 k5 k6", "sC"))
+      .toDF("doc_id", "text", "source")
+    val got = DedupOps.duplicateSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))).toMap
+    val want = Map(
+      0L -> ((10L, 2L, 3L, 6L, 0.6)),
+      1L -> ((6L, 1L, 3L, 3L, 0.5)),
+      2L -> ((5L, 1L, 5L, 5L, 1.0)),
+      3L -> ((6L, 1L, 5L, 5L, 0.8333)),
+      4L -> ((6L, 1L, 6L, 6L, 1.0)),
+      5L -> ((7L, 2L, 3L, 6L, 0.8571)))
+    assert(got == want, s"got $got")
+  }
+
+  test("duplicateSpans matches a brute-force ground truth on sf0.001") {
+    val got = DedupOps.duplicateSpans(t.documents).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+
+    val docs = t.documents.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Array[String] =
+      text.split("\\s+").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray
+    val df = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, _, text) =>
+      grams(text).distinct.foreach(g => df(g) = df.getOrElse(g, Set.empty) + id)
+    }
+    val dupGrams = df.collect { case (g, ids) if ids.size >= 2 => g }.toSet
+
+    var expected = 0
+    docs.foreach { case (id, src, text) =>
+      val gs  = grams(text)
+      val pos = gs.indices.filter(i => dupGrams(gs(i)))
+      if (pos.isEmpty) assert(!got.contains(id), s"doc $id has no duplicated grams")
+      else {
+        expected += 1
+        // merge positions whose 3-token windows touch (gap <= 3)
+        val spans = pos.tail.foldLeft(List((pos.head, pos.head))) {
+          case ((s0, s1) :: rest, p) =>
+            if (p - s1 <= 3) (s0, p) :: rest else (p, p) :: (s0, s1) :: rest
+          case (Nil, p) => List((p, p))
+        }
+        val lens = spans.map { case (a, b) => (b - a + 3).toLong }
+        val nTok = text.split("\\s+").length.toLong
+        val frac = math.floor(lens.sum.toDouble / nTok * 10000 + 0.5) / 10000
+        assert(got(id) == ((src, nTok, spans.size.toLong, lens.max, lens.sum, frac)),
+          s"doc $id: got ${got(id)}")
+      }
+    }
+    assert(got.size == expected)
+    assert(expected > 0, "fixture produced no duplicated spans — test is vacuous")
+  }
 }
