@@ -47,7 +47,9 @@ object Plans {
       "ann_ivf (build-once index, partition-pruned probe)" ->
         operators.SimilarityOps.ivfTopK(t, 0L, 10, 16, 4),
       "text_repetition_stats (per-row bigram math + hashed dominance agg)" ->
-        operators.TextOps.repetitionStats(t))
+        operators.TextOps.repetitionStats(t),
+      "dedup_substring_spans (pruned df recompute + semi probe, per-doc span window)" ->
+        operators.DedupOps.duplicateSpans(t.documents))
 
     picks.foreach { case (label, df) =>
       println(s"\n===== $label =====")

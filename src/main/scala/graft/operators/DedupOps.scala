@@ -178,6 +178,16 @@ object DedupOps {
   def duplicateSpans(documents: DataFrame, n: Int = 3, minDf: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // The shingle pipeline is deliberately evaluated twice (once pruned to
+    // (doc_id, s) for the df aggregate, once with positions for the probe)
+    // rather than shared through a repartition(s) barrier à la
+    // [[ngramJaccardPairs]]: column pruning gives the two consumers
+    // different exchange payloads so ReuseExchange can never fire, and an
+    // s-clustered barrier would concentrate every copy of a hot stopword
+    // shingle into one partition. Recomputing costs a 2× map-side CPU
+    // constant; the df aggregate instead absorbs hot shingles via
+    // map-side partial (s, doc_id) dedup, and the semi-join side stays
+    // free for AQE to broadcast or skew-split.
     val pos = documents
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
