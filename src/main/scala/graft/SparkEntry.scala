@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_exact_keys"      -> q(CoreQueries.dedupExact),
     "agg_rollup"            -> q(CoreQueries.aggRollup),
     "agg_cube"              -> q(CoreQueries.aggCube),
+    "agg_grouping_sets"     -> q(CoreQueries.aggGroupingSets),
     "agg_count_distinct"    -> q(CoreQueries.aggCountDistinct),
     "agg_approx_distinct"   -> q(CoreQueries.aggApproxDistinct),
     "sample_orders"         -> q(CoreQueries.sampleOrders),
@@ -87,6 +88,7 @@ object SparkEntry {
     "window_price_delta"     -> q(WindowOps.orderPriceDelta),
     "window_part_ranks"      -> q(WindowOps.partSizeRanks),
     "window_price_quartiles" -> q(WindowOps.priceQuartiles),
+    "window_dist_ranks"      -> q(WindowOps.distributionRanks),
     // --- events: JSON + time windows + sessionization ---
     "events_json_stats"        -> q(EventOps.jsonPropStats),
     "events_json_get"          -> q(EventOps.jsonGetObject),
@@ -489,6 +491,17 @@ object SparkEntry {
         |                        ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
         |  FROM orders)
         |GROUP BY quartile""".stripMargin,
+    // percent_rank = (rank−1)/(n−1), cume_dist = peers≤x / n — both single
+    // integer divisions, bit-identical across engines before the rounding
+    "window_dist_ranks" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       floor(percent_rank() OVER (PARTITION BY c_mktsegment
+        |                                  ORDER BY c_acctbal) * 1000000 + 0.5)
+        |         / 1000000 AS pct_rank,
+        |       floor(cume_dist() OVER (PARTITION BY c_mktsegment
+        |                               ORDER BY c_acctbal) * 1000000 + 0.5)
+        |         / 1000000 AS cum_dist
+        |FROM customer""".stripMargin,
     "events_json_stats" ->
       """WITH e AS (
         |  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
@@ -1014,6 +1027,13 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "agg_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

@@ -298,6 +298,23 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** GROUPING SETS beyond rollup/cube: an explicit set list mixing two
+    * independent dimensions plus the grand total, with grouping() flags
+    * disambiguating the all-null rows (SQL:1999 T431; plans through the
+    * same Expand operator as rollup/cube — one scan, one shuffle).
+    */
+  def aggGroupingSets(t: Tables): DataFrame = {
+    t.orders.createOrReplaceTempView("v_orders_gs")
+    t.spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |       count(*) AS n
+        |FROM v_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
   /** Exact distinct count: shuffles the distinct (flag, partkey) pairs. */
   def aggCountDistinct(t: Tables): DataFrame =
     t.lineitem

@@ -77,6 +77,21 @@ object WindowOps {
   }
 
   /** ntile bucketing: quartile of order value within each year. */
+  /** percent_rank + cume_dist per market segment over account balance —
+    * the remaining SQL:2003 distribution window functions (rank /
+    * dense_rank / ntile / lag cover the rest of the family in the gates
+    * above). Both are value-based: ties receive identical ranks, so the
+    * output is deterministic regardless of partition layout. One hash
+    * shuffle on the segment key, then per-partition sort.
+    */
+  def distributionRanks(t: Tables): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    t.customer
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        roundN(percent_rank().over(w), 6).as("pct_rank"),
+        roundN(cume_dist().over(w), 6).as("cum_dist"))
+  }
+
   def priceQuartiles(t: Tables): DataFrame = {
     val w = Window
       .partitionBy(year(col("o_orderdate")))

@@ -101,6 +101,21 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(rows.map(kinds).toSet == Set((false, false), (false, true), (true, false), (true, true)))
   }
 
+  test("grouping sets: status slice + priority slice + grand total, flags disambiguate") {
+    val rows = CoreQueries.aggGroupingSets(t).collect()
+    val nStatus = t.orders.select("o_orderstatus").distinct().count()
+    val nPrio   = t.orders.select("o_orderpriority").distinct().count()
+    assert(rows.length == nStatus + nPrio + 1)
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1 && grand.head.getLong(4) == t.orders.count())
+    val byStatus = rows.filter(r => r.getLong(2) == 0)
+    assert(byStatus.forall(r => r.isNullAt(1) && r.getLong(3) == 1))
+    val want = t.orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byStatus.foreach(r => assert(r.getLong(4) == want(r.getString(0))))
+    assert(byStatus.map(_.getLong(4)).sum == t.orders.count())
+  }
+
   test("approx distinct within rsd bound of exact") {
     val exact = CoreQueries.aggCountDistinct(t).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -169,4 +169,23 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(counts.max - counts.min <= nYears)
     assert(counts.sum == t.orders.count())
   }
+
+  test("distribution ranks: percent_rank/cume_dist match a per-segment brute force") {
+    val rows = WindowOps.distributionRanks(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == t.customer.count())
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val bals = rs.map(_._3)
+      val n = bals.length.toDouble
+      rs.foreach { case (_, ck, bal, pr, cd) =>
+        val below = bals.count(_ < bal)
+        val atOrBelow = bals.count(_ <= bal)
+        val wantPr = if (n == 1) 0.0 else r6(below / (n - 1))
+        assert(pr == wantPr, s"seg $seg cust $ck: pct_rank $pr != $wantPr")
+        assert(cd == r6(atOrBelow / n), s"seg $seg cust $ck: cume_dist $cd")
+      }
+      assert(rs.map(_._5).max == 1.0, s"seg $seg: max cume_dist != 1")
+    }
+  }
 }
