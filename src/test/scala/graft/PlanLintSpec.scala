@@ -1,0 +1,50 @@
+package graft
+
+/** Sweeping plan lint across the gate surface: no batch gate query may
+  * plan a CartesianProduct, and BroadcastNestedLoopJoin may appear only
+  * as the deliberate broadcast-ONE-ROW scalar probe
+  * (`crossJoin(broadcast(q))` — an O(n) map-side pass, not a quadratic
+  * join; the build side is a single aggregate/query row by construction).
+  * A regression anywhere in the 100-query surface — a filter that stops
+  * reaching a join, an equi-key that stops resolving — turns into one of
+  * these two operators, and this spec catches it wholesale rather than
+  * per-query.
+  *
+  * Streaming gates are excluded (their construction starts real stream
+  * queries; the returned memory-sink frame has no plan worth linting) as
+  * are the two whose construction runs multi-second work asserted by
+  * dedicated specs (`ml_price_metrics` fits models,
+  * `multimodal_features`/`multimodal_png_files` encode PNG corpora).
+  */
+class PlanLintSpec extends SparkTestBase {
+
+  private val excluded = Set(
+    "events_hourly_streaming", "events_sessions_streaming",
+    "events_dedup_streaming", "events_stream_join",
+    "dedup_minhash_streaming", "dedup_minhash_windowed",
+    "ml_price_metrics", "multimodal_features", "multimodal_png_files")
+
+  /** Gates whose plan is EXPECTED to hold a broadcast-1-row
+    * BroadcastNestedLoopJoin (the scalar/query-vector probe shape).
+    */
+  private val scalarProbe = Set(
+    "scalar_above_avg", "ann_brute_force", "ann_lsh", "ann_brp_lsh",
+    "ann_ivf", "ml_recommend_tfidf", "ml_recommend_tfidf_sparse")
+
+  test("no gate query plans a cartesian product or an unexpected nested-loop join") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.filterNot(q => excluded(q._1)).foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (scalarProbe(name))
+        // the probe shape itself: nested-loop is fine ONLY because the
+        // build side broadcasts one row (BuildRight/BuildLeft, never a
+        // shuffled nested loop — Spark has no such operator to regress to)
+        assert(!p.contains("CartesianProduct"), s"$name scalar probe degraded")
+      else
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the scalar-probe allowlist")
+    }
+  }
+}

@@ -106,6 +106,17 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("substring spans: per-doc windows only; text never enters an exchange") {
+    val p = plan(DedupOps.duplicateSpans(t.documents))
+    // span merging must be the doc_id-partitioned window, never a global one
+    assert(p.contains("Window"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"exchange carries document text: $line")
+      assert(!line.contains("sh_txt#"), s"exchange carries shingle text: $line")
+    }
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("incremental dedup: anti-join on digests, text never enters an exchange") {
     val p = plan(DedupOps.incrementalDedup(t, "src0"))
     assert(p.contains("LeftAnti"), "corpus membership must be a left-anti join")
