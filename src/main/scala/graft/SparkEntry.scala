@@ -70,6 +70,9 @@ object SparkEntry {
     "stat_corr_covar"       -> q(CoreQueries.statCorrCovar),
     "sample_stratified"     -> q(CoreQueries.stratifiedSample),
     "topk_part_keys"        -> q(t => CoreQueries.topPartKeys(t)),
+    // typed Dataset surface: groupByKey + mapGroups with case-class
+    // Encoders; order-independent per-group aggregates keep it hash-gated
+    "typed_group_stats"     -> q(TypedOps.customerOrderStats),
     // --- joins & set ops (§2.3) ---
     "join_customers_per_region" -> q(JoinOps.customersPerRegion),
     "join_revenue_by_priority"  -> q(JoinOps.revenueByPriority),
@@ -103,6 +106,7 @@ object SparkEntry {
     "events_dedup_streaming" -> ((s, dir) =>
       EventStream.dedupCounts(s, dir, s"graft_dedup_${System.nanoTime()}")),
     "events_file_sink" -> ((s, dir) => EventStream.fileSinkRoundtrip(s, dir)),
+    "events_foreach_upsert" -> ((s, dir) => EventStream.foreachBatchUpsert(s, dir)),
     "events_stream_join" -> ((s, dir) =>
       EventStream.clickPurchaseJoin(s, dir, s"graft_ssj_${System.nanoTime()}")),
     "dedup_minhash_streaming" -> ((s, dir) =>
@@ -531,6 +535,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // events_foreach_upsert maintains a latest-event-per-user table by
+    // merging each micro-batch (foreachBatch); the oracle is the batch
+    // argmax over the source. Ordering truncates ns → µs like the engine's
+    // stream timestamps, so ties resolve identically (event_id is unique).
+    "events_foreach_upsert" ->
+      """WITH ranked AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000 AS last_ms, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_ns(ts) // 1000 DESC,
+        |                                     event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, last_ms, event_type AS last_type, value AS last_value
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, ts,
@@ -1027,6 +1044,12 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "typed_group_stats" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,

@@ -260,4 +260,89 @@ object EventStream {
     q.stop()
     drained(spark, queryName)
   }
+
+  /** Per-batch latest-event-per-user upsert of one micro-batch into the
+    * parquet target at `targetDir`, returning the new version path. The
+    * merge is the MERGE-less upsert: (existing ∪ batch-latest) reduced to
+    * one row per user by max_by over the total order (ts, event_id). Each
+    * version writes to a fresh subdirectory — the previous version stays
+    * readable during the write (no in-place overwrite of a directory a
+    * reader may hold), then becomes garbage the shutdown hook sweeps.
+    * At 100 TB the target would be a table format with real MERGE and
+    * the batch side would join-prune (only touched user partitions
+    * rewritten); the per-batch shape here — batch pre-reduced before the
+    * union, one exchange on user_id — is the part that carries over.
+    */
+  private[streaming] def upsertVersion(
+      spark: SparkSession, targetDir: String,
+      prev: Option[String], batch: DataFrame, version: Long): String = {
+    val latest = batch
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("e"))
+      .select(col("user_id"), col("e.ts").as("ts"), col("e.event_id").as("event_id"),
+        col("e.event_type").as("event_type"), col("e.value").as("value"))
+    val merged = prev match {
+      case Some(p) =>
+        spark.read.parquet(p).unionByName(latest)
+          .groupBy("user_id")
+          .agg(max_by(
+            struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("e"))
+          .select(col("user_id"), col("e.ts").as("ts"), col("e.event_id").as("event_id"),
+            col("e.event_type").as("event_type"), col("e.value").as("value"))
+      case None => latest
+    }
+    val out = s"$targetDir/v$version"
+    merged.write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** foreachBatch upsert sink — the "maintain a serving table from a
+    * stream" shape: every micro-batch merges into a latest-event-per-user
+    * parquet target via [[upsertVersion]]. foreachBatch is the escape
+    * hatch Structured Streaming provides for sinks with no native
+    * connector (JDBC upserts, MERGE into table formats); the batch handle
+    * it passes is a full DataFrame, so the merge itself stays declarative
+    * and distributed. Each call replays the source against a fresh
+    * checkpoint into a fresh target (deterministic end state — the gate
+    * hash-checks it against a batch argmax oracle); the multi-batch
+    * replay/restart semantics are spec-proven over a MemoryStream.
+    */
+  def foreachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    def tmp(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          val stream = java.nio.file.Files.walk(d)
+          try stream.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally stream.close()
+        } catch { case _: Throwable => () }
+      }))
+      d.toString
+    }
+    val targetDir = tmp("graft_upsert_")
+    val ckptDir   = tmp("graft_upsert_ckpt_")
+    @volatile var current: Option[String] = None
+    val q = readEvents(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        current = Some(upsertVersion(spark, targetDir, current, batch, id))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    current match {
+      case Some(p) =>
+        spark.read.parquet(p)
+          .select(col("user_id"), unix_millis(col("ts")).as("last_ms"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy("user_id")
+      case None => spark.emptyDataFrame
+    }
+  }
 }

@@ -116,6 +116,22 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(byStatus.map(_.getLong(4)).sum == t.orders.count())
   }
 
+  test("typed groupByKey/mapGroups equals the untyped aggregate") {
+    val typed = TypedOps.customerOrderStats(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val untyped = t.orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_custkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(typed.toSeq == untyped.toSeq)
+    assert(typed.nonEmpty)
+  }
+
   test("approx distinct within rsd bound of exact") {
     val exact = CoreQueries.aggCountDistinct(t).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
