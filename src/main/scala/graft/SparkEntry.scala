@@ -58,6 +58,9 @@ object SparkEntry {
     "agg_grouping_sets"     -> q(CoreQueries.aggGroupingSets),
     "agg_count_distinct"    -> q(CoreQueries.aggCountDistinct),
     "agg_approx_distinct"   -> q(CoreQueries.aggApproxDistinct),
+    // rows-only: CMS bin layout is engine-specific; the one-sided
+    // over-estimate bound is invariant-gated in Verify + spec-checked
+    "sketch_cms_topk"       -> q(t => CoreQueries.sketchCmsTopK(t)),
     "sample_orders"         -> q(CoreQueries.sampleOrders),
     "split_counts"          -> q(CoreQueries.splitCounts),
     "row_ids"               -> q(CoreQueries.rowIds),

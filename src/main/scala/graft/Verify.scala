@@ -73,6 +73,9 @@ object Verify {
   *    values themselves are partition-dependent by contract).
   *  - `agg_approx_distinct` — HLL++ estimate within 6·rsd of the exact
   *    per-group distinct count (rsd = 0.02 in the gate query).
+  *  - `sketch_cms_topk` — count-min estimates NEVER under-count and stay
+  *    within eps·N of the exact top-key counts; deterministic on re-run
+  *    (fixed seed, commutative counter merge).
   *  - `q2_approx_median_default` — exact per-group counts, and the GK
   *    sketch's median inside the exact [P49, P51] band (rank error at
   *    default accuracy 10⁴ is ~n/10⁴ ranks ≪ 1% of ranks).
@@ -229,6 +232,21 @@ object GateInvariants {
           "invariant: rmse^2 != mse")
         require(mae <= rmse, "invariant: mae > rmse is impossible")
       }
+    case "sketch_cms_topk" =>
+      val li = core.Tables(spark, sfDir).lineitem
+      val n = li.count()
+      val exact = li.groupBy("l_partkey").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+      require(got.length == 20, s"invariant: expected 20 keys, got ${got.length}")
+      got.foreach { case (pk, est) =>
+        require(est >= exact(pk),
+          s"invariant: CMS under-estimated key $pk: $est < ${exact(pk)}")
+        require(est <= exact(pk) + math.ceil(0.001 * n).toLong + 1,
+          s"invariant: CMS estimate $est for key $pk above exact ${exact(pk)} + eps*N")
+      }
+      val again = fn(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1))
+      require(again.toSeq == got.toSeq, "invariant: seeded CMS not deterministic")
     case "multimodal_binary_ingest" =>
       val onDisk = new java.io.File(sfDir).listFiles()
         .filter(_.getName.endsWith(".parquet"))

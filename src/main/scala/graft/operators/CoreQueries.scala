@@ -428,6 +428,29 @@ object CoreQueries {
       .orderBy(desc("n"), asc("l_partkey"))
       .limit(k)
 
+  /** Count-min sketch point estimates for the k heaviest part keys — the
+    * frequency tier of the sketch surface (HLL++ covers distinct counts,
+    * GK covers quantiles, bloom covers membership). The sketch builds
+    * DISTRIBUTED in one pass (mergeable counter arrays aggregated across
+    * partitions — fixed memory however large the input); estimates are
+    * O(depth) driver lookups over the k keys. Fixed seed ⇒ deterministic,
+    * but the bin layout is engine-specific, so the gate is rows-only; the
+    * CMS one-sided bound (exact ≤ estimate ≤ exact + eps·N, the second
+    * w.p. ≥ confidence per key) is spec-checked and invariant-gated at
+    * verify time.
+    */
+  def sketchCmsTopK(t: Tables, k: Int = 20,
+                    eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val li  = t.lineitem
+    val cms = li.stat.countMinSketch("l_partkey", eps, confidence, seed = 42)
+    val topKeys = topPartKeys(t, k).collect().map(_.getLong(0))
+    val spark = t.spark
+    import spark.implicits._
+    topKeys.toSeq.map(pk => (pk, cms.estimateCount(pk)))
+      .toDF("l_partkey", "est_count")
+      .orderBy(desc("est_count"), asc("l_partkey"))
+  }
+
   /** Full `spark.sql` surface over registered views (TPC-H Q3 shape):
     * the SQL text goes through the same Catalyst pipeline as the DataFrame
     * DSL — one parser/optimizer, two front doors.

@@ -116,6 +116,23 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(byStatus.map(_.getLong(4)).sum == t.orders.count())
   }
 
+  test("count-min sketch: never under-counts, stays within eps*N, deterministic") {
+    val n = t.lineitem.count()
+    val exact = t.lineitem.groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = CoreQueries.sketchCmsTopK(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 20)
+    got.foreach { case (pk, est) =>
+      assert(est >= exact(pk), s"CMS under-estimated $pk: $est < ${exact(pk)}")
+      assert(est <= exact(pk) + math.ceil(0.001 * n).toLong + 1,
+        s"CMS estimate $est for $pk above exact + eps*N")
+    }
+    val again = CoreQueries.sketchCmsTopK(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("typed groupByKey/mapGroups equals the untyped aggregate") {
     val typed = TypedOps.customerOrderStats(t).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
