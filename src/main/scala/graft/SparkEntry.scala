@@ -128,6 +128,7 @@ object SparkEntry {
     "text_top_tokens"       -> q(t => TextOps.topTokens(t)),
     "text_redact_ids"       -> q(TextOps.redactIds),
     "text_repetition_stats" -> q(t => TextOps.repetitionStats(t)),
+    "text_zipf_slope"       -> q(t => TextOps.zipfSlope(t)),
     // --- corpus packing / budget sampling (training-data extensions) ---
     "pack_concat_chunks"    -> q(t => PackingOps.packConcatChunks(t, 1024)),
     "sample_token_budget"   -> q(t => PackingOps.sampleTokenBudget(t, 8000)),
@@ -828,6 +829,31 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
         |FROM c WHERE cum0 < 600""".stripMargin,
+    // Zipf slope: ln terms rounded to 6 decimals, regression sums in exact
+    // DECIMAL — the slope is one IEEE expression over identical operands
+    "text_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |cnt AS (
+        |  SELECT token, count(*) AS n FROM tok GROUP BY token
+        |  ORDER BY n DESC, token ASC LIMIT 100),
+        |rk AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank FROM cnt),
+        |xy AS (
+        |  SELECT floor(ln(rank::DOUBLE) * 1000000 + 0.5) / 1000000 AS x,
+        |         floor(ln(n::DOUBLE) * 1000000 + 0.5) / 1000000 AS y
+        |  FROM rk),
+        |s AS (
+        |  SELECT count(*) AS n_ranks,
+        |         CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(x*y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(x*x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT n_ranks,
+        |       floor((n_ranks*sxy - sx*sy) / (n_ranks*sxx - sx*sx) * 10000 + 0.5)
+        |         / 10000 AS zipf_slope
+        |FROM s""".stripMargin,
     "text_redact_ids" ->
       """SELECT c_custkey,
         |       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted_name,

@@ -113,6 +113,41 @@ object TextOps {
       .orderBy(desc("n"), asc("token"))
       .limit(k)
 
+  /** Zipf-slope corpus diagnostic: the OLS slope of ln(freq) against
+    * ln(rank) over the top-k vocabulary. Natural-language corpora sit
+    * near −1; heavily templated or duplicated corpora flatten, and
+    * boilerplate-dominated ones steepen — a one-number drift alarm for a
+    * training-data intake pipeline.
+    *
+    * Scale shape: the only input-bound work is the word count (partial
+    * agg + one exchange + TakeOrderedAndProject); ranking and the
+    * regression run over k rows (the row_number window on the k-row frame
+    * is the documented tiny-frame exception). Cross-engine stability: the
+    * ln terms are rounded to 6 decimals and every regression sum
+    * accumulates in exact DECIMAL ([[decSum]]), so the slope is one IEEE
+    * expression over bit-identical operands.
+    */
+  def zipfSlope(t: Tables, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NumericFunctions.decSum
+    val w = Window.orderBy(desc("n"), asc("token"))
+    val xy = topTokens(t, k)
+      .withColumn("rank", row_number().over(w))
+      .select(
+        roundN(log(col("rank").cast("double")), 6).as("x"),
+        roundN(log(col("n").cast("double")), 6).as("y"))
+    xy.agg(
+        count(lit(1)).as("n_ranks"),
+        decSum(col("x")).as("sx"),
+        decSum(col("y")).as("sy"),
+        decSum(col("x") * col("y")).as("sxy"),
+        decSum(col("x") * col("x")).as("sxx"))
+      .select(col("n_ranks"),
+        roundN((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+               (col("n_ranks") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("zipf_slope"))
+  }
+
   /** PII-scrub stage shape: regexp_replace every digit run in a name-like
     * column with a placeholder, plus the per-row count of redactions —
     * the redact-and-audit pattern a training pipeline runs before export.

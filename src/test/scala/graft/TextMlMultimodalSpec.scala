@@ -45,6 +45,30 @@ class TextMlMultimodalSpec extends SparkTestBase {
     got.foreach { case (tok, n) => assert(brute(tok) == n, tok) }
   }
 
+  test("zipfSlope: matches a driver-side OLS over the same ranking, and is negative") {
+    val r = TextOps.zipfSlope(t).head()
+    val (nRanks, slope) = (r.getLong(0), r.getDouble(1))
+    assert(slope < 0.0, s"frequency must fall with rank, got slope $slope")
+    val brute = t.documents.select("text").collect()
+      .flatMap(_.getString(0).split("\\s+"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (tok, n) => (-n, tok) }.take(100)
+    // the synthetic corpus has a small closed vocabulary — rank what exists
+    assert(nRanks == brute.length.toLong)
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val xy = brute.zipWithIndex.map { case ((_, n), i) =>
+      (r6(math.log(i + 1.0)), r6(math.log(n.toDouble)))
+    }
+    val k = xy.length.toDouble
+    val (sx, sy)   = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxy, sxx) = (xy.map(p => p._1 * p._2).sum, xy.map(p => p._1 * p._1).sum)
+    val want = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    // driver sums are plain doubles (engine sums are exact DECIMAL):
+    // agreement to 1e-6 is all the orders can differ by over 100 terms
+    assert(math.abs(slope - math.floor(want * 1e4 + 0.5) / 1e4) <= 1e-4,
+      s"slope $slope vs brute-force $want")
+  }
+
   test("redactIds: digit runs replaced, redaction count audited") {
     val rows = TextOps.redactIds(t).collect()
     assert(rows.length == t.customer.count())
