@@ -45,6 +45,20 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(DedupOps.decontaminate(t, "no_such_source").count() == 0)
   }
 
+  test("duplicateSpans: empty corpus, sub-n-token docs, and no-duplicate corpus") {
+    import spark.implicits._
+    assert(DedupOps.duplicateSpans(et.documents).count() == 0)
+    // docs too short to yield a single 3-gram must vanish, not throw
+    val short = Seq((1L, "one two", "s"), (2L, "", "s"), (3L, "solo", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(DedupOps.duplicateSpans(short).count() == 0)
+    // all-distinct corpus: shingles exist but nothing crosses documents
+    val distinctDocs = Seq(
+      (1L, "aa bb cc dd", "s"), (2L, "ee ff gg hh", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(DedupOps.duplicateSpans(distinctDocs).count() == 0)
+  }
+
   test("text and packing families return empty on an empty corpus") {
     assert(TextOps.tokenStats(et).count() == 0)
     assert(TextOps.repetitionStats(et).count() == 0)
