@@ -99,6 +99,8 @@ object SparkEntry {
     "events_json_stats"        -> q(EventOps.jsonPropStats),
     "events_json_get"          -> q(EventOps.jsonGetObject),
     "events_hourly"            -> q(EventOps.hourlyTypeCounts),
+    "events_sliding"           -> q(EventOps.slidingTypeCounts),
+    "events_session_native"    -> q(EventOps.nativeSessionWindows),
     "events_sessions"          -> q(EventOps.userSessions),
     "events_click_to_purchase" -> q(EventOps.clickToPurchase),
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
@@ -531,6 +533,38 @@ object SparkEntry {
         |       count(*) AS n,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // sliding 2h/1h windows: each event expands into the two epoch-aligned
+    // hourly starts covering it — mirrors Spark's Expand, no self-join
+    "events_sliding" ->
+      """WITH e AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT win_start, event_type, count(*) AS n,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    // native session_window: islands with the HALF-OPEN break (gap >= 30
+    // min starts a new session, matching [first, last+gap)); start/end
+    // truncated to the engine's µs timestamps
+    "events_session_native" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000
+        |                 >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |       make_timestamp(min(epoch_ns(ts) // 1000)) AS session_start,
+        |       make_timestamp(max(epoch_ns(ts) // 1000) + 1800000000) AS session_end,
+        |       count(*) AS n_events,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // events_file_sink's engine side lands the stream in exactly-once
     // parquet files and reads them back through _spark_metadata; the
     // oracle aggregates the source directly — a hash match proves no row

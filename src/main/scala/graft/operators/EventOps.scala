@@ -57,6 +57,43 @@ object EventOps {
         roundN(decSum(col("value")), 2).as("total_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Native session windows (`session_window`, Spark 3.2+): per-user
+    * 30-minute-gap sessions as a plain GROUP BY — the fully declarative
+    * third formulation of sessionization beside the lag/running-sum
+    * islands ([[userSessions]]) and the stateful streaming
+    * flatMapGroupsWithState twin. One shuffle on the grouping key; the
+    * gap-merge happens inside the aggregation operator, so Catalyst owns
+    * the whole plan (and the same expression runs in streaming mode).
+    * Boundary semantics: a window is [first_ts, last_ts + gap) —
+    * half-open, so an event arriving at EXACTLY last_ts + gap starts a
+    * new session; the oracle's island break mirrors that with `>= gap`.
+    */
+  def nativeSessionWindows(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        roundN(decSum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Sliding windows: 2-hour windows every hour — each event lands in the
+    * two epoch-aligned windows covering it, the shape behind "trailing 2 h
+    * rate" dashboards. Spark expands the window set per row before the
+    * aggregate (same Expand-based plan family as rollup), so the cost is
+    * 2× rows into one exchange — no self-join.
+    */
+  def slidingTypeCounts(t: Tables): DataFrame =
+    t.events
+      .groupBy(
+        window(col("ts"), "2 hours", "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        roundN(decSum(col("value")), 2).as("total_value"))
+      .orderBy("win_start", "event_type")
+
   /** Sessionization in batch: a session break is a >30-minute gap per user;
     * session id = running count of breaks (lag + windowed sum) — the batch
     * equivalent of `mapGroupsWithState` session logic, fully parallel per

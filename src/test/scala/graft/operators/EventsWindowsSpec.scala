@@ -170,6 +170,43 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(counts.sum == t.orders.count())
   }
 
+  test("native session windows match a brute-force half-open-gap islands pass") {
+    val got = EventOps.nativeSessionWindows(t)
+      // ts columns are timestamp_ntz (collect as LocalDateTime) — read as millis
+      .selectExpr("user_id", "unix_millis(cast(session_start as timestamp)) AS s",
+        "unix_millis(cast(session_end as timestamp)) AS e", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val events = t.events
+      .selectExpr("user_id", "unix_millis(cast(ts as timestamp)) AS ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val want = events.flatMap { case (user, ts) =>
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, x) =>
+        // half-open window: a gap of EXACTLY 30 min starts a new session
+        if (x - acc.head.head >= 1800 * 1000L) List(x) :: acc
+        else (x :: acc.head) :: acc.tail
+      }
+      sessions.map(s => (user, s.last, s.head + 1800 * 1000L, s.length.toLong))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("sliding 2h/1h windows: each window equals the sum of its two hourly cells") {
+    val hourly = EventOps.hourlyTypeCounts(t)
+      .selectExpr("unix_millis(cast(hour_start as timestamp)) AS w", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sliding = EventOps.slidingTypeCounts(t)
+      .selectExpr("unix_millis(cast(win_start as timestamp)) AS w", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hourMs = 3600 * 1000L
+    sliding.foreach { case ((w, typ), n) =>
+      val expect = hourly.getOrElse((w, typ), 0L) + hourly.getOrElse((w + hourMs, typ), 0L)
+      assert(n == expect, s"window $w/$typ: $n != $expect")
+    }
+    assert(sliding.values.sum == 2 * hourly.values.sum)
+  }
+
   test("distribution ranks: percent_rank/cume_dist match a per-segment brute force") {
     val rows = WindowOps.distributionRanks(t).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
