@@ -69,6 +69,7 @@ object SparkEntry {
     "partitioned_roundtrip" -> q(graft.sources.PartitionedParquet.partitionedRoundtrip),
     "json_roundtrip"        -> q(graft.sources.JsonIO.jsonRoundtrip),
     "orc_roundtrip"         -> q(graft.sources.OrcIO.orcRoundtrip),
+    "csv_column_roundtrip"  -> q(graft.sources.CsvIO.csvColumnRoundtrip),
     "pivot_flag_status"     -> q(CoreQueries.pivotFlagStatus),
     "stat_corr_covar"       -> q(CoreQueries.statCorrCovar),
     "sample_stratified"     -> q(CoreQueries.stratifiedSample),
@@ -97,6 +98,7 @@ object SparkEntry {
     "window_dist_ranks"      -> q(WindowOps.distributionRanks),
     // --- events: JSON + time windows + sessionization ---
     "events_json_stats"        -> q(EventOps.jsonPropStats),
+    "events_props_map"         -> q(EventOps.propsMapStats),
     "events_json_get"          -> q(EventOps.jsonGetObject),
     "events_hourly"            -> q(EventOps.hourlyTypeCounts),
     "events_sliding"           -> q(EventOps.slidingTypeCounts),
@@ -535,6 +537,17 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // sliding 2h/1h windows: each event expands into the two epoch-aligned
     // hourly starts covering it — mirrors Spark's Expand, no self-join
+    // whole-payload map parse: every key of every props object, no
+    // key-specific schema — mirrors Spark's map<string,long> + explode
+    "events_props_map" ->
+      """WITH ks AS (
+        |  SELECT props, unnest(json_keys(props::JSON)) AS key FROM events),
+        |kv AS (
+        |  SELECT key, CAST(json_extract(props, '$.' || key) AS BIGINT) AS v
+        |  FROM ks)
+        |SELECT key, count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+        |       CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM kv GROUP BY key""".stripMargin,
     "events_sliding" ->
       """WITH e AS (
         |  SELECT unnest([date_trunc('hour', ts),
@@ -851,6 +864,13 @@ object SparkEntry {
         |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source""".stripMargin,
+    // csv_column_roundtrip encodes structs to embedded CSV lines and parses
+    // them back inside one projection; the oracle aggregates the raw source,
+    // so a hash match proves the to_csv/from_csv hop is lossless
+    "csv_column_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "sample_mixture" ->
       """WITH tk AS (
         |  SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tok,

@@ -35,6 +35,24 @@ object EventOps {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** MapType surface: parse props as a whole `map<string,long>` (no
+    * schema for specific keys — the shape for payloads whose key set is
+    * open-ended), explode the entries, aggregate per key. The map explode
+    * runs inside the scan projection; only (key, value) pairs reach the
+    * low-cardinality aggregate.
+    */
+  def propsMapStats(t: Tables): DataFrame =
+    t.events
+      .select(explode(from_json(col("props"), MapType(StringType, LongType)))
+        .as(Seq("key", "v")))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n"),
+        min("v").as("min_v"),
+        max("v").as("max_v"),
+        sum("v").as("sum_v"))
+      .orderBy("key")
+
   /** get_json_object string-path variant of the same extraction. */
   def jsonGetObject(t: Tables): DataFrame =
     t.events

@@ -52,4 +52,30 @@ object CsvIO {
       .mode(SaveMode.Overwrite)
       .option("header", "true")
       .csv(path)
+
+  /** COLUMN-level CSV codec (`to_csv`/`from_csv`): encode a struct into an
+    * embedded CSV line and parse it back, entirely inside one projection —
+    * the shape for CSV-in-a-column feeds (log lines, queue payloads) where
+    * no file ever exists. Double fidelity rides on shortest-round-trip
+    * formatting: `to_csv` prints the shortest decimal that reparses to the
+    * identical bits, so the encode→parse hop is lossless and the rollup
+    * hash-matches an oracle that never saw CSV at all.
+    */
+  def csvColumnRoundtrip(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.NumericFunctions.{decSum, roundN}
+    val schema = StructType(Nil)
+      .add("o_orderkey", "bigint").add("o_orderstatus", "string")
+      .add("o_totalprice", "double")
+    t.orders
+      .select(to_csv(struct(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))).as("line"))
+      .select(from_csv(col("line"), schema, Map.empty[String, String]).as("r"))
+      .select(col("r.o_orderstatus").as("o_orderstatus"),
+        col("r.o_totalprice").as("o_totalprice"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        roundN(decSum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
 }

@@ -170,6 +170,21 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(counts.sum == t.orders.count())
   }
 
+  test("props map explode matches a brute-force JSON parse") {
+    val got = EventOps.propsMapStats(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val kvRe = """"([^"]+)"\s*:\s*(-?\d+)""".r
+    val brute = t.events.select("props").collect()
+      .flatMap(r => kvRe.findAllMatchIn(r.getString(0)).map(m => m.group(1) -> m.group(2).toLong))
+      .groupBy(_._1).view.mapValues { vs =>
+        val xs = vs.map(_._2)
+        (xs.length.toLong, xs.min, xs.max, xs.sum)
+      }.toMap
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
   test("native session windows match a brute-force half-open-gap islands pass") {
     val got = EventOps.nativeSessionWindows(t)
       // ts columns are timestamp_ntz (collect as LocalDateTime) — read as millis

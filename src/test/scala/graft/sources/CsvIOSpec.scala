@@ -45,6 +45,21 @@ class CsvIOSpec extends SparkTestBase {
     assert(rows(2).isNullAt(1))
   }
 
+  test("csv column roundtrip equals the same rollup computed without CSV") {
+    import graft.functions.NumericFunctions.{decSum, roundN}
+    val viaCsv = CsvIO.csvColumnRoundtrip(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val direct = t.orders
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        roundN(decSum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(viaCsv.toSeq == direct.toSeq)
+    assert(viaCsv.nonEmpty)
+  }
+
   test("string-numeric comparison works on all-strings frames (ref semantics)") {
     val dir = s"${tmpDir()}/cmp_csv"
     Seq(("5", "2500"), ("6", "999")).toDF("id", "price")
