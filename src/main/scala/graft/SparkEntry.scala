@@ -71,6 +71,7 @@ object SparkEntry {
     "orc_roundtrip"         -> q(graft.sources.OrcIO.orcRoundtrip),
     "csv_column_roundtrip"  -> q(graft.sources.CsvIO.csvColumnRoundtrip),
     "pivot_flag_status"     -> q(CoreQueries.pivotFlagStatus),
+    "unpivot_flag_status"   -> q(CoreQueries.unpivotFlagStatus),
     "stat_corr_covar"       -> q(CoreQueries.statCorrCovar),
     "sample_stratified"     -> q(CoreQueries.stratifiedSample),
     "topk_part_keys"        -> q(t => CoreQueries.topPartKeys(t)),
@@ -779,6 +780,14 @@ object SparkEntry {
         |       floor(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) * 100 + 0.5) / 100 AS qty_n,
         |       floor(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) * 100 + 0.5) / 100 AS qty_r
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    // the unpivot of the pivoted frame must equal the long form computed
+    // directly from the source — wide↔long is a lossless round trip
+    "unpivot_flag_status" ->
+      """SELECT l_linestatus, l_returnflag,
+        |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N', 'R')
+        |GROUP BY l_linestatus, l_returnflag""".stripMargin,
     "stat_corr_covar" ->
       """SELECT floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000 AS corr_qty_price,
         |       floor(covar_samp(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS covar_qty_price

@@ -398,6 +398,20 @@ object CoreQueries {
       .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
       .orderBy("l_linestatus")
 
+  /** The inverse reshape: unpivot (melt) the wide pivoted frame back into
+    * long (status, flag, qty) rows — wide↔long is a lossless round trip,
+    * which the oracle states by computing the long form directly from the
+    * source and never touching the wide one. Nulls (flag absent for a
+    * status) are dropped by unpivot, matching the long form exactly.
+    */
+  def unpivotFlagStatus(t: Tables): DataFrame =
+    pivotFlagStatus(t)
+      .unpivot(
+        Array(col("l_linestatus")),
+        Array(col("qty_a").as("A"), col("qty_n").as("N"), col("qty_r").as("R")),
+        "l_returnflag", "sum_qty")
+      .orderBy("l_linestatus", "l_returnflag")
+
   /** Pearson correlation + sample covariance (the reference's
     * correlation-matrix intent, `data-viz&cleaning.py` commented plots) —
     * single-pass co-moment aggregation.

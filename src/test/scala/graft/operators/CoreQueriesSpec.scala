@@ -116,6 +116,20 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(byStatus.map(_.getLong(4)).sum == t.orders.count())
   }
 
+  test("unpivot inverts pivot back to the long form exactly") {
+    import graft.functions.NumericFunctions.roundN
+    val got = CoreQueries.unpivotFlagStatus(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val want = t.lineitem
+      .filter(col("l_returnflag").isin("A", "N", "R"))
+      .groupBy("l_linestatus", "l_returnflag")
+      .agg(roundN(sum("l_quantity"), 2).as("sum_qty"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("count-min sketch: never under-counts, stays within eps*N, deterministic") {
     val n = t.lineitem.count()
     val exact = t.lineitem.groupBy("l_partkey").count().collect()
