@@ -111,6 +111,8 @@ object SparkEntry {
       EventStream.hourlyCounts(s, dir, s"graft_stream_${System.nanoTime()}")),
     "events_sessions_streaming" -> ((s, dir) =>
       EventStream.sessionize(s, dir, s"graft_sess_${System.nanoTime()}")),
+    "events_sessions_native_streaming" -> ((s, dir) =>
+      EventStream.sessionizeNativeWindows(s, dir, s"graft_snw_${System.nanoTime()}")),
     "events_dedup_streaming" -> ((s, dir) =>
       EventStream.dedupCounts(s, dir, s"graft_dedup_${System.nanoTime()}")),
     "events_file_sink" -> ((s, dir) => EventStream.fileSinkRoundtrip(s, dir)),
@@ -558,6 +560,29 @@ object SparkEntry {
         |SELECT win_start, event_type, count(*) AS n,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // streaming twin: the same sessions, emitted only once the final
+    // watermark (max event time − 2 h) passes their end — open tails stay
+    // in state; µs precision end-to-end
+    "events_sessions_native_streaming" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000
+        |                 >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |       make_timestamp(min(epoch_ns(ts) // 1000)) AS session_start,
+        |       make_timestamp(max(epoch_ns(ts) // 1000) + 1800000000) AS session_end,
+        |       count(*) AS n_events,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
+        |FROM s GROUP BY user_id, sid
+        |HAVING max(epoch_ns(ts) // 1000) + 1800000000
+        |       <= (SELECT max(epoch_ns(ts) // 1000) FROM events) - 7200000000""".stripMargin,
     // native session_window: islands with the HALF-OPEN break (gap >= 30
     // min starts a new session, matching [first, last+gap)); start/end
     // truncated to the engine's µs timestamps

@@ -261,6 +261,37 @@ object EventStream {
     drained(spark, queryName)
   }
 
+  /** Streaming twin of [[graft.operators.EventOps.nativeSessionWindows]]:
+    * the IDENTICAL `session_window` grouping expression running in append
+    * mode under a 2-hour watermark — Spark's unified model means the gap
+    * merge that was an aggregate in batch becomes watermark-finalized
+    * session state here with no operator rewrite. Append emits a session
+    * once the watermark passes its end (the window can no longer merge:
+    * any event that would extend it is by definition late beyond the
+    * watermark and dropped). Over the finite replay the emitted set is
+    * exactly the batch sessions whose end precedes the final watermark
+    * (max event time − 2 h) — the open tails stay unemitted, and the
+    * oracle states that closed-session predicate directly.
+    */
+  def sessionizeNativeWindows(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.NumericFunctions.roundN(decSum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    drained(spark, queryName).orderBy("user_id", "session_start")
+  }
+
   /** Per-batch latest-event-per-user upsert of one micro-batch into the
     * parquet target at `targetDir`, returning the new version path. The
     * merge is the MERGE-less upsert: (existing ∪ batch-latest) reduced to

@@ -207,6 +207,29 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming native session windows == batch sessions closed before the final watermark") {
+    import graft.streaming.EventStream
+    val got = EventStream.sessionizeNativeWindows(spark, "/root/testdata/sf0.001",
+      s"spec_snw_${System.nanoTime()}")
+      .selectExpr("user_id", "unix_millis(session_start) AS s",
+        "unix_millis(session_end) AS e", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val maxMs = t.events
+      .selectExpr("max(unix_millis(cast(ts as timestamp)))").head().getLong(0)
+    val wm = maxMs - 7200 * 1000L
+    val batch = EventOps.nativeSessionWindows(t)
+      .selectExpr("user_id", "unix_millis(cast(session_start as timestamp)) AS s",
+        "unix_millis(cast(session_end as timestamp)) AS e", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val closedLe = batch.filter(_._3 <= wm).toSet
+    val closedLt = batch.filter(_._3 < wm).toSet
+    assert(got == closedLe || got == closedLt,
+      s"emitted ${got.size} sessions; batch closed <=wm ${closedLe.size}, <wm ${closedLt.size}; " +
+        s"only-in-got ${(got -- closedLe).take(3)}, only-in-batch ${(closedLe -- got).take(3)}")
+    assert(got.nonEmpty && got.size < batch.length,
+      "expected some closed sessions emitted and open tails withheld")
+  }
+
   test("sliding 2h/1h windows: each window equals the sum of its two hourly cells") {
     val hourly = EventOps.hourlyTypeCounts(t)
       .selectExpr("unix_millis(cast(hour_start as timestamp)) AS w", "event_type", "n")
