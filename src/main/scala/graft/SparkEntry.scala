@@ -56,6 +56,9 @@ object SparkEntry {
     "agg_rollup"            -> q(CoreQueries.aggRollup),
     "agg_cube"              -> q(CoreQueries.aggCube),
     "agg_grouping_sets"     -> q(CoreQueries.aggGroupingSets),
+    "agg_collect_sorted"    -> q(CoreQueries.aggCollectSorted),
+    "agg_exact_percentiles" -> q(CoreQueries.aggExactPercentiles),
+    "agg_max_by"            -> q(CoreQueries.aggMaxBy),
     "agg_count_distinct"    -> q(CoreQueries.aggCountDistinct),
     "agg_approx_distinct"   -> q(CoreQueries.aggApproxDistinct),
     // rows-only: CMS bin layout is engine-specific; the one-sided
@@ -89,6 +92,8 @@ object SparkEntry {
     "set_except_slices"         -> q(JoinOps.exceptSlices),
     "set_intersect_slices"      -> q(JoinOps.intersectSlices),
     "set_union_by_name"         -> q(JoinOps.unionByNameSlices),
+    "set_except_all"            -> q(JoinOps.exceptAllSlices),
+    "set_intersect_all"         -> q(JoinOps.intersectAllSlices),
     "scalar_above_avg"          -> q(JoinOps.aboveAveragePrice),
     // --- windows (§2.5) ---
     "window_top_per_segment" -> q(WindowOps.topCustomersPerSegment),
@@ -461,6 +466,18 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) <= 1998
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1999""".stripMargin,
+    "set_except_all" ->
+      """SELECT o_custkey, count(*) AS n_copies FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) <= 1998
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1999)
+        |GROUP BY o_custkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT o_custkey, count(*) AS n_copies FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) <= 1998
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1999)
+        |GROUP BY o_custkey""".stripMargin,
     "scalar_above_avg" ->
       """SELECT o_orderstatus, count(*) AS n_above_avg
         |FROM orders
@@ -1167,6 +1184,30 @@ object SparkEntry {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT l_returnflag,
+        |       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |       count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // exact type-7 interpolated percentiles: quantile_cont twins Spark's
+    // percentile(); both interpolate linearly over the sorted group
+    "agg_exact_percentiles" ->
+      """SELECT o_orderpriority,
+        |       floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        |       floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // argmax over the total order (price, key) — stated as a window so the
+    // tiebreak is explicit
+    "agg_max_by" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderkey AS top_orderkey,
+        |       o_totalprice AS top_price
+        |FROM r WHERE rn = 1""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,

@@ -442,6 +442,46 @@ object CoreQueries {
       .orderBy(desc("n"), asc("l_partkey"))
       .limit(k)
 
+  /** Deterministic per-group collection: collect_set arrives in partition
+    * order (nondeterministic), so the gate pins it with sort_array +
+    * array_join — the "list the group's members" shape made hash-checkable.
+    */
+  def aggCollectSorted(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct("l_linestatus").as("n_statuses"))
+      .orderBy("l_returnflag")
+
+  /** EXACT interpolated percentiles (`percentile` — the full-sort twin of
+    * the GK sketch gates): type-7 linear interpolation at p50/p90 per
+    * group. At scale the exact form costs a per-group sort; the approx
+    * twin (`q2_approx_median`) is the default path and this gate pins the
+    * truth it approximates.
+    */
+  def aggExactPercentiles(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        roundN(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        roundN(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** max_by over a TOTAL order: the struct tiebreak (price, key) makes the
+    * argmax deterministic — bare max_by(key, price) would be
+    * partition-order-dependent on price ties.
+    */
+  def aggMaxBy(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderstatus")
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_orderkey"),
+        max("o_totalprice").as("top_price"))
+      .orderBy("o_orderstatus")
+
   /** Count-min sketch point estimates for the k heaviest part keys — the
     * frequency tier of the sketch surface (HLL++ covers distinct counts,
     * GK covers quantiles, bloom covers membership). The sketch builds

@@ -98,6 +98,29 @@ object JoinOps {
     early.intersect(late)
   }
 
+  /** EXCEPT ALL (multiset): each key keeps max(0, n_left − n_right)
+    * copies — the bag difference the distinct EXCEPT collapses. Rolled up
+    * to per-key copy counts so the gate output is deterministic.
+    */
+  def exceptAllSlices(t: Tables): DataFrame = {
+    val early = t.orders.filter(year(col("o_orderdate")) <= 1998).select("o_custkey")
+    val late  = t.orders.filter(year(col("o_orderdate")) >= 1999).select("o_custkey")
+    early.exceptAll(late)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy("o_custkey")
+  }
+
+  /** INTERSECT ALL (multiset): each key keeps min(n_left, n_right) copies. */
+  def intersectAllSlices(t: Tables): DataFrame = {
+    val early = t.orders.filter(year(col("o_orderdate")) <= 1998).select("o_custkey")
+    val late  = t.orders.filter(year(col("o_orderdate")) >= 1999).select("o_custkey")
+    early.intersectAll(late)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy("o_custkey")
+  }
+
   /** unionByName with allowMissingColumns — the heterogeneous-feed shape:
     * two extracts of the same entity with different column sets are
     * aligned BY NAME (positional union would silently mis-assign) and the

@@ -116,6 +116,42 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(byStatus.map(_.getLong(4)).sum == t.orders.count())
   }
 
+  test("collect_sorted, exact percentiles, and max_by match brute force") {
+    val statuses = CoreQueries.aggCollectSorted(t).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val bruteStatuses = t.lineitem.select("l_returnflag", "l_linestatus").collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.mkString(",")).toMap
+    assert(statuses == bruteStatuses)
+
+    val p = CoreQueries.aggExactPercentiles(t).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    def pct(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted; val pos = (s.length - 1) * q
+      val (lo, f) = (pos.toInt, pos - pos.toInt)
+      val v = if (lo + 1 < s.length) s(lo) * (1 - f) + s(lo + 1) * f else s(lo)
+      math.floor(v * 1e4 + 0.5) / 1e4
+    }
+    t.orders.select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .foreach { case (prio, vs) =>
+        val xs = vs.map(_._2)
+        val (p50, p90, n) = p(prio)
+        assert(n == xs.length)
+        assert(math.abs(p50 - pct(xs, 0.5)) <= 1e-4, s"$prio p50")
+        assert(math.abs(p90 - pct(xs, 0.9)) <= 1e-4, s"$prio p90")
+      }
+
+    val mb = CoreQueries.aggMaxBy(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    t.orders.select("o_orderstatus", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+      .foreach { case (st, vs) =>
+        val top = vs.maxBy(v => (v._3, v._2))
+        assert(mb(st) == ((top._2, top._3)), s"status $st")
+      }
+  }
+
   test("unpivot inverts pivot back to the long form exactly") {
     import graft.functions.NumericFunctions.roundN
     val got = CoreQueries.unpivotFlagStatus(t).collect()

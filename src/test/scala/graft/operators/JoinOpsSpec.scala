@@ -72,4 +72,25 @@ class JoinOpsSpec extends SparkTestBase {
     assert(rows.map(_._3).sum == nA)
     assert(rows.map(_._4).sum == nB)
   }
+
+  test("exceptAll/intersectAll: multiset copy counts match the bag formulas") {
+    def keyCounts(maxYear: Boolean): Map[Long, Long] = {
+      val f = if (maxYear) year(col("o_orderdate")) <= 1998 else year(col("o_orderdate")) >= 1999
+      t.orders.filter(f).groupBy("o_custkey").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val (e, l) = (keyCounts(true), keyCounts(false))
+    val gotExcept = JoinOps.exceptAllSlices(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantExcept = e.map { case (k, n) => k -> (n - l.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    assert(gotExcept == wantExcept)
+    val gotIntersect = JoinOps.intersectAllSlices(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantIntersect = e.flatMap { case (k, n) =>
+      val m = math.min(n, l.getOrElse(k, 0L)); if (m > 0) Some(k -> m) else None
+    }
+    assert(gotIntersect == wantIntersect)
+    assert(gotExcept.nonEmpty && gotIntersect.nonEmpty)
+  }
 }
