@@ -154,6 +154,10 @@ object SparkEntry {
     "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
     "dedup_decontaminate" -> q(t => DedupOps.decontaminate(t, "src15")),
     "dedup_substring_spans" -> q(t => DedupOps.duplicateSpans(t.documents)),
+    // composed intake pipeline: quality → repetition → exact-dup →
+    // decontamination, first-failing reason per doc + per-source rollup
+    "pipeline_intake_decisions" -> q(t => PipelineOps.intakeDecisions(t)),
+    "pipeline_intake_stats"     -> q(t => PipelineOps.intakeStats(t)),
     // Full corpus at threshold 0.7: MLlib's scheme (1 hash per table, no
     // banding) is OR-amplified, so it is run where its candidate noise
     // vanishes — high-similarity dedup (see the operator's scaladoc for
@@ -773,6 +777,118 @@ object SparkEntry {
     // Gopher-style repetition stats: most-frequent-token share + duplicate
     // bigram fraction per doc, keep under (0.2, 0.3); exact integer counts
     // and single integer/integer divisions on both sides
+    // Composed intake verdicts: the four stage oracles (quality band,
+    // repetition keep, md5 winners, eval-shingle leak) re-stated in one
+    // CTE chain with the same first-failing-reason precedence.
+    "pipeline_intake_decisions" ->
+      """WITH cand AS (
+        |  SELECT doc_id, source, text, string_split_regex(text, '\s+') AS tk,
+        |         md5(text) AS digest
+        |  FROM documents WHERE source <> 'src15'),
+        |q AS (
+        |  SELECT doc_id, source, tk, len(tk) AS n_tokens,
+        |         CASE WHEN len(tk) = 0 THEN 0.0
+        |              ELSE len(list_filter(tk, t -> list_contains(
+        |                ['the','a','an','of','and','to','in','is','it','for'], t)))::DOUBLE
+        |                   / len(tk) END AS swr,
+        |         min(doc_id) OVER (PARTITION BY digest) AS winner
+        |  FROM cand),
+        |bgl AS (
+        |  SELECT doc_id, [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))] AS bg
+        |  FROM cand),
+        |bstat AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(bg) = 0 THEN 0.0
+        |              ELSE floor((len(bg) - len(list_distinct(bg)))::DOUBLE
+        |                         / len(bg) * 10000 + 0.5) / 10000
+        |         END AS dbf
+        |  FROM bgl),
+        |w AS (SELECT doc_id, unnest(tk) AS w FROM cand),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        |dom AS (
+        |  SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+        |                       * 10000 + 0.5) / 10000 AS ttf
+        |  FROM cnt GROUP BY doc_id),
+        |ev AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |           [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in range(1, len(tk)-1)])) AS s
+        |  FROM (SELECT string_split_regex(text, '\s+') AS tk
+        |        FROM documents WHERE source = 'src15')),
+        |leaked AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(list_distinct(
+        |                 [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                  for i in range(1, len(tk)-1)])) AS s
+        |        FROM cand)
+        |  WHERE s IN (SELECT s FROM ev)),
+        |verdict AS (
+        |  SELECT q.doc_id, q.source,
+        |         CASE WHEN NOT (q.n_tokens >= 20 AND q.n_tokens <= 100
+        |                        AND q.swr >= 0.05) THEN 'quality'
+        |              WHEN NOT coalesce(d.ttf <= 0.2 AND b.dbf <= 0.3, false)
+        |                   THEN 'repetition'
+        |              WHEN q.doc_id <> q.winner THEN 'duplicate'
+        |              WHEN q.doc_id IN (SELECT doc_id FROM leaked)
+        |                   THEN 'contaminated'
+        |              ELSE 'kept' END AS reason
+        |  FROM q JOIN bstat b USING (doc_id) LEFT JOIN dom d USING (doc_id))
+        |SELECT doc_id, source, reason, (reason = 'kept') AS keep FROM verdict""".stripMargin,
+    "pipeline_intake_stats" ->
+      """WITH cand AS (
+        |  SELECT doc_id, source, text, string_split_regex(text, '\s+') AS tk,
+        |         md5(text) AS digest
+        |  FROM documents WHERE source <> 'src15'),
+        |q AS (
+        |  SELECT doc_id, source, tk, len(tk) AS n_tokens,
+        |         CASE WHEN len(tk) = 0 THEN 0.0
+        |              ELSE len(list_filter(tk, t -> list_contains(
+        |                ['the','a','an','of','and','to','in','is','it','for'], t)))::DOUBLE
+        |                   / len(tk) END AS swr,
+        |         min(doc_id) OVER (PARTITION BY digest) AS winner
+        |  FROM cand),
+        |bgl AS (
+        |  SELECT doc_id, [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))] AS bg
+        |  FROM cand),
+        |bstat AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(bg) = 0 THEN 0.0
+        |              ELSE floor((len(bg) - len(list_distinct(bg)))::DOUBLE
+        |                         / len(bg) * 10000 + 0.5) / 10000
+        |         END AS dbf
+        |  FROM bgl),
+        |w AS (SELECT doc_id, unnest(tk) AS w FROM cand),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        |dom AS (
+        |  SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+        |                       * 10000 + 0.5) / 10000 AS ttf
+        |  FROM cnt GROUP BY doc_id),
+        |ev AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |           [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in range(1, len(tk)-1)])) AS s
+        |  FROM (SELECT string_split_regex(text, '\s+') AS tk
+        |        FROM documents WHERE source = 'src15')),
+        |leaked AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(list_distinct(
+        |                 [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                  for i in range(1, len(tk)-1)])) AS s
+        |        FROM cand)
+        |  WHERE s IN (SELECT s FROM ev)),
+        |verdict AS (
+        |  SELECT q.doc_id, q.source,
+        |         CASE WHEN NOT (q.n_tokens >= 20 AND q.n_tokens <= 100
+        |                        AND q.swr >= 0.05) THEN 'quality'
+        |              WHEN NOT coalesce(d.ttf <= 0.2 AND b.dbf <= 0.3, false)
+        |                   THEN 'repetition'
+        |              WHEN q.doc_id <> q.winner THEN 'duplicate'
+        |              WHEN q.doc_id IN (SELECT doc_id FROM leaked)
+        |                   THEN 'contaminated'
+        |              ELSE 'kept' END AS reason
+        |  FROM q JOIN bstat b USING (doc_id) LEFT JOIN dom d USING (doc_id))
+        |SELECT source, reason, count(*) AS n FROM verdict
+        |GROUP BY source, reason""".stripMargin,
     "text_repetition_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(text, '\s+') AS tk FROM documents),
