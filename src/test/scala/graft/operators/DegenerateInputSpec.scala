@@ -59,6 +59,11 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(DedupOps.duplicateSpans(distinctDocs).count() == 0)
   }
 
+  test("intake pipeline returns empty on an empty corpus") {
+    assert(PipelineOps.intakeDecisions(et).count() == 0)
+    assert(PipelineOps.intakeStats(et).count() == 0)
+  }
+
   test("text and packing families return empty on an empty corpus") {
     assert(TextOps.tokenStats(et).count() == 0)
     assert(TextOps.repetitionStats(et).count() == 0)
