@@ -114,6 +114,8 @@ object SparkEntry {
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
     "events_hourly_streaming"  -> ((s, dir) =>
       EventStream.hourlyCounts(s, dir, s"graft_stream_${System.nanoTime()}")),
+    "events_sliding_streaming" -> ((s, dir) =>
+      EventStream.slidingCounts(s, dir, s"graft_slide_${System.nanoTime()}")),
     "events_sessions_streaming" -> ((s, dir) =>
       EventStream.sessionize(s, dir, s"graft_sess_${System.nanoTime()}")),
     "events_sessions_native_streaming" -> ((s, dir) =>
@@ -559,8 +561,6 @@ object SparkEntry {
         |       count(*) AS n,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
-    // sliding 2h/1h windows: each event expands into the two epoch-aligned
-    // hourly starts covering it — mirrors Spark's Expand, no self-join
     // whole-payload map parse: every key of every props object, no
     // key-specific schema — mirrors Spark's map<string,long> + explode
     "events_props_map" ->
@@ -572,6 +572,19 @@ object SparkEntry {
         |SELECT key, count(*) AS n, min(v) AS min_v, max(v) AS max_v,
         |       CAST(sum(v) AS BIGINT) AS sum_v
         |FROM kv GROUP BY key""".stripMargin,
+    // sliding 2h/1h windows: each event expands into the two epoch-aligned
+    // hourly starts covering it — mirrors Spark's Expand, no self-join;
+    // the streaming twin (Complete mode over the finite replay) emits
+    // every window, so it shares this oracle verbatim
+    "events_sliding_streaming" ->
+      """WITH e AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT win_start, event_type, count(*) AS n,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "events_sliding" ->
       """WITH e AS (
         |  SELECT unnest([date_trunc('hour', ts),

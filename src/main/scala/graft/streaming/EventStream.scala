@@ -261,6 +261,33 @@ object EventStream {
     drained(spark, queryName)
   }
 
+  /** Streaming twin of [[graft.operators.EventOps.slidingTypeCounts]] —
+    * the same overlapping 2 h/1 h `window()` expression under a
+    * watermark, completing the streaming twin set for all three window
+    * families (tumbling [[hourlyCounts]], sliding here, session
+    * [[sessionizeNativeWindows]]). Complete mode like the tumbling twin:
+    * over a finite replay it emits every window, so the gate states
+    * EXACT equality with the batch operator (the unbounded-stream
+    * deployment flips to append + watermark eviction, the mode the
+    * session twin exercises).
+    */
+  def slidingCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), roundN(decSum(col("value")), 2).as("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    drained(spark, queryName)
+      .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+  }
+
   /** Streaming twin of [[graft.operators.EventOps.nativeSessionWindows]]:
     * the IDENTICAL `session_window` grouping expression running in append
     * mode under a 2-hour watermark — Spark's unified model means the gap

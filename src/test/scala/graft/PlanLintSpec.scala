@@ -19,7 +19,8 @@ package graft
 class PlanLintSpec extends SparkTestBase {
 
   private val excluded = Set(
-    "events_hourly_streaming", "events_sessions_streaming",
+    "events_hourly_streaming", "events_sliding_streaming",
+    "events_sessions_streaming",
     "events_sessions_native_streaming",
     "events_dedup_streaming", "events_stream_join", "events_foreach_upsert",
     "dedup_minhash_streaming", "dedup_minhash_windowed",

@@ -207,6 +207,21 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming sliding counts == batch sliding counts") {
+    import graft.streaming.EventStream
+    val stream = EventStream.slidingCounts(spark, "/root/testdata/sf0.001",
+      s"spec_slide_${System.nanoTime()}")
+      .selectExpr("unix_millis(cast(win_start as timestamp)) AS w", "event_type",
+        "n", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventOps.slidingTypeCounts(t)
+      .selectExpr("unix_millis(cast(win_start as timestamp)) AS w", "event_type",
+        "n", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming native session windows == batch sessions closed before the final watermark") {
     import graft.streaming.EventStream
     val got = EventStream.sessionizeNativeWindows(spark, "/root/testdata/sf0.001",
