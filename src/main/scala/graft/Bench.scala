@@ -80,20 +80,35 @@ object Bench {
     // steady-state per-query cost. A failed run records the sentinel -1
     // and the name lands in failed_queries — a broken query must not look
     // like a fast one (round-1 advice).
+    //
+    // X2 parity: each timed span also meters process-CPU via the OS bean
+    // (the reference wraps every query in psutil.cpu_percent,
+    // `performance_py/2-cores-6-instances.py:78-104`). Reported per query
+    // as process-CPU ÷ (wall × cores) × 100 for the min-wall run — a
+    // scheduling-bound query reads low, a parallel scan reads high.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val queryCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed(name: String)(body: => Unit): Double = {
-      def once(): Double = {
+      def once(): (Double, Double) = {
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         try body
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failed += name
-          return -1.0
+          return (-1.0, -1.0)
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        (wall, 100.0 * cpu / (wall * Runtime.getRuntime.availableProcessors()))
       }
       val (a, b) = (once(), once())
-      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      if (a._1 < 0 || b._1 < 0) { queryCpu(name) = -1.0; -1.0 }
+      else {
+        val best = if (a._1 <= b._1) a else b
+        queryCpu(name) = math.round(best._2 * 10) / 10.0
+        best._1
+      }
     }
 
     val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -172,7 +187,9 @@ object Bench {
     val cpuPct = 100.0 * cpuSec /
       ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson}""")
+    val qcpu = queryCpu.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured

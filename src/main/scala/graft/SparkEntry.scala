@@ -116,6 +116,10 @@ object SparkEntry {
       EventStream.hourlyCounts(s, dir, s"graft_stream_${System.nanoTime()}")),
     "events_sliding_streaming" -> ((s, dir) =>
       EventStream.slidingCounts(s, dir, s"graft_slide_${System.nanoTime()}")),
+    "events_hourly_streaming_append" -> ((s, dir) =>
+      EventStream.hourlyCountsAppend(s, dir, s"graft_hca_${System.nanoTime()}")),
+    "events_sliding_streaming_append" -> ((s, dir) =>
+      EventStream.slidingCountsAppend(s, dir, s"graft_sca_${System.nanoTime()}")),
     "events_sessions_streaming" -> ((s, dir) =>
       EventStream.sessionize(s, dir, s"graft_sess_${System.nanoTime()}")),
     "events_sessions_native_streaming" -> ((s, dir) =>
@@ -126,6 +130,8 @@ object SparkEntry {
     "events_foreach_upsert" -> ((s, dir) => EventStream.foreachBatchUpsert(s, dir)),
     "events_stream_join" -> ((s, dir) =>
       EventStream.clickPurchaseJoin(s, dir, s"graft_ssj_${System.nanoTime()}")),
+    "events_stream_left_join" -> ((s, dir) =>
+      EventStream.clickPurchaseLeftJoin(s, dir, s"graft_ssl_${System.nanoTime()}")),
     "dedup_minhash_streaming" -> ((s, dir) =>
       streaming.DedupStream.minhashPairs(s, dir, s"graft_mhs_${System.nanoTime()}", 0.3)),
     "dedup_minhash_windowed" -> ((s, dir) =>
@@ -181,6 +187,10 @@ object SparkEntry {
     "emb_norms_by_label" -> q(SimilarityOps.normsByLabel),
     // --- ML + multimodal (reference parity M1-M14 / extension) ---
     "ml_price_metrics"    -> q(PricePipeline.fastMetrics),
+    // all nine reference configs (M3-M11) behind a driver gate; rows-only
+    // like its fast sibling (ML fits are engine-specific) with the model
+    // set + metric-consistency invariants verified in GateInvariants
+    "ml_price_metrics_full" -> q(PricePipeline.fullMetrics),
     "ml_recommend_tfidf"  -> q(t => Recommender.similarDocs(t, 0L, 5)),
     // same oracle as the dense variant: sparse merge-dot scoring is
     // bit-identical (SparseDotSpec), so it earns its own hash gate
@@ -561,17 +571,28 @@ object SparkEntry {
         |       count(*) AS n,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // append-mode twin: only windows CLOSED by the final watermark (window
+    // end <= max event time − 2 h, µs precision — the same <= boundary the
+    // session twin pins) are ever emitted; open tails stay in state
+    "events_hourly_streaming_append" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
+        |FROM events GROUP BY 1, 2
+        |HAVING epoch_ns(date_trunc('hour', ts)) // 1000 + 3600000000
+        |       <= (SELECT max(epoch_ns(ts) // 1000) FROM events) - 7200000000""".stripMargin,
     // whole-payload map parse: every key of every props object, no
-    // key-specific schema — mirrors Spark's map<string,long> + explode
+    // key-specific schema. Casting the JSON object to MAP(VARCHAR,BIGINT)
+    // is exactly the engine's from_json map<string,long> — keys containing
+    // '.', quotes, or brackets resolve verbatim, where a concatenated
+    // '$.' || key path would silently misresolve them.
     "events_props_map" ->
-      """WITH ks AS (
-        |  SELECT props, unnest(json_keys(props::JSON)) AS key FROM events),
-        |kv AS (
-        |  SELECT key, CAST(json_extract(props, '$.' || key) AS BIGINT) AS v
-        |  FROM ks)
-        |SELECT key, count(*) AS n, min(v) AS min_v, max(v) AS max_v,
-        |       CAST(sum(v) AS BIGINT) AS sum_v
-        |FROM kv GROUP BY key""".stripMargin,
+      """WITH kv AS (
+        |  SELECT unnest(map_entries(CAST(props::JSON AS MAP(VARCHAR, BIGINT)))) AS e
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT e.key AS key, count(*) AS n, min(e.value) AS min_v, max(e.value) AS max_v,
+        |       CAST(sum(e.value) AS BIGINT) AS sum_v
+        |FROM kv GROUP BY e.key""".stripMargin,
     // sliding 2h/1h windows: each event expands into the two epoch-aligned
     // hourly starts covering it — mirrors Spark's Expand, no self-join;
     // the streaming twin (Complete mode over the finite replay) emits
@@ -594,6 +615,19 @@ object SparkEntry {
         |SELECT win_start, event_type, count(*) AS n,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // append-mode sliding twin: a 2 h-wide window is closed once
+    // win_start + 2 h <= max event time − 2 h (µs, <= boundary)
+    "events_sliding_streaming_append" ->
+      """WITH e AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT win_start, event_type, count(*) AS n,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
+        |FROM e GROUP BY 1, 2
+        |HAVING epoch_ns(win_start) // 1000 + 7200000000
+        |       <= (SELECT max(epoch_ns(ts) // 1000) FROM events) - 7200000000""".stripMargin,
     // streaming twin: the same sessions, emitted only once the final
     // watermark (max event time − 2 h) passes their end — open tails stay
     // in state; µs precision end-to-end
@@ -732,6 +766,30 @@ object SparkEntry {
         |  ON c.user_id = b.user_id AND b.ts > c.ts
         |     AND b.ts <= c.ts + INTERVAL 1 HOUR
         |GROUP BY c.user_id""".stripMargin,
+    // The outer form: matched pairs emit as they arrive; an unmatched
+    // click emits null-padded once the watermark passes click + 1 h
+    // (STRICT <, empirically pinned). The watermark is the MIN across the
+    // two input nodes of (that side's max event time − 2 h) — each
+    // withWatermark tracks its own max, not the global events max.
+    "events_stream_left_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(epoch_ns(ts) // 1000) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(epoch_ns(ts) // 1000) FROM events WHERE event_type = 'purchase'))
+        |    - 7200000000 AS w),
+        |l AS (
+        |  SELECT c.user_id AS u, c.ts AS click_ts, b.ts AS buy_ts
+        |  FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') b
+        |    ON c.user_id = b.user_id AND b.ts > c.ts
+        |       AND b.ts <= c.ts + INTERVAL 1 HOUR),
+        |emitted AS (
+        |  SELECT * FROM l
+        |  WHERE buy_ts IS NOT NULL
+        |     OR epoch_ns(click_ts) // 1000 + 3600000000 < (SELECT w FROM wm))
+        |SELECT u AS user_id, count(buy_ts) AS click_buy_pairs,
+        |       count(CASE WHEN buy_ts IS NULL THEN 1 END) AS closed_unmatched
+        |FROM emitted GROUP BY u""".stripMargin,
     // benchmark decontamination: training docs sharing a word 3-gram with
     // the eval source; shingle counts are xxhash64-invariant engine-side
     // (same argument as dedup_ngram_jaccard), so the text-shingle oracle

@@ -27,7 +27,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); unset = everything,
+    // which is what the driver runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         GateInvariants.check(name, df, fn, spark, sfDir)
@@ -219,11 +225,14 @@ object GateInvariants {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       exact.foreach(p => require(got.contains(p),
         s"invariant: exact duplicate pair $p missed (collides in every table)"))
-    case "ml_price_metrics" =>
+    case "ml_price_metrics" | "ml_price_metrics_full" =>
+      val expectedModels =
+        if (name == "ml_price_metrics")
+          Set("LinearRegression", "DecisionTree", "GeneralizedLinear")
+        else ml.PricePipeline.regressors.map(_._1).toSet // all nine
       val rows = df.collect()
-      require(rows.map(_.getString(0)).toSet ==
-        Set("LinearRegression", "DecisionTree", "GeneralizedLinear"),
-        "invariant: fastMetrics model set incomplete")
+      require(rows.map(_.getString(0)).toSet == expectedModels,
+        s"invariant: model set ${rows.map(_.getString(0)).toSet} != $expectedModels")
       rows.foreach { r =>
         val Seq(r2, r2adj, mse, rmse, mae) = (1 to 5).map(r.getDouble)
         require(!r2.isNaN && r2 <= 1.0 && mse >= 0 && mae >= 0, "invariant: bad metric")
@@ -242,9 +251,16 @@ object GateInvariants {
       got.foreach { case (pk, est) =>
         require(est >= exact(pk),
           s"invariant: CMS under-estimated key $pk: $est < ${exact(pk)}")
-        require(est <= exact(pk) + math.ceil(0.001 * n).toLong + 1,
-          s"invariant: CMS estimate $est for key $pk above exact ${exact(pk)} + eps*N")
       }
+      // The eps·N over-count bound is probabilistic (holds per key with
+      // prob >= confidence = 0.99), so require it for >= 19 of the 20
+      // keys rather than all — a correct sketch on regenerated data or a
+      // different scale can legitimately miss it once.
+      val bound = math.ceil(0.001 * n).toLong + 1
+      val overBound = got.count { case (pk, est) => est > exact(pk) + bound }
+      require(overBound <= 1,
+        s"invariant: CMS over-estimated $overBound/20 keys beyond eps*N=$bound " +
+          "(bound is probabilistic per key at confidence 0.99; at most 1 miss allowed)")
       val again = fn(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1))
       require(again.toSeq == got.toSeq, "invariant: seeded CMS not deterministic")
     case "multimodal_binary_ingest" =>

@@ -4,7 +4,6 @@ import graft.functions.TextFunctions.dealerCategory
 import graft.sources.CsvIO
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.feature._
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -264,25 +263,20 @@ object VehiclesPipelines {
         new Normalizer().setInputCol("features").setOutputCol("features_norm").setP(2.0)))
       val normalized = pipeline.fit(data).transform(data)
 
-      val dotUdf = udf((a: Vector, b: Vector) => {
-        val sa = a.toSparse; val sb = b.toSparse
-        var i = 0; var j = 0; var s = 0.0
-        while (i < sa.indices.length && j < sb.indices.length) {
-          if (sa.indices(i) == sb.indices(j)) { s += sa.values(i) * sb.values(j); i += 1; j += 1 }
-          else if (sa.indices(i) < sb.indices(j)) i += 1
-          else j += 1
-        }
-        s
-      })
       // NOTE: TF-IDF over the constant `Made` column is degenerate — every
       // document in the filtered set has the same single term, so IDF is 0
       // and all scores tie (the reference has the identical degeneracy and
       // its rdd.sortBy pick is partition-arbitrary). The extra sort keys
-      // make the tied selection deterministic here.
-      val q = normalized.limit(1).select(col("features_norm").as("q_vec"))
+      // make the tied selection deterministic here. Scoring is the codegen
+      // `graft_dot` expression over densified vectors (the gated
+      // Recommender's path) — no UDF, no codegen break in the hot loop.
+      import org.apache.spark.ml.functions.vector_to_array
+      val q = normalized.limit(1)
+        .select(vector_to_array(col("features_norm")).as("q_vec"))
       val top = normalized
         .crossJoin(broadcast(q))
-        .withColumn("score", dotUdf(col("features_norm"), col("q_vec")))
+        .withColumn("score", call_function("graft_dot",
+          vector_to_array(col("features_norm")), col("q_vec")))
         .orderBy(desc("score"), asc("price"), asc("model"), asc("year"))
         .limit(6)
       val prices = top.select("price").collect().drop(1).map(_.getString(0))

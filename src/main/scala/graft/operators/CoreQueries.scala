@@ -401,8 +401,9 @@ object CoreQueries {
   /** The inverse reshape: unpivot (melt) the wide pivoted frame back into
     * long (status, flag, qty) rows — wide↔long is a lossless round trip,
     * which the oracle states by computing the long form directly from the
-    * source and never touching the wide one. Nulls (flag absent for a
-    * status) are dropped by unpivot, matching the long form exactly.
+    * source and never touching the wide one. Dataset.unpivot RETAINS null
+    * value rows (a flag absent for a status), so they are filtered
+    * explicitly to match the long form, which never produces them.
     */
   def unpivotFlagStatus(t: Tables): DataFrame =
     pivotFlagStatus(t)
@@ -410,6 +411,7 @@ object CoreQueries {
         Array(col("l_linestatus")),
         Array(col("qty_a").as("A"), col("qty_n").as("N"), col("qty_r").as("R")),
         "l_returnflag", "sum_qty")
+      .filter(col("sum_qty").isNotNull)
       .orderBy("l_linestatus", "l_returnflag")
 
   /** Pearson correlation + sample covariance (the reference's

@@ -288,6 +288,106 @@ object EventStream {
       .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
   }
 
+  /** The production-shaped tumbling twin: the same hourly aggregation as
+    * [[hourlyCounts]] but in APPEND mode — a window row is emitted exactly
+    * once, when the watermark passes its end (it can no longer receive
+    * rows: any event that would land in it is late beyond the watermark
+    * and dropped), and its state is evicted. This is the mode an unbounded
+    * deployment runs: state is bounded by (watermark delay / window size)
+    * windows per key, not by stream length. Over the finite replay the
+    * emitted set is exactly the batch windows whose end precedes the final
+    * watermark (max event time − 2 h, µs precision, `<=` boundary like the
+    * session twin) — the open tail windows stay in state, and the oracle
+    * states that closed-window predicate directly.
+    */
+  def hourlyCountsAppend(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), roundN(decSum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    drained(spark, queryName)
+      .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** Append-mode twin of [[slidingCounts]] — same 2 h/1 h overlapping
+    * windows, emitted once closed by the watermark (see
+    * [[hourlyCountsAppend]] for the emission contract). A sliding window
+    * closes when the watermark passes `win_start + 2 h`, so at any moment
+    * at most (delay + width) / slide windows per key are live.
+    */
+  def slidingCountsAppend(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), roundN(decSum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    drained(spark, queryName)
+      .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Stream-stream LEFT OUTER join — [[clickPurchaseJoin]]'s outer form,
+    * completing the stream-join family: clicks that found a purchase
+    * within the hour emit matched as they arrive (inner semantics), and a
+    * click emits ONCE with a null purchase when the watermark passes the
+    * end of its match window (click_ts + 1 h — no future purchase can ever
+    * match it, so its state row is evicted and the null-padded row
+    * released). State stays O(arrival rate × (delay + interval)) on an
+    * unbounded stream, identical to the inner form. Over the finite replay
+    * the emitted set is: ALL batch-matched pairs, plus the unmatched
+    * clicks whose match window closed under the final watermark — open-
+    * tail unmatched clicks stay in state, exactly like the unclosed
+    * sessions of the session twin. The gate rolls up per user: matched
+    * pair count and closed unmatched count.
+    */
+  def clickPurchaseLeftJoin(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val buys = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "2 hours")
+    val joined = clicks.join(buys,
+      col("u") === col("u2") &&
+        col("buy_ts") > col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    val q = joined
+      .select(col("u").as("user_id"), col("click_ts"), col("buy_ts"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    drained(spark, queryName)
+      .groupBy("user_id")
+      .agg(count(col("buy_ts")).as("click_buy_pairs"),
+        count(when(col("buy_ts").isNull, 1)).as("closed_unmatched"))
+      .orderBy("user_id")
+  }
+
   /** Streaming twin of [[graft.operators.EventOps.nativeSessionWindows]]:
     * the IDENTICAL `session_window` grouping expression running in append
     * mode under a 2-hour watermark — Spark's unified model means the gap
@@ -354,6 +454,17 @@ object EventStream {
     }
     val out = s"$targetDir/v$version"
     merged.write.mode("overwrite").parquet(out)
+    // v is committed; v-1 is garbage nobody can still be handed — drop it
+    // now so repeated invocations (Verify + Bench min-of-2) keep at most
+    // two versions on disk instead of one per micro-batch until JVM exit
+    prev.foreach { p =>
+      try {
+        val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+        finally stream.close()
+      } catch { case _: Throwable => () }
+    }
     out
   }
 
@@ -368,7 +479,14 @@ object EventStream {
     * hash-checks it against a batch argmax oracle); the multi-batch
     * replay/restart semantics are spec-proven over a MemoryStream.
     */
-  def foreachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+  /** One (target, checkpoint-root) pair per JVM with a single shutdown
+    * hook — the same discipline OrcIO/JsonIO use so Verify + Bench's
+    * repeated calls never accumulate temp dirs or hooks. Each CALL gets a
+    * fresh checkpoint SUBDIR (a reused checkpoint would make the replay a
+    * no-op) and a fresh version namespace under the shared target; old
+    * versions are pruned as soon as their successor commits.
+    */
+  private lazy val upsertDirs: (String, String) = {
     def tmp(prefix: String): String = {
       val d = java.nio.file.Files.createTempDirectory(prefix)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -381,8 +499,27 @@ object EventStream {
       }))
       d.toString
     }
-    val targetDir = tmp("graft_upsert_")
-    val ckptDir   = tmp("graft_upsert_ckpt_")
+    (tmp("graft_upsert_"), tmp("graft_upsert_ckpt_"))
+  }
+  private val upsertCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def foreachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val call = upsertCalls.incrementAndGet()
+    val (targetRoot, ckptRoot) = upsertDirs
+    // the previous call's final version is dead once a new call begins
+    // (its returned frame has been consumed) — sweep it so repeated calls
+    // hold at most one final version plus the in-flight one
+    if (call > 1) {
+      try {
+        val old = java.nio.file.Paths.get(s"$targetRoot/call${call - 1}")
+        val stream = java.nio.file.Files.walk(old)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally stream.close()
+      } catch { case _: Throwable => () }
+    }
+    val targetDir = s"$targetRoot/call$call"
+    val ckptDir   = s"$ckptRoot/call$call"
     @volatile var current: Option[String] = None
     val q = readEvents(spark, dir)
       .select("user_id", "ts", "event_id", "event_type", "value")

@@ -20,11 +20,14 @@ class PlanLintSpec extends SparkTestBase {
 
   private val excluded = Set(
     "events_hourly_streaming", "events_sliding_streaming",
+    "events_hourly_streaming_append", "events_sliding_streaming_append",
     "events_sessions_streaming",
     "events_sessions_native_streaming",
-    "events_dedup_streaming", "events_stream_join", "events_foreach_upsert",
+    "events_dedup_streaming", "events_stream_join", "events_stream_left_join",
+    "events_foreach_upsert",
     "dedup_minhash_streaming", "dedup_minhash_windowed",
-    "ml_price_metrics", "multimodal_features", "multimodal_png_files")
+    "ml_price_metrics", "ml_price_metrics_full",
+    "multimodal_features", "multimodal_png_files")
 
   /** Gates whose plan is EXPECTED to hold a broadcast-1-row
     * BroadcastNestedLoopJoin (the scalar/query-vector probe shape).
@@ -39,12 +42,25 @@ class PlanLintSpec extends SparkTestBase {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
-      if (scalarProbe(name))
+      if (scalarProbe(name)) {
         // the probe shape itself: nested-loop is fine ONLY because the
-        // build side broadcasts one row (BuildRight/BuildLeft, never a
-        // shuffled nested loop — Spark has no such operator to regress to)
-        assert(!p.contains("CartesianProduct"), s"$name scalar probe degraded")
-      else
+        // build side broadcasts one row. Pin that shape: exactly ONE
+        // BNLJ, with a declared build side, fed by a broadcast exchange
+        // in identity mode (the form `crossJoin(broadcast(oneRow))`
+        // plans to) — a probe that degraded to a second nested loop or
+        // lost its broadcast would slip the old allowlist silently.
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+        assert(bnlj <= 1, s"$name scalar probe: expected at most 1 " +
+          s"BroadcastNestedLoopJoin, found $bnlj")
+        if (bnlj == 1) {
+          assert(p.contains("BroadcastNestedLoopJoin BuildLeft") ||
+            p.contains("BroadcastNestedLoopJoin BuildRight"),
+            s"$name scalar probe: BNLJ has no broadcast build side")
+          assert(p.contains("BroadcastExchange IdentityBroadcastMode"),
+            s"$name scalar probe: no identity-mode broadcast exchange " +
+              "feeding the nested loop")
+        }
+      } else
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin outside the scalar-probe allowlist")
     }

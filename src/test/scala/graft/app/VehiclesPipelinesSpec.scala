@@ -140,4 +140,34 @@ class VehiclesPipelinesSpec extends SparkTestBase {
     assert(got.length <= 5)
     got.foreach(r => assert(r.getAs[String]("Made") == "American"))
   }
+
+  test("recommend() scoring: graft_dot equals the sparse-merge udf it replaced") {
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    // the exact scalar the retired udf computed: sorted-merge sparse dot
+    val legacy = udf((a: Vector, b: Vector) => {
+      val sa = a.toSparse; val sb = b.toSparse
+      var i = 0; var j = 0; var s = 0.0
+      while (i < sa.indices.length && j < sb.indices.length) {
+        if (sa.indices(i) == sb.indices(j)) { s += sa.values(i) * sb.values(j); i += 1; j += 1 }
+        else if (sa.indices(i) < sb.indices(j)) i += 1
+        else j += 1
+      }
+      s
+    })
+    val vecs = Seq(
+      Vectors.sparse(8, Array(0, 3, 5), Array(0.5, -1.25, 2.0)),
+      Vectors.sparse(8, Array(1, 3), Array(4.0, 0.75)),
+      Vectors.dense(Array.tabulate(8)(i => i * 0.125)),
+      Vectors.sparse(8, Array(), Array()))
+    val q = Vectors.sparse(8, Array(0, 3, 7), Array(1.5, 2.0, -0.5))
+    val df = spark.createDataFrame(vecs.map(Tuple1(_))).toDF("v")
+      .crossJoin(spark.createDataFrame(Seq(Tuple1(q))).toDF("q"))
+    val rows = df.select(
+      call_function("graft_dot", vector_to_array(col("v")),
+        vector_to_array(col("q"))).as("native"),
+      legacy(col("v"), col("q")).as("udf")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native ${r.getDouble(0)} != udf ${r.getDouble(1)}"))
+  }
 }

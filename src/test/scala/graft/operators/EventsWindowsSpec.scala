@@ -278,4 +278,80 @@ class EventsWindowsSpec extends SparkTestBase {
       assert(rs.map(_._5).max == 1.0, s"seg $seg: max cume_dist != 1")
     }
   }
+
+  test("append-mode tumbling twin == batch windows closed under the final watermark") {
+    val got = EventStream.hourlyCountsAppend(spark, "/root/testdata/sf0.001",
+      s"spec_hca_${System.nanoTime()}")
+      .selectExpr("unix_millis(cast(hour_start as timestamp)) AS w", "event_type",
+        "n", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val maxMs = t.events
+      .selectExpr("max(unix_millis(cast(ts as timestamp)))").head().getLong(0)
+    val wm = maxMs - 7200 * 1000L
+    val batch = EventOps.hourlyTypeCounts(t)
+      .selectExpr("unix_millis(cast(hour_start as timestamp)) AS w", "event_type",
+        "n", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val closed = batch.filter(r => r._1 + 3600 * 1000L <= wm).toSet
+    assert(got == closed,
+      s"emitted ${got.size} vs closed ${closed.size}; " +
+        s"only-in-got ${(got -- closed).take(3)}, only-in-closed ${(closed -- got).take(3)}")
+    assert(got.nonEmpty && got.size < batch.length,
+      "expected some closed windows emitted and open tails withheld")
+  }
+
+  test("append-mode sliding twin == batch windows closed under the final watermark") {
+    val got = EventStream.slidingCountsAppend(spark, "/root/testdata/sf0.001",
+      s"spec_sca_${System.nanoTime()}")
+      .selectExpr("unix_millis(cast(win_start as timestamp)) AS w", "event_type",
+        "n", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val maxMs = t.events
+      .selectExpr("max(unix_millis(cast(ts as timestamp)))").head().getLong(0)
+    val wm = maxMs - 7200 * 1000L
+    val batch = EventOps.slidingTypeCounts(t)
+      .selectExpr("unix_millis(cast(win_start as timestamp)) AS w", "event_type",
+        "n", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val closed = batch.filter(r => r._1 + 2 * 3600 * 1000L <= wm).toSet
+    assert(got == closed,
+      s"emitted ${got.size} vs closed ${closed.size}; " +
+        s"only-in-got ${(got -- closed).take(3)}, only-in-closed ${(closed -- got).take(3)}")
+    assert(got.nonEmpty && got.size < batch.length,
+      "expected some closed windows emitted and open tails withheld")
+  }
+
+  test("stream-stream left outer join == batch pairs + closed unmatched clicks") {
+    val got = EventStream.clickPurchaseLeftJoin(spark, "/root/testdata/sf0.001",
+      s"spec_ssl_${System.nanoTime()}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val clicks = t.events.filter(col("event_type") === "click")
+      .selectExpr("user_id AS u", "unix_millis(cast(ts as timestamp)) AS click_ms")
+    val buys = t.events.filter(col("event_type") === "purchase")
+      .selectExpr("user_id AS u2", "unix_millis(cast(ts as timestamp)) AS buy_ms")
+    // each withWatermark node tracks ITS OWN max event time; the query
+    // watermark is the min across inputs (multipleWatermarkPolicy=min) —
+    // NOT the global events max (empirically pinned: using the global max
+    // over-emits by exactly the clicks in the (click-max, buy-max] gap)
+    val wm = math.min(
+      clicks.agg(max("click_ms")).head().getLong(0),
+      buys.agg(max("buy_ms")).head().getLong(0)) - 7200 * 1000L
+    val left = clicks.join(buys,
+      col("u") === col("u2") && col("buy_ms") > col("click_ms") &&
+        col("buy_ms") <= col("click_ms") + 3600 * 1000L, "leftOuter")
+    // matched pairs always emit; an unmatched click emits null-padded only
+    // once its match window (click + 1h) closes under the final watermark
+    val expected = left
+      .withColumn("emit", col("buy_ms").isNotNull ||
+        col("click_ms") + 3600 * 1000L < lit(wm))
+      .filter(col("emit"))
+      .groupBy(col("u").as("user_id"))
+      .agg(count(col("buy_ms")).as("pairs"),
+        count(when(col("buy_ms").isNull, 1)).as("unmatched"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"got ${got.size} users vs expected ${expected.size}; " +
+        s"only-in-got ${(got -- expected).take(3)}, only-in-expected ${(expected -- got).take(3)}")
+    assert(got.nonEmpty)
+  }
 }
