@@ -180,6 +180,43 @@ object VehiclesPipelines {
           .toDF("model", "r2", "r2adj", "mse", "rmse", "mae")
       } finally data.unpersist()
     }
+
+    /** The reference's Algorithm display names
+      * (`price-prediction.py:287-489`, one `metrics_dict` per model).
+      */
+    private val displayNames = Map(
+      "LinearRegression" -> "Linear Regression",
+      "Lasso" -> "Lasso Regression",
+      "Ridge" -> "Ridge Regression",
+      "IsotonicRegression" -> "Isotonic Regression",
+      "FMRegressor" -> "Factorization Machines",
+      "DecisionTree" -> "Decision Tree",
+      "RandomForest" -> "Random Forest",
+      "GradientBoosting" -> "Gradient Boosting",
+      "GeneralizedLinear" -> "Generalized Linear Regression")
+
+    /** The "Models Comparison" table exactly as the reference builds it
+      * (`price-prediction.py:503-527`, transcript
+      * `notebooks_outputs/price_prediction.txt:388-402`): R²/Adjusted R²/
+      * RMSE/MAE rounded to 2 dp as DOUBLE, and MSE — alone — cast to
+      * `decimal(20,2)` (the reference rounds it by the cast, not round()),
+      * under the reference's superscript-² column names.
+      */
+    def comparisonTable(spark: SparkSession, df: DataFrame,
+                        models: Seq[String] = Seq("LinearRegression", "DecisionTree")): DataFrame = {
+      val nameExpr = displayNames.foldLeft(col("model")) { case (c, (k, v)) =>
+        when(col("model") === k, v).otherwise(c)
+      }
+      metrics(spark, df, models)
+        .withColumn("MSE", col("mse").cast("decimal(20,2)"))
+        .select(
+          nameExpr.as("Algorithm"),
+          round(col("r2"), 2).as("R²"),
+          round(col("r2adj"), 2).as("Adjusted R²"),
+          col("MSE"),
+          round(col("rmse"), 2).as("RMSE"),
+          round(col("mae"), 2).as("MAE"))
+    }
   }
 
   /** Pipeline 4 — recommendation (`notebook_to_py/recomendation-system.py`). */

@@ -79,4 +79,72 @@ class GoldenTranscriptSpec extends SparkTestBase {
       ("ny", 2L, 20.0),
       ("wa", 1L, 10.0)))
   }
+
+  /** Cleaning/viz transcript block (`data-viz&cleaning.py:141-207`,
+    * transcript `notebooks_outputs/data-viz&cleaning.txt:33-92`): describe
+    * over the cleaned frame + the three skewness numbers at the
+    * reference's `%.2f` precision.
+    *
+    * Cleaned set by construction: rows 2–90 survive (row 1 price 1000 <
+    * 2000; rows 91–100 have NULL manufacturer → na.drop) = 89 rows with
+    * odometer the arithmetic sequence 52000..140000 step 1000 — so
+    * count 89, mean EXACTLY 96000, and skewness EXACTLY 0 (symmetric:
+    * third central moments cancel in pairs). Sample stddev of an
+    * arithmetic sequence a+k·d is d·sqrt(n(n+1)/12) = 1000·sqrt(89·90/12)
+    * = 25836.0213658... sqrt/log transforms skew left: −0.17 / −0.35.
+    */
+  test("cleaning transcript: describe block + skewness, exact") {
+    val cleaned = VehiclesPipelines.Cleaning.clean(vehicles).cache()
+    try {
+      assert(cleaned.count() == 89)
+      val d = cleaned.describe("odometer").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(d("count") == "89")
+      assert(d("mean").toDouble == 96000.0)
+      assert(math.abs(d("stddev").toDouble - 1000.0 * math.sqrt(89.0 * 90.0 / 12.0)) < 1e-6)
+      // describe() min/max on an all-strings CSV column are LEXICOGRAPHIC
+      // — the transcript's own quirk (odometer max "99999" with 200000
+      // values present, `data-viz&cleaning.txt:77-84`); here "100000" <
+      // "52000" and "99000" > "140000" as strings
+      assert(d("min") == "100000", s"lexicographic min, got ${d("min")}")
+      assert(d("max") == "99000", s"lexicographic max, got ${d("max")}")
+
+      // the reference prints skewness with f"{x:.2f}" (ref :143,196,207)
+      def r2dp(x: Double): Double = math.floor(x * 100 + 0.5) / 100
+      val sk = VehiclesPipelines.Cleaning.skewnessReport(cleaned).head()
+      assert(r2dp(sk.getDouble(0)) == 0.0, s"odometer skew ${sk.getDouble(0)}")
+      assert(r2dp(sk.getDouble(1)) == -0.17, s"sqrt skew ${sk.getDouble(1)}")
+      assert(r2dp(sk.getDouble(2)) == -0.35, s"log skew ${sk.getDouble(2)}")
+    } finally { cleaned.unpersist(); () }
+  }
+
+  /** Price-prediction comparison table (`price-prediction.py:503-527`):
+    * the reference's exact schema — superscript-² column names, R²/
+    * Adjusted R²/RMSE/MAE as 2-dp-rounded DOUBLE, and MSE rounded by a
+    * CAST to decimal(20,2) instead of round() — plus the r2adj == r2
+    * evaluator bug visible in the table itself (transcript :388-402 shows
+    * identical R²/Adjusted R² columns for all nine models).
+    */
+  test("price-prediction transcript: comparison-table schema incl. decimal(20,2) MSE") {
+    import org.apache.spark.sql.types._
+    // linear models: the golden fixture's `model` column has 89 distinct
+    // values, beyond tree maxBins=32 (trees are exercised on the larger
+    // synthetic CSV in VehiclesPipelinesSpec)
+    val table = VehiclesPipelines.PricePrediction.comparisonTable(
+      spark, vehicles, Seq("LinearRegression", "GeneralizedLinear"))
+    assert(table.columns.toSeq ==
+      Seq("Algorithm", "R²", "Adjusted R²", "MSE", "RMSE", "MAE"))
+    val types = table.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("MSE") == DecimalType(20, 2), s"MSE type ${types("MSE")}")
+    assert(types("Algorithm") == StringType)
+    Seq("R²", "Adjusted R²", "RMSE", "MAE").foreach(c =>
+      assert(types(c) == DoubleType, s"$c type ${types(c)}"))
+    val rows = table.collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("Linear Regression", "Generalized Linear Regression"))
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), "R² != Adjusted R² (quirk lost)")
+      assert(r.getDecimal(3).doubleValue >= 0)
+    }
+  }
 }
