@@ -112,6 +112,7 @@ object SparkEntry {
     "events_sessions"          -> q(EventOps.userSessions),
     "events_click_to_purchase" -> q(EventOps.clickToPurchase),
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
+    "events_asof_prev"         -> q(EventOps.prevPurchaseAsof),
     "events_hourly_streaming"  -> ((s, dir) =>
       EventStream.hourlyCounts(s, dir, s"graft_stream_${System.nanoTime()}")),
     "events_sliding_streaming" -> ((s, dir) =>
@@ -132,6 +133,8 @@ object SparkEntry {
       EventStream.clickPurchaseJoin(s, dir, s"graft_ssj_${System.nanoTime()}")),
     "events_stream_left_join" -> ((s, dir) =>
       EventStream.clickPurchaseLeftJoin(s, dir, s"graft_ssl_${System.nanoTime()}")),
+    "events_stream_full_join" -> ((s, dir) =>
+      EventStream.clickPurchaseFullJoin(s, dir, s"graft_ssf_${System.nanoTime()}")),
     "dedup_minhash_streaming" -> ((s, dir) =>
       streaming.DedupStream.minhashPairs(s, dir, s"graft_mhs_${System.nanoTime()}", 0.3)),
     "dedup_minhash_windowed" -> ((s, dir) =>
@@ -790,6 +793,33 @@ object SparkEntry {
         |SELECT u AS user_id, count(buy_ts) AS click_buy_pairs,
         |       count(CASE WHEN buy_ts IS NULL THEN 1 END) AS closed_unmatched
         |FROM emitted GROUP BY u""".stripMargin,
+    // full outer: click null-rows close like the left form; a purchase
+    // null-row closes once the watermark passes its OWN event time
+    // (buy_ts > click_ts means purchases only match EARLIER clicks)
+    "events_stream_full_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(epoch_ns(ts) // 1000) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(epoch_ns(ts) // 1000) FROM events WHERE event_type = 'purchase'))
+        |    - 7200000000 AS w),
+        |f AS (
+        |  SELECT c.user_id AS cu, b.user_id AS bu, c.ts AS click_ts, b.ts AS buy_ts
+        |  FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  FULL OUTER JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') b
+        |    ON c.user_id = b.user_id AND b.ts > c.ts
+        |       AND b.ts <= c.ts + INTERVAL 1 HOUR),
+        |emitted AS (
+        |  SELECT * FROM f
+        |  WHERE (click_ts IS NOT NULL AND buy_ts IS NOT NULL)
+        |     OR (buy_ts IS NULL
+        |         AND epoch_ns(click_ts) // 1000 + 3600000000 < (SELECT w FROM wm))
+        |     OR (click_ts IS NULL
+        |         AND epoch_ns(buy_ts) // 1000 < (SELECT w FROM wm)))
+        |SELECT coalesce(cu, bu) AS user_id,
+        |       count(CASE WHEN click_ts IS NOT NULL AND buy_ts IS NOT NULL THEN 1 END) AS click_buy_pairs,
+        |       count(CASE WHEN buy_ts IS NULL THEN 1 END) AS closed_unmatched_clicks,
+        |       count(CASE WHEN click_ts IS NULL THEN 1 END) AS closed_unmatched_buys
+        |FROM emitted GROUP BY coalesce(cu, bu)""".stripMargin,
     // benchmark decontamination: training docs sharing a word 3-gram with
     // the eval source; shingle counts are xxhash64-invariant engine-side
     // (same argument as dedup_ngram_jaccard), so the text-shingle oracle
@@ -1046,6 +1076,18 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.ts AS click_ts,
         |       (SELECT min(p.ts) FROM p
         |        WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS next_purchase_ts
+        |FROM c""".stripMargin,
+    // backward as-of: last purchase at-or-before each click
+    "events_asof_prev" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |       (SELECT max(p.ts) FROM p
+        |        WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS prev_purchase_ts
         |FROM c""".stripMargin,
     "text_token_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -193,4 +193,32 @@ object EventOps {
       .select("event_id", "user_id", "ts", "next_purchase_ts")
       .withColumnRenamed("ts", "click_ts")
   }
+
+  /** AS-OF join (backward) — [[nextPurchaseAsof]]'s mirror, completing the
+    * as-of pair: every click matched to the LAST purchase of the same user
+    * at-or-before the click (the classic "most recent state as of event
+    * time" lookup). Same single-shuffle union-and-scan shape, flipped:
+    * ascending order with a running `max(purchase_ts)` over
+    * `[unboundedPreceding, currentRow]` — at each click the frame holds
+    * exactly the events at-or-before it. At equal ts the purchase sorts
+    * FIRST in ascending order (desc on the boolean), keeping at-or-before
+    * ties eligible, mirroring the forward variant's tie rule.
+    */
+  def prevPurchaseAsof(t: Tables): DataFrame = {
+    val ev = t.events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "purchase").as("is_p"))
+      .withColumn("p_ts", when(col("is_p"), col("ts")))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(asc("ts"), desc("is_p"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("prev_purchase_ts", max("p_ts").over(w))
+      .filter(!col("is_p"))
+      .select("event_id", "user_id", "ts", "prev_purchase_ts")
+      .withColumnRenamed("ts", "click_ts")
+  }
 }

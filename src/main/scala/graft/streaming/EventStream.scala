@@ -388,6 +388,53 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Stream-stream FULL OUTER join — the last member of the stream-join
+    * family (inner [[clickPurchaseJoin]], left [[clickPurchaseLeftJoin]]):
+    * matched pairs emit as they arrive; an unmatched CLICK emits
+    * null-padded once the watermark passes the end of its match window
+    * (click + 1 h); an unmatched PURCHASE emits null-padded once the
+    * watermark passes its own event time — the condition `buy_ts >
+    * click_ts` means a purchase only ever matches EARLIER clicks, so
+    * once the watermark guarantees no click at-or-before it can still
+    * arrive, its fate is sealed. Both state stores stay bounded by the
+    * same cleanup rules as the one-sided forms. The gate rolls up per
+    * user: matched pairs, closed unmatched clicks, closed unmatched
+    * purchases.
+    */
+  def clickPurchaseFullJoin(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val buys = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "2 hours")
+    val joined = clicks.join(buys,
+      col("u") === col("u2") &&
+        col("buy_ts") > col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+    val q = joined
+      .select(coalesce(col("u"), col("u2")).as("user_id"),
+        col("click_ts"), col("buy_ts"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    drained(spark, queryName)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("click_ts").isNotNull && col("buy_ts").isNotNull, 1))
+          .as("click_buy_pairs"),
+        count(when(col("buy_ts").isNull, 1)).as("closed_unmatched_clicks"),
+        count(when(col("click_ts").isNull, 1)).as("closed_unmatched_buys"))
+      .orderBy("user_id")
+  }
+
   /** Streaming twin of [[graft.operators.EventOps.nativeSessionWindows]]:
     * the IDENTICAL `session_window` grouping expression running in append
     * mode under a 2-hour watermark — Spark's unified model means the gap

@@ -82,4 +82,37 @@ class VerifyInvariantsSpec extends SparkTestBase {
         (s, d) => MultimodalOps.binaryIngestStats(core.Tables(s, d)), spark, dir)
     }
   }
+
+  test("ml_price_metrics_full invariants: model set pinned, doctored metrics rejected") {
+    import spark.implicits._
+    // a synthetic 9-model frame satisfying every invariant — cheaper than
+    // nine fits, and it isolates the CHECKER (the real fits run green in
+    // TextMlMultimodalSpec and in every Verify invocation)
+    val names = graft.ml.PricePipeline.regressors.map(_._1)
+    def frame(rows: Seq[(String, Double, Double, Double, Double, Double)]) =
+      rows.toDF("model", "r2", "r2adj", "mse", "rmse", "mae")
+    val good = frame(names.map(n => (n, 0.5, 0.5, 100.0, 10.0, 8.0)))
+    GateInvariants.check("ml_price_metrics_full", good,
+      (_, _) => good, spark, dir)
+    // missing model
+    intercept[IllegalArgumentException] {
+      val df = frame(names.drop(1).map(n => (n, 0.5, 0.5, 100.0, 10.0, 8.0)))
+      GateInvariants.check("ml_price_metrics_full", df, (_, _) => df, spark, dir)
+    }
+    // r2adj quirk lost
+    intercept[IllegalArgumentException] {
+      val df = frame(names.map(n => (n, 0.5, 0.4, 100.0, 10.0, 8.0)))
+      GateInvariants.check("ml_price_metrics_full", df, (_, _) => df, spark, dir)
+    }
+    // rmse^2 != mse
+    intercept[IllegalArgumentException] {
+      val df = frame(names.map(n => (n, 0.5, 0.5, 100.0, 12.0, 8.0)))
+      GateInvariants.check("ml_price_metrics_full", df, (_, _) => df, spark, dir)
+    }
+    // mae > rmse is impossible
+    intercept[IllegalArgumentException] {
+      val df = frame(names.map(n => (n, 0.5, 0.5, 100.0, 10.0, 11.0)))
+      GateInvariants.check("ml_price_metrics_full", df, (_, _) => df, spark, dir)
+    }
+  }
 }

@@ -114,6 +114,25 @@ class EventsWindowsSpec extends SparkTestBase {
       }
   }
 
+  test("backward asof join: one row per click, prev purchase at-or-before, spot-checked") {
+    val asof = EventOps.prevPurchaseAsof(t)
+    val clicks = t.events.filter(col("event_type") === "click").count()
+    assert(asof.count() == clicks)
+    assert(asof.filter(col("prev_purchase_ts") > col("click_ts")).count() == 0)
+    def micros(c: org.apache.spark.sql.Column) =
+      unix_micros(c.cast("timestamp"))
+    val u = asof.filter(col("prev_purchase_ts").isNotNull).head().getLong(1)
+    val naive = t.events.filter(col("event_type") === "purchase" && col("user_id") === u)
+      .select(micros(col("ts"))).collect().map(_.getLong(0))
+    asof.filter(col("user_id") === u)
+      .filter(col("prev_purchase_ts").isNotNull)
+      .select(micros(col("click_ts")), micros(col("prev_purchase_ts")))
+      .collect().foreach { r =>
+        val expected = naive.filter(_ <= r.getLong(0)).max
+        assert(r.getLong(1) == expected)
+      }
+  }
+
   test("streaming dedup drops replayed events: duplicated input, single-copy counts") {
     // write every event twice into a temp stream source; the deduplicated
     // per-type counts must equal the single-copy batch counts
@@ -319,6 +338,41 @@ class EventsWindowsSpec extends SparkTestBase {
         s"only-in-got ${(got -- closed).take(3)}, only-in-closed ${(closed -- got).take(3)}")
     assert(got.nonEmpty && got.size < batch.length,
       "expected some closed windows emitted and open tails withheld")
+  }
+
+  test("stream-stream full outer join == batch pairs + closed unmatched on both sides") {
+    val got = EventStream.clickPurchaseFullJoin(spark, "/root/testdata/sf0.001",
+      s"spec_ssf_${System.nanoTime()}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val clicks = t.events.filter(col("event_type") === "click")
+      .selectExpr("user_id AS u", "unix_millis(cast(ts as timestamp)) AS click_ms")
+    val buys = t.events.filter(col("event_type") === "purchase")
+      .selectExpr("user_id AS u2", "unix_millis(cast(ts as timestamp)) AS buy_ms")
+    val wm = math.min(
+      clicks.agg(max("click_ms")).head().getLong(0),
+      buys.agg(max("buy_ms")).head().getLong(0)) - 7200 * 1000L
+    val full = clicks.join(buys,
+      col("u") === col("u2") && col("buy_ms") > col("click_ms") &&
+        col("buy_ms") <= col("click_ms") + 3600 * 1000L, "fullOuter")
+    // click null-rows close when click+1h < wm (pinned by the left-join
+    // spec); buy null-rows close when the buy's own ts passes under the
+    // watermark (a purchase only matches EARLIER clicks)
+    val expected = full
+      .withColumn("emit",
+        (col("click_ms").isNotNull && col("buy_ms").isNotNull) ||
+        (col("buy_ms").isNull && col("click_ms") + 3600 * 1000L < lit(wm)) ||
+        (col("click_ms").isNull && col("buy_ms") < lit(wm)))
+      .filter(col("emit"))
+      .groupBy(coalesce(col("u"), col("u2")).as("user_id"))
+      .agg(
+        count(when(col("click_ms").isNotNull && col("buy_ms").isNotNull, 1)).as("pairs"),
+        count(when(col("buy_ms").isNull, 1)).as("uc"),
+        count(when(col("click_ms").isNull, 1)).as("ub"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"got ${got.size} users vs expected ${expected.size}; " +
+        s"only-in-got ${(got -- expected).take(3)}, only-in-expected ${(expected -- got).take(3)}")
+    assert(got.nonEmpty)
   }
 
   test("stream-stream left outer join == batch pairs + closed unmatched clicks") {
