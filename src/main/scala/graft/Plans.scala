@@ -49,7 +49,11 @@ object Plans {
       "text_repetition_stats (per-row bigram math + hashed dominance agg)" ->
         operators.TextOps.repetitionStats(t),
       "dedup_substring_spans (pruned df recompute + semi probe, per-doc span window)" ->
-        operators.DedupOps.duplicateSpans(t.documents))
+        operators.DedupOps.duplicateSpans(t.documents),
+      "events_asof_prev (backward asof: same single-shuffle scan, running max)" ->
+        operators.EventOps.prevPurchaseAsof(t),
+      "ann_knn_join (bucket-keyed self-join + per-vector window, no cartesian)" ->
+        operators.SimilarityOps.knnJoinLsh(t, 3, 4))
 
     picks.foreach { case (label, df) =>
       println(s"\n===== $label =====")

@@ -186,6 +186,9 @@ object SparkEntry {
     "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshTopK(t, 0L, 10)),
     "emb_neardup_exact"  -> q(t => SimilarityOps.embeddingNearDupExact(t, 0.35)),
     "emb_neardup_lsh"    -> q(t => SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)),
+    // batch k-NN JOIN (top-k per vector) over deterministic sign buckets;
+    // the oracle recomputes the identical buckets → full hash gate
+    "ann_knn_join"       -> q(t => SimilarityOps.knnJoinLsh(t, 3, 4)),
     "emb_neardup_clusters" -> q(t => SimilarityOps.embNearDupClusters(t, 0.35, 8)),
     "emb_norms_by_label" -> q(SimilarityOps.normsByLabel),
     // --- ML + multimodal (reference parity M1-M14 / extension) ---
@@ -1363,6 +1366,30 @@ object SparkEntry {
     "emb_neardup_lsh" ->
       s"""WITH $embLshPairsCte
          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin,
+    // k-NN join: same deterministic sign buckets (4 bits here), BOTH
+    // directions (every vector ranks its own neighbors), row_number over
+    // (rounded cos desc, neighbor asc) — the engine's exact tie rule
+    "ann_knn_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm,
+        |         (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END)||
+        |         (CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM e),
+        |c AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |         floor((CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |                ELSE list_sum([a.emb[i]*b.emb[i] for i in range(1, len(a.emb)+1)])
+        |                     / (a.nrm*b.nrm) END) * 1000000 + 0.5)/1000000 AS cos_sim
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT vec_id, neighbor_id, cos_sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM c)
+        |SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
     // Cluster resolution over the embedding near-dup pair graph — same
     // recursive-closure oracle shape as dedup_clusters.
     "emb_neardup_clusters" ->

@@ -254,6 +254,46 @@ object SimilarityOps {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
+  /** k-NN JOIN: top-k nearest neighbors for EVERY vector at once — the
+    * batch workhorse behind embedding clustering / near-dup resolution /
+    * retrieval-index bootstrap, where the single-probe ANN ops
+    * ([[bruteForceTopK]], [[lshTopK]], IVF) answer one query each.
+    * Candidates come from the same deterministic sign-LSH buckets as
+    * [[embeddingNearDupLsh]] (first-`bits` coordinate signs — closed-form,
+    * so the DuckDB oracle recomputes the identical buckets and the gate is
+    * a full hash check, like the minhash banding twin); within a bucket
+    * every ordered pair is scored by codegen cosine and ranked per vector
+    * by (cos desc, neighbor asc) — a bucket-partitioned window, never a
+    * global one. Cost is bounded by bucket width: one bucket-keyed
+    * exchange for the self-join, one for the rank. Vectors whose bucket
+    * holds fewer than k peers report what exists (standard LSH-knn
+    * semantics — recall is the tunable); at 100 TB you widen recall with
+    * multiple hash tables or IVF cells, not by shrinking buckets.
+    */
+  def knnJoinLsh(t: Tables, k: Int = 3, bits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t.embeddings
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+      .withColumn("bucket", signBucket(col("emb"), bits))
+      .repartition(col("bucket"))
+    val a = e.select(col("bucket"), col("vec_id"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", roundN(
+        when(col("nrm_a") === 0.0 || col("nrm_b") === 0.0, 0.0)
+          .otherwise(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("vec_id", "rank")
+  }
+
   /** Cluster resolution over the embedding near-dup pair graph (same
     * GraphOps label propagation as DedupOps.dupClusters): each vector in a
     * near-dup component labelled with its component-min vec_id + size.

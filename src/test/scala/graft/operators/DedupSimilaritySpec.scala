@@ -416,4 +416,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got.size == expected)
     assert(expected > 0, "fixture produced no duplicated spans — test is vacuous")
   }
+
+  test("knn join: ranks contiguous, scores descending, bucket-exact top-k") {
+    val k = 3
+    val rows = SimilarityOps.knnJoinLsh(t, k, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (v, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rs.length), s"vec $v ranks not contiguous")
+      assert(rs.length <= k, s"vec $v has ${rs.length} > k neighbors")
+      val scores = byRank.map(_._3).toSeq
+      assert(scores == scores.sorted.reverse, s"vec $v scores not descending")
+      assert(!rs.exists(_._2 == v), s"vec $v is its own neighbor")
+    }
+    // bucket-exact: one vector's reported neighbors == brute-force top-k
+    // among SAME-BUCKET peers (recompute buckets + cosines from raw data)
+    val raw = t.embeddings.collect().map { r =>
+      val emb = r.getSeq[Float](1).map(_.toDouble).toArray
+      (r.getLong(0), emb)
+    }
+    def bucket(e: Array[Double]) = e.take(4).map(x => if (x >= 0) '1' else '0').mkString
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    val probe = rows.head._1
+    val pe = raw.find(_._1 == probe).get._2
+    val peers = raw.filter(x => x._1 != probe && bucket(x._2) == bucket(pe))
+    val want = peers.map(x => (r6(cos(pe, x._2)), x._1))
+      .sortBy { case (c, id) => (-c, id) }.take(k).map(_._2).toSeq
+    val got = rows.filter(_._1 == probe).sortBy(_._4).map(_._2).toSeq
+    assert(got == want, s"vec $probe: got $got want $want")
+  }
 }
