@@ -84,6 +84,9 @@ object SparkEntry {
     // --- joins & set ops (§2.3) ---
     "join_customers_per_region" -> q(JoinOps.customersPerRegion),
     "join_revenue_by_priority"  -> q(JoinOps.revenueByPriority),
+    // same join through bucketed+sorted tables: zero exchanges at read
+    // time (plan spec-asserted); the gate proves result parity
+    "join_revenue_bucketed"     -> q(sources.BucketedTables.revenueByPriorityBucketed),
     "join_revenue_by_brand"     -> q(JoinOps.revenueByBrand),
     "join_semi_with_orders"     -> q(JoinOps.customersWithOrders),
     "join_anti_without_orders"  -> q(JoinOps.customersWithoutOrders),
@@ -455,6 +458,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
     "join_revenue_by_priority" ->
+      """SELECT o_orderpriority,
+        |       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue,
+        |       count(*) AS num_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    // the bucketed twin computes the identical rollup — exchange-free
+    // engine-side, same relational statement oracle-side
+    "join_revenue_bucketed" ->
       """SELECT o_orderpriority,
         |       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue,
         |       count(*) AS num_items

@@ -27,6 +27,9 @@ class PlanLintSpec extends SparkTestBase {
     "events_stream_full_join", "events_foreach_upsert",
     "dedup_minhash_streaming", "dedup_minhash_windowed",
     "ml_price_metrics", "ml_price_metrics_full",
+    // construction writes bucketed catalog tables (runs jobs); its plan
+    // shape is asserted by BucketedTablesSpec instead
+    "join_revenue_bucketed",
     "multimodal_features", "multimodal_png_files")
 
   /** Gates whose plan is EXPECTED to hold a broadcast-1-row

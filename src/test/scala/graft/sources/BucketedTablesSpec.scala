@@ -41,4 +41,22 @@ class BucketedTablesSpec extends SparkTestBase {
     val p = agg.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"))
   }
+
+  test("gated bucketed rollup: join side exchange-free, equals the shuffled twin") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = BucketedTables.revenueByPriorityBucketed(t)
+      // the only hash exchange allowed is the final low-cardinality
+      // rollup on o_orderpriority — the orderkey JOIN must not shuffle
+      val p = bucketed.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        "bucketed join re-shuffled a side on the join key")
+      val got = bucketed.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      val want = graft.operators.JoinOps.revenueByPriority(t)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq, "bucketed rollup diverges from the shuffled twin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }
