@@ -53,6 +53,22 @@ object BucketedTables {
       val suffix = Integer.toHexString(t.dir.hashCode)
       val lti = s"graft_li_bucketed_$suffix"
       val oti = s"graft_ord_bucketed_$suffix"
+      // the default in-memory catalog forgets tables at JVM exit but
+      // leaves their warehouse directories; a stale location makes the
+      // next JVM's CREATE fail (LOCATION_ALREADY_EXISTS) — sweep it
+      Seq(lti, oti).filterNot(spark.catalog.tableExists).foreach { name =>
+        try {
+          val wh = java.net.URI.create(
+            spark.conf.get("spark.sql.warehouse.dir")).getPath
+          val stale = java.nio.file.Paths.get(wh, name)
+          if (java.nio.file.Files.exists(stale)) {
+            val stream = java.nio.file.Files.walk(stale)
+            try stream.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally stream.close()
+          }
+        } catch { case _: Throwable => () }
+      }
       writeBucketed(
         t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
         lti, "l_orderkey", 8, Seq("l_orderkey"))
