@@ -105,6 +105,8 @@ object SparkEntry {
     "window_part_ranks"      -> q(WindowOps.partSizeRanks),
     "window_price_quartiles" -> q(WindowOps.priceQuartiles),
     "window_dist_ranks"      -> q(WindowOps.distributionRanks),
+    "window_range_frame"     -> q(WindowOps.rollingSpend30d),
+    "window_first_last"      -> q(WindowOps.firstLastOrderStats),
     // --- events: JSON + time windows + sessionization ---
     "events_json_stats"        -> q(EventOps.jsonPropStats),
     "events_props_map"         -> q(EventOps.propsMapStats),
@@ -116,6 +118,7 @@ object SparkEntry {
     "events_click_to_purchase" -> q(EventOps.clickToPurchase),
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
     "events_asof_prev"         -> q(EventOps.prevPurchaseAsof),
+    "events_gap_fill"          -> q(EventOps.gapFillHourly),
     "events_hourly_streaming"  -> ((s, dir) =>
       EventStream.hourlyCounts(s, dir, s"graft_stream_${System.nanoTime()}")),
     "events_sliding_streaming" -> ((s, dir) =>
@@ -154,6 +157,8 @@ object SparkEntry {
     "text_top_tokens"       -> q(t => TextOps.topTokens(t)),
     "text_redact_ids"       -> q(TextOps.redactIds),
     "text_repetition_stats" -> q(t => TextOps.repetitionStats(t)),
+    "text_doc_chunks"       -> q(t => TextOps.docChunks(t)),
+    "sample_hash_per_group" -> q(t => TextOps.hashSamplePerLang(t)),
     "text_zipf_slope"       -> q(t => TextOps.zipfSlope(t)),
     // --- corpus packing / budget sampling (training-data extensions) ---
     "pack_concat_chunks"    -> q(t => PackingOps.packConcatChunks(t, 1024)),
@@ -180,6 +185,7 @@ object SparkEntry {
     "dedup_minhash_mllib" -> ((s, dir) =>
       DedupOps.minhashDupPairsMllib(Tables(s, dir), 0.7)),
     "dedup_simhash"       -> q(t => DedupOps.simhashDupPairs(t, 6)),
+    "dedup_edit_distance" -> q(t => DedupOps.editDistancePairs(t)),
     // --- similarity search (training-data extensions) ---
     "ann_brute_force"    -> q(t => SimilarityOps.bruteForceTopK(t, 0L, 10)),
     "ann_lsh"            -> q(t => SimilarityOps.lshTopK(t, 0L, 5, 6)),
@@ -567,6 +573,33 @@ object SparkEntry {
         |                               ORDER BY c_acctbal) * 1000000 + 0.5)
         |         / 1000000 AS cum_dist
         |FROM customer""".stripMargin,
+    // value-based RANGE frame over an integer day ordinal — same-day peers
+    // all join the frame, so no tiebreak column is needed for determinism
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       datediff('day', DATE '1992-01-01', o_orderdate) AS day_ord,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+        |         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)) * 100 + 0.5)
+        |         / 100 AS spend_30d
+        |FROM orders""".stripMargin,
+    // full-partition frame: the default frame ends at CURRENT ROW, which
+    // would make last_value the current row's value — both engines need
+    // the explicit UNBOUNDED FOLLOWING
+    "window_first_last" ->
+      """SELECT o_custkey, first_price, last_price, second_key FROM (
+        |  SELECT o_custkey,
+        |         first_value(o_totalprice) OVER w AS first_price,
+        |         last_value(o_totalprice)  OVER w AS last_price,
+        |         nth_value(o_orderkey, 2)  OVER w AS second_key,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1""".stripMargin,
     "events_json_stats" ->
       """WITH e AS (
         |  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
@@ -1103,6 +1136,19 @@ object SparkEntry {
         |       (SELECT max(p.ts) FROM p
         |        WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS prev_purchase_ts
         |FROM c""".stripMargin,
+    // gap-fill: generate_series spine per type, zero-filled left join
+    "events_gap_fill" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hs FROM events),
+        |counts AS (SELECT event_type, hs, count(*) AS n FROM h GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(min(hs), max(hs), INTERVAL 1 HOUR)) AS hs
+        |  FROM h GROUP BY event_type)
+        |SELECT s.event_type AS event_type, s.hs AS hour_start,
+        |       COALESCE(c.n, 0) AS n
+        |FROM spine s
+        |LEFT JOIN counts c ON s.event_type = c.event_type AND s.hs = c.hs""".stripMargin,
     "text_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
@@ -1113,6 +1159,38 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // overlapping chunking: starts 0, 48, 96, … while start < n_tokens;
+    // chunk_idx = start // stride; 1-based list indexing on both sides
+    "text_doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |         unnest(generate_series(0, greatest(len(t) - 1, 0), 48)) AS start
+        |  FROM toks)
+        |SELECT doc_id, start // 48 AS chunk_idx, start,
+        |       least(64, len(t) - start) AS chunk_len,
+        |       t[start + 1] AS first_tok,
+        |       t[start + least(64, len(t) - start)] AS last_tok
+        |FROM starts""".stripMargin,
+    // deterministic hash-order sample: identical rows on any engine or
+    // partitioning (md5 of the decimal-rendered doc_id)
+    "sample_hash_per_group" ->
+      """SELECT lang, doc_id, h, rn FROM (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin,
+    // prefix-blocked candidates, Levenshtein-verified — the oracle states
+    // the same blocking, so candidate sets match exactly
+    "dedup_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(a.text, b.text) AS dist
+        |FROM documents a JOIN documents b
+        |  ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+        | AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
     // The engine computes the global running total with range partitioning
     // + two parallel passes (PackingOps.exclusiveRunningTotal); the oracle
     // states the same quantity as the naive single-partition window — the

@@ -433,4 +433,32 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Edit-distance near-dup pairs: block on a short text prefix, verify
+    * candidates with Levenshtein. The fifth dedup family — character-level
+    * edit distance catches small in-place edits (typo fixes, token swaps)
+    * that shingle-based Jaccard scores leniently and SimHash may miss.
+    *
+    * Scale shape: candidates come from an equi-join on the `prefixLen`-char
+    * block key, so cost is bounded by block sizes (prefix blocking is the
+    * standard cheap blocker for near-identical records — true near-dups
+    * rarely edit the opening characters; the recall yardstick against the
+    * brute-force truth is spec-checked). Verification uses the
+    * THRESHOLDED `levenshtein(l, r, maxDist)` form: Spark's banded DP
+    * short-circuits to −1 once the distance provably exceeds the bound,
+    * making each comparison O(maxDist · len) instead of O(len²).
+    */
+  def editDistancePairs(t: Tables, prefixLen: Int = 16, maxDist: Int = 20): DataFrame = {
+    val keyed = t.documents
+      .select(
+        substring(col("text"), 1, prefixLen).as("blk"),
+        col("doc_id"), col("text"))
+    val a = keyed.toDF("blk", "doc_a", "text_a")
+    val b = keyed.toDF("blk", "doc_b", "text_b")
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+  }
 }

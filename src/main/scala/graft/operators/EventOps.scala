@@ -112,6 +112,37 @@ object EventOps {
         roundN(decSum(col("value")), 2).as("total_value"))
       .orderBy("win_start", "event_type")
 
+  /** Gap-fill / resample: densify the hourly count series per event type so
+    * every hour between a type's first and last event appears, zero-filled.
+    * The hour spine is generated engine-side with `sequence(min, max,
+    * 1 hour)` + `explode` — a generator over ONE aggregated row per type,
+    * so spine size is span-hours × types, independent of event volume (at
+    * 100 TB the spine is still tiny; the only data-sized work is the
+    * hourly pre-aggregation, which combines map-side). A left join from
+    * spine to counts fills the gaps; the spine side is broadcastable by
+    * construction.
+    */
+  def gapFillHourly(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = t.events
+      .groupBy(col("event_type"))
+      .agg(
+        min(date_trunc("hour", col("ts"))).as("h0"),
+        max(date_trunc("hour", col("ts"))).as("h1"))
+      .select(
+        col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour_start"))
+    spine
+      .join(hourly, Seq("event_type", "hour_start"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select("event_type", "hour_start", "n")
+  }
+
   /** Sessionization in batch: a session break is a >30-minute gap per user;
     * session id = running count of breaks (lag + windowed sum) — the batch
     * equivalent of `mapGroupsWithState` session logic, fully parallel per

@@ -215,4 +215,48 @@ object TextOps {
           col("dup_bigram_frac") <= maxDupBigramFrac)
       .select("doc_id", "source", "n_tok", "top_tok_frac", "dup_bigram_frac", "keep")
   }
+
+  /** Overlapping token chunking — the context-window slicing step of a
+    * training-data pipeline: each document becomes chunks of `chunk`
+    * tokens starting every `stride` tokens (overlap = chunk − stride),
+    * one chunk per start while start < n_tokens. Chunk starts come from
+    * `sequence(0, n−1, stride)` + `posexplode` — a per-row generator, no
+    * shuffle at all (the whole query is a projection; row-parallel at any
+    * scale). Output carries chunk coordinates plus first/last token, not
+    * the chunk text — downstream stages re-slice lazily from the source,
+    * so chunking never multiplies the corpus bytes through an exchange.
+    */
+  def docChunks(t: Tables, chunk: Int = 64, stride: Int = 48): DataFrame =
+    t.documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")))
+      .select(
+        col("doc_id"), col("toks"), col("n_toks"),
+        posexplode(sequence(lit(0), greatest(col("n_toks") - 1, lit(0)), lit(stride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start")
+      .withColumn("chunk_len", least(lit(chunk), col("n_toks") - col("start")))
+      .withColumn("first_tok", element_at(col("toks"), col("start") + 1))
+      .withColumn("last_tok", element_at(col("toks"), col("start") + col("chunk_len")))
+      .select("doc_id", "chunk_idx", "start", "chunk_len", "first_tok", "last_tok")
+
+  /** Deterministic per-group sampling: the k documents per language with
+    * the smallest md5(doc_id) — a reproducible "random" sample. Unlike
+    * Bernoulli `sample()` (partition-layout-dependent, rows-only gated),
+    * hash-order sampling gives the SAME rows on any cluster, any
+    * partitioning, any engine — which is why it hash-gates against the
+    * oracle and why a 100 TB pipeline prefers it for eval/holdout splits:
+    * re-running the job months later reproduces the split exactly. One
+    * shuffle on the group key; rank-k per partition via row_number.
+    */
+  def hashSamplePerLang(t: Tables, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    t.documents
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("lang", "doc_id", "h", "rn")
+  }
 }

@@ -92,6 +92,55 @@ object WindowOps {
         roundN(cume_dist().over(w), 6).as("cum_dist"))
   }
 
+  /** RANGE frame over a day ordinal: rolling 30-day spend per customer.
+    * Unlike the ROWS frames above, a RANGE frame is value-based — all
+    * peers with `day_ord` in [current−29, current] join the frame, so
+    * same-day ties contribute identically regardless of their order and
+    * the result is deterministic without a tiebreak column. The ordering
+    * key is an integer day ordinal (days since 1992-01-01) rather than a
+    * date: integer RANGE bounds mean both engines (and any executor
+    * layout) agree on the frame exactly. One hash shuffle on the customer
+    * key, then a per-partition sort — the sliding sum is computed
+    * incrementally inside WindowExec, linear in partition size.
+    */
+  def rollingSpend30d(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy("day_ord")
+      .rangeBetween(-29, 0)
+    t.orders
+      .withColumn(
+        "day_ord",
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01"))))
+      .withColumn(
+        "spend_30d",
+        roundN(sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w)
+          .cast(DoubleType), 2))
+      .select("o_custkey", "o_orderkey", "day_ord", "spend_30d")
+  }
+
+  /** first_value / last_value / nth_value over the full-partition frame:
+    * each customer's first order price, latest order price, and second
+    * order key. The frame must be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING
+    * — the default frame stops at CURRENT ROW, which silently turns
+    * last_value into "current value" (the classic window-function trap;
+    * pinned by the spec). Deterministic via the (date, orderkey) tiebreak;
+    * the rn=1 filter collapses to one row per customer.
+    */
+  def firstLastOrderStats(t: Tables): DataFrame = {
+    val ord = Window
+      .partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.orders
+      .withColumn("first_price", first("o_totalprice").over(full))
+      .withColumn("last_price", last("o_totalprice").over(full))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "first_price", "last_price", "second_key")
+  }
+
   def priceQuartiles(t: Tables): DataFrame = {
     val w = Window
       .partitionBy(year(col("o_orderdate")))
