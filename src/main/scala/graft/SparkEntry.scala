@@ -49,6 +49,8 @@ object SparkEntry {
     "case_when_tier"        -> q(CoreQueries.caseWhenTier),
     "regexp_extract_num"    -> q(CoreQueries.regexpExtract),
     "date_parts"            -> q(CoreQueries.dateParts),
+    "date_arithmetic"       -> q(CoreQueries.dateArithmetic),
+    "null_fill_replace"     -> q(CoreQueries.nullFillReplace),
     "math_funcs"            -> q(CoreQueries.mathFuncs),
     "topk_orders"           -> q(CoreQueries.topKOrders),
     "project_derive"        -> q(CoreQueries.projectDerive),
@@ -200,6 +202,7 @@ object SparkEntry {
     "ann_knn_join"       -> q(t => SimilarityOps.knnJoinLsh(t, 3, 4)),
     "emb_neardup_clusters" -> q(t => SimilarityOps.embNearDupClusters(t, 0.35, 8)),
     "emb_norms_by_label" -> q(SimilarityOps.normsByLabel),
+    "emb_vector_stats"   -> q(SimilarityOps.vectorStatsByLabel),
     // --- ML + multimodal (reference parity M1-M14 / extension) ---
     "ml_price_metrics"    -> q(PricePipeline.fastMetrics),
     // all nine reference configs (M3-M11) behind a driver gate; rows-only
@@ -430,6 +433,24 @@ object SparkEntry {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
         |       year(o_orderdate) AS y, month(o_orderdate) AS m
         |FROM orders""".stripMargin,
+    // interval month-add clamps to end-of-month in both engines; Spark
+    // dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday — shift by one
+    "date_arithmetic" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       dayofweek(o_orderdate) + 1 AS dow,
+        |       quarter(o_orderdate) AS qtr
+        |FROM orders""".stripMargin,
+    "null_fill_replace" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal_filled,
+        |       CASE c_mktsegment WHEN 'BUILDING' THEN 'B2B'
+        |                         WHEN 'MACHINERY' THEN 'IND'
+        |                         ELSE c_mktsegment END AS segment
+        |FROM customer""".stripMargin,
     "math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |       floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS net_price,
@@ -1596,6 +1617,20 @@ object SparkEntry {
         |SELECT label, count(*) AS n,
         |       floor((CAST(sum(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) / count(nrm)) * 10000 + 0.5) / 10000 AS avg_norm
         |FROM n GROUP BY label""".stripMargin,
+    // higher-order list surface: per-vector fold/min/max, DECIMAL-stable
+    // cross-row average (the emb_norms_by_label idiom)
+    "emb_vector_stats" ->
+      """WITH v AS (
+        |  SELECT label,
+        |         list_sum(CAST(embedding AS DOUBLE[])) / len(embedding) AS elem_mean,
+        |         list_min(CAST(embedding AS DOUBLE[])) AS mn,
+        |         list_max(CAST(embedding AS DOUBLE[])) AS mx
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |       floor((CAST(sum(CAST(elem_mean AS DECIMAL(28,6))) AS DOUBLE) / count(elem_mean)) * 1000000 + 0.5)
+        |         / 1000000 AS avg_elem_mean,
+        |       min(mn) AS min_elem, max(mx) AS max_elem
+        |FROM v GROUP BY label""".stripMargin,
     // TF-IDF recommender, fully relational (round-2 verdict item 8):
     // The multimodal gates regenerate the closed-form test pattern
     // (MultimodalOps.patternRgb / assetDims) as a pixel grid: range(0,32)

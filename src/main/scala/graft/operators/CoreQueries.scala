@@ -238,6 +238,42 @@ object CoreQueries {
         year(col("o_orderdate")).as("y"),
         month(col("o_orderdate")).as("m"))
 
+  /** Date-arithmetic family beyond [[dateParts]]: day/month offsets with
+    * Spark's end-of-month clamping (`add_months`: Jan 31 + 1 month =
+    * Feb 28 — the interval-add semantics both engines share), month
+    * boundaries (`last_day`, `trunc`), and day-of-week (Spark is
+    * 1=Sunday; the oracle's 0-based dow shifts by one). Pure per-row
+    * projection — codegen, no shuffle.
+    */
+  def dateArithmetic(t: Tables): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    t.orders.select(
+      col("o_orderkey"),
+      date_add(d, 30).as("due_date"),
+      add_months(d, 3).as("quarter_later"),
+      last_day(d).as("month_end"),
+      trunc(d, "month").as("month_start"),
+      dayofweek(d).as("dow"),
+      quarter(d).as("qtr"))
+  }
+
+  /** DataFrameNaFunctions surface (`na.fill` / `na.replace` — the D1
+    * neighbourhood the reference's dropna leaves unexercised): negative
+    * balances nulled then filled to 0, market segments recoded via the
+    * replacement-map form. Both are per-row conditional projections.
+    */
+  def nullFillReplace(t: Tables): DataFrame =
+    t.customer
+      .withColumn(
+        "bal_or_null",
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      .na.fill(Map("bal_or_null" -> 0.0))
+      .na.replace("c_mktsegment", Map("BUILDING" -> "B2B", "MACHINERY" -> "IND"))
+      .select(
+        col("c_custkey"),
+        col("bal_or_null").as("bal_filled"),
+        col("c_mktsegment").as("segment"))
+
   /** F6 + F7 + F8: column arithmetic, sqrt, natural log, round
     * (ref `data-viz&cleaning.py:194-206`).
     */

@@ -313,4 +313,32 @@ object SimilarityOps {
         count(lit(1)).as("n"),
         roundN(decAvg(col("norm")), 4).as("avg_norm"))
       .orderBy("label")
+
+  /** Per-label element statistics via the higher-order array surface:
+    * `aggregate` (sequential double fold for the element sum), `array_min`
+    * / `array_max`, `size` — the lambda-function family exercised directly
+    * as a gate rather than inside other operators. All per-vector work is
+    * a codegen'd row-parallel projection; the only shuffle is the final
+    * tiny per-label aggregate. The per-vector mean goes through the
+    * DECIMAL(28,6) accumulation idiom before the cross-row average, so
+    * fold-order ulps can't flip the rounding (same pattern
+    * [[normsByLabel]] proved cross-engine).
+    */
+  def vectorStatsByLabel(t: Tables): DataFrame = {
+    val darr = toDoubleArr(col("embedding"))
+    t.embeddings
+      .select(
+        col("label"),
+        (aggregate(darr, lit(0.0), (acc, x) => acc + x)
+          / size(col("embedding"))).as("elem_mean"),
+        array_min(darr).as("elem_min"),
+        array_max(darr).as("elem_max"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        roundN(decAvg(col("elem_mean")), 6).as("avg_elem_mean"),
+        min("elem_min").as("min_elem"),
+        max("elem_max").as("max_elem"))
+      .orderBy("label")
+  }
 }

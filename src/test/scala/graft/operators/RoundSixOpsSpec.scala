@@ -22,7 +22,9 @@ class RoundSixOpsSpec extends SparkTestBase {
       (102L, 7L, "O", 20.0, java.sql.Timestamp.valueOf("1992-01-11 00:00:00"), "1-URGENT"),
       (103L, 7L, "O", 5.0, java.sql.Timestamp.valueOf("1992-01-11 00:00:00"), "1-URGENT"),
       (104L, 7L, "O", 30.0, java.sql.Timestamp.valueOf("1992-02-10 00:00:00"), "1-URGENT"),
-      (105L, 8L, "F", 50.0, java.sql.Timestamp.valueOf("1995-06-01 00:00:00"), "2-HIGH"))
+      (105L, 8L, "F", 50.0, java.sql.Timestamp.valueOf("1995-06-01 00:00:00"), "2-HIGH"),
+      // month-end date: exercises add_months' end-of-month clamp
+      (106L, 9L, "O", 1.0, java.sql.Timestamp.valueOf("1992-01-31 00:00:00"), "3-MEDIUM"))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
@@ -122,6 +124,52 @@ class RoundSixOpsSpec extends SparkTestBase {
     assert(blocked.subsetOf(brute), "blocked pairs must be true pairs")
     assert(blocked == brute,
       s"prefix blocking missed ${(brute -- blocked).size} of ${brute.size} true pairs on this fixture")
+  }
+
+  test("date arithmetic: offsets, end-of-month clamp, boundaries, dow") {
+    val rows = CoreQueries.dateArithmetic(ft).collect()
+      .map(r => r.getLong(0) -> (r.getDate(1).toString, r.getDate(2).toString,
+        r.getDate(3).toString, r.getDate(4).toString, r.getInt(5), r.getInt(6)))
+      .toMap
+    // 1992-01-01 was a Wednesday (Spark dayofweek: 1=Sunday -> 4)
+    assert(rows(101L) == (("1992-01-31", "1992-04-01", "1992-01-31", "1992-01-01", 4, 1)))
+    // Jan 31 + 3 months clamps to Apr 30, not May 1
+    assert(rows(106L) == (("1992-03-01", "1992-04-30", "1992-01-31", "1992-01-01", 6, 1)))
+    assert(rows(105L) == (("1995-07-01", "1995-09-01", "1995-06-30", "1995-06-01", 5, 2)))
+  }
+
+  test("na.fill / na.replace: negatives zeroed, segments recoded, nothing else touched") {
+    val src = t.customer
+    val negatives = src.filter(col("c_acctbal") < 0).count()
+    val building = src.filter(col("c_mktsegment") === "BUILDING").count()
+    val out = CoreQueries.nullFillReplace(t).cache()
+    try {
+      assert(out.filter(col("bal_filled").isNull).count() == 0)
+      assert(out.filter(col("bal_filled") === 0.0).count() == negatives,
+        "every negative balance (and only those) must be filled to 0")
+      assert(out.filter(col("segment").isin("BUILDING", "MACHINERY")).count() == 0)
+      assert(out.filter(col("segment") === "B2B").count() == building)
+      assert(out.count() == src.count())
+    } finally out.unpersist()
+  }
+
+  test("vector stats by label match a driver-side recompute") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val raw = t.embeddings.select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+    val expected = raw.groupBy(_._1).map { case (label, vs) =>
+      val means = vs.map { case (_, arr) => arr.sum / arr.size }
+      // decSum's double->DECIMAL(28,6) HALF_UP cast, exact decimal sum
+      val s = means.map(m => JBD.valueOf(m).setScale(6, RoundingMode.HALF_UP))
+        .reduce(_.add(_)).doubleValue()
+      val avg = math.floor(s / means.size * 1e6 + 0.5) / 1e6
+      label -> (vs.length.toLong, avg,
+        vs.map(_._2.min).min, vs.map(_._2.max).max)
+    }
+    val got = SimilarityOps.vectorStatsByLabel(t).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected)
   }
 
   test("hash sample: deterministic across partition layouts, matches driver-side md5 order") {
