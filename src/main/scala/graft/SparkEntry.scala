@@ -112,6 +112,7 @@ object SparkEntry {
     // --- events: JSON + time windows + sessionization ---
     "events_json_stats"        -> q(EventOps.jsonPropStats),
     "events_props_map"         -> q(EventOps.propsMapStats),
+    "events_map_transform"     -> q(EventOps.propsMapTransform),
     "events_json_get"          -> q(EventOps.jsonGetObject),
     "events_hourly"            -> q(EventOps.hourlyTypeCounts),
     "events_sliding"           -> q(EventOps.slidingTypeCounts),
@@ -664,6 +665,19 @@ object SparkEntry {
         |SELECT e.key AS key, count(*) AS n, min(e.value) AS min_v, max(e.value) AS max_v,
         |       CAST(sum(e.value) AS BIGINT) AS sum_v
         |FROM kv GROUP BY e.key""".stripMargin,
+    // map lambdas: list_filter/list_transform over map_entries are the
+    // exact twins of map_filter/transform_values; COALESCE mirrors
+    // Spark's 0-seeded fold on an empty map
+    "events_map_transform" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(props::JSON AS MAP(VARCHAR, BIGINT)) AS m
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(len(list_filter(map_entries(m), x -> x.value > 50))) AS BIGINT)
+        |         AS n_high_entries,
+        |       CAST(sum(COALESCE(list_sum(list_transform(map_entries(m), x -> x.value * 2)), 0))
+        |         AS BIGINT) AS total_doubled
+        |FROM e GROUP BY event_type""".stripMargin,
     // sliding 2h/1h windows: each event expands into the two epoch-aligned
     // hourly starts covering it — mirrors Spark's Expand, no self-join;
     // the streaming twin (Complete mode over the finite replay) emits

@@ -53,6 +53,33 @@ object EventOps {
         sum("v").as("sum_v"))
       .orderBy("key")
 
+  /** Map higher-order functions over the parsed props payload:
+    * `map_filter` (entries above a threshold), `transform_values`
+    * (per-entry rescale), `map_values` + `aggregate` (fold the rescaled
+    * values) — the lambda surface for MapType, per-row and codegen-
+    * friendly; the only shuffle is the final per-type rollup. Parse once,
+    * transform many: the JSON decode happens in one projection and every
+    * map op reuses the typed map.
+    */
+  def propsMapTransform(t: Tables): DataFrame =
+    t.events
+      .filter(col("props").isNotNull)
+      .select(
+        col("event_type"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(
+        col("event_type"),
+        size(map_filter(col("m"), (_, v) => v > 50)).as("n_high"),
+        aggregate(
+          map_values(transform_values(col("m"), (_, v) => v * 2L)),
+          lit(0L), (acc, x) => acc + x).as("sum_doubled"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("n_high").as("n_high_entries"),
+        sum("sum_doubled").as("total_doubled"))
+      .orderBy("event_type")
+
   /** get_json_object string-path variant of the same extraction. */
   def jsonGetObject(t: Tables): DataFrame =
     t.events

@@ -126,6 +126,25 @@ class RoundSixOpsSpec extends SparkTestBase {
       s"prefix blocking missed ${(brute -- blocked).size} of ${brute.size} true pairs on this fixture")
   }
 
+  test("map transform: map_filter/transform_values agree with the scalar json path") {
+    val viaMap = EventOps.propsMapTransform(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // recompute through the independent get_json_object scalar path:
+    // props carries a single key 'k', so n_high == count(k > 50) and
+    // total_doubled == 2 * sum(k)
+    val viaScalar = t.events
+      .filter(col("props").isNotNull)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("nh"),
+        (sum("k") * 2).as("td"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(viaMap == viaScalar)
+  }
+
   test("date arithmetic: offsets, end-of-month clamp, boundaries, dow") {
     val rows = CoreQueries.dateArithmetic(ft).collect()
       .map(r => r.getLong(0) -> (r.getDate(1).toString, r.getDate(2).toString,
