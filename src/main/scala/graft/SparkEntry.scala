@@ -90,6 +90,7 @@ object SparkEntry {
     // time (plan spec-asserted); the gate proves result parity
     "join_revenue_bucketed"     -> q(sources.BucketedTables.revenueByPriorityBucketed),
     "join_revenue_by_brand"     -> q(JoinOps.revenueByBrand),
+    "join_supplier_volume"      -> q(JoinOps.supplierVolumeByRegion),
     "join_semi_with_orders"     -> q(JoinOps.customersWithOrders),
     "join_anti_without_orders"  -> q(JoinOps.customersWithoutOrders),
     "join_left_order_counts"    -> q(JoinOps.orderCountPerCustomer),
@@ -503,6 +504,15 @@ object SparkEntry {
       """SELECT p_brand, floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+    "join_supplier_volume" ->
+      """SELECT r_name, n_name,
+        |       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue,
+        |       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
     "join_semi_with_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

@@ -52,6 +52,25 @@ object JoinOps {
       .agg(roundN(decSum(col("l_extendedprice")), 2).as("revenue"))
       .orderBy("p_brand")
 
+  /** Snowflake star join (TPC-H Q5 shape): the fact table walks the
+    * supplier → nation → region dimension chain, all three dims
+    * broadcast — the fact side never shuffles for the joins; the only
+    * exchange is the final low-cardinality rollup. At 100 TB this is the
+    * canonical plan for dimensional enrichment: each executor streams its
+    * fact partitions against replicated hash maps.
+    */
+  def supplierVolumeByRegion(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        roundN(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        countDistinct("s_suppkey").as("n_suppliers"))
+      .orderBy("r_name", "n_name")
+
   /** LEFT SEMI = EXISTS: customers that have at least one order. */
   def customersWithOrders(t: Tables): DataFrame =
     t.customer

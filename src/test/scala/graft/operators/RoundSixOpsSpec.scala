@@ -126,6 +126,24 @@ class RoundSixOpsSpec extends SparkTestBase {
       s"prefix blocking missed ${(brute -- blocked).size} of ${brute.size} true pairs on this fixture")
   }
 
+  test("snowflake star join: three broadcast dims, revenue conserved") {
+    val df = JoinOps.supplierVolumeByRegion(t)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 3,
+      "all three dimension joins must broadcast — the fact side never shuffles for a join")
+    val rows = df.collect()
+    // referential integrity: every lineitem reaches exactly one (region,
+    // nation) — the rollup must conserve total net revenue
+    val got = BigDecimal(rows.map(r => BigDecimal(r.getDouble(2))).sum.toDouble)
+    val expected = t.lineitem
+      .agg(graft.functions.NumericFunctions.roundN(
+        graft.functions.NumericFunctions.decSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount"))), 2))
+      .head().getDouble(0)
+    assert((got - expected).abs < 0.05,
+      s"snowflake rollup ($got) must conserve lineitem net revenue ($expected)")
+  }
+
   test("map transform: map_filter/transform_values agree with the scalar json path") {
     val viaMap = EventOps.propsMapTransform(t).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
