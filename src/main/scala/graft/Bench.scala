@@ -189,7 +189,12 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qcpu = queryCpu.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson}""")
+    // `queries` (the per-query wall seconds the driver grades) is printed
+    // LAST: the driver keeps a fixed-size tail of stdout, and round 6
+    // showed that anything after `queries` (the CPU map, back then) is
+    // what survives in the artifact — the numbers that matter must sit at
+    // the end of the line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries":$qs}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured

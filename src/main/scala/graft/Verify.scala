@@ -255,8 +255,16 @@ object GateInvariants {
       // The eps·N over-count bound is probabilistic (holds per key with
       // prob >= confidence = 0.99), so require it for >= 19 of the 20
       // keys rather than all — a correct sketch on regenerated data or a
-      // different scale can legitimately miss it once.
+      // different scale can legitimately miss it once. The tolerated
+      // outlier is still bounded at 5·eps·N: a Markov-style slack that an
+      // honest sketch's worst key stays far inside, while a sketch that
+      // systematically over-counts one hot key cannot hide behind the
+      // exemption.
       val bound = math.ceil(0.001 * n).toLong + 1
+      got.foreach { case (pk, est) =>
+        require(est <= exact(pk) + 5 * bound,
+          s"invariant: CMS over-estimated key $pk by ${est - exact(pk)} > 5*eps*N=${5 * bound}")
+      }
       val overBound = got.count { case (pk, est) => est > exact(pk) + bound }
       require(overBound <= 1,
         s"invariant: CMS over-estimated $overBound/20 keys beyond eps*N=$bound " +

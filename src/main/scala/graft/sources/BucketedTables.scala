@@ -50,7 +50,11 @@ object BucketedTables {
   def revenueByPriorityBucketed(t: graft.core.Tables): DataFrame = {
     val spark = t.spark
     val (lt, ot) = bucketedPair.getOrElseUpdate(t.dir, {
-      val suffix = Integer.toHexString(t.dir.hashCode)
+      // md5 of the path, not hashCode: two input dirs with colliding
+      // hashCodes in one JVM must not silently share bucketed tables
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.dir.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
       val lti = s"graft_li_bucketed_$suffix"
       val oti = s"graft_ord_bucketed_$suffix"
       // the default in-memory catalog forgets tables at JVM exit but
@@ -67,7 +71,13 @@ object BucketedTables {
               .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
             finally stream.close()
           }
-        } catch { case _: Throwable => () }
+        } catch { case e: Throwable =>
+          // best-effort sweep, but never silently: if warehouse resolution
+          // or deletion fails the CREATE below dies with
+          // LOCATION_ALREADY_EXISTS and this is the only trace of why
+          System.err.println(
+            s"[bucketed] WARN: stale-warehouse sweep for $name failed: $e")
+        }
       }
       writeBucketed(
         t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),

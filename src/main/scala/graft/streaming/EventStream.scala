@@ -580,10 +580,16 @@ object EventStream {
     q.stop()
     current match {
       case Some(p) =>
+        // eagerly materialized: the NEXT call sweeps this call's target
+        // directory, so a returned frame that still lazily read the
+        // parquet would hit FileNotFoundException for any caller holding
+        // it across calls — after localCheckpoint the rows live in block
+        // storage and the files are free to go
         spark.read.parquet(p)
           .select(col("user_id"), unix_millis(col("ts")).as("last_ms"),
             col("event_type").as("last_type"), col("value").as("last_value"))
           .orderBy("user_id")
+          .localCheckpoint(true)
       case None => spark.emptyDataFrame
     }
   }

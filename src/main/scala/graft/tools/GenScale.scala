@@ -116,6 +116,13 @@ object GenScale {
 
     val embeddings = read("embeddings")
     val vk = stride(embeddings, "vec_id")
+    // rotation by the copy index is only a bijection while i < dim: at
+    // i == dim it silently becomes the identity (reintroducing cross-copy
+    // exact near-dups) and past it the slice length goes negative
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(k <= dim,
+      s"factor $k exceeds embedding dim $dim: copy rotations would repeat " +
+        "(cross-copy exact near-dups) — use factor <= dim or chain runs")
     write(replicated(embeddings) { (df, i) =>
       val rotated =
         if (i == 0) col("embedding")
