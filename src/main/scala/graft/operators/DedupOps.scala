@@ -439,26 +439,65 @@ object DedupOps {
     * edit distance catches small in-place edits (typo fixes, token swaps)
     * that shingle-based Jaccard scores leniently and SimHash may miss.
     *
-    * Scale shape: candidates come from an equi-join on the `prefixLen`-char
-    * block key, so cost is bounded by block sizes (prefix blocking is the
-    * standard cheap blocker for near-identical records — true near-dups
-    * rarely edit the opening characters; the recall yardstick against the
-    * brute-force truth is spec-checked). Verification uses the
-    * THRESHOLDED `levenshtein(l, r, maxDist)` form: Spark's banded DP
-    * short-circuits to −1 once the distance provably exceeds the bound,
-    * making each comparison O(maxDist · len) instead of O(len²).
+    * Scale shape — TWO guards keep the blocking self-join from going
+    * quadratic on real corpora, where shared 16-char prefixes are common
+    * (HTML preambles, license headers, boilerplate greetings):
+    *
+    *  1. Every prefix block is SUB-SPLIT by length band
+    *     (`floor(length/maxDist)`), and the join probes a doc's own band
+    *     plus its two neighbours. This loses nothing:
+    *     `levenshtein(a,b) >= |len(a)-len(b)|`, so any pair further than
+    *     one band apart is > maxDist edits and was doomed at the final
+    *     filter anyway — the output is IDENTICAL to the unbanded join
+    *     while a hot prefix shared by docs of many lengths fans out
+    *     across cells instead of one quadratic bucket.
+    *  2. A `maxBlock` document-frequency cap on each (prefix, band)
+    *     cell — the same hot-key guard [[ngramJaccardPairs]] applies via
+    *     `maxDf`. Docs in an over-capacity cell (same prefix AND same
+    *     length band — at that point genuinely near-identical boilerplate)
+    *     sit out, bounding candidates at O(n · maxBlock) total.
+    *
+    * Verification uses the THRESHOLDED `levenshtein(l, r, maxDist)` form:
+    * Spark's banded DP short-circuits to −1 once the distance provably
+    * exceeds the bound, making each comparison O(maxDist · len) instead
+    * of O(len²). [[editDistanceCandidates]] (the pre-verification pair
+    * stream) is exposed so the skew spec can pin the candidate bound.
     */
-  def editDistancePairs(t: Tables, prefixLen: Int = 16, maxDist: Int = 20): DataFrame = {
-    val keyed = t.documents
-      .select(
-        substring(col("text"), 1, prefixLen).as("blk"),
-        col("doc_id"), col("text"))
-    val a = keyed.toDF("blk", "doc_a", "text_a")
-    val b = keyed.toDF("blk", "doc_b", "text_b")
-    a.join(b, Seq("blk"))
-      .filter(col("doc_a") < col("doc_b"))
+  def editDistancePairs(t: Tables, prefixLen: Int = 16, maxDist: Int = 20,
+                        maxBlock: Int = 1000): DataFrame =
+    editDistanceCandidates(t, prefixLen, maxDist, maxBlock)
       .withColumn("dist", levenshtein(col("text_a"), col("text_b"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
+
+  /** The candidate-pair stream behind [[editDistancePairs]], before the
+    * Levenshtein verification: (prefix, length-band)-blocked with the
+    * `maxBlock` cell cap. Separated so the scaling/skew specs can count
+    * candidates directly — the quantity the guards actually bound.
+    */
+  def editDistanceCandidates(t: Tables, prefixLen: Int = 16, maxDist: Int = 20,
+                             maxBlock: Int = 1000): DataFrame = {
+    val keyed = t.documents
+      .select(
+        substring(col("text"), 1, prefixLen).as("blk"),
+        floor(length(col("text")) / maxDist).as("band"),
+        col("doc_id"), col("text"))
+    // hot-cell guard: one shuffle on (blk, band) serves the df aggregate
+    // and the probe sides below (ReuseExchange)
+    val cells = keyed.groupBy("blk", "band")
+      .agg(count(lit(1)).as("cdf"))
+      .filter(col("cdf") <= maxBlock)
+      .select("blk", "band")
+    val ok = keyed.join(cells, Seq("blk", "band"))
+    val a = ok.select(col("blk"), col("band"),
+      col("doc_id").as("doc_a"), col("text").as("text_a"))
+    // side b probes band-1/band/band+1 so pairs within maxDist length
+    // difference always share a join key exactly once
+    val b = ok.select(col("blk"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"),
+      col("doc_id").as("doc_b"), col("text").as("text_b"))
+    a.join(b, Seq("blk", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "text_a", "text_b")
   }
 }

@@ -59,6 +59,64 @@ class SkewStressSpec extends SparkTestBase {
         f"(shares: ${saltedShares.map(s => f"$s%.3f").mkString(",")})")
   }
 
+  /** Writes a documents fixture and returns Tables over it. */
+  private def docTables(rows: Seq[(Long, String)]): graft.core.Tables = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_docs_").toString
+    rows.map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.core.Tables(spark, dir)
+  }
+
+  test("edit-distance blocking survives a hot shared prefix: candidates bounded, not quadratic") {
+    // 2000 docs share one 16-char prefix AND one length band — the exact
+    // boilerplate shape (license headers, HTML preambles) that made the
+    // unguarded prefix blocker a quadratic bucket (~2M candidate pairs)
+    val hot = (0L until 2000L).map { i =>
+      i -> f"<!DOCTYPE html><h page body $i%06d>"
+    }
+    val normal = (10000L until 10100L).map { i =>
+      i -> f"doc $i%d with its own distinct opening line of text"
+    }
+    val t = docTables(hot ++ normal)
+    val candidates = DedupOps.editDistanceCandidates(t, maxBlock = 100).count()
+    // the hot cell (2000 docs > maxBlock=100) sits out; what remains is
+    // the normal docs' cells — far below the ~2M pairs of the hot bucket
+    assert(candidates < 20000,
+      s"hot-prefix cell leaked into candidates: $candidates pairs")
+    // and the default cap (1000) also rejects a 2000-doc cell
+    assert(DedupOps.editDistanceCandidates(t).count() < 20000)
+  }
+
+  test("edit-distance length-band sub-split is exact: output equals the unbanded blocker") {
+    // one shared prefix, lengths fanned across many bands (so the banded
+    // join actually splits), including a pair STRADDLING a band boundary
+    // (len 39 vs len 41 at maxDist=20 -> bands 1 and 2, distance 2)
+    val base = "SHARED_PREFIX_16"
+    require(base.length == 16)
+    val spread = (0L until 60L).map { i =>
+      i -> (base + "x" * (4 + (i.toInt * 7) % 380))
+    }
+    val straddle = Seq(1000L -> (base + "y" * 23), 1001L -> (base + "y" * 25))
+    val t = docTables(spread ++ straddle)
+    val banded = DedupOps.editDistancePairs(t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // unbanded reference: plain prefix-block self-join + thresholded verify
+    val k = t.documents.select(
+      substring(col("text"), 1, 16).as("blk"), col("doc_id"), col("text"))
+    val unbanded = k.toDF("blk", "doc_a", "text_a")
+      .join(k.toDF("blk", "doc_b", "text_b"), Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), 20))
+      .filter(col("dist") >= 0 && col("dist") <= 20)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getInt(5))).toSet
+    assert(banded == unbanded,
+      s"band split changed the result: missing ${unbanded -- banded}, extra ${banded -- unbanded}")
+    assert(banded.exists { case (a, b, _) => a == 1000L && b == 1001L },
+      "band-boundary pair (len 39 vs 41) must be found via the adjacent-band probe")
+  }
+
   test("AQE skew-join splits the hot partition (skew=true in the final plan)") {
     val conf = spark.conf
     val keys = Seq(
