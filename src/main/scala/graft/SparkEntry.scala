@@ -201,7 +201,7 @@ object SparkEntry {
     "emb_neardup_lsh"    -> q(t => SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)),
     // batch k-NN JOIN (top-k per vector) over deterministic sign buckets;
     // the oracle recomputes the identical buckets → full hash gate
-    "ann_knn_join"       -> q(t => SimilarityOps.knnJoinLsh(t, 3, 4)),
+    "ann_knn_join"       -> q(t => SimilarityOps.knnJoinLsh(t, 3)),
     "emb_neardup_clusters" -> q(t => SimilarityOps.embNearDupClusters(t, 0.35, 8)),
     "emb_norms_by_label" -> q(SimilarityOps.normsByLabel),
     "emb_vector_stats"   -> q(SimilarityOps.vectorStatsByLabel),
@@ -1228,12 +1228,23 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn <= 3""".stripMargin,
     // prefix-blocked candidates, Levenshtein-verified — the oracle states
-    // the same blocking, so candidate sets match exactly
+    // the same blocking (prefix + length band with the adjacent-band probe
+    // and the 1000-doc hot-cell cap), so candidate sets match exactly even
+    // when a guard binds; the band split alone never changes the output
+    // because levenshtein >= |len difference|
     "dedup_edit_distance" ->
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      """WITH k AS (
+        |  SELECT doc_id, text, substr(text, 1, 16) AS blk,
+        |         CAST(floor(len(text) / 20) AS BIGINT) AS band
+        |  FROM documents),
+        |ok AS (
+        |  SELECT k.* FROM k
+        |  JOIN (SELECT blk, band FROM k GROUP BY 1, 2 HAVING count(*) <= 1000) g
+        |    USING (blk, band))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       levenshtein(a.text, b.text) AS dist
-        |FROM documents a JOIN documents b
-        |  ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+        |FROM ok a JOIN ok b
+        |  ON a.blk = b.blk AND abs(a.band - b.band) <= 1
         | AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
     // The engine computes the global running total with range partitioning
@@ -1500,16 +1511,24 @@ object SparkEntry {
     "emb_neardup_lsh" ->
       s"""WITH $embLshPairsCte
          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35""".stripMargin,
-    // k-NN join: same deterministic sign buckets (4 bits here), BOTH
-    // directions (every vector ranks its own neighbors), row_number over
-    // (rounded cos desc, neighbor asc) — the engine's exact tie rule
+    // k-NN join: same deterministic sign buckets, BOTH directions (every
+    // vector ranks its own neighbors), row_number over (rounded cos desc,
+    // neighbor asc) — the engine's exact tie rule. The bit count is
+    // ADAPTIVE (smallest b in [1,16] with 128·2^b >= n — restating
+    // SimilarityOps.adaptiveSignBits in integer SQL), so the oracle picks
+    // the identical bucket granularity from the data at any scale.
     "ann_knn_join" ->
-      """WITH e AS (
+      """WITH p AS (
+        |  SELECT min(b) AS bits
+        |  FROM range(1, 17) t(b), (SELECT count(*) AS n FROM embeddings) nn
+        |  WHERE 128 * (1 << b) >= n),
+        |e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
         |n AS (
         |  SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm,
-        |         (CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END)||
-        |         (CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END)||(CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |         substr(list_aggregate(
+        |             [CASE WHEN x >= 0 THEN '1' ELSE '0' END for x in emb[1:16]],
+        |             'string_agg', ''), 1, (SELECT bits FROM p)) AS bucket
         |  FROM e),
         |c AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,

@@ -267,15 +267,25 @@ object SimilarityOps {
     * global one. Cost is bounded by bucket width: one bucket-keyed
     * exchange for the self-join, one for the rank. Vectors whose bucket
     * holds fewer than k peers report what exists (standard LSH-knn
-    * semantics — recall is the tunable); at 100 TB you widen recall with
-    * multiple hash tables or IVF cells, not by shrinking buckets.
+    * semantics — recall is the tunable, recovered at 100 TB with multiple
+    * hash tables or IVF cells).
+    *
+    * `bits` defaults to 0 = ADAPTIVE: with any fixed bit count the
+    * intra-bucket pair count grows as (n/2^bits)² — the round-6 suite's
+    * worst scaling row (7.4× wall on 10× data at bits=4). The adaptive
+    * mode derives bits from the corpus size so the expected bucket stays
+    * ≈ [[adaptiveSignBits]]'s target width and total candidate pairs grow
+    * LINEARLY (n · width), which is the floor for an all-pairs top-k whose
+    * output is already n·k. The count needed to size the buckets is one
+    * metadata-cheap job at plan-construction time.
     */
-  def knnJoinLsh(t: Tables, k: Int = 3, bits: Int = 4): DataFrame = {
+  def knnJoinLsh(t: Tables, k: Int = 3, bits: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val useBits = if (bits > 0) bits else adaptiveSignBits(t.embeddings.count())
     val e = t.embeddings
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
       .withColumn("nrm", l2Norm(col("emb")))
-      .withColumn("bucket", signBucket(col("emb"), bits))
+      .withColumn("bucket", signBucket(col("emb"), useBits))
       .repartition(col("bucket"))
     val a = e.select(col("bucket"), col("vec_id"),
       col("emb").as("emb_a"), col("nrm").as("nrm_a"))
@@ -293,6 +303,19 @@ object SimilarityOps {
       .select("vec_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("vec_id", "rank")
   }
+
+  /** Scale-adaptive sign-LSH bit count: the smallest b in [1, 16] with
+    * `targetBucket · 2^b >= n`, i.e. the expected bucket width stays in
+    * (targetBucket/2, targetBucket]. Integer arithmetic only (no
+    * floating log2 edge cases at exact powers of two), and the same rule
+    * is restated verbatim in the DuckDB oracle so both engines pick the
+    * identical bit count from the data. Capped at 16 bits — 65k buckets
+    * carries the target width to n ≈ 8.4M vectors per hash table; past
+    * that a production deployment shards into multiple tables rather than
+    * exceeding the oracle's 16-char sign string.
+    */
+  def adaptiveSignBits(n: Long, targetBucket: Long = 128L): Int =
+    (1 to 16).find(b => targetBucket * (1L << b) >= n).getOrElse(16)
 
   /** Cluster resolution over the embedding near-dup pair graph (same
     * GraphOps label propagation as DedupOps.dupClusters): each vector in a

@@ -417,6 +417,29 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(expected > 0, "fixture produced no duplicated spans — test is vacuous")
   }
 
+  test("knn join adaptive bits: bucket width tracks corpus size, work stays linear") {
+    // the rule: smallest b in [1,16] with 128*2^b >= n — expected bucket
+    // width lands in (64, 128], so intra-bucket pairs grow ~n·128, not n²
+    assert(SimilarityOps.adaptiveSignBits(1) == 1)
+    assert(SimilarityOps.adaptiveSignBits(256) == 1)
+    assert(SimilarityOps.adaptiveSignBits(257) == 2)
+    assert(SimilarityOps.adaptiveSignBits(500) == 2)   // sf0.01 corpus
+    assert(SimilarityOps.adaptiveSignBits(2000) == 4)  // sf0.1 corpus
+    assert(SimilarityOps.adaptiveSignBits(20000) == 8) // sf1 corpus
+    assert(SimilarityOps.adaptiveSignBits(Long.MaxValue) == 16) // capped
+    // 10x the data can never COARSEN the buckets
+    Seq(100L, 1000L, 10000L, 100000L).foreach { n =>
+      assert(SimilarityOps.adaptiveSignBits(10 * n) >= SimilarityOps.adaptiveSignBits(n))
+    }
+    // default (adaptive) mode computes exactly the explicit-bits plan
+    val n = t.embeddings.count()
+    val adaptive = SimilarityOps.knnJoinLsh(t, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val explicit = SimilarityOps.knnJoinLsh(t, 3, SimilarityOps.adaptiveSignBits(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(adaptive == explicit)
+  }
+
   test("knn join: ranks contiguous, scores descending, bucket-exact top-k") {
     val k = 3
     val rows = SimilarityOps.knnJoinLsh(t, k, 4).collect()
