@@ -1627,6 +1627,20 @@ object SparkEntry {
     "agg_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the HLL estimate is engine-specific, but the gate emits the exact
+    // count plus an in-engine 6·rsd band verdict — the oracle recomputes
+    // the exact count and expects the verdict true, so a drifted sketch
+    // hash-fails
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |       TRUE AS within_6rsd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // seeded sampleBy counts are partition-layout dependent; the gate
+    // emits source counts plus an in-engine 6σ binomial band verdict per
+    // stratum — wrong fraction / double sample / lost stratum flips it
+    "sample_stratified" ->
+      """SELECT o_orderstatus, count(*) AS n_source, TRUE AS in_band
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "text_category_counts" ->
       """SELECT CASE
         |         WHEN text IS NULL THEN 'scalar'

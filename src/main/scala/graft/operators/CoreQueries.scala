@@ -360,14 +360,23 @@ object CoreQueries {
 
   /** Approximate distinct count (HLL++): a fixed-size sketch per partition
     * instead of shuffling distinct keys — the 100 TB version of
-    * [[aggCountDistinct]]. Deterministic for a given rsd but not equal to
-    * the exact count ⇒ rows-only in the oracle gate; the spec bounds the
-    * relative error.
+    * [[aggCountDistinct]]. The estimate itself is engine-specific, so the
+    * gate emits the exact count plus an in-engine 6·rsd error-band verdict
+    * on the sketch — a FULL hash gate (the oracle recomputes the exact
+    * count and expects `within_6rsd` true): a drifted sketch flips the
+    * boolean and the hash goes red, instead of hiding behind rows-only.
     */
   def aggApproxDistinct(t: Tables): DataFrame =
     t.lineitem
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+      .agg(
+        countDistinct("l_partkey").as("n_exact"),
+        approx_count_distinct("l_partkey", 0.02).as("approx"))
+      .select(
+        col("l_returnflag"),
+        col("n_exact"),
+        (abs(col("approx") - col("n_exact")).cast("double") <=
+          greatest(lit(6 * 0.02) * col("n_exact"), lit(10.0))).as("within_6rsd"))
       .orderBy("l_returnflag")
 
   /** D3: seeded Bernoulli sample (ref `performance_py/...py:87`).
@@ -459,16 +468,41 @@ object CoreQueries {
       roundN(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
       roundN(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qty_price"))
 
-  /** Stratified sample (sampleBy): per-stratum Bernoulli fractions — the
-    * class-balancing tool for skewed training data. Seeded but partition-
-    * layout dependent ⇒ rows-only; the spec bounds per-stratum fractions.
+  /** Per-stratum fractions for the stratified sample — 5% of F and O, 50%
+    * of P (the class-balancing shape for skewed training data).
     */
-  def stratifiedSample(t: Tables): DataFrame =
+  private val stratifiedFractions = Map("F" -> 0.05, "O" -> 0.05, "P" -> 0.5)
+
+  /** Raw per-stratum sampled counts behind [[stratifiedSample]]: seeded
+    * `sampleBy`, partition-layout dependent — exposed for the specs and
+    * the determinism invariant.
+    */
+  def stratifiedSampleCounts(t: Tables): DataFrame =
     t.orders.stat
-      .sampleBy("o_orderstatus", Map("F" -> 0.05, "O" -> 0.05, "P" -> 0.5), 42L)
+      .sampleBy("o_orderstatus", stratifiedFractions, 42L)
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_sampled"))
+
+  /** Stratified sample (sampleBy) gate: the sampled counts themselves are
+    * engine-specific (seeded Bernoulli over a partition layout), so the
+    * gate emits each stratum's SOURCE count plus an in-engine 6σ binomial
+    * band verdict on the sampled count — a FULL hash gate (the oracle
+    * recomputes the source counts and expects `in_band` true). A wrong
+    * fraction, a double sample, or a lost stratum flips the boolean.
+    */
+  def stratifiedSample(t: Tables): DataFrame = {
+    val p = when(col("o_orderstatus") === "P", lit(0.5)).otherwise(lit(0.05))
+    t.orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_source"))
+      .join(stratifiedSampleCounts(t), Seq("o_orderstatus"), "left")
+      .select(
+        col("o_orderstatus"),
+        col("n_source"),
+        (abs(coalesce(col("n_sampled"), lit(0L)) - p * col("n_source")) <=
+          lit(6.0) * sqrt(p * (lit(1.0) - p) * col("n_source")) + lit(10.0))
+          .as("in_band"))
       .orderBy("o_orderstatus")
+  }
 
   /** Heavy hitters: top-k most frequent part keys in lineitem —
     * agg-then-TakeOrdered, the distributed word-count shape.

@@ -67,12 +67,19 @@ class VerifyInvariantsSpec extends SparkTestBase {
         CoreQueries.rowIds(t).withColumn("row_id", lit(7L)),
         (s, d) => CoreQueries.rowIds(core.Tables(s, d)), spark, dir)
     }
-    // drifted sketch: estimate doubled is far outside the 6-sigma rsd band
+    // drifted sketch: a false band verdict must be rejected engine-side
     intercept[IllegalArgumentException] {
       GateInvariants.check("agg_approx_distinct",
         CoreQueries.aggApproxDistinct(t)
-          .withColumn("approx_parts", col("approx_parts") * 2),
+          .withColumn("within_6rsd", lit(false)),
         (s, d) => CoreQueries.aggApproxDistinct(core.Tables(s, d)), spark, dir)
+    }
+    // broken stratum: a false band verdict must be rejected engine-side
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("sample_stratified",
+        CoreQueries.stratifiedSample(t)
+          .withColumn("in_band", lit(false)),
+        (s, d) => CoreQueries.stratifiedSample(core.Tables(s, d)), spark, dir)
     }
     // corrupted payload accounting: byte length off by one
     intercept[IllegalArgumentException] {

