@@ -211,6 +211,7 @@ object SparkEntry {
     // like its fast sibling (ML fits are engine-specific) with the model
     // set + metric-consistency invariants verified in GateInvariants
     "ml_price_metrics_full" -> q(PricePipeline.fullMetrics),
+    "ml_cv_linear"        -> q(PricePipeline.cvLinearSweep),
     "ml_recommend_tfidf"  -> q(t => Recommender.similarDocs(t, 0L, 5)),
     // same oracle as the dense variant: sparse merge-dot scoring is
     // bit-identical (SparseDotSpec), so it earns its own hash gate

@@ -98,6 +98,8 @@ object Verify {
   *  - `ml_price_metrics` — the fastMetrics model trio present, finite
   *    metrics, rmse² ≈ mse, mae ≤ rmse, and the reference's documented
   *    r2adj == r2 quirk.
+  *  - `ml_cv_linear` — one row per grid point, the flagged winner
+  *    minimizes cross-validation avg RMSE, seeded sweep deterministic.
   *  - `multimodal_binary_ingest` — one row per on-disk file with the
   *    exact byte length and md5 of the file's bytes (payload survived
   *    the binaryFile source bit-for-bit).
@@ -229,6 +231,25 @@ object GateInvariants {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       exact.foreach(p => require(got.contains(p),
         s"invariant: exact duplicate pair $p missed (collides in every table)"))
+    case "ml_cv_linear" =>
+      // CV sweep: one row per grid point; the flagged winner must carry
+      // the minimum cross-validation avg RMSE (the whole point of the
+      // sweep), metrics must be finite and positive, and the seeded fold
+      // split must make a re-run identical
+      val rows = df.collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+      require(rows.map(_._1).toSet == Set(0.01, 0.5),
+        s"invariant: grid ${rows.map(_._1).toSeq} != expected regParam grid")
+      rows.foreach { case (p, m, _) =>
+        require(!m.isNaN && m > 0, s"invariant: bad avg_rmse $m at regParam $p")
+      }
+      val winners = rows.filter(_._3)
+      require(winners.length == 1, s"invariant: ${winners.length} winners flagged")
+      require(winners.head._2 == rows.map(_._2).min,
+        s"invariant: winner ${winners.head} does not minimize avg RMSE over $rows")
+      val again = fn(spark, sfDir).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+      require(again.toSeq == rows.toSeq, "invariant: seeded CV sweep not deterministic")
     case "ml_price_metrics" | "ml_price_metrics_full" =>
       val expectedModels =
         if (name == "ml_price_metrics")

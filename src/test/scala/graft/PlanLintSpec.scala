@@ -26,7 +26,7 @@ class PlanLintSpec extends SparkTestBase {
     "events_dedup_streaming", "events_stream_join", "events_stream_left_join",
     "events_stream_full_join", "events_foreach_upsert",
     "dedup_minhash_streaming", "dedup_minhash_windowed",
-    "ml_price_metrics", "ml_price_metrics_full",
+    "ml_price_metrics", "ml_price_metrics_full", "ml_cv_linear",
     // construction writes bucketed catalog tables (runs jobs); its plan
     // shape is asserted by BucketedTablesSpec instead
     "join_revenue_bucketed",

@@ -40,6 +40,19 @@ class VerifyInvariantsSpec extends SparkTestBase {
       spark, dir)
   }
 
+  test("cross-validation sweep satisfies its invariants; doctored winner rejected") {
+    GateInvariants.check("ml_cv_linear",
+      ml.PricePipeline.cvLinearSweep(t),
+      (s, d) => ml.PricePipeline.cvLinearSweep(core.Tables(s, d)),
+      spark, dir)
+    // flipping the winner flag makes the flagged row non-minimal
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("ml_cv_linear",
+        ml.PricePipeline.cvLinearSweep(t).withColumn("is_best", !col("is_best")),
+        (s, d) => ml.PricePipeline.cvLinearSweep(core.Tables(s, d)), spark, dir)
+    }
+  }
+
   test("doctored outputs are rejected") {
     val sample = CoreQueries.sampleOrders(t)
     // doubled sample: duplicate keys + count outside the binomial band
