@@ -40,8 +40,16 @@ object GraphOps {
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with the closed-neighbourhood min: one aggregation over
+    // the edge list performs what used to be a distinct() PLUS the whole
+    // first propagation round (3 shuffles + a checkpoint) — cliques are
+    // fully labelled at seed time and only pay the convergence check.
+    // Every node appears as `src` in the symmetrised edge list, so
+    // coverage is complete, and the seed is a node id from the same
+    // component, so min-propagation still converges to the component min.
+    var labels = edges.groupBy("src")
+      .agg(min("dst").as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var rounds  = 0
