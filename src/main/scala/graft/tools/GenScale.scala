@@ -32,6 +32,52 @@ import org.apache.spark.sql.functions._
   *    cross-copy cosines fall to noise (same reasoning as the text tag).
   */
 object GenScale {
+
+  private def strideOf(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head().getLong(0) + 1
+
+  /** k key-shifted copies of `documents`, copies 1..k-1 with every token
+    * suffixed by the copy tag (vocabularies disjoint across copies — the
+    * per-copy dedup structure is preserved, cross-copy near-dups are not
+    * introduced; see object doc). Exposed for the scaling spec.
+    */
+  def replicateDocuments(documents: DataFrame, k: Int): DataFrame = {
+    val dk = strideOf(documents, "doc_id")
+    (0 until k).map { i =>
+      val tagged =
+        if (i == 0) documents
+        else documents.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1_c" + i))
+      tagged
+        .withColumn("doc_id", col("doc_id") + i * dk)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** k key-shifted copies of `embeddings`, copy i's vector rotated by i —
+    * norms and per-copy geometry exactly preserved, cross-copy cosines at
+    * noise. Requires k <= dim: at i == dim the rotation silently becomes
+    * the identity (reintroducing cross-copy exact near-dups) and past it
+    * the slice length goes negative. Exposed for the scaling spec.
+    */
+  def replicateEmbeddings(embeddings: DataFrame, k: Int): DataFrame = {
+    val vk = strideOf(embeddings, "vec_id")
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(k <= dim,
+      s"factor $k exceeds embedding dim $dim: copy rotations would repeat " +
+        "(cross-copy exact near-dups) — use factor <= dim or chain runs")
+    (0 until k).map { i =>
+      val rotated =
+        if (i == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
+          slice(col("embedding"), lit(1), lit(i)))
+      embeddings
+        .withColumn("vec_id", col("vec_id") + i * vk)
+        .withColumn("embedding", rotated)
+    }.reduce(_.unionByName(_))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
     val k = factorStr.toInt
@@ -102,36 +148,8 @@ object GenScale {
         .withColumn("user_id", col("user_id") + i * uk)
     }, "events")
 
-    val documents = read("documents")
-    val dk = stride(documents, "doc_id")
-    write(replicated(documents) { (df, i) =>
-      val tagged =
-        if (i == 0) df
-        else df.withColumn("text",
-          regexp_replace(col("text"), "(\\S+)", "$1_c" + i))
-      tagged
-        .withColumn("doc_id", col("doc_id") + i * dk)
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    }, "documents")
-
-    val embeddings = read("embeddings")
-    val vk = stride(embeddings, "vec_id")
-    // rotation by the copy index is only a bijection while i < dim: at
-    // i == dim it silently becomes the identity (reintroducing cross-copy
-    // exact near-dups) and past it the slice length goes negative
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    require(k <= dim,
-      s"factor $k exceeds embedding dim $dim: copy rotations would repeat " +
-        "(cross-copy exact near-dups) — use factor <= dim or chain runs")
-    write(replicated(embeddings) { (df, i) =>
-      val rotated =
-        if (i == 0) col("embedding")
-        else concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-          slice(col("embedding"), lit(1), lit(i)))
-      df.withColumn("vec_id", col("vec_id") + i * vk)
-        .withColumn("embedding", rotated)
-    }, "embeddings")
+    write(replicateDocuments(read("documents"), k), "documents")
+    write(replicateEmbeddings(read("embeddings"), k), "embeddings")
 
     spark.stop()
   }

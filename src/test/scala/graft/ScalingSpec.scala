@@ -1,0 +1,108 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.VectorFunctions.{signBucket, toDoubleArr}
+import graft.operators.{DedupOps, SimilarityOps}
+import graft.tools.GenScale
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scaling pins (round-6 verdict item 8): candidate-pair counts — the
+  * quantity the skew/scale guards actually bound — measured at 1×
+  * (sf0.01) and a 3× GenScale replica, asserting per-family growth stays
+  * near-linear. Counting candidates instead of timing wall seconds keeps
+  * the spec deterministic and CI-fast while still catching the next
+  * quadratic blocker before the bench does: the deliberately unguarded
+  * shapes below (fixed LSH bits — the round-6 `ann_knn_join` defect —
+  * and raw prefix blocking — the round-6 `dedup_edit_distance` defect)
+  * FAIL the same bound the guarded operators meet.
+  */
+class ScalingSpec extends SparkTestBase {
+
+  /** 3× data: linear growth ≈ 3, quadratic = 9. */
+  private val growthBound = 5.0
+
+  private lazy val t1 = Tables(spark, "/root/testdata/sf0.01")
+
+  private lazy val t3: Tables = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale3_").toString
+    GenScale.replicateDocuments(t1.documents, 3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    GenScale.replicateEmbeddings(t1.embeddings, 3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables(spark, dir)
+  }
+
+  /** Σ c·(c−1)/2 over the group sizes of `key` — the self-join candidate
+    * count a blocking scheme produces.
+    */
+  private def selfJoinPairs(df: DataFrame, key: String): Long =
+    df.groupBy(key).count()
+      .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0.0)))
+      .head().getDouble(0).toLong
+
+  private def ratio(one: Long, three: Long): Double =
+    three.toDouble / math.max(one, 1L).toDouble
+
+  test("minhash banding candidates grow near-linearly at 3× data") {
+    val c1 = selfJoinPairs(DedupOps.bandedDocs(t1.documents), "band")
+    val c3 = selfJoinPairs(DedupOps.bandedDocs(t3.documents), "band")
+    assert(c1 > 0, "1× corpus produced no banding candidates — vacuous")
+    assert(ratio(c1, c3) <= growthBound,
+      s"minhash banding candidates grew ${ratio(c1, c3)}× on 3× data ($c1 -> $c3)")
+  }
+
+  test("guarded edit-distance candidates grow near-linearly at 3× data") {
+    val c1 = DedupOps.editDistanceCandidates(t1).count()
+    val c3 = DedupOps.editDistanceCandidates(t3).count()
+    assert(ratio(c1, c3) <= growthBound,
+      s"edit-distance candidates grew ${ratio(c1, c3)}× on 3× data ($c1 -> $c3)")
+  }
+
+  test("unguarded prefix blocking fails the growth bound; the maxBlock valve caps it") {
+    // adversarial boilerplate corpus: every doc shares one 16-char prefix
+    // and one length band — 400 docs at 1×, 1200 at 3×
+    import spark.implicits._
+    def hotTables(n: Int): Tables = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_scale_hot_").toString
+      (0L until n.toLong)
+        .map(i => (i, f"LICENSE_HEADER_A standard preamble $i%06d", "en", "s0", 40L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Tables(spark, dir)
+    }
+    val (h1, h3) = (hotTables(400), hotTables(1200))
+    def unguarded(t: Tables): Long =
+      selfJoinPairs(t.documents.select(substring(col("text"), 1, 16).as("blk")), "blk")
+    val (u1, u3) = (unguarded(h1), unguarded(h3))
+    assert(ratio(u1, u3) > growthBound,
+      s"negative control broken: unguarded prefix blocking grew only ${ratio(u1, u3)}× " +
+        s"($u1 -> $u3) — the spec would not catch a quadratic blocker")
+    // the shipped guard: 400 docs sit under the default 1000-doc cell cap,
+    // 1200 exceed it and the hot cell sits out entirely
+    val g1 = DedupOps.editDistanceCandidates(h1).count()
+    val g3 = DedupOps.editDistanceCandidates(h3).count()
+    assert(g1 == u1, "below the cap the guard must not drop candidates")
+    assert(g3 == 0, s"over-capacity hot cell must sit out, got $g3 candidates")
+  }
+
+  test("adaptive knn buckets grow near-linearly; fixed bits fail the bound") {
+    def bucketPairs(t: Tables, bits: Int): Long =
+      selfJoinPairs(
+        t.embeddings.select(
+          signBucket(toDoubleArr(col("embedding")), bits).as("b")), "b")
+    val n1 = t1.embeddings.count()
+    val n3 = t3.embeddings.count()
+    val adaptive1 = bucketPairs(t1, SimilarityOps.adaptiveSignBits(n1))
+    val adaptive3 = bucketPairs(t3, SimilarityOps.adaptiveSignBits(n3))
+    assert(ratio(adaptive1, adaptive3) <= growthBound,
+      s"adaptive knn candidates grew ${ratio(adaptive1, adaptive3)}× on 3× data " +
+        s"($adaptive1 -> $adaptive3)")
+    // the round-6 defect, reproduced as the negative control: freezing the
+    // bit count at the 1× choice makes the same corpus quadratic
+    val fixed3 = bucketPairs(t3, SimilarityOps.adaptiveSignBits(n1))
+    assert(ratio(adaptive1, fixed3) > growthBound,
+      s"negative control broken: fixed-bits knn grew only ${ratio(adaptive1, fixed3)}× " +
+        s"($adaptive1 -> $fixed3) — the spec would not catch a frozen bucket count")
+  }
+}
