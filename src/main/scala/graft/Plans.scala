@@ -52,13 +52,13 @@ object Plans {
         operators.DedupOps.duplicateSpans(t.documents),
       "events_asof_prev (backward asof: same single-shuffle scan, running max)" ->
         operators.EventOps.prevPurchaseAsof(t),
-      "ann_knn_join (bucket-keyed self-join + per-vector window, no cartesian)" ->
-        operators.SimilarityOps.knnJoinLsh(t, 3, 4),
+      "ann_knn_join (adaptive-bits bucket-keyed self-join + per-vector window, no cartesian)" ->
+        operators.SimilarityOps.knnJoinLsh(t, 3),
       "window_range_frame (value-based RANGE frame, one hash shuffle)" ->
         operators.WindowOps.rollingSpend30d(t),
       "events_gap_fill (tiny generated spine joined to pre-agg counts)" ->
         operators.EventOps.gapFillHourly(t),
-      "dedup_edit_distance (prefix-block equi-join + thresholded levenshtein)" ->
+      "dedup_edit_distance ((prefix, length-band) block equi-join + df guard + thresholded levenshtein)" ->
         operators.DedupOps.editDistancePairs(t))
 
     picks.foreach { case (label, df) =>
