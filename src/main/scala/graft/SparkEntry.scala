@@ -174,6 +174,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
     "dedup_minhash"       -> q(t => DedupOps.minhashDupPairs(t, 0.3)),
     "dedup_clusters"      -> q(t => DedupOps.dupClusters(t, 0.5)),
+    "dedup_cluster_resolve" -> q(t => DedupOps.resolveClusters(t, 0.5)),
     "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
     "dedup_decontaminate" -> q(t => DedupOps.decontaminate(t, "src15")),
     "dedup_substring_spans" -> q(t => DedupOps.duplicateSpans(t.documents)),
@@ -1455,6 +1456,35 @@ object SparkEntry {
          |SELECT id AS doc_id, rep AS cluster_rep,
          |       count(*) OVER (PARTITION BY rep) AS cluster_size
          |FROM reps""".stripMargin,
+    // Semantic-dedup resolution over the same clusters: the longest doc
+    // (ties to min doc_id) is kept per cluster, singletons keep
+    // themselves. Same recursive closure, then an argmax row_number.
+    "dedup_cluster_resolve" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |jp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |walk(id, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src),
+         |reps AS (
+         |  SELECT id, least(id, min(r)) AS rep FROM walk GROUP BY id),
+         |alldocs AS (
+         |  SELECT d.doc_id,
+         |         coalesce(reps.rep, d.doc_id) AS cluster_rep,
+         |         coalesce(length(d.text), 0) AS text_len
+         |  FROM documents d LEFT JOIN reps ON d.doc_id = reps.id),
+         |sized AS (
+         |  SELECT doc_id, cluster_rep, text_len,
+         |         count(*) OVER (PARTITION BY cluster_rep) AS cluster_size,
+         |         row_number() OVER (PARTITION BY cluster_rep
+         |                            ORDER BY text_len DESC, doc_id) AS rn
+         |  FROM alldocs)
+         |SELECT doc_id, cluster_rep, cluster_size, text_len, rn = 1 AS keep
+         |FROM sized""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |       list_reduce(string_split_regex(text, '\s+'),

@@ -379,6 +379,43 @@ object DedupOps {
   def dupClusters(t: Tables, minJaccard: Double = 0.5): DataFrame =
     GraphOps.clusters(pairGraph(t, minJaccard))
 
+  /** Semantic-dedup resolution — the step AFTER [[dupClusters]]: every
+    * document is labelled keep/drop so that exactly one representative
+    * survives per near-dup cluster (the longest text, ties to the
+    * smallest doc_id — a deterministic stand-in for the quality-score
+    * argmax a production corpus pipeline would use) and singletons keep
+    * themselves. The reference has no such operator (its dedup surface
+    * is exact `dropDuplicates`, `performance_py/2-cores-6-instances.py:259`);
+    * this is the corpus-level
+    * shape from Lee et al. 2021 §4 ("we remove all but one of" each
+    * cluster).
+    *
+    * Scale: the cluster labels are (long, long, long) rows — orders of
+    * magnitude smaller than the corpus — so the left join shuffles ids,
+    * never text; `text_len` rides the documents scan as a codegen'd
+    * projection. The keep choice is a row_number over clusters, bounded
+    * by cluster width, and the window partitions by cluster_rep so the
+    * exchange reuses the join's hash partitioning at scale.
+    */
+  def resolveClusters(t: Tables, minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(t, minJaccard)
+    val docs = t.documents.select(
+      col("doc_id"),
+      coalesce(length(col("text")), lit(0)).as("text_len"))
+    val labelled = docs.join(clusters, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("text_len"))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(desc("text_len"), asc("doc_id"))
+    labelled
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy("doc_id")
+  }
+
   /** MinHash+LSH via the MLlib built-ins (SURVEY §4.2: prefer
     * `MinHashLSH` over custom code when its semantics fit): shingles →
     * HashingTF presence vectors → MinHashLSH(seed) →

@@ -82,6 +82,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got.values.forall { case (rep, size) => rep == 0L && size == 3L })
   }
 
+  test("resolveClusters: one keep per cluster, longest text wins, singletons keep") {
+    val t0 = litTables(docs = docs)
+    val got = DedupOps.resolveClusters(t0, 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))
+      .toMap
+    // every source doc is labelled
+    assert(got.keySet == t0.documents.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // exactly one keep per cluster_rep
+    val byCluster = got.values.groupBy(_._1)
+    byCluster.foreach { case (rep, rows) =>
+      assert(rows.count(_._4) == 1, s"cluster $rep keeps != 1")
+      // the kept row is the (max text_len, min doc_id) argmax
+      val kept = got.filter { case (_, (r, _, _, k)) => r == rep && k }.head
+      val best = got.filter { case (_, (r, _, _, _)) => r == rep }
+        .minBy { case (id, (_, _, len, _)) => (-len, id) }
+      assert(kept._1 == best._1, s"cluster $rep kept ${kept._1}, expected ${best._1}")
+    }
+    // docs outside any pair-graph component are their own singleton cluster
+    val clustered = DedupOps.dupClusters(t0, 0.5).collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, (rep, size, _, keep)) =>
+      if (!clustered(id)) assert(rep == id && size == 1L && keep, s"singleton $id")
+    }
+  }
+
   test("dupClusters agrees with brute-force components on the fixtures") {
     val pairs = DedupOps.minhashDupPairs(t, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
