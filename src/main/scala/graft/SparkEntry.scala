@@ -116,6 +116,7 @@ object SparkEntry {
     "events_map_transform"     -> q(EventOps.propsMapTransform),
     "events_json_get"          -> q(EventOps.jsonGetObject),
     "events_hourly"            -> q(EventOps.hourlyTypeCounts),
+    "events_interval_join"     -> q(t => EventOps.intervalJoinBusyWindows(t, 20)),
     "events_sliding"           -> q(EventOps.slidingTypeCounts),
     "events_session_native"    -> q(EventOps.nativeSessionWindows),
     "events_sessions"          -> q(EventOps.userSessions),
@@ -172,6 +173,7 @@ object SparkEntry {
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
+    "dedup_ngram_containment" -> q(t => DedupOps.ngramContainmentPairs(t, 0.6)),
     "dedup_minhash"       -> q(t => DedupOps.minhashDupPairs(t, 0.3)),
     "dedup_clusters"      -> q(t => DedupOps.dupClusters(t, 0.5)),
     "dedup_cluster_resolve" -> q(t => DedupOps.resolveClusters(t, 0.5)),
@@ -655,6 +657,20 @@ object SparkEntry {
         |       count(*) AS n,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // interval join: the oracle states the naive range join directly —
+    // the engine's bucket-explode equi-join must produce the same matches
+    "events_interval_join" ->
+      """WITH busy AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1 ORDER BY n DESC, h ASC LIMIT 20),
+        |w AS (
+        |  SELECT h + INTERVAL 10 MINUTE AS w_start,
+        |         h + INTERVAL 100 MINUTE AS w_end
+        |  FROM busy)
+        |SELECT w_start, w_end, count(*) AS n_events,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM w JOIN events e ON e.ts >= w_start AND e.ts < w_end
+        |GROUP BY w_start, w_end""".stripMargin,
     // append-mode twin: only windows CLOSED by the final watermark (window
     // end <= max event time − 2 h, µs precision — the same <= boundary the
     // session twin pins) are ever emitted; open tails stay in state
@@ -1415,6 +1431,29 @@ object SparkEntry {
         |       floor((inter::DOUBLE / (n_a + n_b - inter)) * 10000 + 0.5)/10000 AS jaccard
         |FROM pairs
         |WHERE floor((inter::DOUBLE / (n_a + n_b - inter)) * 10000 + 0.5)/10000 >= 0.3""".stripMargin,
+    // asymmetric twin: containment = |A∩B| / min(|A|,|B|) over the same
+    // rare-shingle candidate pairs — catches doc-in-doc duplication that
+    // symmetric Jaccard (and minhash banding) structurally miss
+    "dedup_ngram_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                for i in range(1, len(tk)-1)]) AS sh
+        |  FROM toks),
+        |d AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+        |e AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM d),
+        |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+        |er AS (SELECT e.* FROM e JOIN rare USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+        |  FROM er a JOIN er b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4)
+        |SELECT doc_a, doc_b,
+        |       floor((inter::DOUBLE / least(n_a, n_b)) * 10000 + 0.5)/10000 AS containment
+        |FROM pairs
+        |WHERE floor((inter::DOUBLE / least(n_a, n_b)) * 10000 + 0.5)/10000 >= 0.6""".stripMargin,
     // Bit-exact twin of DedupOps.minhashDupPairs (k=16, 8 bands × 2 rows):
     // md5 permutation mins and md5 band keys reproduce the engine's
     // signature exactly; Jaccard is computed on text shingle sets

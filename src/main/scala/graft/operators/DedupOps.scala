@@ -228,21 +228,36 @@ object DedupOps {
     * shingle would otherwise create a quadratic bucket) → count shared
     * shingles per pair → Jaccard from |A|+|B|−|A∩B|.
     */
-  def ngramJaccardPairs(t: Tables, minJaccard: Double = 0.8, maxDf: Int = 1000): DataFrame = {
-    // shingles become 64-bit keys at the scan: |A∩B| and |A| are hash-
-    // invariant, and the explode + self-join below shuffle longs, not text
+  def ngramJaccardPairs(t: Tables, minJaccard: Double = 0.8, maxDf: Int = 1000): DataFrame =
+    shingleCandidatePairs(t, maxDf)
+      .withColumn(
+        "jaccard",
+        roundN(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Shared candidate stage for the exact n-gram similarity family:
+    * (doc_a, doc_b, n_a, n_b, inter) for every doc pair sharing at least
+    * one shingle with document frequency ≤ maxDf.
+    *
+    * Shingles become 64-bit keys at the scan: |A∩B| and the set sizes are
+    * hash-invariant, and the explode + self-join below shuffle longs, not
+    * text. One hash exchange on the shingle key serves the df-guard
+    * aggregate, the guard semi-join and both self-join sides
+    * (ReuseExchange); the df ≤ maxDf guard bounds candidates against hot
+    * boilerplate shingles.
+    */
+  private def shingleCandidatePairs(t: Tables, maxDf: Int): DataFrame = {
     val docs = t.documents
       .select(col("doc_id"), shingleHashSet(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
 
-    // one hash exchange on the shingle key serves the df-guard aggregate,
-    // the guard semi-join and both self-join sides (ReuseExchange)
     val exploded = docs
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .repartition(col("s"))
 
-    // document frequency guard against hot shingles
     val rare = exploded
       .groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -256,13 +271,34 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
-      .withColumn(
-        "jaccard",
-        roundN(col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Shingle containment pairs — the asymmetric twin of
+    * [[ngramJaccardPairs]]: `containment = |A∩B| / min(|A|, |B|)`, i.e.
+    * how much of the SMALLER document's shingle set lives inside the
+    * larger one. This catches doc-in-doc duplication (a paragraph quoted
+    * whole inside a bigger page) that symmetric Jaccard structurally
+    * misses: a 50-shingle doc fully contained in a 5,000-shingle doc has
+    * containment 1.0 but Jaccard ≈ 0.01, far below any dedup threshold —
+    * which is also why the candidate generator is the rare-shingle block
+    * join (any shared shingle with df ≤ maxDf), NOT minhash banding:
+    * banding's candidate probability is a function of Jaccard, so
+    * containment-high / Jaccard-low pairs would never become candidates.
+    *
+    * Scale: identical cost shape to [[ngramJaccardPairs]] — one shingle-
+    * keyed exchange reused by the df guard and both self-join sides,
+    * shuffles carry xxhash64 longs never text, candidates bounded by the
+    * `maxDf` hot-shingle cap.
+    */
+  def ngramContainmentPairs(t: Tables, minContainment: Double = 0.8,
+                            maxDf: Int = 1000): DataFrame =
+    shingleCandidatePairs(t, maxDf)
+      .withColumn(
+        "containment",
+        roundN(col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 4))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "containment")
 
   /** MinHash+LSH near-duplicate pairs: signature k=16, 8 bands × 2 rows,
     * candidates from band-key equi-join, verified with true Jaccard.

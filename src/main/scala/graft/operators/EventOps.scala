@@ -102,6 +102,51 @@ object EventOps {
         roundN(decSum(col("value")), 2).as("total_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Interval join: events matched into arbitrary (unaligned, possibly
+    * overlapping) time windows WITHOUT an equi key — the shape Spark's
+    * planner turns into a BroadcastNestedLoopJoin (or worse, a cartesian
+    * product) if written as the naive `e.ts >= w.start && e.ts < w.end`
+    * range join. Instead both sides are mapped onto hour buckets — each
+    * window explodes into the buckets it covers, each event lands in
+    * exactly one — and the match becomes a plain equi-join on the bucket
+    * followed by the precise containment filter. An event has one bucket,
+    * so no (event, window) pair can match twice and the aggregate needs
+    * no dedup.
+    *
+    * The windows here are derived from the data (the topK busiest hours,
+    * each opened from hour+10 min for 90 minutes, deliberately crossing
+    * an hour boundary so multi-bucket explode is exercised), standing in
+    * for campaign/maintenance/incident windows at scale. Cost: one small
+    * aggregate for the windows, one bucket equi-join (the exploded window
+    * side is windows × ~2 rows — broadcast at any realistic window
+    * count), no shuffle of the event side beyond its aggregate.
+    */
+  def intervalJoinBusyWindows(t: Tables, topK: Int = 20): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("ts"))
+    val windows = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("h")).limit(topK)
+      .select(
+        (col("h") + expr("interval 10 minutes")).as("w_start"),
+        (col("h") + expr("interval 100 minutes")).as("w_end"))
+    val wb = windows.withColumn(
+      "bucket",
+      explode(sequence(
+        date_trunc("hour", col("w_start")),
+        // end is exclusive: the bucket of the last covered microsecond
+        date_trunc("hour", col("w_end") - expr("interval 1 microsecond")),
+        expr("interval 1 hour"))))
+    val eb = ev.withColumn("bucket", date_trunc("hour", col("ts")))
+    eb.join(wb, Seq("bucket"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("w_start", "w_end")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("w_start")
+  }
+
   /** Native session windows (`session_window`, Spark 3.2+): per-user
     * 30-minute-gap sessions as a plain GROUP BY — the fully declarative
     * third formulation of sessionization beside the lag/running-sum

@@ -41,6 +41,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!got.contains((0L, 3L)))
   }
 
+  test("ngramContainmentPairs catches doc-in-doc dups that Jaccard misses") {
+    // doc 11 is doc 10's text quoted whole inside a much longer page:
+    // every shingle of 10 appears in 11, so containment = 1.0, while
+    // Jaccard = |A|/|B| stays far below any dedup threshold.
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (0 until 80).map(i => s"w$i").mkString(" ")
+    val contained = Seq(
+      (10L, small, "en", "web"),
+      (11L, s"$filler $small $filler", "en", "web"),
+      (12L, "unrelated words only here", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val t0 = litTables(docs = contained)
+    val cont = DedupOps.ngramContainmentPairs(t0, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont((10L, 11L)) == 1.0)
+    assert(!cont.keySet.exists(p => p._1 == 12L || p._2 == 12L))
+    // the symmetric gate at its dedup threshold misses the same pair
+    val jac = DedupOps.ngramJaccardPairs(t0, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((10L, 11L)))
+  }
+
   test("minhash pairs: exact dups always collide; no false high jaccard") {
     val got = DedupOps.minhashDupPairs(litTables(docs = docs), 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -28,6 +28,33 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(gotSessions == expectedSessions)
   }
 
+  test("intervalJoinBusyWindows == naive range join (and windows cross hour buckets)") {
+    val got = EventOps.intervalJoinBusyWindows(t, 10)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute-force oracle: same busy windows, naive ts-range predicate
+    val busy = t.events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("h")).limit(10)
+      .select(
+        (col("h") + expr("interval 10 minutes")).as("w_start"),
+        (col("h") + expr("interval 100 minutes")).as("w_end"))
+    val naive = t.events.select(col("user_id"), col("ts"))
+      .crossJoin(busy)
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("w_start", "w_end")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == naive)
+    // the 90-min windows genuinely span two hour buckets (multi-bucket explode)
+    assert(got.keys.forall { case (s, e) => e.getTime - s.getTime == 90L * 60 * 1000 })
+    assert(got.nonEmpty)
+  }
+
   test("streaming parquet file sink: exactly-once roundtrip, idempotent replay") {
     val first = EventStream.fileSinkRoundtrip(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
