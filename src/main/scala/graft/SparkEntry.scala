@@ -126,6 +126,8 @@ object SparkEntry {
     "events_gap_fill"          -> q(EventOps.gapFillHourly),
     "events_hourly_streaming"  -> ((s, dir) =>
       EventStream.hourlyCounts(s, dir, s"graft_stream_${System.nanoTime()}")),
+    "events_interval_join_streaming" -> ((s, dir) =>
+      EventStream.intervalJoinStreaming(s, dir, s"graft_ivj_${System.nanoTime()}")),
     "events_sliding_streaming" -> ((s, dir) =>
       EventStream.slidingCounts(s, dir, s"graft_slide_${System.nanoTime()}")),
     "events_hourly_streaming_append" -> ((s, dir) =>
@@ -657,6 +659,20 @@ object SparkEntry {
         |       count(*) AS n,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // stream-static twin: stateless micro-batch probe of the static
+    // window dimension == the batch interval join minus the distinct-user
+    // column (streaming forbids count(DISTINCT))
+    "events_interval_join_streaming" ->
+      """WITH busy AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1 ORDER BY n DESC, h ASC LIMIT 20),
+        |w AS (
+        |  SELECT h + INTERVAL 10 MINUTE AS w_start,
+        |         h + INTERVAL 100 MINUTE AS w_end
+        |  FROM busy)
+        |SELECT w_start, w_end, count(*) AS n_events
+        |FROM w JOIN events e ON e.ts >= w_start AND e.ts < w_end
+        |GROUP BY w_start, w_end""".stripMargin,
     // interval join: the oracle states the naive range join directly —
     // the engine's bucket-explode equi-join must produce the same matches
     "events_interval_join" ->

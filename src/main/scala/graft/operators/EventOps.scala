@@ -123,22 +123,8 @@ object EventOps {
     */
   def intervalJoinBusyWindows(t: Tables, topK: Int = 20): DataFrame = {
     val ev = t.events.select(col("user_id"), col("ts"))
-    val windows = ev
-      .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), asc("h")).limit(topK)
-      .select(
-        (col("h") + expr("interval 10 minutes")).as("w_start"),
-        (col("h") + expr("interval 100 minutes")).as("w_end"))
-    val wb = windows.withColumn(
-      "bucket",
-      explode(sequence(
-        date_trunc("hour", col("w_start")),
-        // end is exclusive: the bucket of the last covered microsecond
-        date_trunc("hour", col("w_end") - expr("interval 1 microsecond")),
-        expr("interval 1 hour"))))
     val eb = ev.withColumn("bucket", date_trunc("hour", col("ts")))
-    eb.join(wb, Seq("bucket"))
+    eb.join(busyWindowBuckets(t, topK), Seq("bucket"))
       .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
       .groupBy("w_start", "w_end")
       .agg(
@@ -146,6 +132,27 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("w_start")
   }
+
+  /** The bucket-exploded window table behind [[intervalJoinBusyWindows]]:
+    * (w_start, w_end, bucket) with one row per hour bucket a window
+    * covers. Shared with the stream–static twin, where it is the static
+    * dimension each micro-batch probes.
+    */
+  private[graft] def busyWindowBuckets(t: Tables, topK: Int): DataFrame =
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("h")).limit(topK)
+      .select(
+        (col("h") + expr("interval 10 minutes")).as("w_start"),
+        (col("h") + expr("interval 100 minutes")).as("w_end"))
+      .withColumn(
+        "bucket",
+        explode(sequence(
+          date_trunc("hour", col("w_start")),
+          // end is exclusive: the bucket of the last covered microsecond
+          date_trunc("hour", col("w_end") - expr("interval 1 microsecond")),
+          expr("interval 1 hour"))))
 
   /** Native session windows (`session_window`, Spark 3.2+): per-user
     * 30-minute-gap sessions as a plain GROUP BY — the fully declarative

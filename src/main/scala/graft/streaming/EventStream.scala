@@ -96,6 +96,40 @@ object EventStream {
     drained(spark, queryName)
   }
 
+  /** Stream–static join: the event stream enriched against a STATIC
+    * dimension — the bucket-exploded busy-window table of
+    * [[graft.operators.EventOps.intervalJoinBusyWindows]], computed once
+    * from the batch table at plan time (standing in for a
+    * slowly-changing campaign/maintenance dimension). Stream–static
+    * inner joins are STATELESS: each micro-batch probes the static side
+    * (broadcast here), no watermark and no join state however long the
+    * stream runs — the production shape for stream enrichment, distinct
+    * from the stateful stream–stream joins ([[clickPurchaseJoin]]). The
+    * interval match uses the same bucket equi-join + containment filter
+    * as the batch twin; counts aggregate in Complete mode (streaming
+    * forbids count(DISTINCT), so this emits n_events only — the batch
+    * gate keeps the distinct-user column).
+    */
+  def intervalJoinStreaming(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val wb = graft.operators.EventOps
+      .busyWindowBuckets(graft.core.Tables(spark, dir), 20)
+    val agg = readEvents(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .join(wb, Seq("bucket"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("w_start", "w_end")
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    drained(spark, queryName).orderBy("w_start")
+  }
+
   /** One (output, checkpoint) temp-dir pair per INPUT dir per JVM, deleted
     * on exit. Keyed by input dir because the checkpoint tracks consumed
     * source files: reusing it for the same input makes replays no-ops (the

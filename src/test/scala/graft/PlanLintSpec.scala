@@ -23,7 +23,8 @@ class PlanLintSpec extends SparkTestBase {
     "events_hourly_streaming_append", "events_sliding_streaming_append",
     "events_sessions_streaming",
     "events_sessions_native_streaming",
-    "events_dedup_streaming", "events_stream_join", "events_stream_left_join",
+    "events_dedup_streaming", "events_interval_join_streaming",
+    "events_stream_join", "events_stream_left_join",
     "events_stream_full_join", "events_foreach_upsert",
     "dedup_minhash_streaming", "dedup_minhash_windowed",
     "ml_price_metrics", "ml_price_metrics_full", "ml_cv_linear",

@@ -55,6 +55,15 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("stream-static interval join == batch interval join (event counts)") {
+    val streamed = EventStream.intervalJoinStreaming(spark, "/root/testdata/sf0.001",
+      s"spec_ivj_${System.nanoTime()}")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val batch = EventOps.intervalJoinBusyWindows(t, 20)
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming parquet file sink: exactly-once roundtrip, idempotent replay") {
     val first = EventStream.fileSinkRoundtrip(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
