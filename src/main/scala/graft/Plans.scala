@@ -59,7 +59,9 @@ object Plans {
       "events_gap_fill (tiny generated spine joined to pre-agg counts)" ->
         operators.EventOps.gapFillHourly(t),
       "dedup_edit_distance ((prefix, length-band) block equi-join + df guard + thresholded levenshtein)" ->
-        operators.DedupOps.editDistancePairs(t))
+        operators.DedupOps.editDistancePairs(t),
+      "events_interval_join (bucket-explode equi-join, no BNLJ from the range predicate)" ->
+        operators.EventOps.intervalJoinBusyWindows(t))
 
     picks.foreach { case (label, df) =>
       println(s"\n===== $label =====")

@@ -86,6 +86,16 @@ class ScalingSpec extends SparkTestBase {
     assert(g3 == 0, s"over-capacity hot cell must sit out, got $g3 candidates")
   }
 
+  test("rare-shingle candidates (jaccard/containment family) grow near-linearly at 3× data") {
+    // threshold 0 keeps every candidate pair the shared blocking stage
+    // emits — the quantity the maxDf guard bounds
+    val c1 = DedupOps.ngramContainmentPairs(t1, 0.0).count()
+    val c3 = DedupOps.ngramContainmentPairs(t3, 0.0).count()
+    assert(c1 > 0, "1× corpus produced no shingle candidates — vacuous")
+    assert(ratio(c1, c3) <= growthBound,
+      s"shingle candidates grew ${ratio(c1, c3)}× on 3× data ($c1 -> $c3)")
+  }
+
   test("adaptive knn buckets grow near-linearly; fixed bits fail the bound") {
     def bucketPairs(t: Tables, bits: Int): Long =
       selfJoinPairs(
