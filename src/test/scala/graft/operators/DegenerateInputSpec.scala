@@ -20,8 +20,12 @@ class DegenerateInputSpec extends SparkTestBase {
     */
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
+    // events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong set the raw
+    // read (and thus the empty copy) carries ts as LONG nanos, exactly the
+    // shape Tables.events expects to rebuild from
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { name =>
+      "lineitem", "documents", "embeddings", "events").foreach { name =>
       spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
         .limit(0).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/$name.parquet")
@@ -77,6 +81,16 @@ class DegenerateInputSpec extends SparkTestBase {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(GraphOps.clusters(empty).count() == 0)
+  }
+
+  test("round-7 gates on an empty corpus: resolve, containment, interval joins") {
+    assert(DedupOps.resolveClusters(et).count() == 0)
+    assert(DedupOps.ngramContainmentPairs(et, 0.0).count() == 0)
+    assert(EventOps.intervalJoinBusyWindows(et).count() == 0)
+    // all-singleton corpus: resolve keeps every doc
+    val keeps = DedupOps.resolveClusters(t)
+      .filter(col("keep")).count()
+    assert(keeps > 0 && keeps <= t.documents.count())
   }
 
   test("scan-side ANN on an empty embedding table is empty") {
