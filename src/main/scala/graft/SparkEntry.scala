@@ -66,6 +66,7 @@ object SparkEntry {
     // rows-only: CMS bin layout is engine-specific; the one-sided
     // over-estimate bound is invariant-gated in Verify + spec-checked
     "sketch_cms_topk"       -> q(t => CoreQueries.sketchCmsTopK(t)),
+    "sketch_kmv_distinct"   -> q(t => CoreQueries.sketchKmvDistinct(t)),
     "sample_orders"         -> q(CoreQueries.sampleOrders),
     "split_counts"          -> q(CoreQueries.splitCounts),
     "row_ids"               -> q(CoreQueries.rowIds),
@@ -1721,6 +1722,35 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
         |       TRUE AS within_6rsd
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // KMV bottom-k sketch: deterministic (k smallest md5 digests of the
+    // value set), so the ESTIMATE itself is recomputed bit-for-bit — the
+    // k-th digest's first 12 nibbles parsed with the same strpos
+    // arithmetic the simhash oracle uses, one exact-double division
+    "sketch_kmv_distinct" -> {
+      val nibbles = (0 until 12)
+        .map(i => s"(strpos('0123456789abcdef', substr(hk, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
+        .mkString(" +\n         ")
+      s"""WITH v AS (
+         |  SELECT DISTINCT l_returnflag AS g, md5(CAST(l_partkey AS VARCHAR)) AS h
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT g, h,
+         |         row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY g) AS nd
+         |  FROM v),
+         |kth AS (SELECT g, h AS hk FROM r WHERE rn = 32),
+         |base AS (SELECT g, max(nd) AS nd FROM r GROUP BY g),
+         |est AS (
+         |  SELECT b.g, b.nd,
+         |         CASE WHEN k.hk IS NULL THEN CAST(b.nd AS DOUBLE)
+         |              ELSE 31.0 * 281474976710656.0 /
+         |       ($nibbles)
+         |         END AS e
+         |  FROM base b LEFT JOIN kth k ON b.g = k.g)
+         |SELECT g AS l_returnflag, nd AS n_exact,
+         |       floor(e * 100 + 0.5) / 100 AS kmv_estimate
+         |FROM est""".stripMargin
+    },
     // seeded sampleBy counts are partition-layout dependent; the gate
     // emits source counts plus an in-engine 6σ binomial band verdict per
     // stratum — wrong fraction / double sample / lost stratum flips it

@@ -577,6 +577,24 @@ object CoreQueries {
       .orderBy(desc("est_count"), asc("l_partkey"))
   }
 
+  /** KMV (bottom-k) distinct estimates per group via the custom
+    * `graft_kmv_distinct` TypedImperativeAggregate (KmvDistinct.scala) —
+    * the DETERMINISTIC member of the sketch tier: "k smallest md5
+    * digests of the value set" is independent of partitioning and merge
+    * order, so unlike HLL the estimate itself hash-gates and the DuckDB
+    * oracle recomputes it bit-for-bit. Partial aggregation is real: at
+    * most k digests per group cross the exchange.
+    */
+  def sketchKmvDistinct(t: Tables, k: Int = 32): DataFrame =
+    t.lineitem
+      .select(col("l_returnflag"), col("l_partkey").cast("string").as("pk"))
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("pk")).as("n_exact"),
+        roundN(call_function("graft_kmv_distinct", col("pk"), lit(k)), 2)
+          .as("kmv_estimate"))
+      .orderBy("l_returnflag")
+
   /** Full `spark.sql` surface over registered views (TPC-H Q3 shape):
     * the SQL text goes through the same Catalyst pipeline as the DataFrame
     * DSL — one parser/optimizer, two front doors.

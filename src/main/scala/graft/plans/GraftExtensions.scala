@@ -32,5 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomContainsString].getName, "graft_bloom_contains"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomContainsString(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_kmv_distinct k must be a literal, got $other")
+        }
+        KmvDistinct(args(0), k)
+      }))
   }
 }
