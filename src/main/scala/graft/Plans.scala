@@ -61,7 +61,9 @@ object Plans {
       "dedup_edit_distance ((prefix, length-band) block equi-join + df guard + thresholded levenshtein)" ->
         operators.DedupOps.editDistancePairs(t),
       "events_interval_join (bucket-explode equi-join, no BNLJ from the range predicate)" ->
-        operators.EventOps.intervalJoinBusyWindows(t))
+        operators.EventOps.intervalJoinBusyWindows(t),
+      "sketch_kmv_distinct (custom TypedImperativeAggregate, partial + final ObjectHashAggregate)" ->
+        operators.CoreQueries.sketchKmvDistinct(t))
 
     picks.foreach { case (label, df) =>
       println(s"\n===== $label =====")

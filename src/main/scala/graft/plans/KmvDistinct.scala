@@ -63,12 +63,24 @@ case class KmvDistinct(
   override def createAggregationBuffer(): java.util.TreeSet[String] =
     new java.util.TreeSet[String]()
 
+  // one digest instance per deserialized expression copy (= per task, so
+  // single-threaded); getInstance + format-string hex per row costs more
+  // than the hash itself
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
   private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    val hex = KmvDistinct.HexChars
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      out(i * 2) = hex(b >>> 4)
+      out(i * 2 + 1) = hex(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   private def insert(buf: java.util.TreeSet[String], digest: String): Unit = {
@@ -123,4 +135,8 @@ case class KmvDistinct(
         s"graft_kmv_distinct expects a STRING child, got ${child.dataType}")
     }
   override def prettyName: String = "graft_kmv_distinct"
+}
+
+object KmvDistinct {
+  private val HexChars = "0123456789abcdef".toCharArray
 }
