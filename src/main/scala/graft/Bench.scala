@@ -189,12 +189,27 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qcpu = queryCpu.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // `queries` (the per-query wall seconds the driver grades) is printed
-    // LAST: the driver keeps a fixed-size tail of stdout, and round 6
-    // showed that anything after `queries` (the CPU map, back then) is
-    // what survives in the artifact — the numbers that matter must sit at
-    // the end of the line.
+    // Two JSON lines. The driver keeps only a fixed-size (~2 KB) tail of
+    // stdout: round 6 lost the wall times to the CPU map, and round 7's
+    // reorder still overflowed the window once the query map passed 150
+    // entries, leaving the line start (metric/value) truncated and
+    // "parsed": null in the artifact. So:
+    //  - line 1 (archival, for bench_runs/): the FULL record with every
+    //    per-query second and the CPU map; too long for the tail by design.
+    //  - line 2 (FINAL, driver-parsed): a compact record — suite total plus
+    //    the headline queries graded against BASELINE.md — guaranteed to
+    //    fit the tail window whole.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries":$qs}""")
+    val headline = Seq(
+      "q1_group_count_avg", "q2_median_by_priority", "q2_approx_median",
+      "q3_status_share", "sample_loading", "ml_fit_LinearRegression",
+      "ml_fit_DecisionTree", "ml_fit_RandomForest",
+      "dedup_minhash", "ann_knn_join")
+    val resultMap = results.toMap
+    val headQs = headline.flatMap(k => resultMap.get(k).map(v =>
+        "\"" + k + "\":" + math.round(v * 1000) / 1000.0))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"n_queries":${results.size},"failed_queries":$failedJson,"queries":$headQs}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured

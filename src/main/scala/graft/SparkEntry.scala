@@ -1603,19 +1603,23 @@ object SparkEntry {
     // neighbor asc) — the engine's exact tie rule. The bit count is
     // ADAPTIVE (smallest b in [1,16] with 128·2^b >= n — restating
     // SimilarityOps.adaptiveSignBits in integer SQL), so the oracle picks
-    // the identical bucket granularity from the data at any scale.
+    // the identical bucket granularity from the data at any scale. Two
+    // large-n/small-dim edges are pinned to the engine's exact behavior:
+    // coalesce(min(b), 16) matches adaptiveSignBits' getOrElse(16) when no
+    // b in [1,16] covers n, and rpad(..., 16, '0') matches signBucket's
+    // null-element_at-past-the-end → '0' padding when dim < 16.
     "ann_knn_join" ->
       """WITH p AS (
-        |  SELECT min(b) AS bits
+        |  SELECT coalesce(min(b), 16) AS bits
         |  FROM range(1, 17) t(b), (SELECT count(*) AS n FROM embeddings) nn
         |  WHERE 128 * (1 << b) >= n),
         |e AS (
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
         |n AS (
         |  SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm,
-        |         substr(list_aggregate(
+        |         substr(rpad(list_aggregate(
         |             [CASE WHEN x >= 0 THEN '1' ELSE '0' END for x in emb[1:16]],
-        |             'string_agg', ''), 1, (SELECT bits FROM p)) AS bucket
+        |             'string_agg', ''), 16, '0'), 1, (SELECT bits FROM p)) AS bucket
         |  FROM e),
         |c AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
