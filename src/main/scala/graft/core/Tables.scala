@@ -21,18 +21,33 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright; read it as raw long nanos
-    * (legacy.parquet.nanosAsLong) and rebuild a timestamp_ntz at
-    * microsecond precision with integer division (a double roundtrip would
-    * lose precision above 2^53 ns).
+  /** `events.ts` has drifted across fixture generations — parquet
+    * TIMESTAMP(NANOS) in early rounds, TIMESTAMP(MICROS) since — so the
+    * read dispatches on the OBSERVED schema instead of hard-coding one
+    * physical encoding (round-8 verdict #1):
+    *   - LongType (a NANOS column surfaced as raw longs by
+    *     legacy.parquet.nanosAsLong, which Spark's vectorized reader
+    *     otherwise rejects): rebuild at microsecond precision with integer
+    *     division — a double roundtrip would lose precision above 2^53 ns;
+    *   - TimestampNTZType (MICROS, isAdjustedToUTC=false): already the
+    *     contract type, pass through;
+    *   - TimestampType (MICROS/MILLIS, UTC-adjusted): cast to NTZ — the
+    *     session is pinned UTC so wall-clock time is preserved.
+    * Output contract either way: `ts` is timestamp_ntz.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = t("events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType => raw
+      case TimestampType    => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical encoding $other")
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -17,8 +17,13 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw schema: ts arrives as long nanos (see Tables.events — the parquet
-    * TIMESTAMP(NANOS) workaround) and is rebuilt as a timestamp.
+  /** Raw schema template; the `ts` field's type is substituted at read
+    * time from the actual parquet footer (see [[readEvents]]) because the
+    * fixture's physical encoding has drifted across generations (NANOS →
+    * MICROS, round-8 verdict #2): a streaming schema that hard-codes
+    * LongType against a MICROS file reads raw micros "successfully" and
+    * then silently compresses every timestamp 1000× — the worst failure
+    * class, wrong answers with no error.
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -41,14 +46,36 @@ object EventStream {
     out
   }
 
+  /** Cached per input dir: one cheap batch footer probe decides which ts
+    * rebuild the streaming schema needs. The cache keys on the directory
+    * only — a fixture regenerated in-place under a running JVM with a
+    * DIFFERENT encoding would need a restart, which is the same contract
+    * as the checkpoint dirs above.
+    */
+  private val tsTypeCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.DataType]
+
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = tsTypeCache.getOrElseUpdate(dir,
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
     // the file-stream source rejects a literal file path (basePath must be
     // a directory) — a glob that matches only events.parquet sidesteps it
-    spark.readStream
-      .schema(eventSchema)
+    val raw = spark.readStream
+      .schema(schema)
       .parquet(s"$dir/{events}.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // downstream contract: ts is TimestampType (watermarks, Ev's
+    // java.sql.Timestamp); the session is pinned UTC so NTZ↔LTZ casts
+    // preserve wall-clock time
+    tsType match {
+      case LongType          => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType  => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType     => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical encoding $other")
+    }
   }
 
   /** Windowed streaming aggregation with a watermark: hourly counts + value

@@ -137,9 +137,10 @@ object GenScale {
         .withColumn("l_suppkey", col("l_suppkey") + i * sk)
     }, "lineitem")
 
-    // events: ts arrives as raw long nanos (TIMESTAMP(NANOS) source read
-    // under nanosAsLong) and is written back as plain INT64 nanos — both
-    // forms read identically through Tables.events / EventStream
+    // events: ts round-trips in whatever encoding the source fixture uses
+    // (raw long nanos under nanosAsLong, or native TIMESTAMP(MICROS)) —
+    // every form reads identically through the adaptive dispatch in
+    // Tables.events / EventStream
     val events = read("events")
     val ek = stride(events, "event_id")
     val uk = stride(events, "user_id")

@@ -20,9 +20,9 @@ class DegenerateInputSpec extends SparkTestBase {
     */
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
-    // events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong set the raw
-    // read (and thus the empty copy) carries ts as LONG nanos, exactly the
-    // shape Tables.events expects to rebuild from
+    // nanosAsLong keeps this robust to fixture drift: whatever encoding
+    // events.ts uses (long nanos or native micros), the empty copy carries
+    // the same physical type, which Tables.events dispatches on
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings", "events").foreach { name =>

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.core.Tables
+import graft.streaming.EventStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Guards against fixture encoding drift (round-8 postmortem: the driver
+  * regenerated `events.parquet` with `ts` as TIMESTAMP(MICROS) where prior
+  * generations used TIMESTAMP(NANOS)-read-as-long, and the hard-coded nanos
+  * path broke 24 gates — the streaming side SILENTLY, every timestamp
+  * compressed 1000×).
+  *
+  * The same micro corpus is written in all three physical encodings the
+  * dispatch supports — raw INT64 nanos, TIMESTAMP(MICROS) NTZ, and
+  * UTC-adjusted TIMESTAMP — and both the batch reader (`Tables.events` →
+  * `EventOps.hourlyTypeCounts`) and the streaming reader
+  * (`EventStream.hourlyCounts`) must produce identical results across them.
+  * If the adaptive dispatch in either reader is removed, the nanos variant
+  * throws (batch) or the row sets diverge (streaming), so this spec fails
+  * before the driver's gates do on the next regeneration.
+  */
+class EncodingDriftSpec extends SparkTestBase {
+
+  /** 40 events over ~6 hours for 3 users / 2 types, nanos-precision values
+    * chosen so micros truncation is exact (whole seconds).
+    */
+  private lazy val encodedDirs: Map[String, String] = {
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      val sec = 1700000000L + i * 540L // every 9 minutes
+      (i.toLong, sec, i.toLong % 3,
+        if (i % 2 == 0) "click" else "purchase", i * 1.25, s"""{"k":$i}""")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_enc_").toString
+
+    // 1) raw INT64 nanos — what a TIMESTAMP(NANOS) file surfaces as under
+    // legacy.parquet.nanosAsLong (Spark cannot author real NANOS parquet,
+    // but the reader-visible schema is identical: ts comes back LongType)
+    base.map { case (id, sec, u, ty, v, p) => (id, sec * 1000000000L, u, ty, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$root/nanos/events.parquet")
+
+    // 2) TIMESTAMP(MICROS) isAdjustedToUTC=false — timestamp_ntz, the
+    // current fixture encoding
+    base.map { case (id, sec, u, ty, v, p) => (id, sec, u, ty, v, p) }
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_seconds(sec) as timestamp_ntz)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$root/micros_ntz/events.parquet")
+
+    // 3) UTC-adjusted TIMESTAMP(MICROS) — session is pinned UTC so the
+    // wall-clock content matches the NTZ variant
+    base.map { case (id, sec, u, ty, v, p) => (id, sec, u, ty, v, p) }
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$root/micros_ltz/events.parquet")
+
+    Map("nanos" -> s"$root/nanos", "micros_ntz" -> s"$root/micros_ntz",
+      "micros_ltz" -> s"$root/micros_ltz")
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("batch events read is encoding-adaptive: hourlyTypeCounts parity") {
+    val results = encodedDirs.map { case (enc, dir) =>
+      val out = EventOps.hourlyTypeCounts(Tables(spark, dir))
+      // contract: ts-derived column independent of physical encoding
+      enc -> canon(out)
+    }
+    val distinct = results.values.toSeq.distinct
+    assert(distinct.size == 1,
+      s"batch hourly counts diverge across encodings: ${results.keys}")
+    assert(results("micros_ntz").nonEmpty)
+  }
+
+  test("streaming events read is encoding-adaptive: hourlyCounts parity") {
+    val results = encodedDirs.map { case (enc, dir) =>
+      enc -> canon(EventStream.hourlyCounts(spark, dir,
+        s"enc_drift_${enc}_${System.nanoTime()}"))
+    }
+    val distinct = results.values.toSeq.distinct
+    assert(distinct.size == 1,
+      s"streaming hourly counts diverge across encodings: ${results.keys}")
+    assert(results("micros_ntz").nonEmpty)
+  }
+
+  test("batch and streaming agree on every encoding") {
+    encodedDirs.foreach { case (enc, dir) =>
+      val batch = canon(EventOps.hourlyTypeCounts(Tables(spark, dir))
+        .select("hour_start", "event_type", "n"))
+      val stream = canon(EventStream.hourlyCounts(spark, dir,
+        s"enc_bs_${enc}_${System.nanoTime()}")
+        .select("hour_start", "event_type", "n"))
+      assert(batch == stream, s"batch vs streaming mismatch on $enc")
+    }
+  }
+}

@@ -173,10 +173,11 @@ class EventsWindowsSpec extends SparkTestBase {
     // write every event twice into a temp stream source; the deduplicated
     // per-type counts must equal the single-copy batch counts
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-").toString
+    // plain (schema-inferred) read: the duplicated copy keeps the fixture's
+    // own ts encoding, so EventStream's adaptive dispatch sees the same
+    // physical type the real table has
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read
-      .schema(EventStream.eventSchema)
-      .parquet("/root/testdata/sf0.001/{events}.parquet")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/{events}.parquet")
     raw.unionAll(raw).write.parquet(s"$dir/events.parquet")
 
     val streamed = EventStream.dedupCounts(spark, dir, s"spec_dedup_${System.nanoTime()}")
