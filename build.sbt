@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver parses the LAST stdout line of `sbt runMain` as JSON
+// (Bench/Verify emit one-line records). Two sbt behaviors defeat that by
+// default: the forked process's stdout is re-logged with an "[info] "
+// prefix, and a "[success] Total time..." line trails the run. Pass the
+// forked output through raw and drop the success banner so the benchmark's
+// compact JSON line is the true final line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

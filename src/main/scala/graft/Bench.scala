@@ -209,7 +209,7 @@ object Bench {
     val headQs = headline.flatMap(k => resultMap.get(k).map(v =>
         "\"" + k + "\":" + math.round(v * 1000) / 1000.0))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"n_queries":${results.size},"failed_queries":$failedJson,"queries":$headQs}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries":$headQs}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured
