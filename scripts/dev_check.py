@@ -53,6 +53,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    # multimodal_binary_ingest's read_blob glob is pinned to the driver's
+    # verify scale (sf0.01 — oracle SQL cannot receive the dir argument);
+    # for local runs at other scales, point it at the sf under test so the
+    # dev signal stays meaningful
+    oracle = {k: v.replace("/root/testdata/sf0.01/", sf_dir.rstrip("/") + "/")
+              for k, v in oracle.items()}
 
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))

@@ -1264,22 +1264,26 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
     // prefix-blocked candidates, Levenshtein-verified — the oracle states
     // the same blocking (prefix + length band with the adjacent-band probe
-    // and the 1000-doc hot-cell cap), so candidate sets match exactly even
-    // when a guard binds; the band split alone never changes the output
-    // because levenshtein >= |len difference|
+    // and the md5-sub-split of >1000-doc hot cells), so candidate sets
+    // match exactly even when a guard binds; the band split alone never
+    // changes the output because levenshtein >= |len difference|, and
+    // both engines compute the identical lowercase-hex md5 sub-key
     "dedup_edit_distance" ->
       """WITH k AS (
         |  SELECT doc_id, text, substr(text, 1, 16) AS blk,
-        |         CAST(floor(len(text) / 20) AS BIGINT) AS band
+        |         CAST(floor(len(text) / 20) AS BIGINT) AS band,
+        |         substr(md5(text), 1, 2) AS h2
         |  FROM documents),
-        |ok AS (
-        |  SELECT k.* FROM k
-        |  JOIN (SELECT blk, band FROM k GROUP BY 1, 2 HAVING count(*) <= 1000) g
-        |    USING (blk, band))
+        |c AS (
+        |  SELECT blk, band, count(*) AS cdf FROM k GROUP BY 1, 2),
+        |s AS (
+        |  SELECT k.*, CASE WHEN c.cdf <= 1000 THEN '' ELSE k.h2 END AS sub
+        |  FROM k JOIN c USING (blk, band))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       levenshtein(a.text, b.text) AS dist
-        |FROM ok a JOIN ok b
+        |FROM s a JOIN s b
         |  ON a.blk = b.blk AND abs(a.band - b.band) <= 1
+        | AND a.sub = b.sub
         | AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
     // The engine computes the global running total with range partitioning
@@ -1607,7 +1611,9 @@ object SparkEntry {
     // large-n/small-dim edges are pinned to the engine's exact behavior:
     // coalesce(min(b), 16) matches adaptiveSignBits' getOrElse(16) when no
     // b in [1,16] covers n, and rpad(..., 16, '0') matches signBucket's
-    // null-element_at-past-the-end → '0' padding when dim < 16.
+    // null-element_at-past-the-end → '0' padding when dim < 16 — including
+    // dim = 0, where list_aggregate([]) returns NULL (not '') and the
+    // inner coalesce keeps the all-zeros bucket the engine emits.
     "ann_knn_join" ->
       """WITH p AS (
         |  SELECT coalesce(min(b), 16) AS bits
@@ -1617,9 +1623,9 @@ object SparkEntry {
         |  SELECT vec_id, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
         |n AS (
         |  SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm,
-        |         substr(rpad(list_aggregate(
+        |         substr(rpad(coalesce(list_aggregate(
         |             [CASE WHEN x >= 0 THEN '1' ELSE '0' END for x in emb[1:16]],
-        |             'string_agg', ''), 16, '0'), 1, (SELECT bits FROM p)) AS bucket
+        |             'string_agg', ''), ''), 16, '0'), 1, (SELECT bits FROM p)) AS bucket
         |  FROM e),
         |c AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -1726,6 +1732,23 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
         |       TRUE AS within_6rsd
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // hash-gated since round 9 (was rows-only): the exact top-20 keys and
+    // counts are oracle-recomputable; the CMS bin layout is not, so the
+    // sketch's guarantees land as two booleans the oracle states as
+    // constants (never_under is a hard CMS property; within_bound is the
+    // 5·(⌈eps·N⌉+1) Markov slack). GateInvariants independently
+    // recomputes the estimates and requires verdict == recomputation, so
+    // the booleans are not self-certified.
+    "sketch_cms_topk" ->
+      """WITH c AS (
+        |  SELECT l_partkey, count(*) AS n_exact
+        |  FROM lineitem GROUP BY 1
+        |  ORDER BY n_exact DESC, l_partkey ASC
+        |  LIMIT 20)
+        |SELECT l_partkey, CAST(n_exact AS BIGINT) AS n_exact,
+        |       TRUE AS never_under, TRUE AS within_bound
+        |FROM c
+        |ORDER BY n_exact DESC, l_partkey ASC""".stripMargin,
     // KMV bottom-k sketch: deterministic (k smallest md5 digests of the
     // value set), so the ESTIMATE itself is recomputed bit-for-bit — the
     // k-th digest's first 12 nibbles parsed with the same strpos
@@ -1816,6 +1839,19 @@ object SparkEntry {
     // integer sums and single integer/integer double divisions, so the
     // hash pins the engine's REAL javax.imageio decode bit-for-bit —
     // see MultimodalOps.assetFeatureStats's exactness argument.
+    // hash-gated since round 9 (was rows-only): DuckDB reads the same
+    // files with read_blob and computes the same md5-of-uppercase-hex
+    // digest (no md5(BLOB) overload in DuckDB 1.0; hex() is uppercase in
+    // BOTH engines). The glob is pinned to the driver's verify scale —
+    // the correctness contract runs Verify at sf0.01 — because the
+    // oracle SQL has no way to receive the gate's dir argument; a scale
+    // change would surface as a loud hash mismatch, not silent green.
+    "multimodal_binary_ingest" ->
+      """SELECT parse_filename(filename) AS file_name,
+        |       octet_length(content) AS byte_len,
+        |       md5(hex(content)) AS content_md5
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY file_name""".stripMargin,
     "multimodal_png_files" ->
       """WITH d AS (
         |  SELECT i AS asset_id,

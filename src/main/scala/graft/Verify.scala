@@ -5,8 +5,8 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * Rows-only gates (seeded sampling, engine-specific sketches/ANN/ML, the
-  * directory-scoped binary ingest) can never be hash-gated against DuckDB
+  * Rows-only gates (seeded sampling, engine-specific sketches/ANN/ML)
+  * can never be hash-gated against DuckDB
   * — but "rows-only" need not mean "unchecked". [[GateInvariants]]
   * verifies the properties that ARE well-defined for every such gate
   * before its output is written; a violation throws, the query records as
@@ -74,16 +74,21 @@ object Verify {
   *    (counts sum to N exactly, both sides nonempty) with the train share
   *    inside a wide band around 0.8; deterministic on re-run.
   *  - `sample_stratified` — hash-gated since round 7 (the gate emits
-  *    source counts + an in-engine 6σ band verdict the oracle expects
-  *    true); the invariant keeps the underlying sampleBy determinism
-  *    check and rejects a false verdict before the dump.
+  *    source counts + a 6σ band verdict the oracle expects true); the
+  *    invariant recomputes the band INDEPENDENTLY from the raw sampled
+  *    and source counts (no trust in the engine's boolean), requires the
+  *    gate verdict to match it, and keeps the sampleBy determinism check.
   *  - `row_ids` — exactly one id per source row and all ids unique (the
   *    values themselves are partition-dependent by contract).
-  *  - `agg_approx_distinct` — hash-gated since round 7 (exact count + in-
-  *    engine 6·rsd verdict); the invariant rejects a false verdict.
-  *  - `sketch_cms_topk` — count-min estimates NEVER under-count and stay
-  *    within eps·N of the exact top-key counts; deterministic on re-run
-  *    (fixed seed, commutative counter merge).
+  *  - `agg_approx_distinct` — hash-gated since round 7 (exact count +
+  *    6·rsd verdict); the invariant re-derives exact and approx counts
+  *    and recomputes the band in plain scala — the gate's boolean must
+  *    equal the independent verdict, not merely be true.
+  *  - `sketch_cms_topk` — hash-gated since round 9 (exact top-20 keys +
+  *    counts + two bound verdicts); the invariant rebuilds the raw CMS
+  *    estimates independently, requires each emitted verdict to equal the
+  *    recomputation, and keeps the never-under / eps·N / determinism
+  *    checks on the recomputed estimates.
   *  - `q2_approx_median_default` — exact per-group counts, and the GK
   *    sketch's median inside the exact [P49, P51] band (rank error at
   *    default accuracy 10⁴ is ~n/10⁴ ranks ≪ 1% of ranks).
@@ -100,9 +105,10 @@ object Verify {
   *    r2adj == r2 quirk.
   *  - `ml_cv_linear` — one row per grid point, the flagged winner
   *    minimizes cross-validation avg RMSE, seeded sweep deterministic.
-  *  - `multimodal_binary_ingest` — one row per on-disk file with the
-  *    exact byte length and md5 of the file's bytes (payload survived
-  *    the binaryFile source bit-for-bit).
+  *  - `multimodal_binary_ingest` — hash-gated since round 9 (the oracle
+  *    read_blobs the same files); the invariant still independently
+  *    recomputes each file's byte length and md5-of-hex digest from disk
+  *    (payload survived the binaryFile source bit-for-bit).
   *
   * 6σ + 10 keeps the statistical bands false-positive-free (≪1e-8 per
   * gate) while still catching a wrong fraction, a double-sample, a
@@ -170,17 +176,35 @@ object GateInvariants {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       require(again == counts, "invariant: seeded split not deterministic")
     case "sample_stratified" =>
-      // the band check is hash-gated now (the gate emits the verdict and
-      // the oracle expects true); what stays engine-side is rejecting a
-      // false verdict before the dump, and the determinism of the seeded
-      // sampleBy underneath the booleans
-      df.collect().foreach { r =>
-        require(r.getBoolean(2),
-          s"invariant: stratum ${r.getString(0)} sampled count outside its 6σ band")
-      }
+      // the band check is hash-gated (the gate emits the verdict and the
+      // oracle expects true) — but the verdict must not be SELF-certified
+      // (round-8 verdict #4): recompute the 6σ binomial band here from the
+      // raw sampled counts and the independently-counted source strata,
+      // and require the engine's boolean to MATCH the recomputation (an
+      // inverted or hard-coded comparison engine-side fails loudly), plus
+      // be true
       val raw = operators.CoreQueries
         .stratifiedSampleCounts(core.Tables(spark, sfDir)).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val source = core.Tables(spark, sfDir).orders
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      df.collect().foreach { r =>
+        val (status, nSource, verdict) =
+          (r.getString(0), r.getLong(1), r.getBoolean(2))
+        require(nSource == source(status),
+          s"invariant: gate n_source $nSource != recounted ${source(status)} for '$status'")
+        val p = if (status == "P") 0.5 else 0.05
+        val sampled = raw.getOrElse(status, 0L)
+        val indep = math.abs(sampled - p * nSource) <=
+          6.0 * math.sqrt(p * (1 - p) * nSource) + 10.0
+        require(verdict == indep,
+          s"invariant: engine band verdict $verdict disagrees with the " +
+            s"independent recomputation $indep for '$status' " +
+            s"(sampled=$sampled, n=$nSource, p=$p)")
+        require(indep,
+          s"invariant: stratum '$status' sampled count $sampled outside its 6σ band")
+      }
       val rawAgain = operators.CoreQueries
         .stratifiedSampleCounts(core.Tables(spark, sfDir)).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -191,13 +215,33 @@ object GateInvariants {
       require(df.select(countDistinct(col("row_id"))).head().getLong(0) == n,
         "invariant: row ids not unique")
     case "agg_approx_distinct" =>
-      // hash-gated now: the gate carries the exact count and an in-engine
-      // 6·rsd verdict; reject a false verdict before the dump so a
-      // drifted sketch fails loudly engine-side too
+      // hash-gated: the gate carries the exact count and a 6·rsd band
+      // verdict on the HLL estimate — recomputed HERE from raw values
+      // (round-8 verdict #4: trusting the gate's own boolean would let an
+      // inverted comparison pass): re-derive exact + approx independently
+      // and require the engine's boolean to equal the band computed in
+      // plain scala, plus be true
+      val indep = core.Tables(spark, sfDir).lineitem
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       df.collect().foreach { r =>
-        require(r.getBoolean(2),
-          s"invariant: HLL estimate for '${r.getString(0)}' outside the " +
-            s"6·rsd band of exact ${r.getLong(1)}")
+        val (flag, nExact, verdict) =
+          (r.getString(0), r.getLong(1), r.getBoolean(2))
+        val (exactI, approxI) = indep(flag)
+        require(nExact == exactI,
+          s"invariant: gate n_exact $nExact != recomputed $exactI for '$flag'")
+        val band = math.abs(approxI - exactI).toDouble <=
+          math.max(6 * 0.02 * exactI, 10.0)
+        require(verdict == band,
+          s"invariant: engine 6·rsd verdict $verdict disagrees with the " +
+            s"independent recomputation $band for '$flag' " +
+            s"(approx=$approxI, exact=$exactI)")
+        require(band,
+          s"invariant: HLL estimate $approxI for '$flag' outside the " +
+            s"6·rsd band of exact $exactI")
       }
     case "q2_approx_median_default" =>
       val bands = core.Tables(spark, sfDir).orders
@@ -267,42 +311,58 @@ object GateInvariants {
         require(mae <= rmse, "invariant: mae > rmse is impossible")
       }
     case "sketch_cms_topk" =>
+      // hash-gated shape: (l_partkey, n_exact, never_under, within_bound).
+      // The booleans must equal an INDEPENDENT recomputation (raw CMS
+      // estimates rebuilt via sketchCmsEstimates + exact counts re-derived
+      // here), never merely be true — round-8 verdict #4's
+      // anti-self-certification rule applied to this gate too.
       val li = core.Tables(spark, sfDir).lineitem
       val n = li.count()
       val exact = li.groupBy("l_partkey").count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1))
-      require(got.length == 20, s"invariant: expected 20 keys, got ${got.length}")
-      got.foreach { case (pk, est) =>
-        require(est >= exact(pk),
-          s"invariant: CMS under-estimated key $pk: $est < ${exact(pk)}")
+      val ests = operators.CoreQueries
+        .sketchCmsEstimates(core.Tables(spark, sfDir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      require(rows.length == 20, s"invariant: expected 20 keys, got ${rows.length}")
+      val slack = 5 * (math.ceil(0.001 * n).toLong + 1)
+      rows.foreach { case (pk, ne, neverUnder, withinBound) =>
+        require(ne == exact(pk),
+          s"invariant: gate n_exact $ne != recounted ${exact(pk)} for key $pk")
+        val est = ests(pk)
+        require(neverUnder == (est >= ne),
+          s"invariant: never_under verdict $neverUnder disagrees with " +
+            s"recomputed est=$est vs exact=$ne for key $pk")
+        require(withinBound == (est <= ne + slack),
+          s"invariant: within_bound verdict $withinBound disagrees with " +
+            s"recomputed est=$est vs exact+5(epsN+1)=${ne + slack} for key $pk")
+        require(est >= ne,
+          s"invariant: CMS under-estimated key $pk: $est < $ne")
+        require(est <= ne + slack,
+          s"invariant: CMS over-estimated key $pk by ${est - ne} > $slack")
       }
-      // The eps·N over-count bound is probabilistic (holds per key with
-      // prob >= confidence = 0.99), so require it for >= 19 of the 20
-      // keys rather than all — a correct sketch on regenerated data or a
-      // different scale can legitimately miss it once. The tolerated
-      // outlier is still bounded at 5·eps·N: a Markov-style slack that an
-      // honest sketch's worst key stays far inside, while a sketch that
-      // systematically over-counts one hot key cannot hide behind the
-      // exemption.
+      // The tight eps·N bound is probabilistic per key (confidence 0.99):
+      // allow at most one of the 20 keys beyond it, on the independently
+      // recomputed estimates
       val bound = math.ceil(0.001 * n).toLong + 1
-      got.foreach { case (pk, est) =>
-        require(est <= exact(pk) + 5 * bound,
-          s"invariant: CMS over-estimated key $pk by ${est - exact(pk)} > 5*eps*N=${5 * bound}")
-      }
-      val overBound = got.count { case (pk, est) => est > exact(pk) + bound }
+      val overBound = rows.count { case (pk, ne, _, _) => ests(pk) > ne + bound }
       require(overBound <= 1,
         s"invariant: CMS over-estimated $overBound/20 keys beyond eps*N=$bound " +
           "(bound is probabilistic per key at confidence 0.99; at most 1 miss allowed)")
-      val again = fn(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1))
-      require(again.toSeq == got.toSeq, "invariant: seeded CMS not deterministic")
+      val again = fn(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      require(again.toSeq == rows.toSeq, "invariant: seeded CMS not deterministic")
     case "multimodal_binary_ingest" =>
+      // digest = md5 of the UPPERCASE hex rendering of the bytes — the
+      // DuckDB-computable form the gate emits (md5(hex(content)))
       val onDisk = new java.io.File(sfDir).listFiles()
         .filter(_.getName.endsWith(".parquet"))
         .map { f =>
           val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val hexUpper = bytes.map("%02X".format(_)).mkString
           val md5hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(bytes).map("%02x".format(_)).mkString
+            .digest(hexUpper.getBytes("UTF-8")).map("%02x".format(_)).mkString
           f.getName -> ((f.length(), md5hex))
         }.toMap
       val got = df.collect()

@@ -149,13 +149,17 @@ object MultimodalOps {
         col("content"))
 
   /** Gate query over [[binaryAssets]]: per-file name, size, and content
-    * digest — proves the binary payload survives the source intact
-    * (md5(content) vs the on-disk bytes is asserted in the spec). Rows-only
-    * in the oracle gate: the oracle sees table views, not the directory.
+    * digest — proves the binary payload survives the source intact.
+    * Hash-gated since round 9: the digest is md5 over the UPPERCASE hex
+    * rendering of the bytes (not md5 of the raw bytes) because DuckDB 1.0
+    * has no md5(BLOB) overload — both engines render identical uppercase
+    * hex, so `md5(hex(content))` is computable on each side and the
+    * oracle reads the same files via `read_blob`.
     */
   def binaryIngestStats(t: Tables): DataFrame =
     binaryAssets(t.spark, t.dir)
-      .select(col("file_name"), col("byte_len"), md5(col("content")).as("content_md5"))
+      .select(col("file_name"), col("byte_len"),
+        md5(hex(col("content"))).as("content_md5"))
       .orderBy("file_name")
 
   /** One temp dir per JVM holding [[pngFileCount]] deterministic PNG files,

@@ -554,19 +554,18 @@ object CoreQueries {
         max("o_totalprice").as("top_price"))
       .orderBy("o_orderstatus")
 
-  /** Count-min sketch point estimates for the k heaviest part keys — the
-    * frequency tier of the sketch surface (HLL++ covers distinct counts,
-    * GK covers quantiles, bloom covers membership). The sketch builds
-    * DISTRIBUTED in one pass (mergeable counter arrays aggregated across
-    * partitions — fixed memory however large the input); estimates are
-    * O(depth) driver lookups over the k keys. Fixed seed ⇒ deterministic,
-    * but the bin layout is engine-specific, so the gate is rows-only; the
-    * CMS one-sided bound (exact ≤ estimate ≤ exact + eps·N, the second
-    * w.p. ≥ confidence per key) is spec-checked and invariant-gated at
-    * verify time.
+  /** Raw count-min sketch point estimates for the k heaviest part keys —
+    * the frequency tier of the sketch surface (HLL++ covers distinct
+    * counts, GK covers quantiles, bloom covers membership). The sketch
+    * builds DISTRIBUTED in one pass (mergeable counter arrays aggregated
+    * across partitions — fixed memory however large the input); estimates
+    * are O(depth) driver lookups over the k keys. Fixed seed ⇒
+    * deterministic, but the bin layout is engine-specific — the
+    * hash-gated face is [[sketchCmsTopK]]; this raw form feeds the specs
+    * and the independent invariant recomputation.
     */
-  def sketchCmsTopK(t: Tables, k: Int = 20,
-                    eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+  def sketchCmsEstimates(t: Tables, k: Int = 20,
+                         eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
     val li  = t.lineitem
     val cms = li.stat.countMinSketch("l_partkey", eps, confidence, seed = 42)
     val topKeys = topPartKeys(t, k).collect().map(_.getLong(0))
@@ -575,6 +574,34 @@ object CoreQueries {
     topKeys.toSeq.map(pk => (pk, cms.estimateCount(pk)))
       .toDF("l_partkey", "est_count")
       .orderBy(desc("est_count"), asc("l_partkey"))
+  }
+
+  /** Hash-gated face of the CMS (round-9, was rows-only): the exact top-k
+    * keys with their exact counts — both oracle-recomputable — plus the
+    * CMS one-sided bound rounded into two booleans the oracle states as
+    * constants: `never_under` (exact ≤ estimate, a hard CMS guarantee)
+    * and `within_bound` (estimate ≤ exact + 5·(⌈eps·N⌉+1), the Markov
+    * slack that bounds even the rare per-key confidence miss). A drifted
+    * or broken sketch flips a boolean and the hash goes red. The booleans
+    * are NOT self-certified: GateInvariants recomputes the estimates via
+    * [[sketchCmsEstimates]] and requires each emitted verdict to equal
+    * the independent recomputation.
+    */
+  def sketchCmsTopK(t: Tables, k: Int = 20,
+                    eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val li  = t.lineitem
+    val n   = li.count()
+    val slack = 5 * (math.ceil(eps * n).toLong + 1)
+    val cms = li.stat.countMinSketch("l_partkey", eps, confidence, seed = 42)
+    val exactTop = topPartKeys(t, k).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spark = t.spark
+    import spark.implicits._
+    exactTop.toSeq.map { case (pk, ne) =>
+      val est = cms.estimateCount(pk)
+      (pk, ne, est >= ne, est <= ne + slack)
+    }
+      .toDF("l_partkey", "n_exact", "never_under", "within_bound")
+      .orderBy(desc("n_exact"), asc("l_partkey"))
   }
 
   /** KMV (bottom-k) distinct estimates per group via the custom

@@ -78,12 +78,20 @@ class ScalingSpec extends SparkTestBase {
     assert(ratio(u1, u3) > growthBound,
       s"negative control broken: unguarded prefix blocking grew only ${ratio(u1, u3)}× " +
         s"($u1 -> $u3) — the spec would not catch a quadratic blocker")
-    // the shipped guard: 400 docs sit under the default 1000-doc cell cap,
-    // 1200 exceed it and the hot cell sits out entirely
+    // the shipped guard: 400 docs sit under the default 1000-doc cell cap
+    // (exact semantics), 1200 exceed it and the cell SUB-SPLITS by content
+    // hash — every doc still participates but pairs form only within a
+    // sub-cell, collapsing the quadratic bucket by ~the 256 sub-cells
     val g1 = DedupOps.editDistanceCandidates(h1).count()
     val g3 = DedupOps.editDistanceCandidates(h3).count()
     assert(g1 == u1, "below the cap the guard must not drop candidates")
-    assert(g3 == 0, s"over-capacity hot cell must sit out, got $g3 candidates")
+    assert(g3 > 0, "sub-split hot cell must keep its docs participating")
+    assert(g3 < u3 / 50,
+      s"sub-split failed to collapse the quadratic bucket: $g3 vs unguarded $u3")
+    // and the degraded-mode meter reports exactly the one hot cell
+    val stats = DedupOps.editDistanceHotCellStats(h3).head()
+    assert(stats.getLong(0) == 1 && stats.getLong(1) == 1200,
+      s"hot-cell meter wrong: $stats")
   }
 
   test("rare-shingle candidates (jaccard/containment family) grow near-linearly at 3× data") {

@@ -111,11 +111,14 @@ class TextMlMultimodalSpec extends SparkTestBase {
     val sizes = files.map(f => f.getName -> f.length()).toMap
     rows.foreach { r =>
       assert(r.getLong(1) == sizes(r.getString(0)))
-      // digest matches the on-disk bytes — payload survived the source
+      // digest matches the on-disk bytes — payload survived the source.
+      // The gate digest is md5 over the UPPERCASE hex rendering (the
+      // DuckDB-computable form); recompute it here from the raw file
       val bytes = java.nio.file.Files.readAllBytes(
         new java.io.File(dir, r.getString(0)).toPath)
+      val hexUpper = bytes.map("%02X".format(_)).mkString
       val md5hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(bytes).map("%02x".format(_)).mkString
+        .digest(hexUpper.getBytes("UTF-8")).map("%02x".format(_)).mkString
       assert(r.getString(2) == md5hex)
     }
   }

@@ -94,6 +94,22 @@ class VerifyInvariantsSpec extends SparkTestBase {
           .withColumn("in_band", lit(false)),
         (s, d) => CoreQueries.stratifiedSample(core.Tables(s, d)), spark, dir)
     }
+    // SELF-CERTIFICATION guard (round-8 verdict #4): a verdict column that
+    // stays TRUE while the raw numbers are doctored must be rejected —
+    // the invariant recomputes the band independently instead of trusting
+    // the engine's boolean
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("agg_approx_distinct",
+        CoreQueries.aggApproxDistinct(t)
+          .withColumn("n_exact", col("n_exact") * 1000),
+        (s, d) => CoreQueries.aggApproxDistinct(core.Tables(s, d)), spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("sample_stratified",
+        CoreQueries.stratifiedSample(t)
+          .withColumn("n_source", col("n_source") * 1000),
+        (s, d) => CoreQueries.stratifiedSample(core.Tables(s, d)), spark, dir)
+    }
     // corrupted payload accounting: byte length off by one
     intercept[IllegalArgumentException] {
       GateInvariants.check("multimodal_binary_ingest",

