@@ -31,9 +31,11 @@ object SparkEntry {
     "q1_group_count_avg"    -> q(CoreQueries.q1GroupCountAvg),
     "q2_median_by_priority" -> q(CoreQueries.q2MedianByPriority),
     "q2_approx_median"      -> q(CoreQueries.q2ApproxMedian),
-    // rows-only: GK sketch at default accuracy is engine-specific;
-    // spec-gated against the Greenwald-Khanna rank-error bound instead
-    "q2_approx_median_default" -> q(CoreQueries.q2ApproxMedianDefault),
+    // hash-gated since round 9: exact per-group counts + a GK-median-in-
+    // [P49,P51]-band verdict the oracle states constant (independently
+    // recomputed at verify time); the raw engine-specific GK value stays
+    // spec-gated via q2ApproxMedianDefault
+    "q2_approx_median_default" -> q(CoreQueries.q2ApproxMedianDefaultGate),
     "q3_status_share"       -> q(CoreQueries.q3StatusShare),
     "agg_multikey_avg"      -> q(CoreQueries.aggMultiKeyAvg),
     "agg_by_year"           -> q(CoreQueries.aggByYear),
@@ -63,12 +65,14 @@ object SparkEntry {
     "agg_max_by"            -> q(CoreQueries.aggMaxBy),
     "agg_count_distinct"    -> q(CoreQueries.aggCountDistinct),
     "agg_approx_distinct"   -> q(CoreQueries.aggApproxDistinct),
-    // rows-only: CMS bin layout is engine-specific; the one-sided
-    // over-estimate bound is invariant-gated in Verify + spec-checked
+    // hash-gated since round 9: exact top-20 keys/counts + CMS bound
+    // verdicts (independently recomputed at verify time)
     "sketch_cms_topk"       -> q(t => CoreQueries.sketchCmsTopK(t)),
     "sketch_kmv_distinct"   -> q(t => CoreQueries.sketchKmvDistinct(t)),
-    "sample_orders"         -> q(CoreQueries.sampleOrders),
-    "split_counts"          -> q(CoreQueries.splitCounts),
+    // hash-gated since round 9: source count + band/subset verdicts over
+    // the actual seeded sample / split (independently recomputed)
+    "sample_orders"         -> q(CoreQueries.sampleOrdersGate),
+    "split_counts"          -> q(CoreQueries.splitCountsGate),
     "row_ids"               -> q(CoreQueries.rowIds),
     "row_ids_stable"        -> q(CoreQueries.rowIdsStable),
     "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
@@ -354,6 +358,23 @@ object SparkEntry {
       """SELECT o_orderpriority,
         |       floor((quantile_disc(o_totalprice, 0.5)) * 100 + 0.5) / 100 AS approx_median_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // hash-gated verdict gates (round 9): the engine-specific quantity
+    // (GK median / seeded sample / seeded split) lands as a boolean the
+    // oracle states constant; GateInvariants recomputes each verdict
+    // independently from raw values, so the constants are not
+    // self-certified
+    "q2_approx_median_default" ->
+      """SELECT o_orderpriority, count(*) AS num_orders, TRUE AS in_band
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "sample_orders" ->
+      """SELECT count(*) AS n_source, TRUE AS sampled_in_band,
+        |       TRUE AS sampled_distinct_subset
+        |FROM orders""".stripMargin,
+    "split_counts" ->
+      """SELECT count(*) AS n_source, TRUE AS partitions_source,
+        |       TRUE AS train_in_band
+        |FROM orders""".stripMargin,
     "q3_status_share" ->
       """WITH c AS (
         |  SELECT o_orderpriority, count(*) AS f_count

@@ -66,13 +66,13 @@ object Verify {
   * states an invariant that holds regardless of partition layout or
   * engine-specific randomness:
   *
-  *  - `sample_orders` — sampled keys are a DISTINCT SUBSET of the source
-  *    keys; the row count sits inside a 6σ binomial band around
-  *    fraction·N; a second in-session run returns the identical key set
-  *    (same seed + same partitioning ⇒ deterministic).
-  *  - `split_counts` — the 80/20 split is a PARTITION of the source
-  *    (counts sum to N exactly, both sides nonempty) with the train share
-  *    inside a wide band around 0.8; deterministic on re-run.
+  *  - `sample_orders` — hash-gated since round 9 (source count + band and
+  *    distinct-subset verdicts); the invariant re-runs the raw seeded
+  *    sample, recomputes both verdicts independently, requires equality
+  *    with the gate's booleans, and keeps the determinism check.
+  *  - `split_counts` — hash-gated since round 9 (source count + exact-
+  *    partition and train-band verdicts); same independent-recompute
+  *    contract over the raw seeded split.
   *  - `sample_stratified` — hash-gated since round 7 (the gate emits
   *    source counts + a 6σ band verdict the oracle expects true); the
   *    invariant recomputes the band INDEPENDENTLY from the raw sampled
@@ -89,9 +89,10 @@ object Verify {
   *    estimates independently, requires each emitted verdict to equal the
   *    recomputation, and keeps the never-under / eps·N / determinism
   *    checks on the recomputed estimates.
-  *  - `q2_approx_median_default` — exact per-group counts, and the GK
-  *    sketch's median inside the exact [P49, P51] band (rank error at
-  *    default accuracy 10⁴ is ~n/10⁴ ranks ≪ 1% of ranks).
+  *  - `q2_approx_median_default` — hash-gated since round 9 (exact
+  *    per-group counts + a GK-median-in-[P49,P51]-band verdict); the
+  *    invariant recomputes both the exact band and the GK value
+  *    independently and requires the verdict to match.
   *  - `ann_ivf` / `ann_brp_lsh` — k rows, scores descending, every
   *    reported score equals the exact cosine for that vec_id (ANN may
   *    miss neighbors, never misscore them), recall@10 vs brute force
@@ -117,18 +118,6 @@ object Verify {
 object GateInvariants {
   private type QueryFn = (SparkSession, String) => DataFrame
 
-  private def binomialBand(n: Long, p: Double): (Long, Long) = {
-    val mean = n * p
-    val slack = 6.0 * math.sqrt(n * p * (1 - p)) + 10.0
-    (math.floor(mean - slack).toLong, math.ceil(mean + slack).toLong)
-  }
-
-  private def inBand(what: String, got: Long, n: Long, p: Double): Unit = {
-    val (lo, hi) = binomialBand(n, p)
-    require(got >= lo && got <= hi,
-      s"invariant: $what count $got outside [$lo, $hi] (p=$p of $n)")
-  }
-
   private def annChecks(df: DataFrame, spark: SparkSession, sfDir: String,
                         k: Int, scoreTol: Double, minHits: Int): Unit = {
     val rows = df.collect()
@@ -152,27 +141,60 @@ object GateInvariants {
   def check(name: String, df: DataFrame, fn: QueryFn,
             spark: SparkSession, sfDir: String): Unit = name match {
     case "sample_orders" =>
-      val orders = core.Tables(spark, sfDir).orders
+      // hash-gated verdict shape (n_source, sampled_in_band,
+      // sampled_distinct_subset): re-run the RAW seeded sample and
+      // recompute every verdict independently — the gate's booleans must
+      // equal the recomputation, not merely be true
+      val tt = core.Tables(spark, sfDir)
+      val orders = tt.orders
       val n = orders.count()
-      val keys = df.select("o_orderkey")
-      require(keys.exceptAll(orders.select("o_orderkey")).count() == 0,
-        "invariant: sampled keys not a subset of source keys")
-      val got = df.count()
-      require(keys.distinct().count() == got,
-        "invariant: duplicate keys in a without-replacement sample")
-      inBand("sample_orders", got, n, 0.1)
-      val rerun = fn(spark, sfDir).select("o_orderkey")
+      val s = operators.CoreQueries.sampleOrders(tt)
+      val keys = s.select("o_orderkey")
+      val got = s.count()
+      val indepBand = operators.CoreQueries.binomialBandOk(got, n, 0.1)
+      val indepSubset =
+        keys.exceptAll(orders.select("o_orderkey")).count() == 0 &&
+          keys.distinct().count() == got
+      val row = df.head()
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      require(row.getLong(0) == n,
+        s"invariant: gate n_source ${row.getLong(0)} != recounted $n")
+      require(row.getBoolean(1) == indepBand,
+        s"invariant: sampled_in_band ${row.getBoolean(1)} disagrees with " +
+          s"independent recomputation $indepBand (sampled=$got, n=$n)")
+      require(row.getBoolean(2) == indepSubset,
+        s"invariant: sampled_distinct_subset ${row.getBoolean(2)} disagrees " +
+          s"with independent recomputation $indepSubset")
+      require(indepBand && indepSubset,
+        s"invariant: seeded sample violated its contract (band=$indepBand, subset=$indepSubset)")
+      val rerun = operators.CoreQueries.sampleOrders(tt).select("o_orderkey")
       require(keys.exceptAll(rerun).count() == 0 &&
         rerun.exceptAll(keys).count() == 0,
         "invariant: seeded sample not deterministic within the session")
     case "split_counts" =>
-      val n = core.Tables(spark, sfDir).orders.count()
-      val counts = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      require(counts.keySet == Set("train", "test") &&
-        counts.values.sum == n && counts.values.forall(_ > 0),
-        s"invariant: split $counts does not partition the $n source rows")
-      inBand("split_counts train", counts("train"), n, 0.8)
-      val again = fn(spark, sfDir).collect()
+      // hash-gated verdict shape (n_source, partitions_source,
+      // train_in_band): re-run the RAW seeded split, recompute, compare
+      val tt = core.Tables(spark, sfDir)
+      val n = tt.orders.count()
+      val counts = operators.CoreQueries.splitCounts(tt).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(counts.keySet == Set("train", "test"),
+        s"invariant: raw split keys ${counts.keySet}")
+      val indepPartition = counts.values.sum == n && counts.values.forall(_ > 0)
+      val indepBand = operators.CoreQueries.binomialBandOk(counts("train"), n, 0.8)
+      val row = df.head()
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      require(row.getLong(0) == n,
+        s"invariant: gate n_source ${row.getLong(0)} != recounted $n")
+      require(row.getBoolean(1) == indepPartition,
+        s"invariant: partitions_source ${row.getBoolean(1)} disagrees with " +
+          s"independent recomputation $indepPartition ($counts vs $n)")
+      require(row.getBoolean(2) == indepBand,
+        s"invariant: train_in_band ${row.getBoolean(2)} disagrees with " +
+          s"independent recomputation $indepBand ($counts)")
+      require(indepPartition && indepBand,
+        s"invariant: seeded split violated its contract ($counts of $n)")
+      val again = operators.CoreQueries.splitCounts(tt).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       require(again == counts, "invariant: seeded split not deterministic")
     case "sample_stratified" =>
@@ -244,17 +266,29 @@ object GateInvariants {
             s"6·rsd band of exact $exactI")
       }
     case "q2_approx_median_default" =>
-      val bands = core.Tables(spark, sfDir).orders
+      // hash-gated verdict shape (o_orderpriority, num_orders, in_band):
+      // recompute the exact [P49, P51] band AND the GK median
+      // independently (raw q2ApproxMedianDefault), require the emitted
+      // verdict to equal the recomputation
+      val tt = core.Tables(spark, sfDir)
+      val bands = tt.orders
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           expr("percentile(o_totalprice, array(0.49, 0.51))").as("band"))
         .collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+      val gk = operators.CoreQueries.q2ApproxMedianDefault(tt)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
       df.collect().foreach { r =>
-        val (prio, n, med) = (r.getString(0), r.getLong(1), r.getDouble(2))
+        val (prio, n, verdict) = (r.getString(0), r.getLong(1), r.getBoolean(2))
         val (exactN, band) = bands(prio)
+        val med = gk(prio)
+        val indep = med >= band.head && med <= band.last
         require(n == exactN, s"invariant: group count $n != exact $exactN for '$prio'")
-        require(med >= band.head && med <= band.last,
+        require(verdict == indep,
+          s"invariant: in_band verdict $verdict disagrees with the " +
+            s"independent recomputation $indep (GK=$med, band=$band) for '$prio'")
+        require(indep,
           s"invariant: GK median $med outside exact [P49, P51] = $band for '$prio'")
       }
     case "ann_ivf" =>

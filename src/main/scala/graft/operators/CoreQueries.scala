@@ -77,6 +77,27 @@ object CoreQueries {
           .as("approx_median_price"))
       .orderBy("o_orderpriority")
 
+  /** Hash-gated face of [[q2ApproxMedianDefault]] (round-9, was
+    * rows-only): per-group exact count — oracle-recomputable — plus an
+    * in-engine verdict that the GK median falls inside the exact
+    * [P49, P51] band (rank error at default accuracy 10⁴ is ~n/10⁴
+    * ranks ≪ 1% of ranks, so a correct sketch always passes). The
+    * oracle states the verdict as a constant; GateInvariants recomputes
+    * the band AND the GK value independently and requires the emitted
+    * boolean to equal the recomputation — not self-certified.
+    */
+  def q2ApproxMedianDefaultGate(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("num_orders"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("gk"),
+        percentile(col("o_totalprice"), lit(0.49)).as("p49"),
+        percentile(col("o_totalprice"), lit(0.51)).as("p51"))
+      .select(col("o_orderpriority"), col("num_orders"),
+        (col("gk") >= col("p49") && col("gk") <= col("p51")).as("in_band"))
+      .orderBy("o_orderpriority")
+
   /** Query 3 analogue (ref `data-understanding.py:241-257`): share of
     * 'F'-status orders per priority. The reference collects the grand total
     * to the driver and re-embeds it as a literal; engine-side we keep it
@@ -380,21 +401,72 @@ object CoreQueries {
       .orderBy("l_returnflag")
 
   /** D3: seeded Bernoulli sample (ref `performance_py/...py:87`).
-    * Partition-layout dependent ⇒ rows-only in the oracle gate; the spec
-    * asserts fraction bounds and seed stability.
+    * Partition-layout dependent rows; the hash-gated face is
+    * [[sampleOrdersGate]], this raw form feeds the specs and the
+    * independent invariant recomputation.
     */
   def sampleOrders(t: Tables): DataFrame =
     t.orders.sample(withReplacement = false, 0.1, seed = 42)
       .select("o_orderkey", "o_totalprice")
 
+  /** 6σ binomial band around fraction·n, +10 absolute slack — shared by
+    * the sampling verdict gates and recomputed independently (from the
+    * same raw counts) in Verify.GateInvariants.
+    */
+  private[graft] def binomialBandOk(got: Long, n: Long, p: Double): Boolean = {
+    val slack = 6.0 * math.sqrt(n * p * (1 - p)) + 10.0
+    math.abs(got - n * p) <= slack
+  }
+
+  /** Hash-gated face of [[sampleOrders]] (round-9, was rows-only): the
+    * source count — oracle-recomputable — plus two verdicts derived from
+    * the ACTUAL sample: the sampled count sits in the 6σ binomial band
+    * around 0.1·n, and the sampled keys are a distinct subset of the
+    * source keys (without-replacement contract). The oracle states the
+    * verdicts as constants; GateInvariants re-runs the raw sample and
+    * recomputes both booleans independently.
+    */
+  def sampleOrdersGate(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val srcKeys = t.orders.select("o_orderkey")
+    val nSource = srcKeys.count()
+    val s = sampleOrders(t)
+    val nSampled = s.count()
+    val nDistinct = s.select(countDistinct(col("o_orderkey"))).head().getLong(0)
+    val foreign = s.select("o_orderkey").exceptAll(srcKeys).count()
+    Seq((nSource,
+      binomialBandOk(nSampled, nSource, 0.1),
+      foreign == 0L && nDistinct == nSampled))
+      .toDF("n_source", "sampled_in_band", "sampled_distinct_subset")
+  }
+
   /** D4: seeded randomSplit (ref `price-prediction.py:195`), surfaced as
-    * per-split counts.
+    * per-split counts. Raw form — the hash-gated face is
+    * [[splitCountsGate]].
     */
   def splitCounts(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     val Array(train, test) = t.orders.randomSplit(Array(0.8, 0.2), seed = 42)
     Seq(("train", train.count()), ("test", test.count())).toDF("split", "n")
+  }
+
+  /** Hash-gated face of [[splitCounts]] (round-9, was rows-only): source
+    * count plus two verdicts from the actual split — the two sides
+    * PARTITION the source exactly (sum to n, both nonempty) and the
+    * train share sits in the 6σ band around 0.8. Oracle states the
+    * constants; GateInvariants re-runs the raw split and recomputes both.
+    */
+  def splitCountsGate(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val n = t.orders.count()
+    val counts = splitCounts(t).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq((n,
+      counts.values.sum == n && counts.values.forall(_ > 0L),
+      binomialBandOk(counts("train"), n, 0.8)))
+      .toDF("n_source", "partitions_source", "train_in_band")
   }
 
   /** F10: monotonically_increasing_id — unique but partition-dependent

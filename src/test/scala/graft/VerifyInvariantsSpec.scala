@@ -15,10 +15,10 @@ class VerifyInvariantsSpec extends SparkTestBase {
 
   test("real sampling queries satisfy their invariants") {
     GateInvariants.check("sample_orders",
-      CoreQueries.sampleOrders(t), (s, d) => CoreQueries.sampleOrders(core.Tables(s, d)),
+      CoreQueries.sampleOrdersGate(t), (s, d) => CoreQueries.sampleOrdersGate(core.Tables(s, d)),
       spark, dir)
     GateInvariants.check("split_counts",
-      CoreQueries.splitCounts(t), (s, d) => CoreQueries.splitCounts(core.Tables(s, d)),
+      CoreQueries.splitCountsGate(t), (s, d) => CoreQueries.splitCountsGate(core.Tables(s, d)),
       spark, dir)
     GateInvariants.check("sample_stratified",
       CoreQueries.stratifiedSample(t), (s, d) => CoreQueries.stratifiedSample(core.Tables(s, d)),
@@ -33,7 +33,10 @@ class VerifyInvariantsSpec extends SparkTestBase {
       CoreQueries.aggApproxDistinct(t), (s, d) => CoreQueries.aggApproxDistinct(core.Tables(s, d)),
       spark, dir)
     GateInvariants.check("q2_approx_median_default",
-      CoreQueries.q2ApproxMedianDefault(t), (s, d) => CoreQueries.q2ApproxMedianDefault(core.Tables(s, d)),
+      CoreQueries.q2ApproxMedianDefaultGate(t), (s, d) => CoreQueries.q2ApproxMedianDefaultGate(core.Tables(s, d)),
+      spark, dir)
+    GateInvariants.check("sketch_cms_topk",
+      CoreQueries.sketchCmsTopK(t), (s, d) => CoreQueries.sketchCmsTopK(core.Tables(s, d)),
       spark, dir)
     GateInvariants.check("multimodal_binary_ingest",
       MultimodalOps.binaryIngestStats(t), (s, d) => MultimodalOps.binaryIngestStats(core.Tables(s, d)),
@@ -54,25 +57,37 @@ class VerifyInvariantsSpec extends SparkTestBase {
   }
 
   test("doctored outputs are rejected") {
-    val sample = CoreQueries.sampleOrders(t)
-    // doubled sample: duplicate keys + count outside the binomial band
+    // doctored source count with verdicts left true: the independent
+    // recomputation must reject it (self-certification guard)
     intercept[IllegalArgumentException] {
       GateInvariants.check("sample_orders",
-        sample.unionAll(sample), (s, d) => CoreQueries.sampleOrders(core.Tables(s, d)),
-        spark, dir)
+        CoreQueries.sampleOrdersGate(t).withColumn("n_source", col("n_source") * 2),
+        (s, d) => CoreQueries.sampleOrdersGate(core.Tables(s, d)), spark, dir)
     }
-    // foreign keys: not a subset of the source
+    // flipped verdict must disagree with the recomputation
     intercept[IllegalArgumentException] {
       GateInvariants.check("sample_orders",
-        sample.withColumn("o_orderkey", col("o_orderkey") + 1000000000L),
-        (s, d) => CoreQueries.sampleOrders(core.Tables(s, d)), spark, dir)
+        CoreQueries.sampleOrdersGate(t)
+          .withColumn("sampled_in_band", !col("sampled_in_band")),
+        (s, d) => CoreQueries.sampleOrdersGate(core.Tables(s, d)), spark, dir)
     }
-    // lost split: counts no longer partition the source
-    val splits = CoreQueries.splitCounts(t)
     intercept[IllegalArgumentException] {
       GateInvariants.check("split_counts",
-        splits.withColumn("n", col("n") - 1),
-        (s, d) => CoreQueries.splitCounts(core.Tables(s, d)), spark, dir)
+        CoreQueries.splitCountsGate(t)
+          .withColumn("train_in_band", !col("train_in_band")),
+        (s, d) => CoreQueries.splitCountsGate(core.Tables(s, d)), spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("q2_approx_median_default",
+        CoreQueries.q2ApproxMedianDefaultGate(t)
+          .withColumn("in_band", !col("in_band")),
+        (s, d) => CoreQueries.q2ApproxMedianDefaultGate(core.Tables(s, d)), spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("sketch_cms_topk",
+        CoreQueries.sketchCmsTopK(t)
+          .withColumn("never_under", !col("never_under")),
+        (s, d) => CoreQueries.sketchCmsTopK(core.Tables(s, d)), spark, dir)
     }
     // collapsed ids: row_id uniqueness violated
     intercept[IllegalArgumentException] {
