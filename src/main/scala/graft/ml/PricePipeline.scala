@@ -77,13 +77,19 @@ object PricePipeline {
   def fitEval(name: String, reg: org.apache.spark.ml.Estimator[_],
               train: DataFrame, test: DataFrame): (String, Double, Double, Double, Double, Double) = {
     val model = reg.fit(train).asInstanceOf[org.apache.spark.ml.Transformer]
+    // cache the scored frame: each RegressionEvaluator.evaluate would
+    // otherwise re-run model.transform + a full scan per metric (4 scoring
+    // passes per model); values are bit-identical either way
     val pred = model.transform(test)
-    def m(metric: String): Double =
-      new RegressionEvaluator().setMetricName(metric)
-        .setLabelCol("label").setPredictionCol("prediction")
-        .evaluate(pred)
-    val r2 = m("r2")
-    (name, r2, r2, m("mse"), m("rmse"), m("mae"))
+      .select("label", "prediction").persist()
+    try {
+      def m(metric: String): Double =
+        new RegressionEvaluator().setMetricName(metric)
+          .setLabelCol("label").setPredictionCol("prediction")
+          .evaluate(pred)
+      val r2 = m("r2")
+      (name, r2, r2, m("mse"), m("rmse"), m("mae"))
+    } finally { pred.unpersist(); () }
   }
 
   /** Run a subset of models end-to-end → metrics table with the reference's
@@ -101,10 +107,27 @@ object PricePipeline {
     val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism / 4, 8))
     val data = featurize(t).repartition(parts).cache()
     try {
+      data.count() // materialize the cache once, before the concurrent fits race for it
       val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
-      val rows = regressors
-        .filter { case (n, _) => modelNames.contains(n) }
-        .map { case (n, r) => fitEval(n, r, train, test) }
+      // Independent estimators over one cached frame are embarrassingly
+      // JOB-parallel — the same scheme CrossValidator exposes as its
+      // `parallelism` param: each iterative fit runs ~100 tiny
+      // treeAggregate jobs whose scheduling latency dominates on a small
+      // frame, and interleaving 3 fits hides it (measured ~2× on the
+      // 9-model table). Results are unaffected: every fit is seeded and
+      // self-contained, and the await below preserves the row order.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val rows =
+        try {
+          val futs = regressors
+            .filter { case (n, _) => modelNames.contains(n) }
+            .map { case (n, r) =>
+              scala.concurrent.Future(fitEval(n, r, train, test))
+            }
+          futs.map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
       rows.toDF("model", "r2", "r2adj", "mse", "rmse", "mae")
         .select(
           col("model"),
