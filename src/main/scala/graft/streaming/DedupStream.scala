@@ -32,12 +32,24 @@ import org.apache.spark.sql.types._
   */
 object DedupStream {
 
+  /** Reference shape of the documents fixture. The streaming reads do NOT
+    * hard-code it: they probe the batch footer per input dir (cached), the
+    * same drift defense `EventStream.readEvents` applies after round 8's
+    * events regeneration changed a hard-coded type under a declared
+    * streaming schema and produced silently wrong rows.
+    */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),
     StructField("source", StringType),
     StructField("n_chars", LongType)))
+
+  private val docSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+  private def probedDocSchema(spark: SparkSession, dir: String): StructType =
+    docSchemaCache.getOrElseUpdate(dir,
+      spark.read.parquet(s"$dir/documents.parquet").schema)
 
   case class BandDoc(doc_id: Long, band: String, sh: Array[Long])
   case class TsBandDoc(doc_id: Long, band: String, sh: Array[Long],
@@ -61,7 +73,7 @@ object DedupStream {
                    minJaccard: Double = 0.3): DataFrame = {
     import spark.implicits._
     val docs = spark.readStream
-      .schema(docSchema)
+      .schema(probedDocSchema(spark, dir))
       .parquet(s"$dir/{documents}.parquet")
     val banded = DedupOps.bandedDocs(docs).as[BandDoc]
     val out = banded
@@ -174,7 +186,7 @@ object DedupStream {
                            windowSec: Long = 200): DataFrame = {
     import spark.implicits._
     val docs = spark.readStream
-      .schema(docSchema)
+      .schema(probedDocSchema(spark, dir))
       .parquet(s"$dir/{documents}.parquet")
       .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
     val banded = DedupOps.bandedDocs(docs, carry = Seq("ts"))
