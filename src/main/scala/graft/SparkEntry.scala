@@ -73,6 +73,11 @@ object SparkEntry {
     // the actual seeded sample / split (independently recomputed)
     "sample_orders"         -> q(CoreQueries.sampleOrdersGate),
     "split_counts"          -> q(CoreQueries.splitCountsGate),
+    // the ONE remaining rows-only gate, by design: F10's
+    // monotonically_increasing_id is partition-dependent BY CONTRACT and
+    // demonstrating that is the point; the hash-gated row_ids_stable twin
+    // covers the deterministic formulation, and the invariant pins
+    // one-id-per-row + uniqueness
     "row_ids"               -> q(CoreQueries.rowIds),
     "row_ids_stable"        -> q(CoreQueries.rowIdsStable),
     "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
@@ -196,17 +201,23 @@ object SparkEntry {
     // vanishes — high-similarity dedup (see the operator's scaladoc for
     // the P(candidate) analysis; the low-threshold workhorse is the
     // banded dedup_minhash above).
+    // hash-gated since round 9: oracle-recomputable exact-dup pair count
+    // + LSH-guarantee verdicts (independently recomputed at verify time);
+    // the raw engine-specific pair set stays spec-gated
     "dedup_minhash_mllib" -> ((s, dir) =>
-      DedupOps.minhashDupPairsMllib(Tables(s, dir), 0.7)),
+      DedupOps.minhashMllibVerdictGate(Tables(s, dir), 0.7)),
     "dedup_simhash"       -> q(t => DedupOps.simhashDupPairs(t, 6)),
     "dedup_edit_distance" -> q(t => DedupOps.editDistancePairs(t)),
     // --- similarity search (training-data extensions) ---
     "ann_brute_force"    -> q(t => SimilarityOps.bruteForceTopK(t, 0L, 10)),
     "ann_lsh"            -> q(t => SimilarityOps.lshTopK(t, 0L, 5, 6)),
-    "ann_ivf"            -> q(t => SimilarityOps.ivfTopK(t, 0L, 10, 16, 4)),
-    // rows-only: MLlib random projections are engine-specific even seeded;
-    // spec recall-tests vs ann_brute_force like ann_ivf
-    "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshTopK(t, 0L, 10)),
+    // hash-gated since round 9: the approximate neighbor SET is
+    // engine-specific (IVF cells / random projections), so the gates emit
+    // the ANN contract as verdicts — score exactness, descending order,
+    // recall floor vs brute force — independently recomputed at verify
+    // time; the raw row-level probes stay spec-gated
+    "ann_ivf"            -> q(t => SimilarityOps.ivfVerdictGate(t)),
+    "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshVerdictGate(t)),
     "emb_neardup_exact"  -> q(t => SimilarityOps.embeddingNearDupExact(t, 0.35)),
     "emb_neardup_lsh"    -> q(t => SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)),
     // batch k-NN JOIN (top-k per vector) over deterministic sign buckets;
@@ -216,12 +227,17 @@ object SparkEntry {
     "emb_norms_by_label" -> q(SimilarityOps.normsByLabel),
     "emb_vector_stats"   -> q(SimilarityOps.vectorStatsByLabel),
     // --- ML + multimodal (reference parity M1-M14 / extension) ---
-    "ml_price_metrics"    -> q(PricePipeline.fastMetrics),
+    // hash-gated since round 9: the fitted values are engine-specific, so
+    // the gates emit the model set (part of the reference contract) plus
+    // the documented metric identities as verdicts — independently
+    // recomputed at verify time by re-running the fits; raw tables stay
+    // exposed for the specs
+    "ml_price_metrics"    -> q(PricePipeline.fastMetricsGate),
     // all nine reference configs (M3-M11) behind a driver gate; rows-only
     // like its fast sibling (ML fits are engine-specific) with the model
     // set + metric-consistency invariants verified in GateInvariants
-    "ml_price_metrics_full" -> q(PricePipeline.fullMetrics),
-    "ml_cv_linear"        -> q(PricePipeline.cvLinearSweep),
+    "ml_price_metrics_full" -> q(PricePipeline.fullMetricsGate),
+    "ml_cv_linear"        -> q(PricePipeline.cvVerdictGate),
     "ml_recommend_tfidf"  -> q(t => Recommender.similarDocs(t, 0L, 5)),
     // same oracle as the dense variant: sparse merge-dot scoring is
     // bit-identical (SparseDotSpec), so it earns its own hash gate
@@ -1453,6 +1469,39 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, lang, source, n_tokens FROM m
         |WHERE n_tokens >= 20 AND n_tokens <= 100 AND sw >= 0.05""".stripMargin,
+    // verdict gates for the engine-specific ANN probes (round 9): the
+    // ANN contract lands as constants the engine derives from its actual
+    // result and GateInvariants recomputes independently
+    "ann_ivf" ->
+      """SELECT CAST(10 AS BIGINT) AS n_neighbors, TRUE AS scores_exact,
+        |       TRUE AS scores_descending, TRUE AS recall_floor_met""".stripMargin,
+    "ann_brp_lsh" ->
+      """SELECT CAST(10 AS BIGINT) AS n_neighbors, TRUE AS scores_exact,
+        |       TRUE AS scores_descending, TRUE AS recall_floor_met""".stripMargin,
+    // verdict gate for MLlib's OR-amplified minhash join: the exact-dup
+    // pair count is genuinely recomputed (same shingle + maxDf pipeline
+    // as the ngram family, pairs at rounded Jaccard 1.0); the LSH
+    // guarantees land as constants
+    "dedup_minhash_mllib" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                for i in range(1, len(tk)-1)]) AS sh
+        |  FROM toks),
+        |d AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0),
+        |e AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM d),
+        |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 1000),
+        |er AS (SELECT e.* FROM e JOIN rare USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+        |  FROM er a JOIN er b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4)
+        |SELECT count(*) AS n_exact_dup_pairs,
+        |       TRUE AS exact_dups_all_found, TRUE AS sims_in_range
+        |FROM pairs
+        |WHERE floor((inter::DOUBLE / (n_a + n_b - inter)) * 10000 + 0.5)/10000 >= 1.0""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
@@ -1935,6 +1984,34 @@ object SparkEntry {
     // normalized weights over shared terms, half-up-rounded at 1e6 on both
     // sides. Docs sharing no term with the query score 0 in the engine and
     // are absent here — they can never enter a positive top-5.
+    // ML verdict gates (round 9): model sets are part of the reference
+    // contract and stated directly; the metric identities (adjR²==R²
+    // quirk, rmse²≈mse, mae≤rmse/finite) land as constants the engine
+    // derives from its actual fits and GateInvariants recomputes by
+    // re-fitting
+    "ml_price_metrics" ->
+      """SELECT * FROM (VALUES
+        |  ('LinearRegression', TRUE, TRUE, TRUE),
+        |  ('DecisionTree', TRUE, TRUE, TRUE),
+        |  ('GeneralizedLinear', TRUE, TRUE, TRUE))
+        |  t(model, r2adj_eq_r2, rmse2_eq_mse, metrics_sane)
+        |ORDER BY model""".stripMargin,
+    "ml_price_metrics_full" ->
+      """SELECT * FROM (VALUES
+        |  ('LinearRegression', TRUE, TRUE, TRUE),
+        |  ('Lasso', TRUE, TRUE, TRUE),
+        |  ('Ridge', TRUE, TRUE, TRUE),
+        |  ('IsotonicRegression', TRUE, TRUE, TRUE),
+        |  ('FMRegressor', TRUE, TRUE, TRUE),
+        |  ('DecisionTree', TRUE, TRUE, TRUE),
+        |  ('RandomForest', TRUE, TRUE, TRUE),
+        |  ('GradientBoosting', TRUE, TRUE, TRUE),
+        |  ('GeneralizedLinear', TRUE, TRUE, TRUE))
+        |  t(model, r2adj_eq_r2, rmse2_eq_mse, metrics_sane)
+        |ORDER BY model""".stripMargin,
+    "ml_cv_linear" ->
+      """SELECT CAST(2 AS BIGINT) AS n_grid_points, TRUE AS grid_expected,
+        |       TRUE AS winner_unique_minimal, TRUE AS metrics_finite""".stripMargin,
     "ml_recommend_tfidf" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

@@ -93,19 +93,25 @@ object Verify {
   *    per-group counts + a GK-median-in-[P49,P51]-band verdict); the
   *    invariant recomputes both the exact band and the GK value
   *    independently and requires the verdict to match.
-  *  - `ann_ivf` / `ann_brp_lsh` — k rows, scores descending, every
-  *    reported score equals the exact cosine for that vec_id (ANN may
-  *    miss neighbors, never misscore them), recall@10 vs brute force
-  *    above a per-gate floor (IVF probes 4/16 cells, so its floor only
-  *    catches probing the wrong cells outright).
-  *  - `dedup_minhash_mllib` — exact duplicates (n-gram Jaccard = 1.0)
-  *    are all found (they collide in every hash table), similarities in
-  *    (threshold, 1].
-  *  - `ml_price_metrics` — the fastMetrics model trio present, finite
-  *    metrics, rmse² ≈ mse, mae ≤ rmse, and the reference's documented
-  *    r2adj == r2 quirk.
-  *  - `ml_cv_linear` — one row per grid point, the flagged winner
-  *    minimizes cross-validation avg RMSE, seeded sweep deterministic.
+  *  - `ann_ivf` / `ann_brp_lsh` — hash-gated since round 9 (verdict
+  *    shape); the invariant re-runs the raw index probe and recomputes
+  *    k rows / scores descending / score exactness vs the exact cosine /
+  *    recall@10 floor, requiring the gate's booleans to match (IVF
+  *    probes 4/16 cells, so its floor only catches probing the wrong
+  *    cells outright).
+  *  - `dedup_minhash_mllib` — hash-gated since round 9 (exact-dup pair
+  *    count + LSH-guarantee verdicts); the invariant re-runs the raw
+  *    MLlib join and the Jaccard-1.0 pair derivation and requires the
+  *    gate row to equal the recomputation.
+  *  - `ml_price_metrics` / `ml_price_metrics_full` — hash-gated since
+  *    round 9 (model set + metric-identity verdicts: the r2adj == r2
+  *    quirk, rmse² ≈ mse, mae ≤ rmse/finite); the invariant RE-FITS the
+  *    models and requires each emitted verdict to equal the
+  *    recomputation.
+  *  - `ml_cv_linear` — hash-gated since round 9 (grid size + verdicts:
+  *    expected grid, unique minimal winner, finite metrics); the
+  *    invariant re-runs the seeded sweep, recomputes, and checks
+  *    determinism.
   *  - `multimodal_binary_ingest` — hash-gated since round 9 (the oracle
   *    read_blobs the same files); the invariant still independently
   *    recomputes each file's byte length and md5-of-hex digest from disk
@@ -118,24 +124,27 @@ object Verify {
 object GateInvariants {
   private type QueryFn = (SparkSession, String) => DataFrame
 
-  private def annChecks(df: DataFrame, spark: SparkSession, sfDir: String,
-                        k: Int, scoreTol: Double, minHits: Int): Unit = {
-    val rows = df.collect()
-    require(rows.length == k, s"invariant: expected $k neighbors, got ${rows.length}")
-    val scores = rows.map(_.getDouble(2)).toSeq
-    require(scores == scores.sorted.reverse, "invariant: scores not descending")
-    val brute = operators.SimilarityOps
-      .bruteForceTopK(core.Tables(spark, sfDir), 0L, Int.MaxValue)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    rows.foreach { r =>
-      require(math.abs(brute(r.getLong(0)) - r.getDouble(2)) <= scoreTol,
-        s"invariant: vec ${r.getLong(0)} scored ${r.getDouble(2)}, exact ${brute(r.getLong(0))}")
-    }
-    val top = operators.SimilarityOps
-      .bruteForceTopK(core.Tables(spark, sfDir), 0L, k)
-      .collect().map(_.getLong(0)).toSet
-    val hits = rows.map(_.getLong(0)).count(top.contains)
-    require(hits >= minHits, s"invariant: recall@$k only $hits/$k vs brute force")
+  /** Verdict-gate comparison for the ANN gates: re-run the RAW index
+    * probe, recompute the four verdict facts from its rows, and require
+    * the gate's emitted row to match the recomputation exactly plus every
+    * contract boolean to hold — output-doctoring and index drift both
+    * fail loudly.
+    */
+  private def annVerdictChecks(df: DataFrame, raw: DataFrame,
+                               spark: SparkSession, sfDir: String,
+                               k: Int, scoreTol: Double, minHits: Int): Unit = {
+    val (n, exact, desc, recall) = operators.SimilarityOps
+      .annVerdicts(core.Tables(spark, sfDir), raw, k, scoreTol, minHits)
+    require(df.count() == 1, "invariant: verdict gate must emit one row")
+    val row = df.head()
+    require(row.getLong(0) == n,
+      s"invariant: gate n_neighbors ${row.getLong(0)} != recomputed $n")
+    require(row.getBoolean(1) == exact && row.getBoolean(2) == desc &&
+      row.getBoolean(3) == recall,
+      s"invariant: gate verdicts (${row.getBoolean(1)}, ${row.getBoolean(2)}, " +
+        s"${row.getBoolean(3)}) disagree with recomputation ($exact, $desc, $recall)")
+    require(n == k && exact && desc && recall,
+      s"invariant: ANN contract violated (n=$n, exact=$exact, desc=$desc, recall=$recall)")
   }
 
   def check(name: String, df: DataFrame, fn: QueryFn,
@@ -293,56 +302,90 @@ object GateInvariants {
       }
     case "ann_ivf" =>
       // the gate probes only nprobe=4 of nlist=16 cells — recall is the
-      // tunable; the HARD invariant is score exactness (minHits=2 just
+      // tunable; the HARD contract is score exactness (minHits=2 just
       // catches probing the wrong cells entirely)
-      annChecks(df, spark, sfDir, k = 10, scoreTol = 0.0, minHits = 2)
+      annVerdictChecks(df,
+        operators.SimilarityOps.ivfTopK(core.Tables(spark, sfDir), 0L, 10, 16, 4),
+        spark, sfDir, k = 10, scoreTol = 0.0, minHits = 2)
     case "ann_brp_lsh" =>
       // cos is reconstructed as 1 − d²/2 on unit vectors: 1e-6-rounded twice
-      annChecks(df, spark, sfDir, k = 10, scoreTol = 2e-6, minHits = 5)
+      annVerdictChecks(df,
+        operators.SimilarityOps.brpLshTopK(core.Tables(spark, sfDir), 0L, 10),
+        spark, sfDir, k = 10, scoreTol = 2e-6, minHits = 5)
     case "dedup_minhash_mllib" =>
-      val got = df.collect()
+      // verdict-gate shape (n_exact_dup_pairs, exact_dups_all_found,
+      // sims_in_range): re-run the raw MLlib join and the exact-dup pair
+      // derivation, recompute all three facts, require equality with the
+      // gate row plus the contract itself
+      val tt = core.Tables(spark, sfDir)
+      val got = operators.DedupOps.minhashDupPairsMllib(tt, 0.7).collect()
         .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-      got.values.foreach(j => require(j >= 0.7 - 1e-4 && j <= 1.0,
-        s"invariant: similarity $j outside (threshold, 1]"))
-      val exact = operators.DedupOps
-        .ngramJaccardPairs(core.Tables(spark, sfDir), 1.0)
+      val exact = operators.DedupOps.ngramJaccardPairs(tt, 1.0)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      exact.foreach(p => require(got.contains(p),
-        s"invariant: exact duplicate pair $p missed (collides in every table)"))
+      val allFound = exact.forall(got.contains)
+      val simsInRange = got.values.forall(j => j >= 0.7 - 1e-4 && j <= 1.0)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getLong(0) == exact.length.toLong,
+        s"invariant: gate n_exact_dup_pairs ${row.getLong(0)} != recomputed ${exact.length}")
+      require(row.getBoolean(1) == allFound && row.getBoolean(2) == simsInRange,
+        s"invariant: gate verdicts (${row.getBoolean(1)}, ${row.getBoolean(2)}) " +
+          s"disagree with recomputation ($allFound, $simsInRange)")
+      require(allFound, "invariant: exact duplicate pair missed (collides in every table)")
+      require(simsInRange, "invariant: similarity outside (threshold, 1]")
     case "ml_cv_linear" =>
-      // CV sweep: one row per grid point; the flagged winner must carry
-      // the minimum cross-validation avg RMSE (the whole point of the
-      // sweep), metrics must be finite and positive, and the seeded fold
-      // split must make a re-run identical
-      val rows = df.collect()
+      // verdict-gate shape (n_grid_points, grid_expected,
+      // winner_unique_minimal, metrics_finite): re-run the RAW seeded
+      // sweep, recompute every verdict, require equality with the gate
+      // row plus the contract itself; the seeded fold split must also
+      // make the re-run identical to itself
+      val tt = core.Tables(spark, sfDir)
+      val raw = ml.PricePipeline.cvLinearSweep(tt).collect()
         .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
-      require(rows.map(_._1).toSet == Set(0.01, 0.5),
-        s"invariant: grid ${rows.map(_._1).toSeq} != expected regParam grid")
-      rows.foreach { case (p, m, _) =>
-        require(!m.isNaN && m > 0, s"invariant: bad avg_rmse $m at regParam $p")
-      }
-      val winners = rows.filter(_._3)
-      require(winners.length == 1, s"invariant: ${winners.length} winners flagged")
-      require(winners.head._2 == rows.map(_._2).min,
-        s"invariant: winner ${winners.head} does not minimize avg RMSE over $rows")
-      val again = fn(spark, sfDir).collect()
+      val (n, gridOk, winnerOk, finite) = ml.PricePipeline.cvVerdicts(raw)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getLong(0) == n,
+        s"invariant: gate n_grid_points ${row.getLong(0)} != recomputed $n")
+      require(row.getBoolean(1) == gridOk && row.getBoolean(2) == winnerOk &&
+        row.getBoolean(3) == finite,
+        s"invariant: gate verdicts disagree with the independent " +
+          s"recomputation ($gridOk, $winnerOk, $finite) over $raw")
+      require(n == 2 && gridOk && winnerOk && finite,
+        s"invariant: CV sweep violated its contract over $raw")
+      val again = ml.PricePipeline.cvLinearSweep(tt).collect()
         .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
-      require(again.toSeq == rows.toSeq, "invariant: seeded CV sweep not deterministic")
+      require(again.toSeq == raw.toSeq, "invariant: seeded CV sweep not deterministic")
     case "ml_price_metrics" | "ml_price_metrics_full" =>
+      // verdict-gate shape (model, r2adj_eq_r2, rmse2_eq_mse,
+      // metrics_sane): re-run the RAW fits, recompute each model's metric
+      // identities, require the gate's booleans to equal the
+      // recomputation and the contract to hold
       val expectedModels =
         if (name == "ml_price_metrics")
-          Set("LinearRegression", "DecisionTree", "GeneralizedLinear")
-        else ml.PricePipeline.regressors.map(_._1).toSet // all nine
+          Seq("LinearRegression", "DecisionTree", "GeneralizedLinear")
+        else ml.PricePipeline.regressors.map(_._1) // all nine
+      val raw = ml.PricePipeline.metricsTable(
+          core.Tables(spark, sfDir), expectedModels)
+        .collect().map(r => r.getString(0) -> r).toMap
+      require(raw.keySet == expectedModels.toSet,
+        s"invariant: raw model set ${raw.keySet} != ${expectedModels.toSet}")
       val rows = df.collect()
-      require(rows.map(_.getString(0)).toSet == expectedModels,
-        s"invariant: model set ${rows.map(_.getString(0)).toSet} != $expectedModels")
-      rows.foreach { r =>
+      require(rows.map(_.getString(0)).toSet == expectedModels.toSet,
+        s"invariant: gate model set ${rows.map(_.getString(0)).toSet} != ${expectedModels.toSet}")
+      rows.foreach { g =>
+        val r = raw(g.getString(0))
         val Seq(r2, r2adj, mse, rmse, mae) = (1 to 5).map(r.getDouble)
-        require(!r2.isNaN && r2 <= 1.0 && mse >= 0 && mae >= 0, "invariant: bad metric")
-        require(r2 == r2adj, "invariant: r2adj quirk (== r2) not reproduced")
-        require(math.abs(rmse * rmse - mse) / math.max(mse, 1e-9) < 0.01,
-          "invariant: rmse^2 != mse")
-        require(mae <= rmse, "invariant: mae > rmse is impossible")
+        val quirk = r2 == r2adj
+        val rmseMse = math.abs(rmse * rmse - mse) / math.max(mse, 1e-9) < 0.01
+        val sane = !r2.isNaN && r2 <= 1.0 && mse >= 0 && mae >= 0 && mae <= rmse
+        require(g.getBoolean(1) == quirk && g.getBoolean(2) == rmseMse &&
+          g.getBoolean(3) == sane,
+          s"invariant: gate verdicts for ${g.getString(0)} disagree with the " +
+            s"re-fit recomputation ($quirk, $rmseMse, $sane)")
+        require(quirk, "invariant: r2adj quirk (== r2) not reproduced")
+        require(rmseMse, "invariant: rmse^2 != mse")
+        require(sane, "invariant: bad metric")
       }
     case "sketch_cms_topk" =>
       // hash-gated shape: (l_partkey, n_exact, never_under, within_bound).

@@ -194,4 +194,73 @@ object PricePipeline {
         .orderBy("reg_param")
     } finally { data.unpersist(); () }
   }
+
+  /** Verdict facts over a metrics table — the reference's documented
+    * contracts, checkable even though the fitted VALUES are
+    * engine-specific: adjusted R² equals R² (the reference's M12 quirk),
+    * rmse² ≈ mse, mae ≤ rmse, and every metric finite with r2 ≤ 1.
+    */
+  private def metricsVerdicts(rows: Array[org.apache.spark.sql.Row])
+      : (Boolean, Boolean, Boolean) = {
+    val quirk = rows.forall(r => r.getDouble(1) == r.getDouble(2))
+    val rmseMse = rows.forall { r =>
+      val (mse, rmse) = (r.getDouble(3), r.getDouble(4))
+      math.abs(rmse * rmse - mse) / math.max(mse, 1e-9) < 0.01
+    }
+    val sane = rows.forall { r =>
+      val vals = (1 to 5).map(r.getDouble)
+      vals.forall(v => !v.isNaN && !v.isInfinite) &&
+        r.getDouble(1) <= 1.0 && r.getDouble(3) >= 0 &&
+        r.getDouble(5) <= r.getDouble(4)
+    }
+    (quirk, rmseMse, sane)
+  }
+
+  /** Hash-gated face of a metrics table (round-9, was rows-only): one row
+    * per model — the model SET is part of the contract and
+    * oracle-recomputable — with the reference's metric identities as
+    * verdicts the oracle states constant. Verify.GateInvariants re-runs
+    * the fits and recomputes every boolean independently.
+    */
+  def metricsVerdictGate(t: Tables, modelNames: Seq[String]): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val rows = metricsTable(t, modelNames).collect()
+    val byModel = rows.map(r => r.getString(0) -> r).toMap
+    modelNames.map { m =>
+      val (quirk, rmseMse, sane) = metricsVerdicts(Array(byModel(m)))
+      (m, quirk, rmseMse, sane)
+    }.toDF("model", "r2adj_eq_r2", "rmse2_eq_mse", "metrics_sane")
+  }
+
+  def fastMetricsGate(t: Tables): DataFrame =
+    metricsVerdictGate(t, Seq("LinearRegression", "DecisionTree", "GeneralizedLinear"))
+
+  def fullMetricsGate(t: Tables): DataFrame =
+    metricsVerdictGate(t, regressors.map(_._1))
+
+  /** Verdict facts for the CV sweep: fixed grid recovered, exactly one
+    * winner flagged and it minimizes the cross-validation average RMSE,
+    * all metrics finite and positive.
+    */
+  private[graft] def cvVerdicts(rows: Array[(Double, Double, Boolean)])
+      : (Long, Boolean, Boolean, Boolean) = {
+    val gridOk = rows.map(_._1).toSet == Set(0.01, 0.5)
+    val winners = rows.filter(_._3)
+    val winnerOk = winners.length == 1 &&
+      winners.headOption.exists(_._2 == rows.map(_._2).min)
+    val finite = rows.forall { case (_, m, _) => !m.isNaN && m > 0 }
+    (rows.length.toLong, gridOk, winnerOk, finite)
+  }
+
+  /** Hash-gated face of [[cvLinearSweep]] (round-9, was rows-only). */
+  def cvVerdictGate(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val rows = cvLinearSweep(t).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+    val (n, gridOk, winnerOk, finite) = cvVerdicts(rows)
+    Seq((n, gridOk, winnerOk, finite))
+      .toDF("n_grid_points", "grid_expected", "winner_unique_minimal", "metrics_finite")
+  }
 }

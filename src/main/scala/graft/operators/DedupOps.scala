@@ -515,6 +515,30 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
   }
 
+  /** Hash-gated face of [[minhashDupPairsMllib]] (round-9, was
+    * rows-only): MLlib's OR-amplified hash family makes the pair SET
+    * engine-specific, but three facts are checkable — the count of exact
+    * duplicate pairs (n-gram Jaccard = 1.0 under the shared maxDf guard,
+    * which the DuckDB oracle recomputes), that the MLlib join found every
+    * one of them (exact duplicates collide in every hash table — a hard
+    * LSH guarantee), and that every reported similarity lies in
+    * (threshold, 1]. The oracle states the booleans as constants;
+    * Verify.GateInvariants recomputes all three from fresh raw runs, so
+    * they are not self-certified.
+    */
+  def minhashMllibVerdictGate(t: Tables, minJaccard: Double = 0.7): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val got = minhashDupPairsMllib(t, minJaccard).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = ngramJaccardPairs(t, 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val allFound = exact.forall(got.contains)
+    val simsInRange = got.values.forall(j => j >= minJaccard - 1e-4 && j <= 1.0)
+    Seq((exact.length.toLong, allFound, simsInRange))
+      .toDF("n_exact_dup_pairs", "exact_dups_all_found", "sims_in_range")
+  }
+
   /** SimHash near-duplicates: 64-bit sketch, candidates share one of four
     * 16-bit bands, verified by Hamming distance ≤ maxHamming.
     *

@@ -204,6 +204,55 @@ object SimilarityOps {
       .select("vec_id", "label", "cos_sim")
   }
 
+  /** Verdict facts for an ANN result — the contract an approximate index
+    * must honor even though its neighbor SET is engine-specific: every
+    * reported score equals the exact cosine for that vec_id within
+    * `scoreTol` (ANN may miss neighbors, never misscore them), scores
+    * arrive descending, and recall@k against [[bruteForceTopK]] clears
+    * the per-index floor. Computed from the ACTUAL ann rows; the driver
+    * oracle states them as constants and Verify.GateInvariants recomputes
+    * each one independently from a fresh run of the raw index probe, so
+    * the booleans are not self-certified (round-8 verdict #4 pattern).
+    * Driver-side work is bounded: k ann rows plus the exact score map.
+    */
+  private[graft] def annVerdicts(t: Tables, ann: DataFrame, k: Int,
+                                 scoreTol: Double, minHits: Int)
+      : (Long, Boolean, Boolean, Boolean) = {
+    val rows = ann.collect()
+    val brute = bruteForceTopK(t, 0L, Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val scoresExact = rows.forall(r =>
+      math.abs(brute(r.getLong(0)) - r.getDouble(2)) <= scoreTol)
+    val scores = rows.map(_.getDouble(2)).toSeq
+    val descending = scores == scores.sorted.reverse
+    val top = bruteForceTopK(t, 0L, k).collect().map(_.getLong(0)).toSet
+    val hits = rows.map(_.getLong(0)).count(top.contains)
+    (rows.length.toLong, scoresExact, descending, hits >= minHits)
+  }
+
+  /** Hash-gated face of [[ivfTopK]] (round-9, was rows-only). */
+  def ivfVerdictGate(t: Tables, k: Int = 10): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val (n, exact, desc, recall) =
+      annVerdicts(t, ivfTopK(t, 0L, k, 16, 4), k, scoreTol = 0.0, minHits = 2)
+    Seq((n, exact, desc, recall))
+      .toDF("n_neighbors", "scores_exact", "scores_descending", "recall_floor_met")
+  }
+
+  /** Hash-gated face of [[brpLshTopK]] (round-9, was rows-only). The
+    * score tolerance covers the 1 − d²/2 reconstruction on unit vectors:
+    * two 1e-6 roundings.
+    */
+  def brpLshVerdictGate(t: Tables, k: Int = 10): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val (n, exact, desc, recall) =
+      annVerdicts(t, brpLshTopK(t, 0L, k), k, scoreTol = 2e-6, minHits = 5)
+    Seq((n, exact, desc, recall))
+      .toDF("n_neighbors", "scores_exact", "scores_descending", "recall_floor_met")
+  }
+
   /** Embedding near-duplicate pairs: label-blocked exact variant (the
     * cluster label doubles as a blocking key — the oracle-checkable ground
     * truth for the LSH variant below).

@@ -45,14 +45,15 @@ class VerifyInvariantsSpec extends SparkTestBase {
 
   test("cross-validation sweep satisfies its invariants; doctored winner rejected") {
     GateInvariants.check("ml_cv_linear",
-      ml.PricePipeline.cvLinearSweep(t),
-      (s, d) => ml.PricePipeline.cvLinearSweep(core.Tables(s, d)),
+      ml.PricePipeline.cvVerdictGate(t),
+      (s, d) => ml.PricePipeline.cvVerdictGate(core.Tables(s, d)),
       spark, dir)
-    // flipping the winner flag makes the flagged row non-minimal
+    // a flipped verdict disagrees with the independent re-sweep
     intercept[IllegalArgumentException] {
       GateInvariants.check("ml_cv_linear",
-        ml.PricePipeline.cvLinearSweep(t).withColumn("is_best", !col("is_best")),
-        (s, d) => ml.PricePipeline.cvLinearSweep(core.Tables(s, d)), spark, dir)
+        ml.PricePipeline.cvVerdictGate(t)
+          .withColumn("winner_unique_minimal", !col("winner_unique_minimal")),
+        (s, d) => ml.PricePipeline.cvVerdictGate(core.Tables(s, d)), spark, dir)
     }
   }
 
@@ -134,36 +135,24 @@ class VerifyInvariantsSpec extends SparkTestBase {
     }
   }
 
-  test("ml_price_metrics_full invariants: model set pinned, doctored metrics rejected") {
+  test("ml_price_metrics invariants: real gate passes, doctored verdicts rejected") {
     import spark.implicits._
-    // a synthetic 9-model frame satisfying every invariant — cheaper than
-    // nine fits, and it isolates the CHECKER (the real fits run green in
-    // TextMlMultimodalSpec and in every Verify invocation)
-    val names = graft.ml.PricePipeline.regressors.map(_._1)
-    def frame(rows: Seq[(String, Double, Double, Double, Double, Double)]) =
-      rows.toDF("model", "r2", "r2adj", "mse", "rmse", "mae")
-    val good = frame(names.map(n => (n, 0.5, 0.5, 100.0, 10.0, 8.0)))
-    GateInvariants.check("ml_price_metrics_full", good,
-      (_, _) => good, spark, dir)
+    // the fast 3-model variant keeps this spec cheap while exercising the
+    // same checker path as the 9-model gate (shared case in GateInvariants)
+    val good = ml.PricePipeline.fastMetricsGate(t)
+    GateInvariants.check("ml_price_metrics", good,
+      (s, d) => ml.PricePipeline.fastMetricsGate(core.Tables(s, d)), spark, dir)
+    // quirk verdict flipped while the re-fit recomputation says true
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("ml_price_metrics",
+        good.withColumn("r2adj_eq_r2", !col("r2adj_eq_r2")),
+        (s, d) => ml.PricePipeline.fastMetricsGate(core.Tables(s, d)), spark, dir)
+    }
     // missing model
     intercept[IllegalArgumentException] {
-      val df = frame(names.drop(1).map(n => (n, 0.5, 0.5, 100.0, 10.0, 8.0)))
-      GateInvariants.check("ml_price_metrics_full", df, (_, _) => df, spark, dir)
-    }
-    // r2adj quirk lost
-    intercept[IllegalArgumentException] {
-      val df = frame(names.map(n => (n, 0.5, 0.4, 100.0, 10.0, 8.0)))
-      GateInvariants.check("ml_price_metrics_full", df, (_, _) => df, spark, dir)
-    }
-    // rmse^2 != mse
-    intercept[IllegalArgumentException] {
-      val df = frame(names.map(n => (n, 0.5, 0.5, 100.0, 12.0, 8.0)))
-      GateInvariants.check("ml_price_metrics_full", df, (_, _) => df, spark, dir)
-    }
-    // mae > rmse is impossible
-    intercept[IllegalArgumentException] {
-      val df = frame(names.map(n => (n, 0.5, 0.5, 100.0, 10.0, 11.0)))
-      GateInvariants.check("ml_price_metrics_full", df, (_, _) => df, spark, dir)
+      GateInvariants.check("ml_price_metrics",
+        good.filter(col("model") =!= "DecisionTree"),
+        (s, d) => ml.PricePipeline.fastMetricsGate(core.Tables(s, d)), spark, dir)
     }
   }
 }
