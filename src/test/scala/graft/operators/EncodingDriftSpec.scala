@@ -88,6 +88,44 @@ class EncodingDriftSpec extends SparkTestBase {
     assert(results("micros_ntz").nonEmpty)
   }
 
+  test("streaming dedup adapts to documents fixture width drift") {
+    import spark.implicits._
+    // same micro corpus in two physical widths: the current fixture shape
+    // (int64 ids/counts) and a narrowed regeneration (int32) — the
+    // DedupStream footer probe must absorb either, and the emitted pair
+    // set must equal the batch operator's on both
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words in this other document here"),
+      (4L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val root = java.nio.file.Files.createTempDirectory("graft_docenc_").toString
+    docs.map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$root/wide/documents.parquet")
+    docs.map { case (id, tx) => (id.toInt, tx, "en", "s0", tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$root/narrow/documents.parquet")
+    val results = Seq("wide", "narrow").map { enc =>
+      val dir = s"$root/$enc"
+      // width-agnostic reads: the batch operator propagates the fixture's
+      // id width to its output (int32 on the narrow variant), while the
+      // typed streaming operator always emits longs
+      val streamed = graft.streaming.DedupStream
+        .minhashPairs(spark, dir, s"docenc_${enc}_${System.nanoTime()}", 0.3)
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+      val batch = graft.operators.DedupOps
+        .minhashDupPairs(graft.core.Tables(spark, dir), 0.3)
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+      assert(streamed == batch, s"stream vs batch pair sets differ on $enc")
+      streamed
+    }
+    assert(results.distinct.size == 1, "pair sets differ across encodings")
+    assert(results.head.nonEmpty, "vacuous: no near-dup pairs in the fixture")
+  }
+
   test("batch and streaming agree on every encoding") {
     encodedDirs.foreach { case (enc, dir) =>
       val batch = canon(EventOps.hourlyTypeCounts(Tables(spark, dir))
