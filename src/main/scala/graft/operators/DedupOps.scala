@@ -524,7 +524,9 @@ object DedupOps {
     * LSH guarantee), and that every reported similarity lies in
     * (threshold, 1]. The oracle states the booleans as constants;
     * Verify.GateInvariants recomputes all three from fresh raw runs, so
-    * they are not self-certified.
+    * they are not self-certified. The collects here are the verdict
+    * derivation over the high-threshold pair set (small by construction
+    * at 0.7) — verification cost, not the production dedup path.
     */
   def minhashMllibVerdictGate(t: Tables, minJaccard: Double = 0.7): DataFrame = {
     val spark = t.spark

@@ -213,7 +213,9 @@ object SimilarityOps {
     * oracle states them as constants and Verify.GateInvariants recomputes
     * each one independently from a fresh run of the raw index probe, so
     * the booleans are not self-certified (round-8 verdict #4 pattern).
-    * Driver-side work is bounded: k ann rows plus the exact score map.
+    * The exact score map collects O(n_vectors) rows — a VERIFICATION-ONLY
+    * cost (ground truth is inherently exhaustive); the production path is
+    * the raw probe, whose driver traffic is k rows.
     */
   private[graft] def annVerdicts(t: Tables, ann: DataFrame, k: Int,
                                  scoreTol: Double, minHits: Int)
