@@ -52,3 +52,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
+
+object Tables {
+  /** Max mtime over a fixture file (or directory of part-files), 0 when
+    * unreadable. Cache keys that include it survive the driver
+    * regenerating fixtures in-place under a running JVM — the round-8
+    * events.ts NANOS→MICROS drift happened exactly that way, and a cache
+    * keyed on the path alone would keep serving the stale physical
+    * encoding until a restart.
+    */
+  def fixtureMtime(path: String): Long =
+    try {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try stream.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .max().orElse(0L)
+      finally stream.close()
+    } catch { case _: Throwable => 0L }
+}

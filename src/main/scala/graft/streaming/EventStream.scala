@@ -46,18 +46,21 @@ object EventStream {
     out
   }
 
-  /** Cached per input dir: one cheap batch footer probe decides which ts
-    * rebuild the streaming schema needs. The cache keys on the directory
-    * only — a fixture regenerated in-place under a running JVM with a
-    * DIFFERENT encoding would need a restart, which is the same contract
-    * as the checkpoint dirs above.
+  /** Cached per (input dir, fixture mtime): one cheap batch footer probe
+    * decides which ts rebuild the streaming schema needs. The mtime in the
+    * key makes an in-place fixture regeneration (the driver does this
+    * between rounds, under a running JVM — round-8 ts drift) invalidate
+    * the cached encoding instead of requiring a restart; same contract as
+    * `DedupOps.pairGraph`. Stale generations are evicted on sight.
     */
   private val tsTypeCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.DataType]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.DataType]
 
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = tsTypeCache.getOrElseUpdate(dir,
+    val key = (dir, graft.core.Tables.fixtureMtime(s"$dir/events.parquet"))
+    tsTypeCache.keys.filter(k => k._1 == key._1 && k._2 != key._2).foreach(tsTypeCache.remove)
+    val tsType = tsTypeCache.getOrElseUpdate(key,
       spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
     val schema = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))

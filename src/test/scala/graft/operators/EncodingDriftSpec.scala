@@ -126,6 +126,62 @@ class EncodingDriftSpec extends SparkTestBase {
     assert(results.head.nonEmpty, "vacuous: no near-dup pairs in the fixture")
   }
 
+  test("in-place fixture regeneration invalidates the streaming schema caches") {
+    import spark.implicits._
+    // The driver regenerates fixtures IN-PLACE under a running JVM (the
+    // round-8 ts drift arrived exactly that way), so the streaming schema
+    // caches key on (dir, fixture mtime): a rewrite with a different
+    // physical encoding must be picked up without a restart. With a
+    // dir-only key the second read below would apply the stale NTZ schema
+    // to raw int64 nanos — the silent 1000× compression class.
+    val root = java.nio.file.Files.createTempDirectory("graft_regen_").toString
+    val base = (0 until 12).map { i =>
+      val sec = 1700000000L + i * 540L
+      (i.toLong, sec, i.toLong % 3,
+        if (i % 2 == 0) "click" else "purchase", i * 1.25, s"""{"k":$i}""")
+    }
+    def writeMicros(): Unit = base
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_seconds(sec) as timestamp_ntz)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/events.parquet")
+    def writeNanos(): Unit = base
+      .map { case (id, sec, u, ty, v, p) => (id, sec * 1000000000L, u, ty, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/events.parquet")
+
+    writeMicros()
+    val before = canon(EventStream.hourlyCounts(spark, root,
+      s"regen_a_${System.nanoTime()}"))
+    writeNanos() // regeneration-in-place: same dir, different physical type
+    val after = canon(EventStream.hourlyCounts(spark, root,
+      s"regen_b_${System.nanoTime()}"))
+    assert(before == after,
+      "regenerated encoding served through a stale cached streaming schema")
+    assert(before.nonEmpty)
+
+    // same contract for the documents schema probe in DedupStream
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words in this other document here"))
+    val droot = java.nio.file.Files.createTempDirectory("graft_regen_doc_").toString
+    docs.map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$droot/documents.parquet")
+    val widePairs = graft.streaming.DedupStream
+      .minhashPairs(spark, droot, s"regen_doc_a_${System.nanoTime()}", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    docs.map { case (id, tx) => (id.toInt, tx, "en", "s0", tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$droot/documents.parquet")
+    val narrowPairs = graft.streaming.DedupStream
+      .minhashPairs(spark, droot, s"regen_doc_b_${System.nanoTime()}", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(widePairs == narrowPairs && widePairs.nonEmpty,
+      "regenerated documents width served through a stale cached schema")
+  }
+
   test("batch and streaming agree on every encoding") {
     encodedDirs.foreach { case (enc, dir) =>
       val batch = canon(EventOps.hourlyTypeCounts(Tables(spark, dir))
