@@ -346,8 +346,42 @@ object DedupOps {
       .select(col("doc_id") +: col("band") +: col("sh") +: carry.map(col): _*)
   }
 
+  /** The distinct candidate-pair stream behind [[minhashDupPairs]], before
+    * the Jaccard verification — separated (like [[editDistanceCandidates]])
+    * so the skew spec can count candidates directly, the quantity the
+    * hot-band guard actually bounds.
+    *
+    * repartition by (band, sub): the self-join needs a hash exchange on
+    * the key anyway; placing it on the shared frame lets ReuseExchange
+    * compute the banding pipeline ONCE and feed both join sides from one
+    * shuffle. The band-df aggregate is a second, id-width exchange whose
+    * result re-joins the banded frame by band (broadcast-sized: one row
+    * per distinct band key).
+    */
+  def minhashCandidatePairs(t: Tables, k: Int = 16, bands: Int = 8,
+                            maxBand: Int = 1000): DataFrame = {
+    val banded = bandedDocs(
+        t.documents.withColumn("h2", substring(md5(col("text")), 1, 2)),
+        k, bands, carry = Seq("h2"))
+      .select("doc_id", "band", "h2")
+    val bandDf = banded.groupBy("band").agg(count(lit(1)).as("bdf"))
+    val docs = banded.join(bandDf, Seq("band"))
+      .withColumn("sub",
+        when(col("bdf") <= maxBand, lit("")).otherwise(col("h2")))
+      .select("doc_id", "band", "sub")
+      .repartition(col("band"), col("sub"))
+
+    val a = docs.select(col("band"), col("sub"), col("doc_id").as("doc_a"))
+    val b = docs.select(col("band"), col("sub"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "sub"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
+  }
+
   def minhashDupPairs(t: Tables, minJaccard: Double = 0.8,
-                      k: Int = 16, bands: Int = 8): DataFrame = {
+                      k: Int = 16, bands: Int = 8,
+                      maxBand: Int = 1000): DataFrame = {
     // candidates-then-verify (round-7 restructure): the band self-join and
     // the pair dedup shuffle ONLY (doc_id, band) / (doc_a, doc_b) — ids,
     // never the ~KB-per-doc shingle arrays the old shape dragged through
@@ -356,20 +390,23 @@ object DedupOps {
     // each doc's set once instead of once per band row. Output identical:
     // same candidates, same Jaccard, same filter.
     //
-    // repartition by `band`: the self-join needs a hash exchange on the
-    // key anyway; placing it on the shared frame lets ReuseExchange
-    // compute the banding pipeline ONCE and feed both join sides from
-    // one shuffle.
-    val docs = bandedDocs(t.documents, k, bands)
-      .select("doc_id", "band")
-      .repartition(col("band"))
-
-    val a = docs.select(col("band"), col("doc_id").as("doc_a"))
-    val b = docs.select(col("band"), col("doc_id").as("doc_b"))
-    val cand = a.join(b, Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b") // same pair may collide in >1 band
+    // Hot-band guard (round-10, mirrors editDistanceCandidates' maxBlock
+    // sub-split): a band key shared by B docs yields B²/2 candidate pairs,
+    // and a boilerplate-heavy corpus (near-identical templates that are
+    // NOT exact duplicates) can concentrate one band quadratically at
+    // 100 TB. Bands over `maxBand` docs are SUB-SPLIT by a content hash
+    // (first 2 hex chars of md5(text), 256 sub-cells) instead of joining
+    // whole: a hot band of c docs fans from c²/2 pairs down to ~c²/512.
+    // Recall retention: EXACT duplicates always share a sub-cell
+    // (identical text ⇒ identical md5); a NEAR-dup pair split apart in
+    // one hot band still has `bands` − 1 other independent band keys to
+    // collide on, so only pairs hot-AND-split in every band lose
+    // candidacy. Under-capacity bands get the empty sub-key — the join
+    // key degenerates to the band alone and the output is IDENTICAL to
+    // the unguarded shape (the driver fixtures never trigger the guard,
+    // which [[minhashHotBandStats]]' gate pins as a checked fact, so the
+    // dedup_minhash oracle needn't model the sub-split).
+    val cand = minhashCandidatePairs(t, k, bands, maxBand)
 
     // one shingle set per doc (the banded frame repeats it per band row);
     // recomputing the hashed set here is pure codegen CPU — far cheaper
@@ -408,14 +445,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(Int, String, Long, Double), DataFrame]
 
   private def corpusMtime(dir: String): Long =
-    try {
-      val stream = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
-      try stream.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
-        .max().orElse(0L)
-      finally stream.close()
-    } catch { case _: Throwable => 0L }
+    graft.core.Tables.fixtureMtime(s"$dir/documents.parquet")
 
   def pairGraph(t: Tables, minJaccard: Double): DataFrame = {
     val key = (System.identityHashCode(t.spark), t.dir,
@@ -678,9 +708,30 @@ object DedupOps {
   /** The degraded-mode meter for [[editDistanceCandidates]]'s hot-cell
     * sub-split: how many (prefix, band) cells exceed `maxBlock` and how
     * many documents live in them — the population whose near-dup recall
-    * is hash-partitioned rather than exact. Zero rows ⇒ the whole corpus
-    * ran with exact blocking semantics.
+    * is hash-partitioned rather than exact. The trailing global agg always
+    * emits exactly one row; `hot_cells = 0` (a row of zeros) ⇒ the whole
+    * corpus ran with exact blocking semantics.
     */
+  /** The degraded-mode meter for [[minhashDupPairs]]' hot-band sub-split:
+    * how many band keys exceed `maxBand` docs and how many band rows live
+    * in them — the population whose near-dup candidacy is content-hash-
+    * partitioned rather than exact in that band. Always exactly one row;
+    * `hot_bands = 0` (a row of zeros) ⇒ the whole corpus ran with exact
+    * banding semantics and the guarded join key degenerated to the band
+    * alone. Gated: the DuckDB oracle rebuilds the identical md5 band keys
+    * and recounts, so "the fixtures never trigger the guard" is a checked
+    * fact, not an assumption.
+    */
+  def minhashHotBandStats(t: Tables, k: Int = 16, bands: Int = 8,
+                          maxBand: Int = 1000): DataFrame =
+    bandedDocs(t.documents, k, bands)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBand)
+      .agg(
+        coalesce(count(lit(1)), lit(0L)).as("hot_bands"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("docs_in_hot_bands"))
+
   def editDistanceHotCellStats(t: Tables, prefixLen: Int = 16,
                                maxDist: Int = 20, maxBlock: Int = 1000): DataFrame =
     t.documents

@@ -178,4 +178,72 @@ class SkewStressSpec extends SparkTestBase {
       }
     }
   }
+
+  /** ~45-word template with one varying trailing token: shingle sets share
+    * all but the last 3 shingles, so most docs land on the SAME md5 band
+    * keys (the min-hash of each band's rows is almost always one of the
+    * shared shingles) without being exact duplicates — the boilerplate
+    * shape (license headers, templated pages) that makes one band
+    * quadratic in the unguarded join.
+    */
+  private def boilerplateCorpus(n: Long): Seq[(Long, String)] = {
+    val template = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt ut labore et dolore magna aliqua enim ad minim " +
+      "veniam quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo " +
+      "consequat duis aute irure in reprehenderit voluptate velit esse cillum").trim
+    (0L until n).map(i => i -> f"$template variant $i%06d")
+  }
+
+  test("minhash hot-band guard: candidates bounded on a boilerplate corpus, not quadratic") {
+    val t = docTables(boilerplateCorpus(300))
+    // unguarded: nearly every band key is shared by ~all 300 docs, so the
+    // candidate set approaches all-pairs (~45k)
+    val open = DedupOps.minhashCandidatePairs(t, maxBand = Int.MaxValue).count()
+    assert(open > 30000, s"fixture not hot enough to exercise the guard: $open")
+    // guarded at maxBand=50: hot bands sub-split across 256 content-hash
+    // cells (~1-2 docs each), collapsing the quadratic bucket
+    val guarded = DedupOps.minhashCandidatePairs(t, maxBand = 50).count()
+    assert(guarded < open / 10,
+      s"hot-band sub-split did not bound candidates: $guarded vs open $open")
+    // the meter observes the degraded mode at the triggering cap and
+    // reports full exactness at the default cap (300 < 1000)
+    val hot = DedupOps.minhashHotBandStats(t, maxBand = 50).head()
+    assert(hot.getLong(0) > 0 && hot.getLong(1) > 50, s"meter missed hot bands: $hot")
+    val calm = DedupOps.minhashHotBandStats(t).head()
+    assert(calm.getLong(0) == 0 && calm.getLong(1) == 0,
+      s"meter fired below the default cap: $calm")
+  }
+
+  test("minhash hot-band sub-split never loses an exact-duplicate pair") {
+    // 300 near-identical docs force every shared band over a maxBand=50
+    // cap; two of them are EXACT duplicates — identical text ⇒ identical
+    // md5 ⇒ same sub-cell in every hot band, so the pair must survive
+    // with jaccard 1.0 even in fully degraded mode
+    val dup = Seq(
+      900L -> (boilerplateCorpus(1).head._2.dropRight(6) + "IDENTICAL"),
+      901L -> (boilerplateCorpus(1).head._2.dropRight(6) + "IDENTICAL"))
+    val t = docTables(boilerplateCorpus(300) ++ dup)
+    val pairs = DedupOps.minhashDupPairs(t, 0.8, maxBand = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.contains((900L, 901L, 1.0)),
+      s"exact-duplicate pair lost in a sub-split hot band " +
+        s"(got ${pairs.size} pairs)")
+  }
+
+  test("minhash guard is inert below the cap: guarded output equals unguarded") {
+    // under-capacity bands take the empty sub-key, so the join key
+    // degenerates to the band alone — byte-identical output. This is the
+    // property that keeps the dedup_minhash gate hash unchanged (the
+    // dedup_minhash_hotband gate separately pins hot_bands = 0 on the
+    // driver fixtures).
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val guarded = DedupOps.minhashDupPairs(t, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val open = DedupOps.minhashDupPairs(t, 0.3, maxBand = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guarded == open, "guard changed the pair set below its cap")
+    assert(guarded.nonEmpty, "vacuous: no near-dup pairs in the fixture")
+    val stats = DedupOps.minhashHotBandStats(t).head()
+    assert(stats.getLong(0) == 0, s"fixture unexpectedly has hot bands: $stats")
+  }
 }
