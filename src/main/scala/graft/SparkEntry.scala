@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.ml.{PricePipeline, Recommender}
+import graft.ml.{FeatureEngineering, PricePipeline, Recommender}
 import graft.multimodal.MultimodalOps
 import graft.operators._
 import graft.streaming.EventStream
@@ -73,12 +73,11 @@ object SparkEntry {
     // the actual seeded sample / split (independently recomputed)
     "sample_orders"         -> q(CoreQueries.sampleOrdersGate),
     "split_counts"          -> q(CoreQueries.splitCountsGate),
-    // the ONE remaining rows-only gate, by design: F10's
-    // monotonically_increasing_id is partition-dependent BY CONTRACT and
-    // demonstrating that is the point; the hash-gated row_ids_stable twin
-    // covers the deterministic formulation, and the invariant pins
-    // one-id-per-row + uniqueness
-    "row_ids"               -> q(CoreQueries.rowIds),
+    // F10's monotonically_increasing_id is partition-dependent BY
+    // CONTRACT, so the gate (round-10, was rows-only) emits the source
+    // count + uniqueness/nonnegativity verdicts over the actual ids; the
+    // hash-gated row_ids_stable twin covers the deterministic formulation
+    "row_ids"               -> q(CoreQueries.rowIdsGate),
     "row_ids_stable"        -> q(CoreQueries.rowIdsStable),
     "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
     "partitioned_roundtrip" -> q(graft.sources.PartitionedParquet.partitionedRoundtrip),
@@ -100,6 +99,9 @@ object SparkEntry {
     // time (plan spec-asserted); the gate proves result parity
     "join_revenue_bucketed"     -> q(sources.BucketedTables.revenueByPriorityBucketed),
     "join_revenue_by_brand"     -> q(JoinOps.revenueByBrand),
+    // salted join on the correctness surface (round-10): salting must be
+    // invisible in the result — oracle states the plain equi-join
+    "join_salted_events"        -> q(t => JoinOps.saltedEventCategoryAgg(t)),
     "join_supplier_volume"      -> q(JoinOps.supplierVolumeByRegion),
     "join_semi_with_orders"     -> q(JoinOps.customersWithOrders),
     "join_anti_without_orders"  -> q(JoinOps.customersWithoutOrders),
@@ -187,6 +189,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
     "dedup_ngram_containment" -> q(t => DedupOps.ngramContainmentPairs(t, 0.6)),
     "dedup_minhash"       -> q(t => DedupOps.minhashDupPairs(t, 0.3)),
+    // hot-band guard meter (round-10): the oracle rebuilds the identical
+    // md5 band keys and recounts, so zero hot bands on the fixture is a
+    // CHECKED fact — which is what licenses dedup_minhash's oracle to not
+    // model the maxBand sub-split
+    "dedup_minhash_hotband" -> q(t => DedupOps.minhashHotBandStats(t)),
     "dedup_clusters"      -> q(t => DedupOps.dupClusters(t, 0.5)),
     "dedup_cluster_resolve" -> q(t => DedupOps.resolveClusters(t, 0.5)),
     "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
@@ -238,6 +245,13 @@ object SparkEntry {
     // set + metric-consistency invariants verified in GateInvariants
     "ml_price_metrics_full" -> q(PricePipeline.fullMetricsGate),
     "ml_cv_linear"        -> q(PricePipeline.cvVerdictGate),
+    // round-10: the reference's imported-but-unwired feature transformers
+    // (Imputer/OneHotEncoder/Bucketizer + SQLTransformer/IndexToString in
+    // the plumbing). Bucketize is fully oracle-exact; the other two are
+    // verdict gates with GateInvariants re-fits
+    "ml_feature_bucketize" -> q(FeatureEngineering.bucketizedPriceCounts),
+    "ml_feature_impute"    -> q(FeatureEngineering.imputeGate),
+    "ml_feature_onehot"    -> q(FeatureEngineering.onehotGate),
     "ml_recommend_tfidf"  -> q(t => Recommender.similarDocs(t, 0L, 5)),
     // same oracle as the dense variant: sparse merge-dot scoring is
     // bit-identical (SparseDotSpec), so it earns its own hash gate
@@ -348,6 +362,32 @@ object SparkEntry {
     *  4. Benign width drift (Spark int32 vs DuckDB BIGINT) is fine; both
     *     stringify identically.
     */
+  /** Raw production probes benched IN PLACE of verdict gates whose query
+    * path embeds heavy verification (round-9 advice: ann_ivf ran a full
+    * brute-force sweep, ml_* gates re-fit models, dedup_minhash_mllib
+    * re-derived the exact-dup pair set — so their bench rows measured
+    * verification, not the production operator). The gate stays the
+    * correctness surface (Verify still runs `queries(name)`); Bench times
+    * the probe the gate wraps. Names absent here bench their `queries`
+    * entry unchanged. BENCH artifacts list the substituted names under
+    * `probe_benched`.
+    */
+  def benchProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf"             -> q(t => SimilarityOps.ivfTopK(t, 0L, 10)),
+    "ann_brp_lsh"         -> q(t => SimilarityOps.brpLshTopK(t, 0L, 10)),
+    "dedup_minhash_mllib" -> q(t => DedupOps.minhashDupPairsMllib(t, 0.7)),
+    "ml_price_metrics"    -> q(t => PricePipeline.metricsTable(t,
+      Seq("LinearRegression", "DecisionTree", "GeneralizedLinear"))),
+    "ml_price_metrics_full" -> q(t => PricePipeline.metricsTable(t,
+      PricePipeline.regressors.map(_._1))),
+    "ml_cv_linear"        -> q(PricePipeline.cvLinearSweep),
+    "sample_orders"       -> q(CoreQueries.sampleOrders),
+    "split_counts"        -> q(CoreQueries.splitCounts),
+    "sample_stratified"   -> q(CoreQueries.stratifiedSampleCounts),
+    "row_ids"             -> q(CoreQueries.rowIds),
+    "ml_feature_impute"   -> q(FeatureEngineering.imputedOrders),
+    "ml_feature_onehot"   -> q(FeatureEngineering.onehotFeatures))
+
   def oracleSql: Map[String, String] = oracleSqlBase +
     // the sparse-scored variant shares the dense oracle verbatim: same
     // pipeline, same rounding, bit-identical scores by construction
@@ -503,6 +543,15 @@ object SparkEntry {
         |       floor((sqrt(l_extendedprice)) * 10000 + 0.5) / 10000 AS sqrt_price,
         |       floor((ln(l_extendedprice)) * 10000 + 0.5) / 10000 AS log_price
         |FROM lineitem""".stripMargin,
+    // verdict-gate: the id values are partition-dependent by contract, so
+    // the gate carries the exact source count plus booleans over the
+    // actual ids; GateInvariants re-derives each boolean from a raw re-run
+    "row_ids" ->
+      """SELECT count(*) AS n_source,
+        |       TRUE AS one_id_per_row,
+        |       TRUE AS ids_unique,
+        |       TRUE AS ids_nonnegative
+        |FROM orders""".stripMargin,
     "row_ids_stable" ->
       """SELECT o_orderkey,
         |       row_number() OVER (ORDER BY o_orderkey) AS row_id
@@ -548,6 +597,16 @@ object SparkEntry {
       """SELECT p_brand, floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+    // the salt sub-key must be invisible: plain equi-join + rollup
+    "join_salted_events" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('click', 'engagement'), ('view', 'engagement'),
+        |  ('purchase', 'commerce'), ('signup', 'commerce'),
+        |  ('error', 'system'))
+        |SELECT category, count(*) AS n,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY category""".stripMargin,
     "join_supplier_volume" ->
       """SELECT r_name, n_name,
         |       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue,
@@ -1552,6 +1611,17 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+    // band-key df recount over the identical md5 banding: pins that no
+    // band exceeds the engine's maxBand=1000 sub-split trigger on this
+    // corpus (hot_bands = 0), keeping the unguarded dedup_minhash oracle
+    // above exact rather than assumed-exact
+    "dedup_minhash_hotband" ->
+      s"""WITH $minhashPairsCte,
+         |bdf AS (SELECT band, count(*) AS n_docs FROM band GROUP BY band),
+         |hot AS (SELECT n_docs FROM bdf WHERE n_docs > 1000)
+         |SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS hot_bands,
+         |       CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS docs_in_hot_bands
+         |FROM hot""".stripMargin,
     // The streaming stateful variant emits exactly the batch pair set over
     // a finite replay (see DedupStream.minhashPairs) — same oracle.
     "dedup_minhash_streaming" ->
@@ -2012,6 +2082,41 @@ object SparkEntry {
     "ml_cv_linear" ->
       """SELECT CAST(2 AS BIGINT) AS n_grid_points, TRUE AS grid_expected,
         |       TRUE AS winner_unique_minimal, TRUE AS metrics_finite""".stripMargin,
+    // Bucketizer with constant splits is a CASE expression — fully exact,
+    // no verdict booleans needed
+    "ml_feature_bucketize" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 50000 THEN 0
+        |            WHEN o_totalprice < 150000 THEN 1
+        |            WHEN o_totalprice < 300000 THEN 2
+        |            ELSE 3 END AS BIGINT) AS price_bucket,
+        |       count(*) AS n
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    // verdict gate: n_source and the deterministic gap count are exact;
+    // fill-completeness and the surrogate-vs-DECIMAL-exact-mean band come
+    // from the actual Imputer fit (GateInvariants re-fits and recomputes)
+    "ml_feature_impute" ->
+      """SELECT count(*) AS n_source,
+        |       CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT) AS n_gapped,
+        |       TRUE AS gapped_all_filled,
+        |       TRUE AS imputed_mean_in_band
+        |FROM orders""".stripMargin,
+    // StringIndexer frequencyDesc index IS oracle-recomputable: rank by
+    // count desc with alphabetic tie-break (the sf0.01 fixture ties
+    // 2-HIGH/3-MEDIUM at 3003, so the tie-break is actually exercised);
+    // onehot_size = numCategories - 1 (dropLast). Vector shape and the
+    // IndexToString round-trip are fit-derived verdicts
+    "ml_feature_onehot" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, count(*) AS n_orders
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+        |SELECT o_orderpriority, n_orders,
+        |       CAST(row_number() OVER (ORDER BY n_orders DESC, o_orderpriority ASC) - 1
+        |            AS BIGINT) AS priority_index,
+        |       CAST(count(*) OVER () - 1 AS BIGINT) AS onehot_size,
+        |       TRUE AS onehot_ok,
+        |       TRUE AS roundtrip_ok
+        |FROM c""".stripMargin,
     "ml_recommend_tfidf" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

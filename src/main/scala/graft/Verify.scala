@@ -78,8 +78,10 @@ object Verify {
   *    invariant recomputes the band INDEPENDENTLY from the raw sampled
   *    and source counts (no trust in the engine's boolean), requires the
   *    gate verdict to match it, and keeps the sampleBy determinism check.
-  *  - `row_ids` — exactly one id per source row and all ids unique (the
-  *    values themselves are partition-dependent by contract).
+  *  - `row_ids` — hash-gated since round 10 (source count + one-id-per-
+  *    row / uniqueness / nonnegativity verdicts; the id values themselves
+  *    are partition-dependent by contract); the invariant re-runs the raw
+  *    partition-dependent query and recomputes every boolean.
   *  - `agg_approx_distinct` — hash-gated since round 7 (exact count +
   *    6·rsd verdict); the invariant re-derives exact and approx counts
   *    and recomputes the band in plain scala — the gate's boolean must
@@ -241,10 +243,28 @@ object GateInvariants {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       require(raw == rawAgain, "invariant: seeded sampleBy not deterministic")
     case "row_ids" =>
+      // verdict-gate shape (n_source, one_id_per_row, ids_unique,
+      // ids_nonnegative): re-run the RAW partition-dependent query and
+      // recompute every boolean independently — the gate's booleans must
+      // EQUAL the recomputation and hold (an inverted comparison in the
+      // gate would fail here, not pass)
       val n = core.Tables(spark, sfDir).orders.count()
-      require(df.count() == n, "invariant: row_ids row count != source count")
-      require(df.select(countDistinct(col("row_id"))).head().getLong(0) == n,
-        "invariant: row ids not unique")
+      val facts = operators.CoreQueries.rowIds(core.Tables(spark, sfDir))
+        .agg(count(lit(1)), countDistinct(col("row_id")), min(col("row_id")))
+        .head()
+      val (onePerRow, unique, nonneg) =
+        (facts.getLong(0) == n, facts.getLong(1) == n, facts.getLong(2) >= 0L)
+      val g = df.head()
+      require(df.count() == 1, "invariant: row_ids gate must emit one row")
+      require(g.getLong(0) == n,
+        s"invariant: gate n_source ${g.getLong(0)} != recounted $n")
+      require(g.getBoolean(1) == onePerRow && g.getBoolean(2) == unique &&
+        g.getBoolean(3) == nonneg,
+        s"invariant: row_ids gate verdicts disagree with the raw re-run " +
+          s"($onePerRow, $unique, $nonneg)")
+      require(onePerRow, "invariant: row_ids row count != source count")
+      require(unique, "invariant: row ids not unique")
+      require(nonneg, "invariant: negative row id")
     case "agg_approx_distinct" =>
       // hash-gated: the gate carries the exact count and a 6·rsd band
       // verdict on the HLL estimate — recomputed HERE from raw values
@@ -333,6 +353,76 @@ object GateInvariants {
           s"disagree with recomputation ($allFound, $simsInRange)")
       require(allFound, "invariant: exact duplicate pair missed (collides in every table)")
       require(simsInRange, "invariant: similarity outside (threshold, 1]")
+    case "ml_feature_impute" =>
+      // verdict-gate shape (n_source, n_gapped, gapped_all_filled,
+      // imputed_mean_in_band): re-derive the counts straight from orders
+      // (the gap pattern is a constant modulus), re-fit the Imputer for a
+      // fresh surrogate, and recompute both booleans — the band check via
+      // the SAME shared predicate the gate used (imputeMeanInBand), on the
+      // independently re-fit surrogate
+      val tt = core.Tables(spark, sfDir)
+      val n = tt.orders.count()
+      val nGapped = tt.orders
+        .filter(pmod(col("o_orderkey"), lit(10L)) === 0).count()
+      val gappy = ml.FeatureEngineering.gappyOrders(tt)
+      val model = new org.apache.spark.ml.feature.Imputer().setStrategy("mean")
+        .setInputCols(Array("price_gappy")).setOutputCols(Array("price_imputed"))
+        .fit(gappy)
+      val surrogate = model.surrogateDF.head().getDouble(0)
+      val filled = model.transform(gappy)
+        .filter(col("price_gappy").isNull &&
+          (col("price_imputed").isNull ||
+            abs(col("price_imputed") - lit(surrogate)) > lit(1e-9)))
+        .count() == 0L
+      val inBand = ml.FeatureEngineering.imputeMeanInBand(tt, surrogate)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val g = df.head()
+      require(g.getLong(0) == n && g.getLong(1) == nGapped,
+        s"invariant: gate counts (${g.getLong(0)}, ${g.getLong(1)}) != " +
+          s"recounted ($n, $nGapped)")
+      require(g.getBoolean(2) == filled && g.getBoolean(3) == inBand,
+        s"invariant: impute gate verdicts disagree with the re-fit ($filled, $inBand)")
+      require(nGapped > 0, "invariant: gap injection produced no gaps")
+      require(filled, "invariant: gapped row not filled with the surrogate")
+      require(inBand, "invariant: surrogate outside the exact-mean band")
+    case "ml_feature_onehot" =>
+      // verdict-gate shape per priority (n_orders, priority_index,
+      // onehot_size, onehot_ok, roundtrip_ok): counts and the
+      // frequency-desc/alpha-asc rank are recomputed here WITHOUT
+      // StringIndexer (plain groupBy + sort — the genuinely independent
+      // check of the index contract, tie-break included), then the
+      // transformers are re-fit and the vector/round-trip booleans
+      // recomputed
+      val tt = core.Tables(spark, sfDir)
+      val counts = tt.orders.na.drop(Seq("o_orderpriority"))
+        .groupBy("o_orderpriority").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val expectedIdx = counts.sortBy { case (v, c) => (-c, v) }
+        .zipWithIndex.map { case ((v, _), i) => v -> i.toLong }.toMap
+      val rows = df.collect()
+      require(rows.length == counts.length,
+        s"invariant: gate rows ${rows.length} != ${counts.length} categories")
+      val cmap = counts.toMap
+      rows.foreach { r =>
+        val pr = r.getString(0)
+        require(r.getLong(1) == cmap(pr),
+          s"invariant: gate count for $pr != recounted ${cmap(pr)}")
+        require(r.getLong(2) == expectedIdx(pr),
+          s"invariant: index ${r.getLong(2)} for $pr != frequency-rank " +
+            s"${expectedIdx(pr)} (tie-break: count desc, value asc)")
+        require(r.getLong(3) == counts.length - 1L,
+          s"invariant: onehot_size ${r.getLong(3)} != ${counts.length - 1}")
+      }
+      val again = ml.FeatureEngineering.onehotGate(tt).collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(4), r.getBoolean(5)))).toMap
+      rows.foreach { r =>
+        val (ok, rt) = again(r.getString(0))
+        require(r.getBoolean(4) == ok && r.getBoolean(5) == rt,
+          s"invariant: onehot gate verdicts for ${r.getString(0)} disagree " +
+            s"with the re-fit ($ok, $rt)")
+        require(ok, s"invariant: encoded vector wrong for ${r.getString(0)}")
+        require(rt, s"invariant: IndexToString round-trip failed for ${r.getString(0)}")
+      }
     case "ml_cv_linear" =>
       // verdict-gate shape (n_grid_points, grid_expected,
       // winner_unique_minimal, metrics_finite): re-run the RAW seeded
@@ -375,10 +465,10 @@ object GateInvariants {
         s"invariant: gate model set ${rows.map(_.getString(0)).toSet} != ${expectedModels.toSet}")
       rows.foreach { g =>
         val r = raw(g.getString(0))
-        val Seq(r2, r2adj, mse, rmse, mae) = (1 to 5).map(r.getDouble)
-        val quirk = r2 == r2adj
-        val rmseMse = math.abs(rmse * rmse - mse) / math.max(mse, 1e-9) < 0.01
-        val sane = !r2.isNaN && r2 <= 1.0 && mse >= 0 && mae >= 0 && mae <= rmse
+        // evaluate the IDENTICAL predicate definition the gate used, on
+        // independently re-fit rows — two inline near-copies of the
+        // predicate can disagree on pathological fits (round-9 advice)
+        val (quirk, rmseMse, sane) = ml.PricePipeline.metricsVerdicts(Array(r))
         require(g.getBoolean(1) == quirk && g.getBoolean(2) == rmseMse &&
           g.getBoolean(3) == sane,
           s"invariant: gate verdicts for ${g.getString(0)} disagree with the " +

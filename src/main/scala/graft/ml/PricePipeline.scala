@@ -200,7 +200,7 @@ object PricePipeline {
     * engine-specific: adjusted R² equals R² (the reference's M12 quirk),
     * rmse² ≈ mse, mae ≤ rmse, and every metric finite with r2 ≤ 1.
     */
-  private def metricsVerdicts(rows: Array[org.apache.spark.sql.Row])
+  private[graft] def metricsVerdicts(rows: Array[org.apache.spark.sql.Row])
       : (Boolean, Boolean, Boolean) = {
     val quirk = rows.forall(r => r.getDouble(1) == r.getDouble(2))
     val rmseMse = rows.forall { r =>

@@ -188,6 +188,35 @@ object JoinOps {
     saltedFact.join(explodedBuild, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** [[saltedJoin]] on the correctness surface (round-10, was spec-only):
+    * events joined to a 5-row category dim on `event_type` — a genuinely
+    * skewed key (5 distinct values at ~20% of all rows each, so an
+    * unsalted hash exchange lands the whole table on ≤5 reducers no
+    * matter how wide the cluster), then a per-category rollup.
+    *
+    * The gate pins SEMANTICS: salting must be invisible in the result
+    * (equal to the plain equi-join the DuckDB oracle states). The shuffle
+    * mechanics — hot-task share halving under a forced sort-merge join —
+    * are pinned separately in SkewStressSpec; at this dim size Spark
+    * rightly broadcasts and the salt column is just carried, which is
+    * exactly the right plan (salting only pays when the build side is too
+    * big to broadcast AND the probe key is hot).
+    */
+  def saltedEventCategoryAgg(t: Tables, salts: Int = 8): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val dim = Seq(
+      "click" -> "engagement", "view" -> "engagement",
+      "purchase" -> "commerce", "signup" -> "commerce",
+      "error" -> "system")
+      .toDF("event_type", "category")
+    saltedJoin(t.events.select(col("event_type"), col("value")), dim,
+        "event_type", salts)
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        roundN(decSum(col("value")), 2).as("total_value"))
+  }
+
   /** Scalar "subquery" done engine-side (ref flattens it by hand through the
     * driver, `data-understanding.py:229-232`): orders above the global mean
     * price, counted per status. The 1-row aggregate is broadcast.

@@ -24,7 +24,7 @@ class VerifyInvariantsSpec extends SparkTestBase {
       CoreQueries.stratifiedSample(t), (s, d) => CoreQueries.stratifiedSample(core.Tables(s, d)),
       spark, dir)
     GateInvariants.check("row_ids",
-      CoreQueries.rowIds(t), (s, d) => CoreQueries.rowIds(core.Tables(s, d)),
+      CoreQueries.rowIdsGate(t), (s, d) => CoreQueries.rowIdsGate(core.Tables(s, d)),
       spark, dir)
   }
 
@@ -41,6 +41,44 @@ class VerifyInvariantsSpec extends SparkTestBase {
     GateInvariants.check("multimodal_binary_ingest",
       MultimodalOps.binaryIngestStats(t), (s, d) => MultimodalOps.binaryIngestStats(core.Tables(s, d)),
       spark, dir)
+  }
+
+  test("feature-engineering gates satisfy their invariants; doctored outputs rejected") {
+    GateInvariants.check("ml_feature_impute",
+      ml.FeatureEngineering.imputeGate(t),
+      (s, d) => ml.FeatureEngineering.imputeGate(core.Tables(s, d)),
+      spark, dir)
+    GateInvariants.check("ml_feature_onehot",
+      ml.FeatureEngineering.onehotGate(t),
+      (s, d) => ml.FeatureEngineering.onehotGate(core.Tables(s, d)),
+      spark, dir)
+    // doctored gap count with verdicts left true: independent recount rejects
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("ml_feature_impute",
+        ml.FeatureEngineering.imputeGate(t).withColumn("n_gapped", col("n_gapped") + 1),
+        (s, d) => ml.FeatureEngineering.imputeGate(core.Tables(s, d)), spark, dir)
+    }
+    // flipped band verdict disagrees with the re-fit
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("ml_feature_impute",
+        ml.FeatureEngineering.imputeGate(t)
+          .withColumn("imputed_mean_in_band", !col("imputed_mean_in_band")),
+        (s, d) => ml.FeatureEngineering.imputeGate(core.Tables(s, d)), spark, dir)
+    }
+    // shifted index breaks the independently recomputed frequency rank
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("ml_feature_onehot",
+        ml.FeatureEngineering.onehotGate(t)
+          .withColumn("priority_index", col("priority_index") + 1),
+        (s, d) => ml.FeatureEngineering.onehotGate(core.Tables(s, d)), spark, dir)
+    }
+    // flipped one-hot verdict disagrees with the re-fit
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("ml_feature_onehot",
+        ml.FeatureEngineering.onehotGate(t)
+          .withColumn("onehot_ok", !col("onehot_ok")),
+        (s, d) => ml.FeatureEngineering.onehotGate(core.Tables(s, d)), spark, dir)
+    }
   }
 
   test("cross-validation sweep satisfies its invariants; doctored winner rejected") {
@@ -90,11 +128,18 @@ class VerifyInvariantsSpec extends SparkTestBase {
           .withColumn("never_under", !col("never_under")),
         (s, d) => CoreQueries.sketchCmsTopK(core.Tables(s, d)), spark, dir)
     }
-    // collapsed ids: row_id uniqueness violated
+    // doctored source count with verdicts left true: independent recount
+    // rejects it
     intercept[IllegalArgumentException] {
       GateInvariants.check("row_ids",
-        CoreQueries.rowIds(t).withColumn("row_id", lit(7L)),
-        (s, d) => CoreQueries.rowIds(core.Tables(s, d)), spark, dir)
+        CoreQueries.rowIdsGate(t).withColumn("n_source", col("n_source") * 2),
+        (s, d) => CoreQueries.rowIdsGate(core.Tables(s, d)), spark, dir)
+    }
+    // flipped uniqueness verdict disagrees with the raw re-run
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("row_ids",
+        CoreQueries.rowIdsGate(t).withColumn("ids_unique", !col("ids_unique")),
+        (s, d) => CoreQueries.rowIdsGate(core.Tables(s, d)), spark, dir)
     }
     // drifted sketch: a false band verdict must be rejected engine-side
     intercept[IllegalArgumentException] {
