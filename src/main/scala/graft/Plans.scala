@@ -8,20 +8,13 @@ import org.apache.spark.sql.SparkSession
   * `sbt 'runMain graft.Plans [sfDir]'`.
   */
 object Plans {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val t = Tables(spark, sfDir)
-
-    val picks: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+  /** The representative query per operator family — shared by the main
+    * (which prints the full formatted explains into PLANS.md) and
+    * PlanLintSpec's drift check (which re-derives each plan's node
+    * signature and compares it against the committed file, so a plan
+    * change can't land without regenerating PLANS.md).
+    */
+  def picks(t: Tables): Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "q1_group_count_avg (scan pruning + partial/final agg)" ->
         operators.CoreQueries.q1GroupCountAvg(t),
       "filter_range (predicate pushdown to parquet)" ->
@@ -65,7 +58,20 @@ object Plans {
       "sketch_kmv_distinct (custom TypedImperativeAggregate, partial + final ObjectHashAggregate)" ->
         operators.CoreQueries.sketchKmvDistinct(t))
 
-    picks.foreach { case (label, df) =>
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t = Tables(spark, sfDir)
+
+    picks(t).foreach { case (label, df) =>
       println(s"\n===== $label =====")
       df.explain("formatted")
     }

@@ -28,6 +28,10 @@ class PlanLintSpec extends SparkTestBase {
     "events_stream_full_join", "events_foreach_upsert",
     "dedup_minhash_streaming", "dedup_minhash_windowed",
     "ml_price_metrics", "ml_price_metrics_full", "ml_cv_linear",
+    // verdict-gate construction fits transformers (collect-backed);
+    // their raw probes (imputedOrders/onehotFeatures) are linted instead
+    // via the benchProbes pass below
+    "ml_feature_impute", "ml_feature_onehot",
     // construction writes bucketed catalog tables (runs jobs); its plan
     // shape is asserted by BucketedTablesSpec instead
     "join_revenue_bucketed",
@@ -67,6 +71,64 @@ class PlanLintSpec extends SparkTestBase {
       } else
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin outside the scalar-probe allowlist")
+    }
+  }
+
+  test("feature-engineering raw probes lint clean") {
+    // the verdict gates above are excluded (construction fits models);
+    // their production-path probes get the same cartesian/BNLJ lint here
+    val tt = core.Tables(spark, "/root/testdata/sf0.001")
+    Seq(
+      "imputedOrders" -> ml.FeatureEngineering.imputedOrders(tt),
+      "onehotFeatures" -> ml.FeatureEngineering.onehotFeatures(tt)).foreach {
+      case (name, df) =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a cartesian/nested-loop join")
+    }
+  }
+
+  /** PLANS.md drift check (round-10, verdict item 8): the committed file
+    * is `runMain graft.Plans` output; regeneration was manual-only, so a
+    * plan-shape change could land silently. This test re-derives every
+    * pick's formatted plan under the same session shape (local[4],
+    * shuffle=4, sf0.001) and compares the NODE SIGNATURE — the ordered
+    * list of physical operator names — against the committed file.
+    * Operator details (paths, stats, expr ids) are volatile and ignored;
+    * a changed node list is exactly "the plan changed, regenerate
+    * PLANS.md" (`sbt 'runMain graft.Plans' > /tmp/plans.txt`, then splice
+    * under the header).
+    */
+  test("committed PLANS.md matches the current plan node signatures") {
+    val committed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val nodeRe = """(?m)^\(\d+\) ([A-Za-z][A-Za-z0-9_ ]*?)(?: \[codegen id : \d+\])?$""".r
+    def signature(block: String): Seq[String] =
+      nodeRe.findAllMatchIn(block).map(_.group(1).trim).toSeq
+    val tt = core.Tables(spark, "/root/testdata/sf0.001")
+    val picks = Plans.picks(tt)
+    val pickLabels = picks.map(_._1).toSet
+    // split the committed file into per-pick sections; a chunk whose label
+    // is not a pick (e.g. a "Subqueries" marker explain itself emits)
+    // belongs to the preceding pick's plan output
+    val sections = committed.split("""(?m)^===== """).toSeq.drop(1)
+      .foldLeft(Vector.empty[(String, Seq[String])]) { (acc, s) =>
+        val label = s.takeWhile(_ != '=').trim
+        if (pickLabels(label) || acc.isEmpty) acc :+ (label -> signature(s))
+        else acc.init :+ (acc.last._1 -> (acc.last._2 ++ signature(s)))
+      }.toMap
+    assert(sections.keySet == picks.map(_._1).toSet,
+      s"PLANS.md sections out of sync with Plans.picks: " +
+        s"missing ${picks.map(_._1).toSet -- sections.keySet}, " +
+        s"stale ${sections.keySet -- picks.map(_._1).toSet}")
+    picks.foreach { case (label, df) =>
+      val fresh = signature(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      assert(fresh == sections(label),
+        s"plan drift for '$label': regenerate PLANS.md " +
+          s"(committed ${sections(label).mkString("→")} vs " +
+          s"current ${fresh.mkString("→")})")
     }
   }
 }
