@@ -114,6 +114,16 @@ object Verify {
   *    expected grid, unique minimal winner, finite metrics); the
   *    invariant re-runs the seeded sweep, recomputes, and checks
   *    determinism.
+  *  - `ml_feature_impute` — hash-gated since round 10 (exact source/gap
+  *    counts + fill-completeness and surrogate-vs-DECIMAL-exact-mean
+  *    band verdicts); the invariant re-fits the Imputer and recomputes
+  *    both booleans, the band via the SAME shared predicate
+  *    (FeatureEngineering.imputeMeanInBand).
+  *  - `ml_feature_onehot` — hash-gated since round 10 (per-category
+  *    counts + the StringIndexer index both stated EXACTLY by the
+  *    oracle); the invariant recomputes the frequency-desc/alpha-asc
+  *    rank WITHOUT StringIndexer and re-fits the transformers for the
+  *    vector/round-trip verdicts.
   *  - `multimodal_binary_ingest` — hash-gated since round 9 (the oracle
   *    read_blobs the same files); the invariant still independently
   *    recomputes each file's byte length and md5-of-hex digest from disk
