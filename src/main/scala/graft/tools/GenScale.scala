@@ -39,7 +39,11 @@ object GenScale {
   /** k key-shifted copies of `documents`, copies 1..k-1 with every token
     * suffixed by the copy tag (vocabularies disjoint across copies — the
     * per-copy dedup structure is preserved, cross-copy near-dups are not
-    * introduced; see object doc). Exposed for the scaling spec.
+    * introduced; see object doc). Reach large factors in ONE run, never by
+    * chaining: run-1 copy i re-tagged by run-2 copy 0 and run-1 copy 0
+    * re-tagged by run-2 copy i both yield the `_ci` suffix — exact
+    * cross-copy duplicates the single-run tags can't produce. Exposed for
+    * the scaling spec.
     */
   def replicateDocuments(documents: DataFrame, k: Int): DataFrame = {
     val dk = strideOf(documents, "doc_id")
@@ -54,27 +58,34 @@ object GenScale {
     }.reduce(_.unionByName(_))
   }
 
-  /** k key-shifted copies of `embeddings`, copy i's vector rotated by i —
-    * norms and per-copy geometry exactly preserved, cross-copy cosines at
-    * noise. Requires k <= dim: at i == dim the rotation silently becomes
-    * the identity (reintroducing cross-copy exact near-dups) and past it
-    * the slice length goes negative. Exposed for the scaling spec.
+  /** k key-shifted copies of `embeddings`, copy i's vector rotated by
+    * i mod dim and SIGN-FLIPPED for i >= dim — norms and per-copy geometry
+    * exactly preserved, cross-copy cosines at noise (the flipped twin of
+    * the same rotation sits at cosine exactly −1: anti-similar for every
+    * cosine-top-k / Euclidean family, so no cross-copy near-dups appear).
+    * Requires k <= 2·dim: past that the (rotation, sign) pair repeats and
+    * cross-copy exact duplicates return. Do NOT reach larger factors by
+    * chaining runs — rotation i then j composes to i+j, so distinct copy
+    * pairs with equal sums collide into exact duplicates; run once from
+    * the smallest fixture instead. Exposed for the scaling spec.
     */
   def replicateEmbeddings(embeddings: DataFrame, k: Int): DataFrame = {
     val vk = strideOf(embeddings, "vec_id")
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    require(k <= dim,
-      s"factor $k exceeds embedding dim $dim: copy rotations would repeat " +
-        "(cross-copy exact near-dups) — use factor <= dim or chain runs")
+    require(k <= 2 * dim,
+      s"factor $k exceeds 2·dim (dim=$dim): (rotation, sign) pairs would " +
+        "repeat (cross-copy exact dups) — use factor <= 2*dim, in ONE run")
     (0 until k).map { i =>
+      val r = i % dim
       val rotated =
-        if (i == 0) col("embedding")
+        if (r == 0) col("embedding")
         else concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-          slice(col("embedding"), lit(1), lit(i)))
+          slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
+          slice(col("embedding"), lit(1), lit(r)))
+      val vec = if (i < dim) rotated else transform(rotated, x => -x)
       embeddings
         .withColumn("vec_id", col("vec_id") + i * vk)
-        .withColumn("embedding", rotated)
+        .withColumn("embedding", vec)
     }.reduce(_.unionByName(_))
   }
 

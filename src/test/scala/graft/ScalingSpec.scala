@@ -104,6 +104,29 @@ class ScalingSpec extends SparkTestBase {
       s"shingle candidates grew ${ratio(c1, c3)}× on 3× data ($c1 -> $c3)")
   }
 
+  test("embedding replication is collision-free to 2·dim and rejects past it") {
+    // the sf10 leg replicates 100× from sf0.1 (dim 64) in ONE run: copies
+    // dim..2·dim−1 reuse the rotations sign-flipped, so every (rotation,
+    // sign) pair stays distinct — norms exact, flipped twin at cosine −1
+    import spark.implicits._
+    val base = Seq((0L, Seq(1.0f, 2.0f, 3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val k = 8 // = 2·dim for this 4-dim fixture
+    val vecs = GenScale.replicateEmbeddings(base, k)
+      .orderBy("vec_id").collect().map(_.getSeq[Float](1).toList)
+    assert(vecs.length == k && vecs.distinct.size == k,
+      "two copies collided into exact duplicate vectors")
+    val norm0 = math.sqrt(vecs.head.map(x => x * x.toDouble).sum)
+    vecs.foreach(v => assert(
+      math.abs(math.sqrt(v.map(x => x * x.toDouble).sum) - norm0) < 1e-6,
+      s"norm not preserved for $v"))
+    // copy 5 is copy 1's flipped twin (both rotation 1): cosine exactly −1
+    val cos = vecs(1).zip(vecs(5)).map { case (a, b) => a * b.toDouble }.sum /
+      (norm0 * norm0)
+    assert(math.abs(cos + 1.0) < 1e-6, s"flipped twin cosine was $cos, not -1")
+    intercept[IllegalArgumentException](GenScale.replicateEmbeddings(base, k + 1))
+  }
+
   test("adaptive knn buckets grow near-linearly; fixed bits fail the bound") {
     def bucketPairs(t: Tables, bits: Int): Long =
       selfJoinPairs(
