@@ -183,6 +183,12 @@ object SparkEntry {
     "pack_concat_chunks"    -> q(t => PackingOps.packConcatChunks(t, 1024)),
     "sample_token_budget"   -> q(t => PackingOps.sampleTokenBudget(t, 8000)),
     "sample_mixture"        -> q(t => PackingOps.sampleMixture(t, 600)),
+    // sequential Poisson weighted sampling: priorities are exact dyadic
+    // uniforms over one IEEE division, so the oracle replays them
+    // bit-for-bit — no band verdicts needed for a WEIGHTED sampler
+    "sample_weighted"       -> q(t => PackingOps.weightedSample(t)),
+    // --- data layout (training-data extensions) ---
+    "layout_zorder"         -> q(LayoutOps.zorderIndex),
     // --- deduplication (training-data extensions) ---
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
@@ -1455,6 +1461,50 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
         |FROM c WHERE cum0 < 600""".stripMargin,
+    // sequential Poisson sampling: u is a dyadic rational (12 exact
+    // nibble terms + 2^-48, every partial sum <= 48 fractional bits), the
+    // priority one correctly-rounded division — bit-identical doubles in
+    // both engines with NO rounding helper, by IEEE-754 alone
+    "sample_weighted" -> {
+      val terms = (1 to 12).map { p =>
+        val den = math.pow(16.0, p).toLong
+        s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) / $den.0"
+      }.mkString("\n        + ")
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST(n_chars + 1 AS DOUBLE) AS weight,
+         |         md5(doc_id::VARCHAR) AS h
+         |  FROM documents)
+         |SELECT doc_id, weight,
+         |       ($terms
+         |        + ${math.pow(16.0, -12.0)}) / weight AS priority
+         |FROM h ORDER BY priority, doc_id LIMIT 100""".stripMargin
+    },
+    // z-order: the oracle replays the whole pipeline — exact min/max
+    // bounds, the bit-identical floor(·65536/range) normalization (exact
+    // integer dividend, one correctly-rounded IEEE division), then the
+    // generated 32-term shift/mask Morton interleave pinning the custom
+    // expression's output word per row
+    "layout_zorder" -> {
+      // joined on ONE line: a line-leading "|" would be eaten by the
+      // surrounding stripMargin (it IS the margin character)
+      val zterms = (0 until 16).flatMap(i => Seq(
+        s"(((xn >> $i) & 1) << ${2 * i})",
+        s"(((yn >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH d AS (
+         |  SELECT o_orderkey, o_custkey AS x,
+         |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+         |  FROM orders),
+         |m AS (SELECT min(x) AS mnx, max(x) AS mxx,
+         |             min(y) AS mny, max(y) AS mxy FROM d),
+         |n AS (
+         |  SELECT o_orderkey, x, y,
+         |         CAST(floor((x - mnx) * 65536.0 / (mxx - mnx + 1)) AS BIGINT) AS xn,
+         |         CAST(floor((y - mny) * 65536.0 / (mxy - mny + 1)) AS BIGINT) AS yn
+         |  FROM d, m)
+         |SELECT o_orderkey, x, y,
+         |       ($zterms) AS z
+         |FROM n""".stripMargin
+    },
     // Zipf slope: ln terms rounded to 6 decimals, regression sums in exact
     // DECIMAL — the slope is one IEEE expression over identical operands
     "text_zipf_slope" ->

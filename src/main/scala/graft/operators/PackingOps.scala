@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -173,4 +173,53 @@ object PackingOps {
       .filter(col("cum0") < perSourceBudget)
       .select("doc_id", "source", "n_tok")
   }
+
+  /** Uniform in (0, 1] from the first 12 hex nibbles of a lowercase md5
+    * column: u = Σₚ nib(p) / 16^(p+1), plus 16⁻¹² so an all-zero prefix
+    * can't yield u = 0 (a zero priority would outrank every weight).
+    * Every term is a 4-bit numerator over a power of two and every
+    * partial sum fits 48 fractional bits, so each operation is EXACT in
+    * IEEE-754 doubles — any engine computes the identical bits in any
+    * evaluation order. Nibbles decode with the same ascii arithmetic as
+    * [[DedupOps.simhashDupPairs]] (decoded once per char, not per bit).
+    */
+  private[operators] def md5Uniform(h: Column): Column =
+    (0 until 12).map { p =>
+      val a = ascii(substring(h, p + 1, 1))
+      val nb = when(a >= 97, a - 87).otherwise(a - 48)
+      nb.cast("double") / lit(math.pow(16.0, (p + 1).toDouble))
+    }.reduce(_ + _) + lit(math.pow(16.0, -12.0))
+
+  /** Deterministic weighted sampling without replacement — sequential
+    * Poisson sampling (Ohlsson 1998; Rosén's order πps family): each
+    * document draws priority q = u / w from a reproducible md5-derived
+    * uniform u and weight w = n_chars + 1, and the k smallest priorities
+    * are the sample, so inclusion probability is approximately
+    * proportional to size. The "sample the corpus toward long documents,
+    * reproducibly on any engine/partitioning" operator — the
+    * quality-weighted cousin of the equal-weight [[TextOps.hashSamplePerLang]].
+    *
+    * Chosen over the better-known Efraimidis–Spirakis A-ES keys
+    * (u^(1/w), i.e. ln(u)/w) deliberately: A-ES needs a transcendental,
+    * whose low bits differ across libm builds, while u / w is ONE
+    * correctly-rounded IEEE division over the exact [[md5Uniform]] — so
+    * the gate hash-matches DuckDB bit-for-bit with no rounding tricks.
+    *
+    * Scale shape: embarrassingly parallel scan (md5 + 13 exact adds + a
+    * divide per row), then global top-k = TakeOrderedAndProject — each
+    * task keeps k rows, the driver merges #partitions·k, the corpus never
+    * shuffles (plan spec-asserted). At 100 TB with k in the millions,
+    * swap the limit for `filter(priority < τ)` with τ from a quantile
+    * sketch — same priorities, same sample, fully distributed.
+    */
+  def weightedSample(t: Tables, k: Int = 100): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        (col("n_chars") + 1L).cast("double").as("weight"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .select(col("doc_id"), col("weight"),
+        (md5Uniform(col("h")) / col("weight")).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
 }

@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomContainsString(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZOrder2(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** [[PackingOps.weightedSample]]: the sequential-Poisson priorities are
+  * recomputed driver-side in plain Scala (java MessageDigest md5, integer
+  * hex parse, two exact IEEE ops) and must match the engine's doubles
+  * BIT-FOR-BIT — the same property the DuckDB oracle then re-proves
+  * cross-engine. Plus the sampling semantics: the selected set IS the k
+  * smallest priorities corpus-wide, and the size-biased inclusion
+  * actually biases the sample toward long documents.
+  */
+class WeightedSampleSpec extends SparkTestBase {
+
+  /** u = (first-12-md5-nibbles + 1) / 2^48 — algebraically identical to
+    * the engine's nibble-term sum (Σ nib_p/16^(p+1) = v·2⁻⁴⁸, every
+    * partial sum exact), so == on doubles is the correct assertion.
+    */
+  private def priority(docId: Long, nChars: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(docId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    val u = (v + 1).toDouble / math.pow(2.0, 48.0)
+    u / (nChars + 1).toDouble
+  }
+
+  test("engine priorities match the driver-side recompute bit-for-bit " +
+      "and the sample is exactly the corpus-wide k smallest") {
+    val corpus = t.documents.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = corpus
+      .map { case (id, nc) => (priority(id, nc), id, (nc + 1).toDouble) }
+      .sortBy { case (p, id, _) => (p, id) }
+      .take(100)
+    val got = PackingOps.weightedSample(t, 100).collect()
+      .map(r => (r.getDouble(2), r.getLong(0), r.getDouble(1)))
+    assert(got.length === 100)
+    got.zip(expected).foreach { case ((gp, gid, gw), (ep, eid, ew)) =>
+      assert(gid === eid, s"doc order: got $gid expected $eid")
+      assert(gw === ew)
+      assert(gp === ep, s"priority for doc $gid: ${gp} != ${ep} (must be exact)")
+    }
+  }
+
+  test("size-biased inclusion: the sample skews long") {
+    val corpusMean = t.documents.agg(
+      org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    val sampleMean = PackingOps.weightedSample(t, 100)
+      .agg(org.apache.spark.sql.functions.avg("weight")).head().getDouble(0) - 1.0
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("scale shape: global top-k plans as TakeOrderedAndProject") {
+    val plan = PackingOps.weightedSample(t, 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (per-partition top-k, no global sort):\n$plan")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+
+/** [[ZOrder2]]: bit-level correctness against a naive per-bit reference,
+  * codegen + interpreted agreement, null propagation, and the layout
+  * property the expression exists for — contiguous chunks of a z-sorted
+  * table bound BOTH dimensions, where a single-column sort leaves the
+  * other dimension at full width.
+  */
+class ZOrderSpec extends SparkTestBase {
+
+  private def naiveInterleave(x: Long, y: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 32) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  private val edge = Seq(0L, 1L, 2L, 0xFFFFFFFFL, 0x80000000L, 0x55555555L,
+    0xAAAAAAAAL, 12345L, 0xDEADBEEFL)
+
+  test("interleave matches the naive per-bit reference on edges and randoms") {
+    val rnd = new scala.util.Random(42)
+    val cases = for (x <- edge; y <- edge) yield (x, y)
+    val randoms = Seq.fill(200)((rnd.nextLong() & 0xFFFFFFFFL,
+      rnd.nextLong() & 0xFFFFFFFFL))
+    (cases ++ randoms).foreach { case (x, y) =>
+      assert(ZOrder2.interleave(x, y) === naiveInterleave(x, y),
+        s"interleave($x, $y)")
+    }
+    // inputs above 32 bits: low-32 masking, same as the naive reference
+    assert(ZOrder2.interleave(0x1_0000_0001L, 0L) === ZOrder2.interleave(1L, 0L))
+  }
+
+  test("z-curve locality: adjacent cells differ in few low bits") {
+    // consecutive x at fixed y move along the curve: z(x+1,y) shares the
+    // high interleaved bits with z(x,y) whenever x+1 doesn't carry far
+    assert(ZOrder2.interleave(2, 3) === (ZOrder2.interleave(2, 2) | (1L << 1)))
+    assert(ZOrder2.interleave(3, 2) === (ZOrder2.interleave(2, 2) | 1L))
+  }
+
+  test("SQL path stays in whole-stage codegen and agrees with interpreted eval") {
+    // a Range source, not a local Seq: ConvertToLocalRelation would fold
+    // the projection over a LocalTableScan at optimization time and there
+    // would be no codegen stage left to assert on
+    val df = spark.range(81)
+      .selectExpr("id % 9 AS xi", "id / 9 AS yi")
+      .selectExpr(s"element_at(array(${edge.mkString("L,")}L), CAST(xi + 1 AS INT)) AS x",
+        s"element_at(array(${edge.mkString("L,")}L), CAST(yi + 1 AS INT)) AS y")
+      .selectExpr("x", "y", "graft_zorder(x, y) AS z")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_zorder") && plan.contains("*(1) Project"),
+      s"graft_zorder should sit inside a whole-stage-codegen Project:\n$plan")
+    df.collect().foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === naiveInterleave(x, y), s"codegen z($x, $y)")
+      // interpreted path: direct expression eval over literals
+      assert(ZOrder2(Literal(x), Literal(y)).eval(null) === naiveInterleave(x, y))
+    }
+  }
+
+  test("null propagation") {
+    import spark.implicits._
+    val df = Seq((Some(1L), None: Option[Long]), (None, Some(2L)),
+      (Some(3L), Some(4L))).toDF("x", "y")
+      .selectExpr("graft_zorder(x, y) AS z")
+    val zs = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(zs(0).isEmpty && zs(1).isEmpty && zs(2).contains(naiveInterleave(3L, 4L)))
+  }
+
+  test("z-sorted layout bounds BOTH dims per chunk; custkey sort does not") {
+    // simulate a 16-file layout: sort the fixture's (custkey, day) points
+    // by each key, cut into 16 contiguous chunks, and measure each chunk's
+    // bounding-box span per dimension as a fraction of the full range —
+    // the per-file zone-map width a min/max-pruned scan would see
+    val rows = graft.operators.LayoutOps.zorderIndex(t)
+      .select("x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (xMin, xMax) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (yMin, yMax) = (rows.map(_._2).min, rows.map(_._2).max)
+    def meanSpans(sorted: Array[(Long, Long, Long)]): (Double, Double) = {
+      val chunks = sorted.grouped(math.ceil(sorted.length / 16.0).toInt).toSeq
+      val sx = chunks.map(c => (c.map(_._1).max - c.map(_._1).min).toDouble /
+        (xMax - xMin)).sum / chunks.size
+      val sy = chunks.map(c => (c.map(_._2).max - c.map(_._2).min).toDouble /
+        (yMax - yMin)).sum / chunks.size
+      (sx, sy)
+    }
+    val (zx, zy) = meanSpans(rows.sortBy(r => (r._3, r._1, r._2)))
+    val (cx, cy) = meanSpans(rows.sortBy(r => (r._1, r._2, r._3)))
+    // single-dim sort: tight on its key, full width on the other
+    assert(cx < 0.2, s"custkey-sorted custkey span $cx")
+    assert(cy > 0.85, s"custkey-sorted day span $cy — expected ~full width")
+    // z-order: BOTH dims bounded — the two-sided skipping property
+    assert(zx < 0.6, s"z-sorted custkey span $zx")
+    assert(zy < 0.6, s"z-sorted day span $zy")
+  }
+}
