@@ -56,7 +56,11 @@ object Plans {
       "events_interval_join (bucket-explode equi-join, no BNLJ from the range predicate)" ->
         operators.EventOps.intervalJoinBusyWindows(t),
       "sketch_kmv_distinct (custom TypedImperativeAggregate, partial + final ObjectHashAggregate)" ->
-        operators.CoreQueries.sketchKmvDistinct(t))
+        operators.CoreQueries.sketchKmvDistinct(t),
+      "sample_weighted (priority projection + TakeOrderedAndProject, corpus never shuffles)" ->
+        operators.PackingOps.weightedSample(t),
+      "layout_zorder (1-row bounds broadcast + codegen graft_zorder projection)" ->
+        operators.LayoutOps.zorderIndex(t))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
