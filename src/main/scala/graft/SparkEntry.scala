@@ -187,6 +187,7 @@ object SparkEntry {
     // uniforms over one IEEE division, so the oracle replays them
     // bit-for-bit — no band verdicts needed for a WEIGHTED sampler
     "sample_weighted"       -> q(t => PackingOps.weightedSample(t)),
+    "sample_weighted_per_group" -> q(t => PackingOps.weightedSamplePerGroup(t)),
     // --- data layout (training-data extensions) ---
     "layout_zorder"         -> q(LayoutOps.zorderIndex),
     // --- deduplication (training-data extensions) ---
@@ -1478,6 +1479,30 @@ object SparkEntry {
          |       ($terms
          |        + ${math.pow(16.0, -12.0)}) / weight AS priority
          |FROM h ORDER BY priority, doc_id LIMIT 100""".stripMargin
+    },
+    // per-group top-k over the same bit-exact priorities: the rank window
+    // restates the engine's row_number contract verbatim
+    "sample_weighted_per_group" -> {
+      val terms = (1 to 12).map { p =>
+        val den = math.pow(16.0, p).toLong
+        s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) / $den.0"
+      }.mkString("\n        + ")
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, CAST(n_chars + 1 AS DOUBLE) AS weight,
+         |         md5(doc_id::VARCHAR) AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, doc_id, weight,
+         |         ($terms
+         |          + ${math.pow(16.0, -12.0)}) / weight AS priority
+         |  FROM h),
+         |r AS (
+         |  SELECT lang, doc_id, weight, priority,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY priority, doc_id) AS rn
+         |  FROM p)
+         |SELECT lang, doc_id, weight, priority, rn
+         |FROM r WHERE rn <= 10""".stripMargin
     },
     // z-order: the oracle replays the whole pipeline — exact min/max
     // bounds, the bit-identical floor(·65536/range) normalization (exact

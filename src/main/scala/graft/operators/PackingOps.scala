@@ -222,4 +222,32 @@ object PackingOps {
         (md5Uniform(col("h")) / col("weight")).as("priority"))
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
+
+  /** Per-GROUP weighted sampling: the k smallest sequential-Poisson
+    * priorities within each language — the weighted cousin of
+    * [[TextOps.hashSamplePerLang]], completing the sampling matrix
+    * (equal-weight global / equal-weight per group / weighted global /
+    * weighted per group). Same bit-exact priorities as
+    * [[weightedSample]]; the per-group top-k is a rank window over the
+    * lang hash partitioning. Scale note: one shuffle on the group key;
+    * Spark inserts WindowGroupLimit below the exchange (spec-asserted),
+    * so each map task forwards at most k rows per group it sees — a
+    * dominant language costs its reduce task k·#maps rows, not the
+    * group's corpus share.
+    */
+  def weightedSamplePerGroup(t: Tables, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("priority"), col("doc_id"))
+    t.documents
+      .select(
+        col("lang"), col("doc_id"),
+        (col("n_chars") + 1L).cast("double").as("weight"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .select(col("lang"), col("doc_id"), col("weight"),
+        (md5Uniform(col("h")) / col("weight")).as("priority"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("doc_id"), col("weight"), col("priority"),
+        col("rn").cast("long").as("rn"))
+  }
 }

@@ -58,4 +58,29 @@ class WeightedSampleSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject (per-partition top-k, no global sort):\n$plan")
   }
+
+  test("per-group variant: each language's rows are ITS k smallest priorities") {
+    val corpus = t.documents.select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = corpus.groupBy(_._1).toSeq.flatMap { case (lang, docs) =>
+      docs.toSeq.map { case (_, id, nc) => (priority(id, nc), id) }
+        .sortBy { case (p, id) => (p, id) }.take(10).zipWithIndex
+        .map { case ((p, id), i) => (lang, id) -> ((p, i + 1L)) }
+    }.toMap
+    val got = PackingOps.weightedSamplePerGroup(t, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    assert(got.length === expected.size)
+    got.foreach { case (lang, id, p, rn) =>
+      val (ep, ern) = expected((lang, id))
+      assert(p === ep, s"priority for ($lang, $id)")
+      assert(rn === ern, s"rank for ($lang, $id)")
+    }
+  }
+
+  test("per-group variant: WindowGroupLimit prunes below the exchange") {
+    val plan = PackingOps.weightedSamplePerGroup(t, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side WindowGroupLimit before the lang exchange:\n$plan")
+  }
 }
