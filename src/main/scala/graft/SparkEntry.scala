@@ -190,6 +190,7 @@ object SparkEntry {
     "sample_weighted_per_group" -> q(t => PackingOps.weightedSamplePerGroup(t)),
     // --- data layout (training-data extensions) ---
     "layout_zorder"         -> q(LayoutOps.zorderIndex),
+    "layout_zorder_roundtrip" -> q(LayoutOps.zorderRoundtrip),
     // --- deduplication (training-data extensions) ---
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
@@ -1530,6 +1531,15 @@ object SparkEntry {
          |       ($zterms) AS z
          |FROM n""".stripMargin
     },
+    // the z-layout write path must be lossless: the oracle states the
+    // same two-sided probe straight from the source table
+    "layout_zorder_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 99
+        |  AND CAST(o_orderdate AS DATE) - DATE '1970-01-01' BETWEEN 9500 AND 10499
+        |GROUP BY o_orderstatus""".stripMargin,
     // Zipf slope: ln terms rounded to 6 decimals, regression sums in exact
     // DECIMAL — the slope is one IEEE expression over identical operands
     "text_zipf_slope" ->

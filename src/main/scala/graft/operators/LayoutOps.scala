@@ -39,23 +39,77 @@ object LayoutOps {
     * broadcast-joined 1-row frame — the [[JoinOps.aboveAveragePrice]]
     * scalar-subquery shape), then an embarrassingly parallel projection.
     */
-  def zorderIndex(t: Tables): DataFrame = {
+  private def norm(v: Column, mn: Column, mx: Column): Column =
+    floor((v - mn).cast("double") * lit(65536.0) / (mx - mn + 1).cast("double"))
+      .cast("long")
+
+  /** Orders plus (x, y, z): every source column survives so the keyed
+    * frame is writable as the laid-out table itself. */
+  private def ordersWithZ(t: Tables): DataFrame = {
     val d = t.orders
-      .select(
-        col("o_orderkey"),
-        col("o_custkey").as("x"),
-        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-          .cast("long").as("y"))
+      .withColumn("x", col("o_custkey"))
+      .withColumn("y",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
     val bounds = d.agg(
       min("x").as("mnx"), max("x").as("mxx"),
       min("y").as("mny"), max("y").as("mxy"))
-    def norm(v: Column, mn: Column, mx: Column): Column =
-      floor((v - mn).cast("double") * lit(65536.0) / (mx - mn + 1).cast("double"))
-        .cast("long")
     d.crossJoin(broadcast(bounds))
-      .select(col("o_orderkey"), col("x"), col("y"),
-        call_function("graft_zorder",
-          norm(col("x"), col("mnx"), col("mxx")),
-          norm(col("y"), col("mny"), col("mxy"))).as("z"))
+      .withColumn("z", call_function("graft_zorder",
+        norm(col("x"), col("mnx"), col("mxx")),
+        norm(col("y"), col("mny"), col("mxy"))))
+      .drop("mnx", "mxx", "mny", "mxy")
+  }
+
+  def zorderIndex(t: Tables): DataFrame =
+    ordersWithZ(t).select("o_orderkey", "x", "y", "z")
+
+  /** One temp dir per JVM for the layout write, overwritten per call and
+    * deleted on exit — same reuse rationale as
+    * [[graft.sources.PartitionedParquet.roundtripDir]]. */
+  private lazy val layoutDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val stream = java.nio.file.Files.walk(dir)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally stream.close()
+      } catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
+
+  /** The actual layout write: orders range-partitioned AND sorted by z,
+    * one parquet file per range — contiguous files are z-curve segments,
+    * so every file's min/max zone map bounds BOTH x and y
+    * (`ZOrderSpec` reads the written files back individually and
+    * measures exactly that). Returns the directory. */
+  def zorderLayoutWrite(t: Tables, partitions: Int = 8): String = {
+    ordersWithZ(t)
+      .repartitionByRange(partitions, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(layoutDir)
+    layoutDir
+  }
+
+  /** Gate query: orders → z-laid-out parquet (range-partition + sort by
+    * z) → read back → the canonical two-sided probe (a customer band AND
+    * a date band) → per-status rollup. The oracle computes the same
+    * filter+rollup straight from the source table, so the hash gate
+    * proves the whole layout write path is lossless and filter semantics
+    * survive the re-clustering; the zone-map tightness that makes the
+    * layout worth paying for is the spec's per-file measurement.
+    */
+  def zorderRoundtrip(t: Tables): DataFrame = {
+    import graft.functions.NumericFunctions.{decSum, roundN}
+    val dir = zorderLayoutWrite(t)
+    t.spark.read.parquet(dir)
+      .filter(col("o_custkey").between(20, 99) &&
+        col("y").between(9500, 10499))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        roundN(decSum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("o_orderstatus")
   }
 }

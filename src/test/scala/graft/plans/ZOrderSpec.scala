@@ -100,4 +100,33 @@ class ZOrderSpec extends SparkTestBase {
     assert(zx < 0.6, s"z-sorted custkey span $zx")
     assert(zy < 0.6, s"z-sorted day span $zy")
   }
+
+  test("written z-layout: every parquet FILE's zone map bounds both dims") {
+    // not a simulation this time: write the layout, read each data file
+    // back individually, and measure the actual per-file min/max width a
+    // zone-map-pruned scan would consult
+    val dir = graft.operators.LayoutOps.zorderLayoutWrite(t, 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length === 8, s"expected 8 range files, got ${files.length}")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        org.apache.spark.sql.functions.min("x"),
+        org.apache.spark.sql.functions.max("x"),
+        org.apache.spark.sql.functions.min("y"),
+        org.apache.spark.sql.functions.max("y")).head()
+      ((r.getLong(1) - r.getLong(0)).toDouble, (r.getLong(3) - r.getLong(2)).toDouble)
+    }
+    val all = graft.operators.LayoutOps.zorderIndex(t)
+      .agg(org.apache.spark.sql.functions.min("x"),
+        org.apache.spark.sql.functions.max("x"),
+        org.apache.spark.sql.functions.min("y"),
+        org.apache.spark.sql.functions.max("y")).head()
+    val (xw, yw) = ((all.getLong(1) - all.getLong(0)).toDouble,
+      (all.getLong(3) - all.getLong(2)).toDouble)
+    val mx = spans.map(_._1).sum / spans.length / xw
+    val my = spans.map(_._2).sum / spans.length / yw
+    assert(mx < 0.6, s"mean per-file custkey span fraction $mx")
+    assert(my < 0.6, s"mean per-file day span fraction $my")
+  }
 }
