@@ -77,6 +77,15 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(PackingOps.sampleTokenBudget(et, 8000).count() == 0)
   }
 
+  test("round-10 samplers and layout on an empty corpus") {
+    assert(PackingOps.weightedSample(et, 100).count() == 0)
+    assert(PackingOps.weightedSamplePerGroup(et, 10).count() == 0)
+    // empty orders: the bounds frame is one all-null row, the keyed side
+    // zero rows — the cross join and the roundtrip write both vanish
+    assert(LayoutOps.zorderIndex(et).count() == 0)
+    assert(LayoutOps.zorderRoundtrip(et).count() == 0)
+  }
+
   test("cluster resolution over an empty pair graph is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
