@@ -129,8 +129,12 @@ object Bench {
           benched(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
       }
+    // restricted to the rows that actually ran: under SPARK_GRAFT_BENCH_ONLY
+    // the field must keep meaning "which rows in THIS artifact changed
+    // meaning", not list substitutions for absent queries
     val probeBenchedJson = SparkEntry.queries.keySet
-      .intersect(SparkEntry.benchProbes.keySet).toSeq.sorted
+      .intersect(SparkEntry.benchProbes.keySet)
+      .filter(n => only.forall(_(n))).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // --- Sample loading (reference phase; see object doc) ---
@@ -168,8 +172,12 @@ object Bench {
     // --- ML fits (reference model rows) ---
     // One cached feature frame, per-model fit+eval timed — matches the
     // reference, which featurizes once and times each model's fit+metrics.
-    val mlResults = if (only.exists(o => !Seq("ml_fit_LinearRegression",
-      "ml_fit_DecisionTree", "ml_fit_RandomForest").exists(o))) Seq.empty
+    // filtered PER MODEL: SPARK_GRAFT_BENCH_ONLY=ml_fit_DecisionTree must
+    // time (and record) only that fit, per the env var's contract — the
+    // shared featurize frame is still built once for whatever subset runs
+    val mlModels = Seq("LinearRegression", "DecisionTree", "RandomForest")
+      .filter(m => only.forall(_(s"ml_fit_$m")))
+    val mlResults = if (mlModels.isEmpty) Seq.empty
     else {
       val t = Tables(spark, sfDir)
       val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism / 4, 8))
@@ -177,7 +185,7 @@ object Bench {
       try {
         feat.count() // materialize outside the timings
         val Array(train, test) = feat.randomSplit(Array(0.8, 0.2), seed = 42)
-        Seq("LinearRegression", "DecisionTree", "RandomForest").map { m =>
+        mlModels.map { m =>
           val reg = graft.ml.PricePipeline.regressors.toMap.apply(m)
           s"ml_fit_$m" -> timed(s"ml_fit_$m") {
             graft.ml.PricePipeline.fitEval(m, reg, train, test)

@@ -260,7 +260,8 @@ object GateInvariants {
       // gate would fail here, not pass)
       val n = core.Tables(spark, sfDir).orders.count()
       val facts = operators.CoreQueries.rowIds(core.Tables(spark, sfDir))
-        .agg(count(lit(1)), countDistinct(col("row_id")), min(col("row_id")))
+        .agg(count(lit(1)), countDistinct(col("row_id")),
+          coalesce(min(col("row_id")), lit(0L))) // empty source: see gate
         .head()
       val (onePerRow, unique, nonneg) =
         (facts.getLong(0) == n, facts.getLong(1) == n, facts.getLong(2) >= 0L)

@@ -54,19 +54,46 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  /** Max mtime over a fixture file (or directory of part-files), 0 when
+  /** Generation stamp of a fixture file (or directory of part-files):
+    * max mtime, total bytes and file count mixed into one long; 0 when
     * unreadable. Cache keys that include it survive the driver
     * regenerating fixtures in-place under a running JVM — the round-8
     * events.ts NANOS→MICROS drift happened exactly that way, and a cache
     * keyed on the path alone would keep serving the stale physical
-    * encoding until a restart.
+    * encoding until a restart. Byte size and file count are folded in
+    * because mtime alone has millisecond granularity: a regeneration
+    * landing in the same millisecond as the previous write (fast tmpfs,
+    * mtime-preserving copy tools) would otherwise collide, and a changed
+    * encoding virtually always changes the byte size.
     */
-  def fixtureMtime(path: String): Long =
+  def fixtureStamp(path: String): Long =
     try {
       val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-      try stream.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
-        .max().orElse(0L)
-      finally stream.close()
+      try {
+        var mtime = 0L; var bytes = 0L; var n = 0L
+        stream.filter(java.nio.file.Files.isRegularFile(_)).forEach { f =>
+          mtime = math.max(mtime,
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          bytes += java.nio.file.Files.size(f)
+          n += 1
+        }
+        mtime ^ (bytes * 0x9E3779B97F4A7C15L) ^ java.lang.Long.rotateLeft(n, 32)
+      } finally stream.close()
     } catch { case _: Throwable => 0L }
+
+  /** getOrElseUpdate keyed on (dir, CURRENT generation stamp of
+    * `dir/fixture`), evicting other generations of the same dir on sight
+    * — the shared contract behind `EventStream.tsTypeCache`,
+    * `DedupStream.docSchemaCache` and `DedupOps.pairGraphs` (the latter
+    * keeps a wider key for session identity and threshold, so it inlines
+    * the same eviction rule rather than calling here).
+    */
+  def cachedPerGeneration[V](
+      cache: scala.collection.concurrent.TrieMap[(String, Long), V],
+      dir: String, fixture: String)(compute: => V): V = {
+    val key = (dir, fixtureStamp(s"$dir/$fixture"))
+    cache.keys.filter(k => k._1 == dir && k._2 != key._2)
+      .foreach(cache.remove)
+    cache.getOrElseUpdate(key, compute)
+  }
 }

@@ -490,7 +490,10 @@ object CoreQueries {
     import spark.implicits._
     val n = t.orders.count()
     val facts = rowIds(t)
-      .agg(count(lit(1)), countDistinct(col("row_id")), min(col("row_id")))
+      .agg(count(lit(1)), countDistinct(col("row_id")),
+        // empty source: min aggregates to null — coalesce keeps the
+        // nonnegativity verdict vacuously true instead of NPE-ing getLong
+        coalesce(min(col("row_id")), lit(0L)))
       .head()
     Seq((n,
       facts.getLong(0) == n,

@@ -444,12 +444,12 @@ object DedupOps {
   private val pairGraphs =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Long, Double), DataFrame]
 
-  private def corpusMtime(dir: String): Long =
-    graft.core.Tables.fixtureMtime(s"$dir/documents.parquet")
+  private def corpusStamp(dir: String): Long =
+    graft.core.Tables.fixtureStamp(s"$dir/documents.parquet")
 
   def pairGraph(t: Tables, minJaccard: Double): DataFrame = {
     val key = (System.identityHashCode(t.spark), t.dir,
-      corpusMtime(t.dir), minJaccard)
+      corpusStamp(t.dir), minJaccard)
     pairGraphs.keys
       .filter(k => (k._1 != key._1 || k._3 != key._3) && k._2 == key._2 && k._4 == key._4)
       .foreach(pairGraphs.remove)
@@ -705,13 +705,6 @@ object DedupOps {
       .select("doc_a", "doc_b", "text_a", "text_b")
   }
 
-  /** The degraded-mode meter for [[editDistanceCandidates]]'s hot-cell
-    * sub-split: how many (prefix, band) cells exceed `maxBlock` and how
-    * many documents live in them — the population whose near-dup recall
-    * is hash-partitioned rather than exact. The trailing global agg always
-    * emits exactly one row; `hot_cells = 0` (a row of zeros) ⇒ the whole
-    * corpus ran with exact blocking semantics.
-    */
   /** The degraded-mode meter for [[minhashDupPairs]]' hot-band sub-split:
     * how many band keys exceed `maxBand` docs and how many band rows live
     * in them — the population whose near-dup candidacy is content-hash-
@@ -732,6 +725,13 @@ object DedupOps {
         coalesce(count(lit(1)), lit(0L)).as("hot_bands"),
         coalesce(sum(col("n_docs")), lit(0L)).as("docs_in_hot_bands"))
 
+  /** The degraded-mode meter for [[editDistanceCandidates]]'s hot-cell
+    * sub-split: how many (prefix, band) cells exceed `maxBlock` and how
+    * many documents live in them — the population whose near-dup recall
+    * is hash-partitioned rather than exact. The trailing global agg always
+    * emits exactly one row; `hot_cells = 0` (a row of zeros) ⇒ the whole
+    * corpus ran with exact blocking semantics.
+    */
   def editDistanceHotCellStats(t: Tables, prefixLen: Int = 16,
                                maxDist: Int = 20, maxBlock: Int = 1000): DataFrame =
     t.documents

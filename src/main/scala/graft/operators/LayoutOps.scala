@@ -64,8 +64,13 @@ object LayoutOps {
     ordersWithZ(t).select("o_orderkey", "x", "y", "z")
 
   /** One temp dir per JVM for the layout write, overwritten per call and
-    * deleted on exit — same reuse rationale as
-    * [[graft.sources.PartitionedParquet.roundtripDir]]. */
+    * deleted on exit — same reuse rationale (and the same caveat) as
+    * [[graft.sources.PartitionedParquet.roundtripDir]]: the DataFrames
+    * returned over this dir are lazy, so MATERIALIZE a roundtrip result
+    * before triggering another layout write — a later `mode("overwrite")`
+    * deletes the files a still-deferred plan would scan. Verify and Bench
+    * evaluate each gate promptly and sequentially, which is the intended
+    * usage; concurrent writers would need per-call dirs. */
   private lazy val layoutDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {

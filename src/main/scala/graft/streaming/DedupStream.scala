@@ -45,19 +45,17 @@ object DedupStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Keyed on (dir, fixture mtime) so an in-place regeneration under a
-    * running JVM invalidates the cached schema (same contract as
-    * `EventStream.tsTypeCache` / `DedupOps.pairGraph`); stale generations
-    * evicted on sight.
+  /** Keyed on (dir, fixture generation stamp) so an in-place regeneration
+    * under a running JVM invalidates the cached schema — keying and
+    * eviction shared via [[graft.core.Tables.cachedPerGeneration]] (same
+    * contract as `EventStream.tsTypeCache` / `DedupOps.pairGraph`).
     */
   private val docSchemaCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), StructType]
-  private def probedDocSchema(spark: SparkSession, dir: String): StructType = {
-    val key = (dir, graft.core.Tables.fixtureMtime(s"$dir/documents.parquet"))
-    docSchemaCache.keys.filter(k => k._1 == key._1 && k._2 != key._2).foreach(docSchemaCache.remove)
-    docSchemaCache.getOrElseUpdate(key,
+  private def probedDocSchema(spark: SparkSession, dir: String): StructType =
+    graft.core.Tables.cachedPerGeneration(
+      docSchemaCache, dir, "documents.parquet")(
       spark.read.parquet(s"$dir/documents.parquet").schema)
-  }
 
   case class BandDoc(doc_id: Long, band: String, sh: Array[Long])
   case class TsBandDoc(doc_id: Long, band: String, sh: Array[Long],

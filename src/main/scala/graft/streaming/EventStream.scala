@@ -46,21 +46,22 @@ object EventStream {
     out
   }
 
-  /** Cached per (input dir, fixture mtime): one cheap batch footer probe
-    * decides which ts rebuild the streaming schema needs. The mtime in the
-    * key makes an in-place fixture regeneration (the driver does this
-    * between rounds, under a running JVM — round-8 ts drift) invalidate
-    * the cached encoding instead of requiring a restart; same contract as
-    * `DedupOps.pairGraph`. Stale generations are evicted on sight.
+  /** Cached per (input dir, fixture generation stamp): one cheap batch
+    * footer probe decides which ts rebuild the streaming schema needs.
+    * The stamp in the key makes an in-place fixture regeneration (the
+    * driver does this between rounds, under a running JVM — round-8 ts
+    * drift) invalidate the cached encoding instead of requiring a
+    * restart; keying and eviction live in
+    * [[graft.core.Tables.cachedPerGeneration]] (shared with
+    * `DedupStream.docSchemaCache`).
     */
   private val tsTypeCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.DataType]
 
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val key = (dir, graft.core.Tables.fixtureMtime(s"$dir/events.parquet"))
-    tsTypeCache.keys.filter(k => k._1 == key._1 && k._2 != key._2).foreach(tsTypeCache.remove)
-    val tsType = tsTypeCache.getOrElseUpdate(key,
+    val tsType = graft.core.Tables.cachedPerGeneration(
+      tsTypeCache, dir, "events.parquet")(
       spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
     val schema = StructType(eventSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))

@@ -86,6 +86,14 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(LayoutOps.zorderRoundtrip(et).count() == 0)
   }
 
+  test("row_ids verdict gate on empty orders: vacuous verdicts, no NPE") {
+    // min(row_id) aggregates to null on zero rows; the gate must coalesce
+    // it instead of NPE-ing in getLong (code-review find, round 10)
+    val r = CoreQueries.rowIdsGate(et).head()
+    assert(r.getLong(0) == 0L)
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+  }
+
   test("cluster resolution over an empty pair graph is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

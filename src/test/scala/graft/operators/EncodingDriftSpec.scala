@@ -130,7 +130,7 @@ class EncodingDriftSpec extends SparkTestBase {
     import spark.implicits._
     // The driver regenerates fixtures IN-PLACE under a running JVM (the
     // round-8 ts drift arrived exactly that way), so the streaming schema
-    // caches key on (dir, fixture mtime): a rewrite with a different
+    // caches key on (dir, fixture generation stamp): a rewrite with a different
     // physical encoding must be picked up without a restart. With a
     // dir-only key the second read below would apply the stale NTZ schema
     // to raw int64 nanos — the silent 1000× compression class.
