@@ -21,54 +21,32 @@ import org.apache.spark.sql.SparkSession
   *  - `ml_fit_*`: fit + 5-metric evaluation for LinearRegression /
   *    DecisionTree / RandomForest on the shared cached feature frame
   *    (BASELINE.md model rows: 53.5 / 38.7 / 35.9 s @100 MB).
+  *
+  * Round-11: a [[BenchCalibration]] probe runs BEFORE the suite. When it
+  * reads degraded (> 1.5× the committed quiet-host reference — the
+  * signature that silently inflated the round-10 driver artifact 2–6.5×
+  * on untouched code paths), the whole suite re-runs ONCE and the second
+  * pass is reported; both JSON lines always carry `calibration_ratio`,
+  * `host_degraded` and `suite_rerun` so a contended capture can never
+  * again be read at face value.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.ansi.enabled", "false") // reference dirty-CSV semantics: bad casts -> null (SURVEY 1.2/7.3)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    // Warm up session-level one-time costs (JIT, codegen, collation
-    // registry, parquet reader init, JSON parser, streaming engine) so they
-    // don't land on whichever query alphabetically touches the expression
-    // class first. Round-1 driver bench showed events_json_stats at 15 s
-    // (vs 0.4 s steady-state) and the first streaming query at 11 s —
-    // first-touch init for from_json/get_json_object and the streaming
-    // runtime; both paths are exercised here explicitly.
-    try {
-      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-      import org.apache.spark.sql.functions._
-      spark.range(1000).toDF("id")
-        .withColumn("s", concat(lit("warm_"), col("id").cast("string")))
-        .filter(!lower(col("s")).like("%zz%") && !col("s").contains("qq"))
-        .select(upper(col("s")).as("u"), md5(col("s")).as("m"),
-          xxhash64(col("s")).as("x"),
-          regexp_extract(col("s"), "([0-9]+)", 1).as("r"))
-        .write.format("noop").mode("overwrite").save()
-      // JSON expression path (from_json + get_json_object codegen/parser init)
-      spark.range(1000).toDF("id")
-        .withColumn("j", concat(lit("{\"k\":"), col("id").cast("string"), lit("}")))
-        .select(
-          from_json(col("j"), graft.operators.EventOps.propsSchema).getField("k").as("k1"),
-          get_json_object(col("j"), "$.k").cast("int").as("k2"))
-        .filter(col("k1") === col("k2"))
-        .write.format("noop").mode("overwrite").save()
-      // Streaming engine init (micro-batch planner, state store, memory sink)
-      graft.streaming.EventStream
-        .dedupCounts(spark, sfDir, s"bench_warm_${System.nanoTime()}")
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+  /** One full suite pass: every gate query (with verdict gates benched
+    * via their raw probes), the reference sample-loading phase, and the
+    * three reference ML fits, plus the sf1 headline leg when available.
+    */
+  private final case class SuiteRun(
+      results: Seq[(String, Double)],
+      sf1Results: Seq[(String, Double)],
+      failed: Seq[String],
+      queryCpu: Seq[(String, Double)],
+      cpuPct: Double)
 
-    // X2 (ref wraps every query in psutil.cpu_percent spans): process-CPU time
-    // around the suite via the JVM's OS bean
+  private def runSuite(spark: SparkSession, sfDir: String,
+                       only: Option[Set[String]]): SuiteRun = {
+    // X2 (ref wraps every query in psutil.cpu_percent spans): process-CPU
+    // time around the suite via the JVM's OS bean
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val cpuT0 = osBean.getProcessCpuTime
@@ -116,11 +94,6 @@ object Bench {
     // probe instead (round-9 advice) — the substituted names land in
     // probe_benched on the archival line so cross-round comparisons know
     // which rows changed meaning in round 10
-    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite to the named
-    // queries — the targeted-scale legs (sf10 dedup/ANN scaling) time a
-    // handful of families without paying the full 150-query suite
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queryResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_(name)) }
       .map { case (name, fn) =>
@@ -129,13 +102,6 @@ object Bench {
           benched(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
       }
-    // restricted to the rows that actually ran: under SPARK_GRAFT_BENCH_ONLY
-    // the field must keep meaning "which rows in THIS artifact changed
-    // meaning", not list substitutions for absent queries
-    val probeBenchedJson = SparkEntry.queries.keySet
-      .intersect(SparkEntry.benchProbes.keySet)
-      .filter(n => only.forall(_(n))).toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // --- Sample loading (reference phase; see object doc) ---
     // CSV derived from the fixture once, untimed; the timed phase is
@@ -195,12 +161,6 @@ object Bench {
       } finally { feat.unpersist(); () }
     }
 
-    val headline = Seq(
-      "q1_group_count_avg", "q2_median_by_priority", "q2_approx_median",
-      "q3_status_share", "sample_loading", "ml_fit_LinearRegression",
-      "ml_fit_DecisionTree", "ml_fit_RandomForest",
-      "dedup_minhash", "ann_knn_join")
-
     // sf1 headline leg (round-10): when benching the driver's sf0.1
     // fixture and the GenScale'd sf1 replica exists (local/sf1, 10× —
     // regenerated per round from the current fixtures), ALSO time the
@@ -219,10 +179,93 @@ object Bench {
             }
           }
       else Seq.empty
-    val sf1Json = sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
 
     val results = queryResults ++ loadingResults ++ mlResults
+    val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
+    val cpuPct = 100.0 * cpuSec /
+      ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
+    SuiteRun(results, sf1Results, failed.toSeq, queryCpu.toSeq, cpuPct)
+  }
+
+  private val headline = Seq(
+    "q1_group_count_avg", "q2_median_by_priority", "q2_approx_median",
+    "q3_status_share", "sample_loading", "ml_fit_LinearRegression",
+    "ml_fit_DecisionTree", "ml_fit_RandomForest",
+    "dedup_minhash", "ann_knn_join")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false") // reference dirty-CSV semantics: bad casts -> null (SURVEY 1.2/7.3)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Warm up session-level one-time costs (JIT, codegen, collation
+    // registry, parquet reader init, JSON parser, streaming engine) so they
+    // don't land on whichever query alphabetically touches the expression
+    // class first. Round-1 driver bench showed events_json_stats at 15 s
+    // (vs 0.4 s steady-state) and the first streaming query at 11 s —
+    // first-touch init for from_json/get_json_object and the streaming
+    // runtime; both paths are exercised here explicitly.
+    try {
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      import org.apache.spark.sql.functions._
+      spark.range(1000).toDF("id")
+        .withColumn("s", concat(lit("warm_"), col("id").cast("string")))
+        .filter(!lower(col("s")).like("%zz%") && !col("s").contains("qq"))
+        .select(upper(col("s")).as("u"), md5(col("s")).as("m"),
+          xxhash64(col("s")).as("x"),
+          regexp_extract(col("s"), "([0-9]+)", 1).as("r"))
+        .write.format("noop").mode("overwrite").save()
+      // JSON expression path (from_json + get_json_object codegen/parser init)
+      spark.range(1000).toDF("id")
+        .withColumn("j", concat(lit("{\"k\":"), col("id").cast("string"), lit("}")))
+        .select(
+          from_json(col("j"), graft.operators.EventOps.propsSchema).getField("k").as("k1"),
+          get_json_object(col("j"), "$.k").cast("int").as("k2"))
+        .filter(col("k1") === col("k2"))
+        .write.format("noop").mode("overwrite").save()
+      // Streaming engine init (micro-batch planner, state store, memory sink)
+      graft.streaming.EventStream
+        .dedupCounts(spark, sfDir, s"bench_warm_${System.nanoTime()}")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite to the named
+    // queries — the targeted-scale legs (sf10 dedup/ANN scaling) time a
+    // handful of families without paying the full 150-query suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // restricted to the rows that actually ran: under SPARK_GRAFT_BENCH_ONLY
+    // the field must keep meaning "which rows in THIS artifact changed
+    // meaning", not list substitutions for absent queries
+    val probeBenchedJson = SparkEntry.queries.keySet
+      .intersect(SparkEntry.benchProbes.keySet)
+      .filter(n => only.forall(_(n))).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // --- Contention sentinel (see object doc + BenchCalibration) ---
+    var calibRatio = BenchCalibration.ratio(BenchCalibration.measure())
+    var run = runSuite(spark, sfDir, only)
+    var rerun = false
+    if (BenchCalibration.degraded(calibRatio)) {
+      System.err.println(f"[bench] calibration ratio $calibRatio%.2f > " +
+        f"${BenchCalibration.degradedThreshold} — host contended; re-running the suite once")
+      rerun = true
+      calibRatio = BenchCalibration.ratio(BenchCalibration.measure())
+      run = runSuite(spark, sfDir, only)
+    }
+    val hostDegraded = BenchCalibration.degraded(calibRatio)
+    val calibJson = s""""calibration_ratio":${math.round(calibRatio * 100) / 100.0},""" +
+      s""""host_degraded":$hostDegraded,"suite_rerun":$rerun"""
+
+    val results = run.results
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -237,11 +280,10 @@ object Bench {
           .mapToLong(java.nio.file.Files.size(_)).sum()
         finally stream.close()
       } catch { case _: Throwable => -1L }
-    val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
-    val cpuPct = 100.0 * cpuSec /
-      ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val qcpu = queryCpu.map { case (k, v) => "\"" + k + "\":" + v }
+    val failedJson = run.failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qcpu = run.queryCpu.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sf1Json = run.sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Two JSON lines. The driver keeps only a fixed-size (~2 KB) tail of
     // stdout: round 6 lost the wall times to the CPU map, and round 7's
@@ -253,14 +295,14 @@ object Bench {
     //  - line 2 (FINAL, driver-parsed): a compact record — suite total plus
     //    the headline queries graded against BASELINE.md — guaranteed to
     //    fit the tail window whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries":$qs}""")
     val resultMap = results.toMap
     val headQs = headline.flatMap(k => resultMap.get(k).map(v =>
         "\"" + k + "\":" + math.round(v * 1000) / 1000.0))
       .mkString("{", ",", "}")
-    val headSf1 = sf1Results.map { case (k, v) =>
+    val headSf1 = run.sf1Results.map { case (k, v) =>
       "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(cpuPct * 10) / 10.0},"n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries":$headQs}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,"n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries":$headQs}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured

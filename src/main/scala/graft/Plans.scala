@@ -59,6 +59,8 @@ object Plans {
         operators.CoreQueries.sketchKmvDistinct(t),
       "sample_weighted (priority projection + TakeOrderedAndProject, corpus never shuffles)" ->
         operators.PackingOps.weightedSample(t),
+      "sample_weighted_tau (sketch-tau filter + survivor re-rank, zero exchanges)" ->
+        operators.PackingOps.weightedSampleTau(t),
       "layout_zorder (1-row bounds broadcast + codegen graft_zorder projection)" ->
         operators.LayoutOps.zorderIndex(t))
 

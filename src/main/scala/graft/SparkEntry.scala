@@ -187,10 +187,19 @@ object SparkEntry {
     // uniforms over one IEEE division, so the oracle replays them
     // bit-for-bit — no band verdicts needed for a WEIGHTED sampler
     "sample_weighted"       -> q(t => PackingOps.weightedSample(t)),
+    // the k-in-the-millions scale path: τ from a quantile sketch, filter,
+    // re-rank the ~4k survivors — provably the same rows as the top-k
+    // (see weightedSampleTau's scaladoc), so it shares sample_weighted's
+    // oracle verbatim and hash-matching here proves the equivalence
+    "sample_weighted_tau"   -> q(t => PackingOps.weightedSampleTau(t)),
     "sample_weighted_per_group" -> q(t => PackingOps.weightedSamplePerGroup(t)),
     // --- data layout (training-data extensions) ---
     "layout_zorder"         -> q(LayoutOps.zorderIndex),
     "layout_zorder_roundtrip" -> q(LayoutOps.zorderRoundtrip),
+    // production-boundary variant (clamped P1/P99 sketch bounds): z values
+    // are sketch-dependent, so the gate states LOSSLESSNESS — the same
+    // probe as the exact-bounds roundtrip, same oracle
+    "layout_zorder_approx_roundtrip" -> q(LayoutOps.zorderRoundtripApprox),
     // --- deduplication (training-data extensions) ---
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
@@ -259,6 +268,11 @@ object SparkEntry {
     // verdict gates with GateInvariants re-fits
     "ml_feature_bucketize" -> q(FeatureEngineering.bucketizedPriceCounts),
     "ml_feature_impute"    -> q(FeatureEngineering.imputeGate),
+    // round-11: the median-strategy twin (GK sketch surrogate pinned to
+    // the exact [P49.5, P50.5] band) and the last unwired reference
+    // import, VectorIndexer (recomendation-system.py:21-23)
+    "ml_feature_impute_median" -> q(FeatureEngineering.imputeMedianGate),
+    "ml_feature_vector_index"  -> q(FeatureEngineering.vectorIndexGate),
     "ml_feature_onehot"    -> q(FeatureEngineering.onehotGate),
     "ml_recommend_tfidf"  -> q(t => Recommender.similarDocs(t, 0L, 5)),
     // same oracle as the dense variant: sparse merge-dot scoring is
@@ -394,6 +408,8 @@ object SparkEntry {
     "sample_stratified"   -> q(CoreQueries.stratifiedSampleCounts),
     "row_ids"             -> q(CoreQueries.rowIds),
     "ml_feature_impute"   -> q(FeatureEngineering.imputedOrders),
+    "ml_feature_impute_median" -> q(FeatureEngineering.imputedOrdersMedian),
+    "ml_feature_vector_index"  -> q(FeatureEngineering.vectorIndexedFeatures),
     "ml_feature_onehot"   -> q(FeatureEngineering.onehotFeatures),
     // both approx-median rows carry verification devices, not production
     // semantics: the 10^6 accuracy pin exists solely so the DuckDB compare
@@ -408,7 +424,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     // the sparse-scored variant shares the dense oracle verbatim: same
     // pipeline, same rounding, bit-identical scores by construction
-    ("ml_recommend_tfidf_sparse" -> oracleSqlBase("ml_recommend_tfidf"))
+    ("ml_recommend_tfidf_sparse" -> oracleSqlBase("ml_recommend_tfidf")) +
+    // the τ-threshold scale path provably returns EXACTLY the top-k rows
+    // (filter keeps ≥ k survivors ⇒ τ ≥ the k-th priority ⇒ superset ⇒
+    // the re-rank is the same sort over the same bit-exact priorities),
+    // so it shares the top-k oracle verbatim — the hash match IS the
+    // equivalence proof at fixture scale
+    ("sample_weighted_tau" -> oracleSqlBase("sample_weighted")) +
+    // the approximate-boundary layout write is gated on LOSSLESSNESS:
+    // whatever boundaries the sketch picked, the probe over the read-back
+    // table must equal the same probe over the source table
+    ("layout_zorder_approx_roundtrip" -> oracleSqlBase("layout_zorder_roundtrip"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     // NOTE on the CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) idiom used
@@ -2195,6 +2221,30 @@ object SparkEntry {
         |       TRUE AS gapped_all_filled,
         |       TRUE AS imputed_mean_in_band
         |FROM orders""".stripMargin,
+    // median-strategy twin: same exact counts; the GK-sketch surrogate's
+    // [P49.5, P50.5] containment and fill-completeness are fit-derived
+    // verdicts (GateInvariants re-fits and recomputes both)
+    "ml_feature_impute_median" ->
+      """SELECT count(*) AS n_source,
+        |       CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT) AS n_gapped,
+        |       TRUE AS gapped_all_filled,
+        |       TRUE AS median_in_band
+        |FROM orders""".stripMargin,
+    // VectorIndexer over [l_linenumber, l_quantity] at maxCategories=10:
+    // l_linenumber (7 distinct, zero-free) is categorical and its map is
+    // exactly ascending-value rank (the zero-first sparsity quirk can't
+    // fire on a zero-free column); l_quantity (50 distinct) must stay
+    // continuous, so n_categorical = 1. The transform verdict is
+    // fit-derived (GateInvariants re-fits and replays it)
+    "ml_feature_vector_index" ->
+      """WITH c AS (
+        |  SELECT CAST(l_linenumber AS BIGINT) AS value, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT value, n_rows,
+        |       CAST(row_number() OVER (ORDER BY value) - 1 AS BIGINT) AS category_index,
+        |       CAST(1 AS BIGINT) AS n_categorical,
+        |       TRUE AS transform_ok
+        |FROM c""".stripMargin,
     // StringIndexer frequencyDesc index IS oracle-recomputable: rank by
     // count desc with alphabetic tie-break (the sf0.01 fixture ties
     // 2-HIGH/3-MEDIUM at 3003, so the tie-break is actually exercised);

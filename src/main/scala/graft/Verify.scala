@@ -396,6 +396,73 @@ object GateInvariants {
       require(nGapped > 0, "invariant: gap injection produced no gaps")
       require(filled, "invariant: gapped row not filled with the surrogate")
       require(inBand, "invariant: surrogate outside the exact-mean band")
+    case "ml_feature_impute_median" =>
+      // median twin: same independent-recompute contract as the mean
+      // gate, with the band predicate swapped for the exact-percentile
+      // [P49.5, P50.5] containment (shared predicate imputeMedianInBand,
+      // evaluated here on an independently re-fit surrogate)
+      val tt = core.Tables(spark, sfDir)
+      val n = tt.orders.count()
+      val nGapped = tt.orders
+        .filter(pmod(col("o_orderkey"), lit(10L)) === 0).count()
+      val gappy = ml.FeatureEngineering.gappyOrders(tt)
+      val model = new org.apache.spark.ml.feature.Imputer().setStrategy("median")
+        .setInputCols(Array("price_gappy")).setOutputCols(Array("price_imputed"))
+        .fit(gappy)
+      val surrogate = model.surrogateDF.head().getDouble(0)
+      val filled = model.transform(gappy)
+        .filter(col("price_gappy").isNull &&
+          (col("price_imputed").isNull ||
+            abs(col("price_imputed") - lit(surrogate)) > lit(1e-9)))
+        .count() == 0L
+      val inBand = ml.FeatureEngineering.imputeMedianInBand(tt, surrogate)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val g = df.head()
+      require(g.getLong(0) == n && g.getLong(1) == nGapped,
+        s"invariant: gate counts (${g.getLong(0)}, ${g.getLong(1)}) != " +
+          s"recounted ($n, $nGapped)")
+      require(g.getBoolean(2) == filled && g.getBoolean(3) == inBand,
+        s"invariant: median-impute gate verdicts disagree with the re-fit " +
+          s"($filled, $inBand)")
+      require(nGapped > 0, "invariant: gap injection produced no gaps")
+      require(filled, "invariant: gapped row not filled with the surrogate")
+      require(inBand, "invariant: median surrogate outside the exact [P49.5, P50.5] band")
+    case "ml_feature_vector_index" =>
+      // verdict-gate shape per l_linenumber value (n_rows, category_index,
+      // n_categorical, transform_ok): counts and the ascending-value rank
+      // are recomputed here WITHOUT VectorIndexer (plain groupBy + sort —
+      // the independent check of the category-map contract on a zero-free
+      // column), then the indexer is re-fit and the transform verdict
+      // replayed
+      val tt = core.Tables(spark, sfDir)
+      val counts = tt.lineitem
+        .groupBy(col("l_linenumber").cast("long").as("v"))
+        .count().collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expectedIdx = counts.map(_._1).sorted
+        .zipWithIndex.map { case (v, i) => v -> i.toLong }.toMap
+      val cmap = counts.toMap
+      val rows = df.collect()
+      require(rows.length == counts.length,
+        s"invariant: gate rows ${rows.length} != ${counts.length} distinct values")
+      rows.foreach { r =>
+        val v = r.getLong(0)
+        require(r.getLong(1) == cmap(v),
+          s"invariant: gate count for value $v != recounted ${cmap(v)}")
+        require(r.getLong(2) == expectedIdx(v),
+          s"invariant: category index ${r.getLong(2)} for $v != ascending rank " +
+            s"${expectedIdx(v)}")
+        require(r.getLong(3) == 1L,
+          s"invariant: n_categorical ${r.getLong(3)} != 1 — l_quantity must stay " +
+            "continuous past maxCategories")
+      }
+      val again = ml.FeatureEngineering.vectorIndexGate(tt).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      rows.foreach { r =>
+        require(r.getBoolean(4) == again(r.getLong(0)),
+          s"invariant: transform verdict for ${r.getLong(0)} disagrees with the re-fit")
+        require(r.getBoolean(4),
+          s"invariant: indexed transform wrong for value ${r.getLong(0)}")
+      }
     case "ml_feature_onehot" =>
       // verdict-gate shape per priority (n_orders, priority_index,
       // onehot_size, onehot_ok, roundtrip_ok): counts and the

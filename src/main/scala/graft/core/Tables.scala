@@ -94,6 +94,19 @@ object Tables {
     val key = (dir, fixtureStamp(s"$dir/$fixture"))
     cache.keys.filter(k => k._1 == dir && k._2 != key._2)
       .foreach(cache.remove)
-    cache.getOrElseUpdate(key, compute)
+    cache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val v = compute
+        // re-read the stamp before caching (round-10 advice): a fixture
+        // regeneration landing DURING a long compute would otherwise
+        // cache the pre-regeneration value under the new generation's
+        // key and serve it until yet another regeneration. The value is
+        // still returned (this caller computed against the old files,
+        // same as before), it just never enters the cache.
+        if (fixtureStamp(s"$dir/$fixture") == key._2)
+          cache.putIfAbsent(key, v).getOrElse(v)
+        else v
+    }
   }
 }

@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions._
   * axes. `ZOrderSpec` measures the property directly: contiguous chunks
   * of the z-sorted fixture have day-spans AND custkey-spans both bounded,
   * where the custkey-sorted layout leaves day-spans at full width.
+  *
+  * Two bound variants feed the normalization:
+  *  - EXACT min/max ([[zorderIndex]], [[zorderLayoutWrite]]) — one global
+  *    agg; keeps the gate hash-checkable because the oracle replays the
+  *    identical bounds.
+  *  - APPROXIMATE quantile-sketch boundaries ([[zorderLayoutWriteApprox]])
+  *    — what a production layout job substitutes: P1/P99 from one
+  *    Greenwald–Khanna sketch pass, values clamped into range. Outliers
+  *    (one far-future date, one giant custkey) stop stretching the grid —
+  *    with exact bounds a single extreme point compresses everyone else
+  *    into a corner of the 16-bit range and the curve degenerates toward
+  *    a single-column sort; clamped P1/P99 keeps the interior spread even.
+  *    The z values are sketch-dependent, so only LOSSLESSNESS is
+  *    hash-gated (`layout_zorder_approx_roundtrip` shares the exact
+  *    variant's oracle — both state the same probe over the source
+  *    table); `ZOrderSpec` measures its per-file zone-map spans beside
+  *    the exact-bounds write.
   */
 object LayoutOps {
 
@@ -29,9 +46,7 @@ object LayoutOps {
     * exact integer in a double and the divisor an integer, so the one
     * correctly-rounded IEEE division (then floor) is bit-identical in
     * any engine: the DuckDB oracle replays the full pipeline including
-    * the generated 32-term shift/mask interleave. Production layout jobs
-    * substitute approximate range boundaries (a quantile sketch) for the
-    * exact min/max; here exact bounds keep the gate hash-checkable.
+    * the generated 32-term shift/mask interleave.
     *
     * This is the exact column a layout job would
     * `repartitionByRange(col("z")).sortWithinPartitions("z")` on before
@@ -43,13 +58,18 @@ object LayoutOps {
     floor((v - mn).cast("double") * lit(65536.0) / (mx - mn + 1).cast("double"))
       .cast("long")
 
-  /** Orders plus (x, y, z): every source column survives so the keyed
-    * frame is writable as the laid-out table itself. */
-  private def ordersWithZ(t: Tables): DataFrame = {
-    val d = t.orders
+  /** Orders plus raw (x, y) — the two probe dimensions. */
+  private def ordersXY(t: Tables): DataFrame =
+    t.orders
       .withColumn("x", col("o_custkey"))
       .withColumn("y",
         datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+
+  /** Orders plus (x, y, z) under EXACT min/max bounds: every source
+    * column survives so the keyed frame is writable as the laid-out
+    * table itself. */
+  private def ordersWithZ(t: Tables): DataFrame = {
+    val d = ordersXY(t)
     val bounds = d.agg(
       min("x").as("mnx"), max("x").as("mxx"),
       min("y").as("mny"), max("y").as("mxy"))
@@ -60,18 +80,34 @@ object LayoutOps {
       .drop("mnx", "mxx", "mny", "mxy")
   }
 
+  /** Orders plus (x, y, z) under APPROXIMATE P1/P99 sketch boundaries,
+    * values clamped into range (see the object doc for why production
+    * prefers this). The boundaries are two driver-side doubles per dim
+    * from ONE approxQuantile pass — they arrive as literals, so the
+    * projection needs no bounds join at all.
+    */
+  private def ordersWithZApprox(t: Tables): DataFrame = {
+    val d = ordersXY(t)
+    val qs = d.stat.approxQuantile(Array("x", "y"), Array(0.01, 0.99), 1e-3)
+    def clampNorm(v: Column, lo: Long, hi: Long): Column =
+      floor((greatest(least(v, lit(hi)), lit(lo)) - lit(lo)).cast("double")
+        * lit(65536.0) / lit((hi - lo + 1).toDouble)).cast("long")
+    d.withColumn("z", call_function("graft_zorder",
+      clampNorm(col("x"), qs(0)(0).toLong, qs(0)(1).toLong),
+      clampNorm(col("y"), qs(1)(0).toLong, qs(1)(1).toLong)))
+  }
+
   def zorderIndex(t: Tables): DataFrame =
     ordersWithZ(t).select("o_orderkey", "x", "y", "z")
 
-  /** One temp dir per JVM for the layout write, overwritten per call and
-    * deleted on exit — same reuse rationale (and the same caveat) as
-    * [[graft.sources.PartitionedParquet.roundtripDir]]: the DataFrames
-    * returned over this dir are lazy, so MATERIALIZE a roundtrip result
-    * before triggering another layout write — a later `mode("overwrite")`
-    * deletes the files a still-deferred plan would scan. Verify and Bench
-    * evaluate each gate promptly and sequentially, which is the intended
-    * usage; concurrent writers would need per-call dirs. */
-  private lazy val layoutDir: String = {
+  /** Temp ROOT for layout writes, deleted recursively on JVM exit; every
+    * write lands in a FRESH subdirectory under it (round-10 advice: the
+    * previous shared per-JVM dir with mode("overwrite") meant a
+    * still-deferred reader from an earlier layout write would scan
+    * deleted files if a caller interleaved lazily — per-call dirs make
+    * every returned frame's files immutable for the JVM's lifetime).
+    */
+  private lazy val layoutRoot: java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try {
@@ -81,33 +117,42 @@ object LayoutOps {
         finally stream.close()
       } catch { case _: Throwable => () }
     }))
-    dir.toString
+    dir
   }
+  private val writeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def freshLayoutDir(): String =
+    layoutRoot.resolve(s"w${writeSeq.incrementAndGet()}").toString
 
   /** The actual layout write: orders range-partitioned AND sorted by z,
     * one parquet file per range — contiguous files are z-curve segments,
     * so every file's min/max zone map bounds BOTH x and y
     * (`ZOrderSpec` reads the written files back individually and
-    * measures exactly that). Returns the directory. */
+    * measures exactly that). Returns the (per-call) directory. */
   def zorderLayoutWrite(t: Tables, partitions: Int = 8): String = {
+    val dir = freshLayoutDir()
     ordersWithZ(t)
       .repartitionByRange(partitions, col("z"))
       .sortWithinPartitions("z")
-      .write.mode("overwrite").parquet(layoutDir)
-    layoutDir
+      .write.mode("overwrite").parquet(dir)
+    dir
   }
 
-  /** Gate query: orders → z-laid-out parquet (range-partition + sort by
-    * z) → read back → the canonical two-sided probe (a customer band AND
-    * a date band) → per-status rollup. The oracle computes the same
-    * filter+rollup straight from the source table, so the hash gate
-    * proves the whole layout write path is lossless and filter semantics
-    * survive the re-clustering; the zone-map tightness that makes the
-    * layout worth paying for is the spec's per-file measurement.
-    */
-  def zorderRoundtrip(t: Tables): DataFrame = {
+  /** The approximate-boundary layout write (see the object doc): same
+    * range-partition + sort shape over the clamped-P1/P99 z key. */
+  def zorderLayoutWriteApprox(t: Tables, partitions: Int = 8): String = {
+    val dir = freshLayoutDir()
+    ordersWithZApprox(t)
+      .repartitionByRange(partitions, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The canonical two-sided probe (a customer band AND a date band) over
+    * a laid-out directory, rolled up per status — shared by both
+    * roundtrip gates. */
+  private def roundtripProbe(t: Tables, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.{decSum, roundN}
-    val dir = zorderLayoutWrite(t)
     t.spark.read.parquet(dir)
       .filter(col("o_custkey").between(20, 99) &&
         col("y").between(9500, 10499))
@@ -117,4 +162,23 @@ object LayoutOps {
         roundN(decSum(col("o_totalprice")), 2).as("revenue"))
       .orderBy("o_orderstatus")
   }
+
+  /** Gate query: orders → z-laid-out parquet (range-partition + sort by
+    * z) → read back → two-sided probe → per-status rollup. The oracle
+    * computes the same filter+rollup straight from the source table, so
+    * the hash gate proves the whole layout write path is lossless and
+    * filter semantics survive the re-clustering; the zone-map tightness
+    * that makes the layout worth paying for is the spec's per-file
+    * measurement. The write runs eagerly per call (the write IS the
+    * operator being gated) into a fresh immutable directory.
+    */
+  def zorderRoundtrip(t: Tables): DataFrame =
+    roundtripProbe(t, zorderLayoutWrite(t))
+
+  /** Losslessness gate for the approximate-boundary write — identical
+    * probe, identical oracle: whatever the sketch chose as boundaries,
+    * clamping only relocates rows between files; every row survives with
+    * its source columns intact. */
+  def zorderRoundtripApprox(t: Tables): DataFrame =
+    roundtripProbe(t, zorderLayoutWriteApprox(t))
 }

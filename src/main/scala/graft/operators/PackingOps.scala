@@ -208,11 +208,18 @@ object PackingOps {
     * Scale shape: embarrassingly parallel scan (md5 + 13 exact adds + a
     * divide per row), then global top-k = TakeOrderedAndProject — each
     * task keeps k rows, the driver merges #partitions·k, the corpus never
-    * shuffles (plan spec-asserted). At 100 TB with k in the millions,
-    * swap the limit for `filter(priority < τ)` with τ from a quantile
-    * sketch — same priorities, same sample, fully distributed.
+    * shuffles (plan spec-asserted). At 100 TB with k in the millions, use
+    * [[weightedSampleTau]] — τ from a quantile sketch instead of the
+    * limit; same priorities, same sample, fully distributed (gated
+    * equivalent: `sample_weighted_tau` shares this gate's oracle).
     */
-  def weightedSample(t: Tables, k: Int = 100): DataFrame =
+  /** The shared sequential-Poisson priority projection: one md5, 13 exact
+    * adds, one correctly-rounded division per row — embarrassingly
+    * parallel, no shuffle. Both the top-k path ([[weightedSample]]) and
+    * the τ-threshold scale path ([[weightedSampleTau]]) rank exactly
+    * these columns.
+    */
+  private def poissonPriorities(t: Tables): DataFrame =
     t.documents
       .select(
         col("doc_id"),
@@ -220,8 +227,42 @@ object PackingOps {
         md5(col("doc_id").cast(StringType)).as("h"))
       .select(col("doc_id"), col("weight"),
         (md5Uniform(col("h")) / col("weight")).as("priority"))
+
+  def weightedSample(t: Tables, k: Int = 100): DataFrame =
+    poissonPriorities(t)
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
+
+  /** The τ-threshold scale path [[weightedSample]]'s scaladoc promises:
+    * with k in the millions, TakeOrderedAndProject's per-task k-row
+    * buffers and the driver's #partitions·k merge stop being free, so
+    * production draws the SAME sample fully distributed — estimate τ, the
+    * k/n-quantile of the priorities, from a Greenwald–Khanna sketch with
+    * headroom (4k/n at relativeError 1e-3), keep `priority <= τ`, and
+    * rank only the survivors. Because priorities are the identical
+    * bit-exact doubles, "filter survivors contains ≥ k rows" PROVES
+    * τ ≥ the k-th smallest priority, hence the survivor set is a superset
+    * of the top-k and the re-rank returns EXACTLY [[weightedSample]]'s
+    * rows (ties broken by the same doc_id order) — which is why this gate
+    * shares the top-k oracle verbatim. The sketch can under-shoot only
+    * when 0.001·n outruns the 4k headroom; the loop then quadruples the
+    * target quantile — O(log(n/k)) tiny driver-side jobs, each a sketch
+    * aggregate, never a global sort. Survivor cardinality is ~4k rows, so
+    * the final orderBy touches a vanishing fraction of the corpus.
+    */
+  def weightedSampleTau(t: Tables, k: Int = 100): DataFrame = {
+    val pri = poissonPriorities(t)
+    val n = math.max(1L, t.documents.count())
+    var frac = math.min(1.0, 4.0 * k / n)
+    var sel = pri.filter(col("priority") <=
+      pri.stat.approxQuantile("priority", Array(frac), 1e-3).head)
+    while (sel.count() < k && frac < 1.0) {
+      frac = math.min(1.0, frac * 4.0)
+      sel = pri.filter(col("priority") <=
+        pri.stat.approxQuantile("priority", Array(frac), 1e-3).head)
+    }
+    sel.orderBy(col("priority"), col("doc_id")).limit(k)
+  }
 
   /** Per-GROUP weighted sampling: the k smallest sequential-Poisson
     * priorities within each language — the weighted cousin of

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[BenchCalibration]] — the bench's host-contention sentinel. The spec
+  * pins three things: the spin loop is exactly the committed function
+  * (checksum recomputed here from an independent BigInt replay), the flag
+  * flips exactly at the threshold, and a synthetically oversubscribed
+  * host actually inflates the measurement the flag reads (the round-10
+  * failure mode, reproduced on purpose).
+  */
+class BenchCalibrationSpec extends AnyFunSuite {
+
+  test("spin checksum matches an independent BigInt replay of the loop") {
+    // re-derive the avalanche over BigInt with explicit 64-bit wrap —
+    // shares no code with the Long implementation. Replayed at 10^5
+    // rounds (full-length BigInt would take ~a minute); the full-length
+    // pinned constant is then checked THROUGH the just-proven loop.
+    val M = BigInt(1) << 64
+    def wrap(b: BigInt): BigInt = b.mod(M)
+    val replayRounds = 100_000
+    var h = BigInt("9E3779B97F4A7C15", 16)
+    var i = 0
+    while (i < replayRounds) {
+      h = wrap(h ^ BigInt(i))
+      h = wrap(h * BigInt("C2B2AE3D27D4EB4F", 16))
+      h = wrap(h ^ (h >> 29))
+      i += 1
+    }
+    val signed = if (h >= (BigInt(1) << 63)) h - M else h
+    assert(signed.toLong === BenchCalibration.spin(replayRounds),
+      "spin diverged from the independent BigInt replay")
+    assert(BenchCalibration.spin(BenchCalibration.defaultRounds) ===
+      BenchCalibration.expectedChecksum)
+  }
+
+  test("degraded flips strictly above the 1.5 threshold") {
+    assert(!BenchCalibration.degraded(0.5))
+    assert(!BenchCalibration.degraded(1.0))
+    assert(!BenchCalibration.degraded(BenchCalibration.degradedThreshold))
+    assert(BenchCalibration.degraded(BenchCalibration.degradedThreshold + 1e-9))
+    assert(BenchCalibration.degraded(6.5)) // the round-10 worst row
+  }
+
+  test("ratio honors the committed reference and the env override shape") {
+    assert(BenchCalibration.ratio(BenchCalibration.referenceSeconds,
+      BenchCalibration.referenceSeconds) === 1.0)
+    assert(BenchCalibration.ratio(3.0, 1.5) === 2.0)
+    assert(BenchCalibration.referenceSeconds > 0.0)
+  }
+
+  test("measure() reads positive and repeatable on the current host") {
+    val a = BenchCalibration.measure(threads = 2, rounds = 2_000_000, repeats = 2)
+    val b = BenchCalibration.measure(threads = 2, rounds = 2_000_000, repeats = 2)
+    assert(a > 0.0 && b > 0.0)
+    // min-of-repeats on the same host within the same second: same order
+    // of magnitude (loose 5x band — this is a sanity pin, not a timing
+    // assertion; the contention test below is the behavioral one)
+    assert(math.max(a, b) / math.min(a, b) < 5.0,
+      s"calibration wildly unrepeatable back-to-back: $a vs $b")
+  }
+
+  test("synthetic oversubscription inflates the measurement the flag reads") {
+    // reproduce the round-10 failure mode: measure quiet, then measure
+    // again while 3x-the-cores background spinners oversubscribe the
+    // host. The loaded reading must inflate well past the quiet one —
+    // that inflation (vs the committed quiet reference) is exactly what
+    // host_degraded reports. Quiet and loaded run back-to-back so any
+    // ambient contention cancels out of the ratio.
+    val cores = Runtime.getRuntime.availableProcessors()
+    val quiet = BenchCalibration.measure(threads = cores,
+      rounds = 4_000_000, repeats = 3)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spinners = (0 until cores * 3).map { _ =>
+      val th = new Thread(() => {
+        while (!stop.get()) sink.getAndAdd(BenchCalibration.spin(1_000_000))
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    try {
+      val loaded = BenchCalibration.measure(threads = cores,
+        rounds = 4_000_000, repeats = 3)
+      val inflation = loaded / quiet
+      assert(inflation > 1.5,
+        s"3x oversubscription inflated the probe only ${inflation}x " +
+          s"($quiet s -> $loaded s) — the sentinel would miss a contended host")
+    } finally {
+      stop.set(true)
+      spinners.foreach(_.join(2000))
+    }
+  }
+}

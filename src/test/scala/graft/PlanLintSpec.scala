@@ -29,9 +29,11 @@ class PlanLintSpec extends SparkTestBase {
     "dedup_minhash_streaming", "dedup_minhash_windowed",
     "ml_price_metrics", "ml_price_metrics_full", "ml_cv_linear",
     // verdict-gate construction fits transformers (collect-backed);
-    // their raw probes (imputedOrders/onehotFeatures) are linted instead
+    // their raw probes (imputedOrders/onehotFeatures/
+    // imputedOrdersMedian/vectorIndexedFeatures) are linted instead
     // via the benchProbes pass below
     "ml_feature_impute", "ml_feature_onehot",
+    "ml_feature_impute_median", "ml_feature_vector_index",
     // construction writes bucketed catalog tables (runs jobs); its plan
     // shape is asserted by BucketedTablesSpec instead
     "join_revenue_bucketed",
@@ -82,6 +84,8 @@ class PlanLintSpec extends SparkTestBase {
     val tt = core.Tables(spark, "/root/testdata/sf0.001")
     Seq(
       "imputedOrders" -> ml.FeatureEngineering.imputedOrders(tt),
+      "imputedOrdersMedian" -> ml.FeatureEngineering.imputedOrdersMedian(tt),
+      "vectorIndexedFeatures" -> ml.FeatureEngineering.vectorIndexedFeatures(tt),
       "onehotFeatures" -> ml.FeatureEngineering.onehotFeatures(tt)).foreach {
       case (name, df) =>
         val p = df.queryExecution.executedPlan.toString

@@ -54,6 +54,68 @@ class FeatureEngineeringSpec extends SparkTestBase {
     }
   }
 
+  test("median impute gate: deterministic gaps, surrogate fill, exact-percentile band") {
+    val row = FeatureEngineering.imputeMedianGate(t).head()
+    val expectedGaps = t.orders
+      .filter(pmod(col("o_orderkey"), lit(10L)) === 0).count()
+    assert(row.getLong(0) == t.orders.count())
+    assert(row.getLong(1) == expectedGaps && expectedGaps > 0)
+    assert(row.getBoolean(2), "a gapped row was not filled with the surrogate")
+    assert(row.getBoolean(3),
+      "Imputer median surrogate outside the exact [P49.5, P50.5] band")
+  }
+
+  test("median surrogate is an actual element of the column, near the exact median") {
+    // the GK sketch returns a REAL value from the data, not an interpolation
+    val gappy = FeatureEngineering.gappyOrders(t)
+    val surrogate = new org.apache.spark.ml.feature.Imputer().setStrategy("median")
+      .setInputCols(Array("price_gappy")).setOutputCols(Array("price_imputed"))
+      .fit(gappy).surrogateDF.head().getDouble(0)
+    assert(gappy.filter(col("price_gappy") === surrogate).count() > 0,
+      s"median surrogate $surrogate is not an element of the column")
+  }
+
+  test("vector index gate: ascending-rank map, quantity stays continuous, " +
+      "transform verdicts hold") {
+    val rows = FeatureEngineering.vectorIndexGate(t).collect()
+    val counts = t.lineitem
+      .groupBy(col("l_linenumber").cast("long").as("v")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedIdx = counts.map(_._1).sorted
+      .zipWithIndex.map { case (v, i) => v -> i.toLong }.toMap
+    val cmap = counts.toMap
+    assert(rows.length == counts.length && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == cmap(r.getLong(0)), s"count for value ${r.getLong(0)}")
+      assert(r.getLong(2) == expectedIdx(r.getLong(0)),
+        s"category index for value ${r.getLong(0)} is not the ascending rank")
+      assert(r.getLong(3) == 1L,
+        "l_quantity (50 distinct > maxCategories) must NOT be categorical")
+      assert(r.getBoolean(4), s"transform verdict for value ${r.getLong(0)}")
+    }
+  }
+
+  test("VectorIndexer zero-first quirk: 0.0 takes index 0 even when not the minimum") {
+    // THE reason the gate's categorical column is zero-free: with values
+    // {-3, 0, 4}, plain ascending rank would give -3 -> 0, but
+    // VectorIndexer special-cases 0.0 to index 0 (sparse vectors must
+    // stay sparse), shifting everything below it. A SQL oracle stating
+    // ascending rank would be wrong here — and exactly right on the
+    // zero-free l_linenumber.
+    import spark.implicits._
+    val df = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("cat", "cont")).setOutputCol("features")
+      .transform((0 until 30).map(i =>
+        (Seq(-3.0, 0.0, 4.0)(i % 3), i.toDouble)).toDF("cat", "cont"))
+    val model = new org.apache.spark.ml.feature.VectorIndexer()
+      .setInputCol("features").setOutputCol("indexed").setMaxCategories(10)
+      .fit(df)
+    assert(model.categoryMaps.keySet == Set(0),
+      s"only the 3-distinct feature should be categorical: ${model.categoryMaps.keySet}")
+    assert(model.categoryMaps(0) == Map(0.0 -> 0, -3.0 -> 1, 4.0 -> 2),
+      s"zero-first quirk changed: ${model.categoryMaps(0)}")
+  }
+
   test("StringIndexer tie-break is alphabetic on an exact frequency tie") {
     import spark.implicits._
     // 'b-tied' and 'a-tied' both appear 40x (exact tie), 'c-common' 60x:

@@ -59,6 +59,42 @@ class WeightedSampleSpec extends SparkTestBase {
       s"expected TakeOrderedAndProject (per-partition top-k, no global sort):\n$plan")
   }
 
+  test("τ-threshold scale path returns EXACTLY the top-k rows") {
+    // the k-in-the-millions path: sketch τ, filter, re-rank survivors.
+    // Superset + re-rank must reproduce the TakeOrderedAndProject sample
+    // row-for-row, priorities bit-for-bit — which is what licenses the
+    // gate to share sample_weighted's oracle verbatim.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows(PackingOps.weightedSampleTau(t, 100)) ===
+      rows(PackingOps.weightedSample(t, 100)))
+    // a tiny k exercises the 4k/n headroom branch; the exact-equality
+    // contract is k-independent
+    assert(rows(PackingOps.weightedSampleTau(t, 5)) ===
+      rows(PackingOps.weightedSample(t, 5)))
+  }
+
+  test("τ path: k past the corpus size degrades to the full corpus, ranked") {
+    val n = t.documents.count().toInt
+    val all = PackingOps.weightedSampleTau(t, n + 100).collect()
+    assert(all.length === n, "over-asking must return every document")
+    val ps = all.map(_.getDouble(2))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      "over-asked τ sample must still come back priority-ranked")
+  }
+
+  test("τ path plan: a selective filter feeds the re-rank — no global sort " +
+      "of the corpus") {
+    val plan = PackingOps.weightedSampleTau(t, 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"survivor re-rank should be TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("Filter") && plan.contains("<="),
+      s"expected the τ threshold filter in the plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"the τ path must not shuffle the corpus:\n$plan")
+  }
+
   test("per-group variant: each language's rows are ITS k smallest priorities") {
     val corpus = t.documents.select("lang", "doc_id", "n_chars").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
