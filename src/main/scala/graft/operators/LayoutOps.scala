@@ -92,9 +92,13 @@ object LayoutOps {
     def clampNorm(v: Column, lo: Long, hi: Long): Column =
       floor((greatest(least(v, lit(hi)), lit(lo)) - lit(lo)).cast("double")
         * lit(65536.0) / lit((hi - lo + 1).toDouble)).cast("long")
+    // empty table: the sketch has no elements (empty per-column arrays);
+    // any bounds produce the same zero rows — use the degenerate [0, 0]
+    def bound(col: Int, q: Int): Long =
+      if (qs(col).isEmpty) 0L else qs(col)(q).toLong
     d.withColumn("z", call_function("graft_zorder",
-      clampNorm(col("x"), qs(0)(0).toLong, qs(0)(1).toLong),
-      clampNorm(col("y"), qs(1)(0).toLong, qs(1)(1).toLong)))
+      clampNorm(col("x"), bound(0, 0), bound(0, 1)),
+      clampNorm(col("y"), bound(1, 0), bound(1, 1))))
   }
 
   def zorderIndex(t: Tables): DataFrame =

@@ -252,7 +252,10 @@ object PackingOps {
     */
   def weightedSampleTau(t: Tables, k: Int = 100): DataFrame = {
     val pri = poissonPriorities(t)
-    val n = math.max(1L, t.documents.count())
+    val n = t.documents.count()
+    // empty corpus: approxQuantile has nothing to sketch (returns an
+    // empty array) — the ranked-empty frame IS the sample
+    if (n == 0L) return pri.orderBy(col("priority"), col("doc_id")).limit(k)
     var frac = math.min(1.0, 4.0 * k / n)
     var sel = pri.filter(col("priority") <=
       pri.stat.approxQuantile("priority", Array(frac), 1e-3).head)

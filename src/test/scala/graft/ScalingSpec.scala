@@ -79,6 +79,7 @@ class ScalingSpec extends SparkTestBase {
     val c1 = DedupOps.minhashCandidatePairs(t1).count()
     val c10 = DedupOps.minhashCandidatePairs(t10).count()
     assert(c1 > 0, "1× corpus produced no candidate pairs — vacuous")
+    info(f"candidate pairs $c1 -> $c10 (${ratio(c1, c10)}%.1fx on 10x docs)")
     assert(ratio(c1, c10) <= 20.0,
       s"minhash candidate pairs grew ${ratio(c1, c10)}× on 10× data ($c1 -> $c10)")
   }

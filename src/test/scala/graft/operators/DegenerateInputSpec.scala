@@ -86,6 +86,13 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(LayoutOps.zorderRoundtrip(et).count() == 0)
   }
 
+  test("round-11 tau sampler and approx layout on an empty corpus") {
+    // both paths sketch quantiles, and approxQuantile on zero rows
+    // returns EMPTY arrays — the operators must short-circuit, not .head
+    assert(PackingOps.weightedSampleTau(et, 100).count() == 0)
+    assert(LayoutOps.zorderRoundtripApprox(et).count() == 0)
+  }
+
   test("row_ids verdict gate on empty orders: vacuous verdicts, no NPE") {
     // min(row_id) aggregates to null on zero rows; the gate must coalesce
     // it instead of NPE-ing in getLong (code-review find, round 10)
