@@ -251,18 +251,9 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // --- Contention sentinel (see object doc + BenchCalibration) ---
-    var calibRatio = BenchCalibration.ratio(BenchCalibration.measure())
-    var run = runSuite(spark, sfDir, only)
-    var rerun = false
-    if (BenchCalibration.degraded(calibRatio)) {
-      System.err.println(f"[bench] calibration ratio $calibRatio%.2f > " +
-        f"${BenchCalibration.degradedThreshold} — host contended; re-running the suite once")
-      rerun = true
-      calibRatio = BenchCalibration.ratio(BenchCalibration.measure())
-      run = runSuite(spark, sfDir, only)
-    }
-    val hostDegraded = BenchCalibration.degraded(calibRatio)
-    val calibJson = s""""calibration_ratio":${math.round(calibRatio * 100) / 100.0},""" +
+    val (run, calibRatio, hostDegraded, rerun) =
+      BenchCalibration.withSentinel(() => runSuite(spark, sfDir, only))
+    val calibJson = s""""calibration_ratio":$calibRatio,""" +
       s""""host_degraded":$hostDegraded,"suite_rerun":$rerun"""
 
     val results = run.results

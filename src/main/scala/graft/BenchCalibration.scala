@@ -116,4 +116,25 @@ object BenchCalibration {
     measured / ref
 
   def degraded(r: Double): Boolean = r > degradedThreshold
+
+  /** The sentinel's whole contract in one testable function: probe, run
+    * the suite; when the PRE-suite probe reads degraded, probe again and
+    * re-run ONCE, reporting the second pass with its own ratio. Returns
+    * (reported result, reported calibration_ratio, host_degraded,
+    * suite_rerun) — exactly the fields Bench's JSON lines carry, so
+    * `BenchCalibrationSpec` pins the artifact semantics (one rerun max,
+    * flag follows the REPORTED run's probe) without timing anything.
+    */
+  def withSentinel[T](suite: () => T,
+                      probe: () => Double = () => measure()): (T, Double, Boolean, Boolean) = {
+    val r0 = ratio(probe())
+    val run0 = suite()
+    if (!degraded(r0)) (run0, math.round(r0 * 100) / 100.0, false, false)
+    else {
+      System.err.println(f"[bench] calibration ratio $r0%.2f > " +
+        f"$degradedThreshold — host contended; re-running the suite once")
+      val r1 = ratio(probe())
+      (suite(), math.round(r1 * 100) / 100.0, degraded(r1), true)
+    }
+  }
 }

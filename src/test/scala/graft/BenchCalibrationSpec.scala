@@ -60,6 +60,25 @@ class BenchCalibrationSpec extends AnyFunSuite {
       s"calibration wildly unrepeatable back-to-back: $a vs $b")
   }
 
+  test("withSentinel: quiet host runs once; degraded host re-runs ONCE and " +
+      "the flag follows the reported run's probe") {
+    def sentinel(probes: Double*): (Int, Double, Boolean, Boolean, Int) = {
+      val it = probes.iterator
+      var suiteRuns = 0
+      val (res, r, deg, rerun) = BenchCalibration.withSentinel(
+        () => { suiteRuns += 1; suiteRuns },
+        () => it.next() * BenchCalibration.reference)
+      (res, r, deg, rerun, suiteRuns)
+    }
+    // quiet: one suite pass, no flags
+    assert(sentinel(1.0) === ((1, 1.0, false, false, 1)))
+    // contended start, quiet by the re-probe: rerun recorded, flag CLEAR
+    // (the reported numbers came from a quiet pass)
+    assert(sentinel(3.0, 1.1) === ((2, 1.1, false, true, 2)))
+    // contended throughout: exactly one rerun (never loops), flag SET
+    assert(sentinel(3.0, 4.0) === ((2, 4.0, true, true, 2)))
+  }
+
   test("synthetic oversubscription inflates the measurement the flag reads") {
     // reproduce the round-10 failure mode: measure quiet, then measure
     // again while 3x-the-cores background spinners oversubscribe the

@@ -81,6 +81,50 @@ class VerifyInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("round-11 feature gates satisfy their invariants; doctored outputs rejected") {
+    GateInvariants.check("ml_feature_impute_median",
+      ml.FeatureEngineering.imputeMedianGate(t),
+      (s, d) => ml.FeatureEngineering.imputeMedianGate(core.Tables(s, d)),
+      spark, dir)
+    GateInvariants.check("ml_feature_vector_index",
+      ml.FeatureEngineering.vectorIndexGate(t),
+      (s, d) => ml.FeatureEngineering.vectorIndexGate(core.Tables(s, d)),
+      spark, dir)
+    // flipped median-band verdict disagrees with the independent re-fit
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("ml_feature_impute_median",
+        ml.FeatureEngineering.imputeMedianGate(t)
+          .withColumn("median_in_band", !col("median_in_band")),
+        (s, d) => ml.FeatureEngineering.imputeMedianGate(core.Tables(s, d)), spark, dir)
+    }
+    // shifted category index breaks the recomputed ascending rank
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("ml_feature_vector_index",
+        ml.FeatureEngineering.vectorIndexGate(t)
+          .withColumn("category_index", col("category_index") + 1),
+        (s, d) => ml.FeatureEngineering.vectorIndexGate(core.Tables(s, d)), spark, dir)
+    }
+    // a gate claiming BOTH features categorical contradicts maxCategories
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("ml_feature_vector_index",
+        ml.FeatureEngineering.vectorIndexGate(t)
+          .withColumn("n_categorical", lit(2L)),
+        (s, d) => ml.FeatureEngineering.vectorIndexGate(core.Tables(s, d)), spark, dir)
+    }
+  }
+
+  test("gate surface is closed: every query has an oracle, no stale entries") {
+    // since round 10 there are ZERO rows-only gates — a new query landing
+    // without oracle SQL (or an oracle outliving its query, or a bench
+    // probe for a gate that no longer exists) silently weakens the
+    // correctness surface; pin the three key sets against each other
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracle: ${q -- o}; stale oracles: ${o -- q}")
+    val p = SparkEntry.benchProbes.keySet
+    assert(p.subsetOf(q), s"bench probes for absent gates: ${p -- q}")
+  }
+
   test("cross-validation sweep satisfies its invariants; doctored winner rejected") {
     GateInvariants.check("ml_cv_linear",
       ml.PricePipeline.cvVerdictGate(t),
