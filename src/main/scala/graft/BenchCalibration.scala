@@ -131,8 +131,9 @@ object BenchCalibration {
     val run0 = suite()
     if (!degraded(r0)) (run0, math.round(r0 * 100) / 100.0, false, false)
     else {
+      // ASCII only: the forked JVM's default charset mangles wider chars
       System.err.println(f"[bench] calibration ratio $r0%.2f > " +
-        f"$degradedThreshold — host contended; re-running the suite once")
+        f"$degradedThreshold -- host contended; re-running the suite once")
       val r1 = ratio(probe())
       (suite(), math.round(r1 * 100) / 100.0, degraded(r1), true)
     }

@@ -67,6 +67,20 @@ class PropertiesSpec extends SparkTestBase {
     assert(a == b && b == c)
   }
 
+  test("tau-threshold weighted sample equals top-k at every k regime") {
+    // k far below, around, at, and past the corpus size — the sketch
+    // headroom, the escalation loop, and the degenerate full-corpus case
+    // must all reproduce the TakeOrderedAndProject sample exactly
+    val n = t.documents.count().toInt
+    Seq(1, 3, n / 2, n, n + 7).foreach { k =>
+      val a = graft.operators.PackingOps.weightedSampleTau(t, k)
+        .collect().map(_.toSeq).toSeq
+      val b = graft.operators.PackingOps.weightedSample(t, k)
+        .collect().map(_.toSeq).toSeq
+      assert(a == b, s"tau path diverged from top-k at k=$k")
+    }
+  }
+
   test("union counts add; except removes at most the subtrahend") {
     val xs = sample(100).indices.map(_.toLong).toDF("x")
     val lo = xs.filter(col("x") < 30)
