@@ -244,11 +244,20 @@ object PackingOps {
     * τ ≥ the k-th smallest priority, hence the survivor set is a superset
     * of the top-k and the re-rank returns EXACTLY [[weightedSample]]'s
     * rows (ties broken by the same doc_id order) — which is why this gate
-    * shares the top-k oracle verbatim. The sketch can under-shoot only
-    * when 0.001·n outruns the 4k headroom; the loop then quadruples the
-    * target quantile — O(log(n/k)) tiny driver-side jobs, each a sketch
-    * aggregate, never a global sort. Survivor cardinality is ~4k rows, so
-    * the final orderBy touches a vanishing fraction of the corpus.
+    * shares the top-k oracle verbatim.
+    *
+    * The sketch can under-shoot only when 0.001·n outruns the 4k
+    * headroom, so an escalation ladder (quantile ×4 per rung up to 1.0)
+    * backs the primary estimate — but naively each rung would re-scan
+    * the corpus, O(log(n/k)) full passes at 100 TB. Instead the WHOLE
+    * ladder is resolved in a fixed THREE passes regardless of n and k:
+    * one sketch pass returning every rung's τ candidate, one aggregate
+    * counting all rungs' survivors simultaneously (a conditional-sum per
+    * rung inside a single codegen'd aggregation), then the filter at the
+    * first sufficient rung + the ~4k-row re-rank. The count pass also
+    * makes the choice EXACT: the chosen τ provably covers ≥ k rows
+    * before the filter runs. Survivor cardinality is ~4k, so the final
+    * orderBy touches a vanishing fraction of the corpus.
     */
   def weightedSampleTau(t: Tables, k: Int = 100): DataFrame = {
     val pri = poissonPriorities(t)
@@ -256,15 +265,24 @@ object PackingOps {
     // empty corpus: approxQuantile has nothing to sketch (returns an
     // empty array) — the ranked-empty frame IS the sample
     if (n == 0L) return pri.orderBy(col("priority"), col("doc_id")).limit(k)
-    var frac = math.min(1.0, 4.0 * k / n)
-    var sel = pri.filter(col("priority") <=
-      pri.stat.approxQuantile("priority", Array(frac), 1e-3).head)
-    while (sel.count() < k && frac < 1.0) {
-      frac = math.min(1.0, frac * 4.0)
-      sel = pri.filter(col("priority") <=
-        pri.stat.approxQuantile("priority", Array(frac), 1e-3).head)
-    }
-    sel.orderBy(col("priority"), col("doc_id")).limit(k)
+    // the ladder: 4k/n, 16k/n, … capped at 1.0 (always included so the
+    // last rung degenerates to "everything" and the choice below can't
+    // fail even when k > n)
+    val ladder = (Iterator
+      .iterate(math.min(1.0, 4.0 * k / n))(f => math.min(1.0, f * 4.0))
+      .takeWhile(_ < 1.0) ++ Iterator(1.0)).toArray
+    val taus = pri.stat.approxQuantile("priority", ladder, 1e-3)
+    val counts = pri.agg(
+      sum(when(col("priority") <= taus.head, 1L).otherwise(0L)),
+      taus.tail.map(tau =>
+        sum(when(col("priority") <= tau, 1L).otherwise(0L))): _*)
+      .head()
+    val chosen = taus.indices
+      .find(i => counts.getLong(i) >= k)
+      .getOrElse(taus.length - 1)
+    pri.filter(col("priority") <= taus(chosen))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
   }
 
   /** Per-GROUP weighted sampling: the k smallest sequential-Poisson
