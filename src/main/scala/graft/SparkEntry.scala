@@ -283,7 +283,13 @@ object SparkEntry {
     // every output — the real ImageIO codec is pinned cross-engine
     "multimodal_features" -> q(MultimodalOps.assetFeatureStats),
     "multimodal_binary_ingest" -> q(MultimodalOps.binaryIngestStats),
-    "multimodal_png_files" -> q(MultimodalOps.pngFileDecodeStats))
+    "multimodal_png_files" -> q(MultimodalOps.pngFileDecodeStats),
+    // round-11: the brief's remaining multimodal primitives. Both gates
+    // are all-long outputs (exact nearest-neighbor indices / exact pixel
+    // sums), so they hash-gate with zero rounding — the oracle replays
+    // the resized grid / sampled frames from the closed-form pattern
+    "multimodal_resize"       -> q(MultimodalOps.resizedAssetStats),
+    "multimodal_frame_sample" -> q(MultimodalOps.frameSampleStats))
 
   /** Shared oracle CTE: the md5-minhash candidate pairs with verified
     * Jaccard (mirrors DedupOps.minhashDupPairs with k=16, 8 bands × 2
@@ -2165,6 +2171,48 @@ object SparkEntry {
         |       floor((CAST(p.sb AS DOUBLE) / p.npx) * 10000 + 0.5) / 10000 AS mean_b_px,
         |       floor((CAST(p.l0 AS DOUBLE) / p.npx) * 1000000 + 0.5) / 1000000 AS lum0_share
         |FROM fmt f JOIN pxa p USING (format)""".stripMargin,
+    // nearest-neighbor resize: src index (x'·w)//8 is exact integer
+    // arithmetic, so the oracle rebuilds the 8x8 resized grid from the
+    // closed-form pattern and every output is an exact long
+    "multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 16 + doc_id % 16 AS w, 16 + (doc_id * 7) % 16 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.id, d.w, d.h,
+        |         (((xs.i * d.w) // 8) * 31 + ((ys.i * d.h) // 8) * 7 + d.id * 13) % 256 AS r,
+        |         (((xs.i * d.w) // 8) * 7 + ((ys.i * d.h) // 8) * 31 + d.id * 29) % 256 AS g,
+        |         (((xs.i * d.w) // 8) + ((ys.i * d.h) // 8) + d.id) % 256 AS b
+        |  FROM d CROSS JOIN range(0, 8) xs(i) CROSS JOIN range(0, 8) ys(i))
+        |SELECT id AS asset_id, w AS width, h AS height,
+        |       CAST(sum(r) AS BIGINT) AS sum_r,
+        |       CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // frame sampling: the engine parses a real PNG container and decodes
+    // only frames f % 2 = 0 of the 4 + id % 5 declared; the oracle
+    // replays exactly those frames' pattern (frame id = id*100 + f)
+    "multimodal_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS id, 4 + doc_id % 5 AS nf FROM documents),
+        |fr AS (
+        |  SELECT d.id, d.nf, fs.i AS f
+        |  FROM d JOIN range(0, 8) fs(i) ON fs.i < d.nf AND fs.i % 2 = 0),
+        |s AS (SELECT id, max(nf) AS n_frames, count(*) AS n_sampled
+        |      FROM fr GROUP BY id),
+        |px AS (
+        |  SELECT fr.id,
+        |         (xs.i * 31 + ys.i * 7 + (fr.id * 100 + fr.f) * 13) % 256 AS r,
+        |         (xs.i * 7 + ys.i * 31 + (fr.id * 100 + fr.f) * 29) % 256 AS g,
+        |         (xs.i + ys.i + (fr.id * 100 + fr.f)) % 256 AS b
+        |  FROM fr CROSS JOIN range(0, 8) xs(i) CROSS JOIN range(0, 8) ys(i)),
+        |p AS (SELECT id, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+        |      FROM px GROUP BY id)
+        |SELECT s.id AS asset_id, CAST(s.n_frames AS BIGINT) AS n_frames,
+        |       CAST(s.n_sampled AS BIGINT) AS n_sampled,
+        |       CAST(p.sr AS BIGINT) AS sum_r,
+        |       CAST(p.sg AS BIGINT) AS sum_g,
+        |       CAST(p.sb AS BIGINT) AS sum_b
+        |FROM s JOIN p USING (id)""".stripMargin,
     // RegexTokenizer(\W, lowercase) = split on [^a-z0-9_] after lower()
     // (Java \w is ASCII); StopWordsRemover = NOT IN the default english
     // list above; CountVectorizer = per-doc term counts (vocab order is

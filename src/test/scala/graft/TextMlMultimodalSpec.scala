@@ -202,6 +202,72 @@ class TextMlMultimodalSpec extends SparkTestBase {
     assert(decoded.nonEmpty && decoded.forall(_.getInt(0) > 0))
   }
 
+  test("resize: nearest-neighbor sums over real decoded pixels match the closed form") {
+    val rows = MultimodalOps.resizedAssetStats(t).collect()
+    assert(rows.length == t.documents.count())
+    rows.take(25).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = MultimodalOps.assetDims(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"asset $id source dims")
+      val pix = for (y <- 0 until 8; x <- 0 until 8)
+        yield MultimodalOps.patternRgb(id, x * w / 8, y * h / 8)
+      assert(r.getLong(3) == pix.map(_._1.toLong).sum &&
+        r.getLong(4) == pix.map(_._2.toLong).sum &&
+        r.getLong(5) == pix.map(_._3.toLong).sum,
+        s"asset $id resized channel sums")
+    }
+  }
+
+  test("resize: upscale (target larger than source) repeats pixels, stays exact") {
+    // 3x2 source to an 8x8 target — the NN index floor(x'*w/8) repeats
+    // source pixels; the kernel must not read out of bounds or interpolate
+    import spark.implicits._
+    val payload = MultimodalOps.renderPng(7L, 3, 2)
+    val one = Seq(MultimodalOps.Asset(7L, "png/x", 3, 2, payload)).toDS()
+    val r = MultimodalOps.resizeAssets(spark, one).head()
+    val pix = for (y <- 0 until 8; x <- 0 until 8)
+      yield MultimodalOps.patternRgb(7L, x * 3 / 8, y * 2 / 8)
+    assert(r.width == 3 && r.height == 2)
+    assert(r.sum_r == pix.map(_._1.toLong).sum && r.sum_b == pix.map(_._3.toLong).sum)
+  }
+
+  test("frame sampling: stride 2 keeps ceil(nf/2) frames and their exact sums") {
+    val rows = MultimodalOps.frameSampleStats(t).collect()
+    assert(rows.length == t.documents.count())
+    rows.take(25).foreach { r =>
+      val id = r.getLong(0)
+      val nf = MultimodalOps.videoFrameCount(id)
+      assert(r.getLong(1) == nf, s"video $id frame count")
+      assert(r.getLong(2) == (nf + 1) / 2, s"video $id sampled count")
+      val sampled = (0 until nf).filter(_ % 2 == 0)
+      val pix = for {
+        f <- sampled
+        y <- 0 until MultimodalOps.frameH
+        x <- 0 until MultimodalOps.frameW
+      } yield MultimodalOps.patternRgb(id * 100 + f, x, y)
+      assert(r.getLong(3) == pix.map(_._1.toLong).sum &&
+        r.getLong(4) == pix.map(_._2.toLong).sum &&
+        r.getLong(5) == pix.map(_._3.toLong).sum,
+        s"video $id sampled-frame sums")
+    }
+  }
+
+  test("frame sampling: stride 1 decodes every frame; larger strides nest") {
+    import spark.implicits._
+    val vids = MultimodalOps.syntheticVideos(t).limit(10).cache()
+    val all = MultimodalOps.sampleFrames(spark, vids, 1).collect()
+      .map(s => s.asset_id -> s).toMap
+    val every3 = MultimodalOps.sampleFrames(spark, vids, 3).collect()
+    all.values.foreach(s => assert(s.n_sampled == s.n_frames,
+      s"stride 1 must keep every frame of ${s.asset_id}"))
+    every3.foreach { s =>
+      assert(s.n_sampled == (s.n_frames + 2) / 3, s"stride-3 count for ${s.asset_id}")
+      // a sampled subset's sums are bounded by the full pass's
+      assert(s.sum_r <= all(s.asset_id).sum_r && s.sum_b <= all(s.asset_id).sum_b)
+    }
+    vids.unpersist()
+  }
+
   test("recommender returns k results excluding the query doc") {
     val got = Recommender.similarDocs(t, 0L, 5).collect()
     assert(got.length == 5)

@@ -93,6 +93,11 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(LayoutOps.zorderRoundtripApprox(et).count() == 0)
   }
 
+  test("round-11 multimodal resize and frame sampling on an empty corpus") {
+    assert(graft.multimodal.MultimodalOps.resizedAssetStats(et).count() == 0)
+    assert(graft.multimodal.MultimodalOps.frameSampleStats(et).count() == 0)
+  }
+
   test("row_ids verdict gate on empty orders: vacuous verdicts, no NPE") {
     // min(row_id) aggregates to null on zero rows; the gate must coalesce
     // it instead of NPE-ing in getLong (code-review find, round 10)
