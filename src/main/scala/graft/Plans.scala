@@ -62,7 +62,9 @@ object Plans {
       "sample_weighted_tau (sketch-tau filter + survivor re-rank, zero exchanges)" ->
         operators.PackingOps.weightedSampleTau(t),
       "layout_zorder (1-row bounds broadcast + codegen graft_zorder projection)" ->
-        operators.LayoutOps.zorderIndex(t))
+        operators.LayoutOps.zorderIndex(t),
+      "ann_quantized (codegen q8 pack + integer dot, TakeOrderedAndProject)" ->
+        operators.SimilarityOps.quantizedTopK(t, 0L, 10))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

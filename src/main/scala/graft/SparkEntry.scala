@@ -242,6 +242,10 @@ object SparkEntry {
     // time; the raw row-level probes stay spec-gated
     "ann_ivf"            -> q(t => SimilarityOps.ivfVerdictGate(t)),
     "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshVerdictGate(t)),
+    // int8-quantized scoring (round-11): exact IEEE quantization rule ⇒
+    // the quantized cosine AND its approximation error hash-gate, unlike
+    // the engine-specific IVF/BRP indexes
+    "ann_quantized"      -> q(t => SimilarityOps.quantizedTopK(t, 0L, 10)),
     "emb_neardup_exact"  -> q(t => SimilarityOps.embeddingNearDupExact(t, 0.35)),
     "emb_neardup_lsh"    -> q(t => SimilarityOps.embeddingNearDupLsh(t, 0.35, 8)),
     // batch k-NN JOIN (top-k per vector) over deterministic sign buckets;
@@ -2075,6 +2079,41 @@ object SparkEntry {
         |                                    CAST(qe AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // int8 quantization restated verbatim (Q8Pack's contract): q_i =
+    // floor(x*127.0/ma + 0.5) is one IEEE op per step in a fixed order, so
+    // the integer codes match the engine's packed bytes bit-for-bit and
+    // every quantized quantity is exact (integer sums under sqrt + one
+    // division). The exact-cosine error column reuses the ann_brute_force
+    // list_cosine_similarity idiom.
+    "ann_quantized" ->
+      """WITH qz AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |         CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0
+        |              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0)
+        |              ELSE list_transform(CAST(embedding AS DOUBLE[]),
+        |                     x -> floor(x * 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) + 0.5))
+        |         END AS qv
+        |  FROM embeddings),
+        |qq AS (SELECT emb AS q_emb, qv AS q_qv FROM qz WHERE vec_id = 0),
+        |s AS (
+        |  SELECT z.vec_id, z.label,
+        |         list_inner_product(z.qv, q.q_qv) AS dq,
+        |         sqrt(list_inner_product(z.qv, z.qv)) AS qn_a,
+        |         sqrt(list_inner_product(q.q_qv, q.q_qv)) AS qn_b,
+        |         list_cosine_similarity(z.emb, q.q_emb) AS cos_raw
+        |  FROM qz z, qq q WHERE z.vec_id <> 0),
+        |c AS (
+        |  SELECT vec_id, label,
+        |         CASE WHEN qn_a = 0 OR qn_b = 0 THEN 0.0
+        |              ELSE dq / (qn_a * qn_b) END AS cos_q_raw,
+        |         cos_raw
+        |  FROM s)
+        |SELECT vec_id, label,
+        |       floor(cos_q_raw * 1000000 + 0.5) / 1000000 AS cos_q,
+        |       floor(cos_raw * 1000000 + 0.5) / 1000000 AS cos_exact,
+        |       floor(abs(cos_q_raw - cos_raw) * 1000000 + 0.5) / 1000000 AS q_err
+        |FROM c
+        |ORDER BY cos_q DESC, vec_id ASC LIMIT 10""".stripMargin,
     "emb_norms_by_label" ->
       """WITH n AS (
         |  SELECT label, sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

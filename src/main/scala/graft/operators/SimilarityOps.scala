@@ -204,6 +204,48 @@ object SimilarityOps {
       .select("vec_id", "label", "cos_sim")
   }
 
+  /** Int8-quantized ANN — the storage/bandwidth scale path
+    * ([[graft.plans.Q8Pack]] has the full arithmetic contract): embeddings
+    * are packed once (write-side in production — a 100 TB fp32 corpus
+    * becomes a 25 TB int8 index) and candidates are scored entirely on the
+    * packed bytes by the codegen `graft_q8_dot` long accumulator; the fp32
+    * originals are only read to report the exact cosine beside the
+    * quantized one, making the approximation error a COLUMN of the gate
+    * rather than a claim. Because the quantization rule is exact IEEE
+    * arithmetic step-for-step, every output — including `cos_q` and
+    * `q_err` — is bit-reproducible by the DuckDB oracle and `ann_quantized`
+    * is a full hash gate (no verdict booleans needed, unlike the
+    * engine-specific IVF/BRP-LSH indexes).
+    *
+    * Ranking uses the ROUNDED quantized score with vec_id as the total
+    * tie-break: int8 scores tie more often than fp32 ones, so the ordering
+    * key must be identical in both engines for the top-k boundary to
+    * hash-match.
+    */
+  def quantizedTopK(t: Tables, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val packed = t.embeddings
+      .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("q8", call_function("graft_q8_pack", col("emb")))
+    val q = packed
+      .filter(col("vec_id") === queryId)
+      .select(col("emb").as("q_emb"), col("q8").as("q_q8"))
+    packed
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("qn_a", sqrt(call_function("graft_q8_dot", col("q8"), col("q8")).cast("double")))
+      .withColumn("qn_b", sqrt(call_function("graft_q8_dot", col("q_q8"), col("q_q8")).cast("double")))
+      .withColumn("cos_q_raw",
+        when(col("qn_a") === 0.0 || col("qn_b") === 0.0, 0.0)
+          .otherwise(call_function("graft_q8_dot", col("q8"), col("q_q8")).cast("double")
+            / (col("qn_a") * col("qn_b"))))
+      .withColumn("cos_q", roundN(col("cos_q_raw"), 6))
+      .withColumn("cos_exact", roundN(cosine(col("emb"), col("q_emb")), 6))
+      .withColumn("q_err", roundN(abs(col("cos_q_raw") - cosine(col("emb"), col("q_emb"))), 6))
+      .orderBy(desc("cos_q"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "label", "cos_q", "cos_exact", "q_err")
+  }
+
   /** Verdict facts for an ANN result — the contract an approximate index
     * must honor even though its neighbor SET is engine-specific: every
     * reported score equals the exact cosine for that vec_id within

@@ -38,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ZOrder2(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_q8_pack"),
+      new ExpressionInfo(classOf[Q8Pack].getName, "graft_q8_pack"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Q8Pack(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_q8_dot"),
+      new ExpressionInfo(classOf[Q8Dot].getName, "graft_q8_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Q8Dot(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -44,7 +44,7 @@ class PlanLintSpec extends SparkTestBase {
     */
   private val scalarProbe = Set(
     "scalar_above_avg", "ann_brute_force", "ann_lsh", "ann_brp_lsh",
-    "ann_ivf", "ml_recommend_tfidf", "ml_recommend_tfidf_sparse",
+    "ann_ivf", "ann_quantized", "ml_recommend_tfidf", "ml_recommend_tfidf_sparse",
     // broadcast 1-row min/max bounds frame feeding the normalization
     "layout_zorder")
 
