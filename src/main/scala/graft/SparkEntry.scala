@@ -200,6 +200,10 @@ object SparkEntry {
     // are sketch-dependent, so the gate states LOSSLESSNESS — the same
     // probe as the exact-bounds roundtrip, same oracle
     "layout_zorder_approx_roundtrip" -> q(LayoutOps.zorderRoundtripApprox),
+    // small-file compaction (round-11): 64-file fragmented lineitem →
+    // listing-sized compacted rewrite → probe; the oracle states the probe
+    // from the source table, so the hash proves the cycle is lossless
+    "layout_compact_roundtrip" -> q(LayoutOps.compactRoundtrip),
     // --- deduplication (training-data extensions) ---
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
@@ -1576,6 +1580,14 @@ object SparkEntry {
         |WHERE o_custkey BETWEEN 20 AND 99
         |  AND CAST(o_orderdate AS DATE) - DATE '1970-01-01' BETWEEN 9500 AND 10499
         |GROUP BY o_orderstatus""".stripMargin,
+    // the fragment→compact cycle must be lossless: the oracle states the
+    // same probe straight from the source table
+    "layout_compact_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     // Zipf slope: ln terms rounded to 6 decimals, regression sums in exact
     // DECIMAL — the slope is one IEEE expression over identical operands
     "text_zipf_slope" ->

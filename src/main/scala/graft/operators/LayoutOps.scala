@@ -185,4 +185,82 @@ object LayoutOps {
     * its source columns intact. */
   def zorderRoundtripApprox(t: Tables): DataFrame =
     roundtripProbe(t, zorderLayoutWriteApprox(t))
+
+  // ---------------------------------------------------------------------
+  // Small-file COMPACTION — the other write-side layout lever. Streaming
+  // sinks and over-parallel writers leave directories of KB–MB files; at
+  // 100 TB the per-file open/footer/listing overhead (and the NameNode /
+  // object-store metadata load) dominates the scan itself. Compaction
+  // rewrites a directory into ~targetBytes files, sized from the ACTUAL
+  // on-disk listing, not a row-count guess.
+  // ---------------------------------------------------------------------
+
+  /** Total parquet bytes under `dir` via the Hadoop FS listing (the same
+    * interface an object store exposes) — data files only. */
+  private[operators] def parquetBytes(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).filter(s => s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
+
+  /** Compact `srcDir` into `ceil(bytes/targetBytes)` files.
+    *
+    *  - `sortCol = None`: `coalesce(n)` — a NARROW dependency, zero
+    *    shuffle: each output task concatenates whole input files. The
+    *    cheap path when the data is already acceptably clustered.
+    *  - `sortCol = Some(c)`: `repartitionByRange(n, c).sortWithinPartitions(c)`
+    *    — one range shuffle that both compacts AND re-clusters, leaving
+    *    per-file min/max zone maps non-overlapping on `c` (measured in
+    *    `CompactionSpec`; [[zorderLayoutWrite]] is the 2-D variant of the
+    *    same move).
+    *
+    * Returns (outputDir, plannedFileCount). The planned count derives from
+    * the input listing, so a 100× larger input plans 100× the files — the
+    * knob that holds output file size flat at any scale.
+    */
+  def compactWrite(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                   targetBytes: Long, sortCol: Option[String] = None): (String, Int) = {
+    val n = math.max(1L, (parquetBytes(spark, srcDir) + targetBytes - 1) / targetBytes).toInt
+    val dir = freshLayoutDir()
+    val src = spark.read.parquet(srcDir)
+    val arranged = sortCol match {
+      case Some(c) => src.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case None    => src.coalesce(n)
+    }
+    arranged.write.mode("overwrite").parquet(dir)
+    (dir, n)
+  }
+
+  /** A deliberately fragmented copy of lineitem — 64 hash-scattered files,
+    * the shape a per-trigger streaming sink or a 64-way-parallel writer
+    * leaves behind. Fresh per-call dir like every layout write. */
+  def fragmentedLineitem(t: Tables, files: Int = 64): String = {
+    val dir = freshLayoutDir()
+    t.lineitem.repartition(files).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Gate query: lineitem → 64-file fragmented dir → compacted (sorted
+    * variant, clustered by l_orderkey) → read back → rollup probe. The
+    * oracle states the same rollup straight from the source table, so the
+    * hash proves the fragment+compact cycle is lossless; the file-count
+    * arithmetic and the zero-shuffle coalesce plan are CompactionSpec's
+    * measurements (file sizes depend on encoder/compression state, so
+    * they are a spec property, not a gate column).
+    */
+  def compactRoundtrip(t: Tables): DataFrame = {
+    import graft.functions.NumericFunctions.{decSum, roundN}
+    val frag = fragmentedLineitem(t)
+    val (compacted, _) = compactWrite(t.spark, frag,
+      targetBytes = 4L * 1024 * 1024, sortCol = Some("l_orderkey"))
+    t.spark.read.parquet(compacted)
+      .filter(col("l_shipdate") >= "1995-01-01")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        roundN(decSum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction ([[LayoutOps.compactWrite]]): the file-count
+  * arithmetic against the real listing, the zero-shuffle property of the
+  * coalesce path, losslessness, and the zone-map clustering the sorted
+  * path exists for.
+  */
+class CompactionSpec extends SparkTestBase {
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("planned file count = ceil(listing bytes / target); files and rows arrive intact") {
+    val frag = LayoutOps.fragmentedLineitem(t, files = 64)
+    assert(parquetFiles(frag).length == 64)
+    val bytes = LayoutOps.parquetBytes(spark, frag)
+    val target = 256L * 1024
+    val (dir, n) = LayoutOps.compactWrite(spark, frag, target)
+    assert(n == ((bytes + target - 1) / target).toInt)
+    // coalesce can only merge, never split: at most n files, and the
+    // data survives bit-for-bit
+    assert(parquetFiles(dir).length <= n)
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(dir)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("coalesce path is a narrow dependency — zero exchanges in the write plan") {
+    val frag = LayoutOps.fragmentedLineitem(t, files = 16)
+    val n = 2
+    val plan = spark.read.parquet(frag).coalesce(n)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"coalesce compaction must not shuffle:\n$plan")
+  }
+
+  test("sorted compaction leaves per-file zone maps non-overlapping on the sort key") {
+    val frag = LayoutOps.fragmentedLineitem(t, files = 32)
+    val (dir, _) = LayoutOps.compactWrite(spark, frag,
+      targetBytes = 64L * 1024, sortCol = Some("l_orderkey"))
+    val files = parquetFiles(dir)
+    assert(files.length >= 2, "fixture should compact into 2+ files for the span check")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("l_orderkey"), max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // range-partitioned + sorted ⇒ consecutive files' key ranges don't
+    // interleave (boundary duplicates of the same key may share files)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file ranges overlap: hi=$hi lo2=$lo2")
+    case _ => ()
+    }
+  }
+
+  test("gate probe equals the same probe over the source table") {
+    val compacted = LayoutOps.compactRoundtrip(t).collect()
+    val source = t.lineitem
+      .filter(col("l_shipdate") >= "1995-01-01")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.NumericFunctions.roundN(
+          graft.functions.NumericFunctions.decSum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect()
+    assert(compacted.toSeq == source.toSeq)
+  }
+}

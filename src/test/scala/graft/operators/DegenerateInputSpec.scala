@@ -125,8 +125,18 @@ class DegenerateInputSpec extends SparkTestBase {
   test("scan-side ANN on an empty embedding table is empty") {
     assert(SimilarityOps.bruteForceTopK(et, 0L, 10).count() == 0)
     assert(SimilarityOps.lshTopK(et, 0L, 5, 6).count() == 0)
+    assert(SimilarityOps.quantizedTopK(et, 0L, 10).count() == 0)
     assert(SimilarityOps.embeddingNearDupExact(et, 0.5).count() == 0)
     assert(SimilarityOps.embeddingNearDupLsh(et, 0.5, 8).count() == 0)
+  }
+
+  test("compaction on an empty corpus: one empty file in, lossless zero rows out") {
+    // empty partitions still produce a readable (schema-bearing) part
+    // file, so the fragment→compact cycle round-trips zero rows
+    val frag = LayoutOps.fragmentedLineitem(et)
+    val (dir, n) = LayoutOps.compactWrite(spark, frag, 1024L * 1024)
+    assert(n == 1 && spark.read.parquet(dir).count() == 0)
+    assert(LayoutOps.compactRoundtrip(et).count() == 0)
   }
 
   test("repetition stats on a single-token document") {
