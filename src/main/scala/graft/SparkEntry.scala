@@ -192,6 +192,9 @@ object SparkEntry {
     // (see weightedSampleTau's scaladoc), so it shares sample_weighted's
     // oracle verbatim and hash-matching here proves the equivalence
     "sample_weighted_tau"   -> q(t => PackingOps.weightedSampleTau(t)),
+    // temperature mixture (round-11): sqrt-share budgets via exact
+    // integer micro-weights — budget arithmetic AND draw both hash-checked
+    "sample_mixture_temperature" -> q(t => PackingOps.sampleMixtureTemperature(t)),
     "sample_weighted_per_group" -> q(t => PackingOps.weightedSamplePerGroup(t)),
     // --- data layout (training-data extensions) ---
     "layout_zorder"         -> q(LayoutOps.zorderIndex),
@@ -1503,6 +1506,32 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
         |FROM c WHERE cum0 < 600""".stripMargin,
+    // temperature mixture: the sqrt micro-weight v = floor(sqrt(n)*1e6+0.5)
+    // is an exact integer, S = sum(v) an exact long, and the budget one
+    // integer-valued-double division under floor — every step restated
+    // verbatim, so budgets AND draw hash-match
+    "sample_mixture_temperature" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tok,
+        |         md5(doc_id::VARCHAR) AS k
+        |  FROM documents),
+        |tot AS (
+        |  SELECT source,
+        |         CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS v
+        |  FROM tk GROUP BY source),
+        |s AS (SELECT sum(v) AS sv FROM tot),
+        |b AS (
+        |  SELECT source,
+        |         CAST(floor(CAST(v * 8000 AS DOUBLE) / CAST(sv AS DOUBLE)) AS BIGINT) AS budget
+        |  FROM tot, s),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY k
+        |                          ROWS UNBOUNDED PRECEDING) - n_tok AS cum0
+        |  FROM tk)
+        |SELECT c.doc_id, c.source, CAST(c.n_tok AS BIGINT) AS n_tok, b.budget
+        |FROM c JOIN b ON c.source = b.source
+        |WHERE c.cum0 < b.budget""".stripMargin,
     // sequential Poisson sampling: u is a dyadic rational (12 exact
     // nibble terms + 2^-48, every partial sum <= 48 fractional bits), the
     // priority one correctly-rounded division — bit-identical doubles in

@@ -174,6 +174,51 @@ object PackingOps {
       .select("doc_id", "source", "n_tok")
   }
 
+  /** TEMPERATURE-scaled mixture sampling — the multilingual-LLM staple
+    * (sampling rate ∝ sourceShare^α, α < 1, so low-resource sources are
+    * up-weighted relative to their raw share; Conneau & Lample 2019 §3.1
+    * use α = 0.5–0.7): per-source token budgets proportional to
+    * sqrt(source tokens), normalized to `totalBudget`, then each source's
+    * draw proceeds in the same md5(doc_id) shuffle order and
+    * stop-after-crossing rule as [[sampleMixture]].
+    *
+    * Cross-engine exactness (what lets the gate hash-check the BUDGET
+    * arithmetic, not just the draw): the α = 1/2 weight is the
+    * correctly-rounded IEEE `sqrt` — no transcendental — QUANTIZED to an
+    * integer micro-weight v = floor(sqrt(n_tok)·10⁶ + 0.5); the
+    * normalizer S = Σ v is an exact long sum (order-independent), and
+    * budget = floor((totalBudget·v)/S) is integer-valued doubles under
+    * one division. Every step is restated verbatim in the DuckDB oracle.
+    * (Arbitrary α needs `pow`, whose low bits vary across libm builds —
+    * an engine-side variant would be deterministic per engine but not
+    * hash-gateable; α = 1/2 is the common production choice and the one
+    * this gate pins.)
+    *
+    * Scale shape: one tiny per-source aggregate (|sources| rows,
+    * broadcast back), then the [[exclusiveRunningTotalPerGroup]] draw —
+    * no per-source single-task window even when one source dominates.
+    * Budget flooring under-allocates at most |sources| tokens.
+    */
+  def sampleMixtureTemperature(t: Tables, totalBudget: Long = 8000L): DataFrame = {
+    val tk = t.documents.select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast(LongType).as("n_tok"),
+      md5(col("doc_id").cast(StringType)).as("shuffle_key"))
+    val v = tk.groupBy("source")
+      .agg(sum("n_tok").as("src_tok"))
+      .withColumn("v",
+        floor(sqrt(col("src_tok").cast("double")) * lit(1000000.0) + lit(0.5)))
+    val s = v.agg(sum("v").as("sv"))
+    val budgets = v.crossJoin(broadcast(s))
+      .withColumn("budget",
+        floor((col("v") * totalBudget).cast("double") / col("sv").cast("double")))
+      .select("source", "budget")
+    exclusiveRunningTotalPerGroup(tk, "source", "shuffle_key", "n_tok", "cum0")
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum0") < col("budget"))
+      .select("doc_id", "source", "n_tok", "budget")
+  }
+
   /** Uniform in (0, 1] from the first 12 hex nibbles of a lowercase md5
     * column: u = Σₚ nib(p) / 16^(p+1), plus 16⁻¹² so an all-zero prefix
     * can't yield u = 0 (a zero priority would outrank every weight).

@@ -75,6 +75,9 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(TextOps.fingerprints(et).count() == 0)
     assert(PackingOps.packConcatChunks(et, 1024).count() == 0)
     assert(PackingOps.sampleTokenBudget(et, 8000).count() == 0)
+    // empty corpus: the normalizer sum(v) is NULL, so every budget is
+    // NULL and the draw filter rejects everything — empty, not a throw
+    assert(PackingOps.sampleMixtureTemperature(et, 8000).count() == 0)
   }
 
   test("round-10 samplers and layout on an empty corpus") {

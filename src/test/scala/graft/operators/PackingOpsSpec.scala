@@ -83,6 +83,45 @@ class PackingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sampleMixtureTemperature: sqrt budgets recomputed driver-side; low-resource sources up-weighted") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    // driver-side budget recompute from the raw per-source token totals
+    val totals = t.documents
+      .groupBy("source").agg(sum(size(tokens(col("text"))).cast("long")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = totals.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong }
+    val sv = v.values.sum
+    val expectBudget = v.map { case (s, vi) =>
+      s -> math.floor((vi * 8000L).toDouble / sv.toDouble).toLong }
+    val got = PackingOps.sampleMixtureTemperature(t, 8000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gotBudgets = got.map(r => r._2 -> r._4).toMap
+    gotBudgets.foreach { case (s, b) =>
+      assert(b == expectBudget(s), s"budget mismatch for $s") }
+    // flooring loses at most one token per source
+    assert(expectBudget.values.sum <= 8000L &&
+      expectBudget.values.sum > 8000L - expectBudget.size)
+    // the defining temperature property: every below-average source's
+    // weight SHARE strictly exceeds its raw token share (sqrt flattens
+    // toward uniform; n < mean ⇒ n < (T/Σ√n)² by Cauchy–Schwarz, so the
+    // claim is exact on the micro-weights, no floor noise)
+    val tokSum = totals.values.sum.toDouble
+    totals.foreach { case (s, n) =>
+      val rawShare = n / tokSum
+      val wShare = v(s).toDouble / sv
+      if (n.toDouble < tokSum / totals.size)
+        assert(wShare > rawShare, s"$s should be up-weighted")
+    }
+    // the draw itself honors each source's budget (stop-after-crossing)
+    got.groupBy(_._2).foreach { case (src, docs) =>
+      val total = docs.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      assert(total < gotBudgets(src) + maxDoc, s"$src over budget: $total")
+    }
+  }
+
   test("sampleTokenBudget: prefix-closed in md5 order and within budget") {
     val got = PackingOps.sampleTokenBudget(t, 8000).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
