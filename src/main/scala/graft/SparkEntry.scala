@@ -259,6 +259,9 @@ object SparkEntry {
     // the oracle recomputes the identical buckets → full hash gate
     "ann_knn_join"       -> q(t => SimilarityOps.knnJoinLsh(t, 3)),
     "emb_neardup_clusters" -> q(t => SimilarityOps.embNearDupClusters(t, 0.35, 8)),
+    // SemDeDup-style keep/drop resolution (round-11): one max-norm
+    // representative per semantic cluster, singletons keep themselves
+    "emb_semantic_resolve" -> q(t => SimilarityOps.semanticResolve(t, 0.35, 8)),
     "emb_norms_by_label" -> q(SimilarityOps.normsByLabel),
     "emb_vector_stats"   -> q(SimilarityOps.vectorStatsByLabel),
     // --- ML + multimodal (reference parity M1-M14 / extension) ---
@@ -1969,6 +1972,35 @@ object SparkEntry {
          |SELECT id AS vec_id, rep AS cluster_rep,
          |       count(*) OVER (PARTITION BY rep) AS cluster_size
          |FROM reps""".stripMargin,
+    // the closure CTE extended with a max-norm argmax window — the same
+    // oracle shape as dedup_cluster_resolve, over embeddings
+    "emb_semantic_resolve" ->
+      s"""WITH RECURSIVE $embLshPairsCte,
+         |jp AS (SELECT vec_a, vec_b FROM p WHERE cos_sim >= 0.35),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM jp
+         |  UNION
+         |  SELECT vec_b AS src, vec_a AS dst FROM jp),
+         |walk(id, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.id, e2.dst FROM walk w JOIN edges e2 ON w.r = e2.src),
+         |reps AS (
+         |  SELECT id, least(id, min(r)) AS rep FROM walk GROUP BY id),
+         |nv AS (
+         |  SELECT vec_id,
+         |         floor(sqrt(list_sum([x*x for x in [y::DOUBLE for y in embedding]])) * 1000000 + 0.5)
+         |           / 1000000 AS norm
+         |  FROM embeddings),
+         |lab AS (
+         |  SELECT nv.vec_id, COALESCE(reps.rep, nv.vec_id) AS cluster_rep, nv.norm
+         |  FROM nv LEFT JOIN reps ON nv.vec_id = reps.id)
+         |SELECT vec_id, cluster_rep,
+         |       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size,
+         |       norm,
+         |       row_number() OVER (PARTITION BY cluster_rep
+         |                          ORDER BY norm DESC, vec_id) = 1 AS keep
+         |FROM lab""".stripMargin,
     "ann_lsh" ->
       """WITH e AS (
         |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS emb FROM embeddings),

@@ -418,6 +418,41 @@ object SimilarityOps {
     GraphOps.clusters(embeddingNearDupLsh(t, minCos, bits).select("vec_a", "vec_b"))
       .withColumnsRenamed(Map("doc_id" -> "vec_id"))
 
+  /** SemDeDup-style SEMANTIC dedup resolution (Abbas et al. 2023: cluster
+    * embeddings, keep one representative per semantic cluster) — the
+    * embedding twin of [[DedupOps.resolveClusters]]: every vector is
+    * labelled keep/drop so exactly ONE representative survives per
+    * near-dup component and singletons keep themselves. The keep rule is
+    * deterministic and oracle-restatable — max L2 norm (a magnitude/
+    * confidence proxy standing in for SemDeDup's centroid-distance pick,
+    * which would inherit KMeans' engine-specific centroids), ties to min
+    * vec_id; the norm ordering key is rounded to 6 decimals so both
+    * engines rank identical values.
+    *
+    * Scale shape: identical to the text variant — cluster labels are
+    * (long, long, long) rows, orders of magnitude smaller than the
+    * corpus; the keep choice is a per-cluster row_number window that
+    * reuses the join's hash partitioning.
+    */
+  def semanticResolve(t: Tables, minCos: Double = 0.35, bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = embNearDupClusters(t, minCos, bits)
+    val vecs = t.embeddings.select(
+      col("vec_id"),
+      roundN(l2Norm(toDoubleArr(col("embedding"))), 6).as("norm"))
+    val labelled = vecs.join(clusters, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("norm"))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(desc("norm"), asc("vec_id"))
+    labelled
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy("vec_id")
+  }
+
   /** Per-label embedding stats: avg L2 norm + count (sanity surface for the
     * vector math, fully oracle-checkable).
     */

@@ -236,6 +236,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     nodes.foreach(n => assert(got(n) == find(n), s"node $n"))
   }
 
+  test("semanticResolve: one max-norm keeper per cluster, singletons keep themselves") {
+    val rows = SimilarityOps.semanticResolve(t, 0.35, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // every vector labelled exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.length == t.embeddings.count())
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (rep, members) =>
+      // exactly one keeper, and it is the (norm desc, vec_id asc) argmax
+      val keepers = members.filter(_._5)
+      assert(keepers.length == 1, s"cluster $rep keeps ${keepers.length}")
+      val want = members.minBy(m => (-m._4, m._1))
+      assert(keepers.head._1 == want._1, s"cluster $rep wrong keeper")
+      // cluster_size column agrees with the actual member count
+      members.foreach(m => assert(m._3 == members.length))
+    }
+    // singleton = its own rep, kept
+    byCluster.filter(_._2.length == 1).foreach { case (rep, Array(m)) =>
+      assert(m._1 == rep && m._5)
+    }
+    // agreement with the cluster labelling the resolve is built on
+    val clusters = SimilarityOps.embNearDupClusters(t, 0.35, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, rep, _, _, _) =>
+      assert(clusters.getOrElse(id, id) == rep)
+    }
+  }
+
   test("minhash recall vs exact jaccard on fixtures (threshold 0.5)") {
     val exact = DedupOps.ngramJaccardPairs(t, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -131,6 +131,7 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(SimilarityOps.quantizedTopK(et, 0L, 10).count() == 0)
     assert(SimilarityOps.embeddingNearDupExact(et, 0.5).count() == 0)
     assert(SimilarityOps.embeddingNearDupLsh(et, 0.5, 8).count() == 0)
+    assert(SimilarityOps.semanticResolve(et, 0.5, 8).count() == 0)
   }
 
   test("compaction on an empty corpus: one empty file in, lossless zero rows out") {
