@@ -46,7 +46,9 @@ class PlanLintSpec extends SparkTestBase {
     "scalar_above_avg", "ann_brute_force", "ann_lsh", "ann_brp_lsh",
     "ann_ivf", "ann_quantized", "ml_recommend_tfidf", "ml_recommend_tfidf_sparse",
     // broadcast 1-row min/max bounds frame feeding the normalization
-    "layout_zorder")
+    "layout_zorder",
+    // broadcast 1-row weight normalizer feeding the budget arithmetic
+    "sample_mixture_temperature")
 
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
