@@ -64,7 +64,9 @@ object Plans {
       "layout_zorder (1-row bounds broadcast + codegen graft_zorder projection)" ->
         operators.LayoutOps.zorderIndex(t),
       "ann_quantized (codegen q8 pack + integer dot, TakeOrderedAndProject)" ->
-        operators.SimilarityOps.quantizedTopK(t, 0L, 10))
+        operators.SimilarityOps.quantizedTopK(t, 0L, 10),
+      "ann_knn_join_q8 (bucket exchange carries 64-byte codes, not fp64 arrays)" ->
+        operators.SimilarityOps.knnJoinQ8(t, 3))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

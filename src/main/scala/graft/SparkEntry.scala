@@ -258,6 +258,9 @@ object SparkEntry {
     // batch k-NN JOIN (top-k per vector) over deterministic sign buckets;
     // the oracle recomputes the identical buckets → full hash gate
     "ann_knn_join"       -> q(t => SimilarityOps.knnJoinLsh(t, 3)),
+    // int8 twin (round-11): identical buckets, candidate scoring on the
+    // 8x-smaller packed codes — exchanges carry 64-byte codes, not fp64
+    "ann_knn_join_q8"    -> q(t => SimilarityOps.knnJoinQ8(t, 3)),
     "emb_neardup_clusters" -> q(t => SimilarityOps.embNearDupClusters(t, 0.35, 8)),
     // SemDeDup-style keep/drop resolution (round-11): one max-norm
     // representative per semantic cluster, singletons keep themselves
@@ -1953,6 +1956,41 @@ object SparkEntry {
         |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         |  FROM c)
         |SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+    // the fp64 knn-join oracle with scoring moved onto the exact int8
+    // codes (the ann_quantized quantization CTE): buckets from the raw
+    // signs, codes/norms/scores replayed bit-for-bit
+    "ann_knn_join_q8" ->
+      """WITH p AS (
+        |  SELECT coalesce(min(b), 16) AS bits
+        |  FROM range(1, 17) t(b), (SELECT count(*) AS n FROM embeddings) nn
+        |  WHERE 128 * (1 << b) >= n),
+        |e AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, emb,
+        |         CASE WHEN list_max([abs(x) for x in emb]) = 0
+        |              THEN [0.0 for x in emb]
+        |              ELSE [floor(x * 127.0 / list_max([abs(y) for y in emb]) + 0.5) for x in emb]
+        |         END AS qv,
+        |         substr(rpad(coalesce(list_aggregate(
+        |             [CASE WHEN x >= 0 THEN '1' ELSE '0' END for x in emb[1:16]],
+        |             'string_agg', ''), ''), 16, '0'), 1, (SELECT bits FROM p)) AS bucket
+        |  FROM e),
+        |n AS (
+        |  SELECT vec_id, qv, sqrt(list_inner_product(qv, qv)) AS qn, bucket FROM qz),
+        |c AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |         floor((CASE WHEN a.qn = 0 OR b.qn = 0 THEN 0.0
+        |                ELSE list_inner_product(a.qv, b.qv) / (a.qn*b.qn) END) * 1000000 + 0.5)
+        |           / 1000000 AS cos_q
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT vec_id, neighbor_id, cos_q,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY cos_q DESC, neighbor_id ASC) AS rank
+        |  FROM c)
+        |SELECT vec_id, neighbor_id, cos_q, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 3""".stripMargin,
     // Cluster resolution over the embedding near-dup pair graph — same
     // recursive-closure oracle shape as dedup_clusters.

@@ -397,6 +397,53 @@ object SimilarityOps {
       .orderBy("vec_id", "rank")
   }
 
+  /** INT8-quantized k-NN join — [[knnJoinLsh]] with the candidate scoring
+    * moved onto [[graft.plans.Q8Pack]] codes: the same deterministic sign
+    * buckets (computed from the RAW doubles, so bucketing is identical to
+    * the fp64 twin), but the self-join sides carry the 64-BYTE packed
+    * code + one precomputed quantized norm instead of the 512-byte
+    * double array — an 8× reduction of BOTH bucket-keyed exchanges and
+    * of the join's build/stream row width, which is where an all-pairs
+    * candidate stage actually spends at 100 TB. Scoring is the codegen
+    * long-accumulating `graft_q8_dot`; ranking uses the rounded quantized
+    * cosine with neighbor_id as the total tie-break.
+    *
+    * Because the quantization rule is exact IEEE arithmetic
+    * ([[Q8Pack]]'s contract), the DuckDB oracle replays codes, norms and
+    * scores bit-for-bit — `ann_knn_join_q8` is a full hash gate like its
+    * fp64 twin, and `Q8Spec` measures the per-vector agreement between
+    * the two result sets.
+    */
+  def knnJoinQ8(t: Tables, k: Int = 3, bits: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val useBits = if (bits > 0) bits else adaptiveSignBits(t.embeddings.count())
+    val e = t.embeddings
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
+      .withColumn("q8", call_function("graft_q8_pack", col("emb")))
+      .withColumn("qn",
+        sqrt(call_function("graft_q8_dot", col("q8"), col("q8")).cast("double")))
+      .withColumn("bucket", signBucket(col("emb"), useBits))
+      // the fp64 embedding is dropped HERE — only codes cross the wire
+      .select("vec_id", "q8", "qn", "bucket")
+      .repartition(col("bucket"))
+    val a = e.select(col("bucket"), col("vec_id"),
+      col("q8").as("q8_a"), col("qn").as("qn_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("q8").as("q8_b"), col("qn").as("qn_b"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("cos_q"), asc("neighbor_id"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos_q", roundN(
+        when(col("qn_a") === 0.0 || col("qn_b") === 0.0, 0.0)
+          .otherwise(call_function("graft_q8_dot", col("q8_a"), col("q8_b")).cast("double")
+            / (col("qn_a") * col("qn_b"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "cos_q", "rank")
+      .orderBy("vec_id", "rank")
+  }
+
   /** Scale-adaptive sign-LSH bit count: the smallest b in [1, 16] with
     * `targetBucket · 2^b >= n`, i.e. the expected bucket width stays in
     * (targetBucket/2, targetBucket]. Integer arithmetic only (no

@@ -132,6 +132,7 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(SimilarityOps.embeddingNearDupExact(et, 0.5).count() == 0)
     assert(SimilarityOps.embeddingNearDupLsh(et, 0.5, 8).count() == 0)
     assert(SimilarityOps.semanticResolve(et, 0.5, 8).count() == 0)
+    assert(SimilarityOps.knnJoinQ8(et, 3).count() == 0)
   }
 
   test("compaction on an empty corpus: one empty file in, lossless zero rows out") {
