@@ -208,6 +208,9 @@ object SparkEntry {
     // from the source table, so the hash proves the cycle is lossless
     "layout_compact_roundtrip" -> q(LayoutOps.compactRoundtrip),
     // --- deduplication (training-data extensions) ---
+    // snapshot reconciliation (round-11): digests-only full-outer diff →
+    // the added/changed slice is what incremental stages re-process
+    "snapshot_diff_stats" -> q(SnapshotOps.snapshotDiffStats),
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
@@ -2175,6 +2178,28 @@ object SparkEntry {
         |         ELSE 'scalar' END AS category,
         |       count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    // snapshot B derived in SQL exactly as SnapshotOps.syntheticSnapshotB
+    // derives it; the diff compares md5 digests, so "a %11 doc whose text
+    // has no letters stays unchanged" falls out identically on both sides
+    "snapshot_diff_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |da AS (SELECT doc_id, source AS src_a, md5(text) AS dig_a FROM documents),
+        |db AS (SELECT doc_id, source AS src_b, md5(text) AS dig_b FROM b),
+        |d AS (
+        |  SELECT COALESCE(db.src_b, da.src_a) AS source,
+        |         CASE WHEN da.dig_a IS NULL THEN 'added'
+        |              WHEN db.dig_b IS NULL THEN 'removed'
+        |              WHEN da.dig_a <> db.dig_b THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM da FULL OUTER JOIN db ON da.doc_id = db.doc_id)
+        |SELECT source, status, count(*) AS n
+        |FROM d GROUP BY source, status""".stripMargin,
     "dedup_exact_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_distinct,

@@ -78,6 +78,8 @@ class DegenerateInputSpec extends SparkTestBase {
     // empty corpus: the normalizer sum(v) is NULL, so every budget is
     // NULL and the draw filter rejects everything — empty, not a throw
     assert(PackingOps.sampleMixtureTemperature(et, 8000).count() == 0)
+    // both snapshots empty → empty diff
+    assert(SnapshotOps.snapshotDiffStats(et).count() == 0)
   }
 
   test("round-10 samplers and layout on an empty corpus") {

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Snapshot reconciliation ([[SnapshotOps]]): exact statuses on a
+  * hand-built pair, the conservation laws on the fixture-derived gate, and
+  * the digests-only shuffle contract.
+  */
+class SnapshotOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hand-built snapshots: every status assigned exactly as defined") {
+    val a = Seq((1L, "s", "alpha"), (2L, "s", "beta"), (3L, "s", "gamma"))
+      .toDF("doc_id", "source", "text")
+    val b = Seq((2L, "s", "beta"), (3L, "s", "GAMMA"), (4L, "s", "delta"))
+      .toDF("doc_id", "source", "text")
+    val got = SnapshotOps.snapshotDiff(a, b)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("fixture diff honors the conservation laws of the synthetic snapshot B") {
+    val docs = t.documents.select("doc_id").as[Long].collect().toSet
+    val rows = SnapshotOps.snapshotDiff(
+      t.documents.select("doc_id", "source", "text"),
+      SnapshotOps.syntheticSnapshotB(t)).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    // every doc of A ∪ B labelled exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byStatus = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+    // removed = exactly the %7 == 0 docs (removal wins over the %11 change)
+    assert(byStatus.getOrElse("removed", Set()) == docs.filter(_ % 7 == 0))
+    // added = exactly the shifted %13 == 0 docs
+    assert(byStatus.getOrElse("added", Set()) ==
+      docs.filter(_ % 13 == 0).map(_ + 10000000L))
+    // changed ⊆ surviving %11 == 0 docs (uppercasing no-letter text is a
+    // digest no-op, so ⊆ not ==), and nothing else may change
+    val changed = byStatus.getOrElse("changed", Set())
+    assert(changed.subsetOf(docs.filter(d => d % 11 == 0 && d % 7 != 0)))
+    assert(changed.nonEmpty, "fixture should contain at least one real change")
+    // everything else is unchanged
+    assert(byStatus.getOrElse("unchanged", Set()) ==
+      docs.filter(d => d % 7 != 0 && !changed(d)) ++ Set())
+  }
+
+  test("the full-outer exchange carries digests, never text") {
+    val df = SnapshotOps.snapshotDiffStats(t)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = plan.split("""\(\d+\) Exchange""").drop(1)
+      .map(_.linesIterator.find(_.trim.startsWith("Input")).getOrElse(""))
+    assert(exchangeInputs.nonEmpty)
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"), s"an exchange still carries text: $in")
+    }
+    assert(exchangeInputs.exists(in => in.contains("dig_a#") || in.contains("dig_b#")),
+      s"no exchange carries the digests:\n${exchangeInputs.mkString("\n")}")
+  }
+}
