@@ -211,6 +211,9 @@ object SparkEntry {
     // snapshot reconciliation (round-11): digests-only full-outer diff →
     // the added/changed slice is what incremental stages re-process
     "snapshot_diff_stats" -> q(SnapshotOps.snapshotDiffStats),
+    // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
+    // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
+    "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
@@ -2178,6 +2181,35 @@ object SparkEntry {
         |         ELSE 'scalar' END AS category,
         |       count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    // the bigram model restated on token text (the engine keys the same
+    // counts by xxhash64 — identical counts absent a 2^-64 collision);
+    // probabilities are exact counts under one double division, ln terms
+    // 6-decimal-rounded then DECIMAL-summed (the zipf-slope idiom)
+    "text_bigram_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id,
+        |         unnest([{'w1': tk[i], 'sh': tk[i] || ' ' || tk[i+1]}
+        |                 for i in range(1, len(tk))]) AS e
+        |  FROM tok),
+        |b AS (SELECT doc_id, e.w1 AS w1, e.sh AS sh FROM bg0),
+        |c12 AS (SELECT sh, count(*) AS c12 FROM b GROUP BY sh),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+        |v AS (
+        |  SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(tk) AS w FROM tok)),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |         floor(ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+        |               * 1000000 + 0.5) / 1000000 AS ln6
+        |  FROM b JOIN c12 USING (sh) JOIN c1 USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       floor(((-CAST(sum(CAST(ln6 AS DECIMAL(28,6))) AS DOUBLE)) / count(*))
+        |             * 1000000 + 0.5) / 1000000 AS avg_nll,
+        |       floor(((-CAST(sum(CAST(ln6 AS DECIMAL(28,6))) AS DOUBLE)) / count(*))
+        |             * 1000000 + 0.5) / 1000000 <= 3.4 AS keep
+        |FROM sc GROUP BY doc_id""".stripMargin,
     // snapshot B derived in SQL exactly as SnapshotOps.syntheticSnapshotB
     // derives it; the diff compares md5 digests, so "a %11 doc whose text
     // has no letters stays unchanged" falls out identically on both sides

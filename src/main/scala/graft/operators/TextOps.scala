@@ -259,4 +259,53 @@ object TextOps {
       .filter(col("rn") <= k)
       .select("lang", "doc_id", "h", "rn")
   }
+
+  /** Bigram-LM perplexity scoring — the CCNet-style quality filter
+    * (Wenzek et al. 2020 score documents with a KenLM n-gram model and
+    * keep the low-perplexity head/middle): a corpus-trained add-one-
+    * smoothed bigram model, p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V), scores
+    * every document's average negative log-likelihood per bigram. Lower
+    * avg_nll = more fluent under the corpus's own statistics; `keep`
+    * applies the documented fixed threshold (a production run calibrates
+    * τ from the head/middle score quantiles instead).
+    *
+    * Cross-engine exactness: each probability is exact-integer counts
+    * under ONE double division; ln terms are 6-decimal-rounded then
+    * DECIMAL-summed (the `text_zipf_slope` idiom), so the per-doc average
+    * hash-matches.
+    *
+    * Scale shape: bigrams explode per row ([[graft.functions.TextFunctions.shingles]]
+    * — no join to form pairs); the two count tables and the scoring joins
+    * shuffle xxhash64 longs, never token text (the engine's digests-only
+    * exchange rule; the oracle keys by text — identical counts absent a
+    * 2⁻⁶⁴ collision, the dedup_substring_spans precedent); the vocabulary
+    * distinct-count is the only string shuffle and is vocab-bound, not
+    * corpus-bound. Docs with fewer than 2 tokens have no bigrams and drop
+    * out (spec-pinned).
+    */
+  def bigramPerplexity(t: Tables, tau: Double = 3.4): DataFrame = {
+    val b = t.documents
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("sh"))
+      .select(
+        col("doc_id"),
+        xxhash64(substring_index(col("sh"), " ", 1)).as("h1"),
+        xxhash64(col("sh")).as("h12"))
+    val c12 = b.groupBy("h12").agg(count(lit(1)).as("c12"))
+    val c1 = b.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val v = t.documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    b.join(c12, Seq("h12"))
+      .join(c1, Seq("h1"))
+      .crossJoin(broadcast(v))
+      .withColumn("ln6", roundN(
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        roundN(-graft.functions.NumericFunctions.decSum(col("ln6")) / count(lit(1)), 6)
+          .as("avg_nll"))
+      .withColumn("keep", col("avg_nll") <= tau)
+      .orderBy("doc_id")
+  }
 }

@@ -48,7 +48,9 @@ class PlanLintSpec extends SparkTestBase {
     // broadcast 1-row min/max bounds frame feeding the normalization
     "layout_zorder",
     // broadcast 1-row weight normalizer feeding the budget arithmetic
-    "sample_mixture_temperature")
+    "sample_mixture_temperature",
+    // broadcast 1-row vocabulary size feeding the smoothing denominator
+    "text_bigram_perplexity")
 
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -69,6 +69,52 @@ class TextMlMultimodalSpec extends SparkTestBase {
       s"slope $slope vs brute-force $want")
   }
 
+  test("bigramPerplexity: scores match a driver-side bigram-LM recompute; short docs drop out") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // driver-side model over the real fixture corpus
+    val docs = t.documents.select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, tx) => id -> tx.split("\\s+").toSeq }
+    val bigrams = toks.flatMap { case (id, tk) =>
+      tk.sliding(2).filter(_.length == 2).map(p => (id, p.head, p.mkString(" ")))
+    }
+    val c12 = bigrams.groupBy(_._3).map { case (k, v) => k -> v.length }
+    val c1 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val vocab = toks.flatMap(_._2).distinct.length
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+      // mirror decSum's double→DECIMAL(28,6) cast, which goes through the
+      // double's SHORTEST DECIMAL STRING (Decimal.fromDouble), then HALF_UP
+      val lnSum = bs.map(b =>
+        BigDecimal(r6(math.log((c12(b._3) + 1).toDouble / (c1(b._2) + vocab).toDouble)).toString)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      id -> (bs.length.toLong, r6((-lnSum.toDouble) / bs.length))
+    }
+    val got = TextOps.bigramPerplexity(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    // docs with <2 tokens have no bigrams and are absent
+    val short = toks.filter(_._2.length < 2).map(_._1).toSet
+    assert(short.intersect(got.keySet).isEmpty)
+    expect.foreach { case (id, (n, nll)) =>
+      assert(got(id)._1 == n, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - nll) < 1e-9, s"doc $id nll: got ${got(id)._2} want $nll")
+    }
+    // a median tau splits the corpus — the keep flag is not vacuous
+    val med = got.values.map(_._2).toSeq.sorted.apply(got.size / 2)
+    val flags = TextOps.bigramPerplexity(t, med).collect().map(_.getBoolean(3))
+    assert(flags.exists(identity) && flags.exists(!_))
+    // scoring exchanges carry xxhash64 longs, never bigram text
+    val plan = TextOps.bigramPerplexity(t).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = plan.split("""\(\d+\) Exchange""").drop(1)
+      .map(_.linesIterator.find(_.trim.startsWith("Input")).getOrElse(""))
+    // the vocabulary distinct-count is the one permitted string exchange
+    assert(exchangeInputs.count(in => in.contains("sh#") || in.contains("text#")) == 0,
+      s"a scoring exchange carries token text:\n${exchangeInputs.mkString("\n")}")
+  }
+
   test("redactIds: digit runs replaced, redaction count audited") {
     val rows = TextOps.redactIds(t).collect()
     assert(rows.length == t.customer.count())

@@ -80,6 +80,8 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(PackingOps.sampleMixtureTemperature(et, 8000).count() == 0)
     // both snapshots empty → empty diff
     assert(SnapshotOps.snapshotDiffStats(et).count() == 0)
+    // no documents → no bigrams → empty perplexity table
+    assert(TextOps.bigramPerplexity(et).count() == 0)
   }
 
   test("round-10 samplers and layout on an empty corpus") {
