@@ -2219,7 +2219,7 @@ object SparkEntry {
         |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
         |  FROM documents WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000 AS doc_id, source, text
+        |  SELECT doc_id + 1099511627776 AS doc_id, source, text
         |  FROM documents WHERE doc_id % 13 = 0),
         |da AS (SELECT doc_id, source AS src_a, md5(text) AS dig_a FROM documents),
         |db AS (SELECT doc_id, source AS src_b, md5(text) AS dig_b FROM b),

@@ -195,14 +195,22 @@ object LayoutOps {
   // on-disk listing, not a row-count guess.
   // ---------------------------------------------------------------------
 
-  /** Total parquet bytes under `dir` via the Hadoop FS listing (the same
-    * interface an object store exposes) — data files only. */
+  /** Total parquet bytes under `dir` via the RECURSIVE Hadoop FS listing
+    * (the same interface an object store exposes) — data files only, at
+    * any partitioning depth (a Hive-partitioned `dt=.../part-*.parquet`
+    * layout keeps its data one level down; a top-level-only listing would
+    * size it at zero). */
   private[operators] def parquetBytes(spark: org.apache.spark.sql.SparkSession,
                                       dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val it = fs.listFiles(path, true)
+    var sum = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) sum += s.getLen
+    }
+    sum
   }
 
   /** Compact `srcDir` into `ceil(bytes/targetBytes)` files.
@@ -222,15 +230,24 @@ object LayoutOps {
     */
   def compactWrite(spark: org.apache.spark.sql.SparkSession, srcDir: String,
                    targetBytes: Long, sortCol: Option[String] = None): (String, Int) = {
-    val n = math.max(1L, (parquetBytes(spark, srcDir) + targetBytes - 1) / targetBytes).toInt
+    val wanted = math.max(1L, (parquetBytes(spark, srcDir) + targetBytes - 1) / targetBytes).toInt
     val dir = freshLayoutDir()
     val src = spark.read.parquet(srcDir)
-    val arranged = sortCol match {
-      case Some(c) => src.repartitionByRange(n, col(c)).sortWithinPartitions(c)
-      case None    => src.coalesce(n)
+    val (arranged, planned) = sortCol match {
+      case Some(c) =>
+        (src.repartitionByRange(wanted, col(c)).sortWithinPartitions(c), wanted)
+      case None =>
+        // coalesce MERGES, never splits: asking for more partitions than
+        // the scan produces is a no-op, so the honest planned count is the
+        // min — output files can then exceed targetBytes exactly when the
+        // scan's own partitions do (maxPartitionBytes governs; the sorted
+        // path shuffles and hits the target regardless)
+        val scanParts = src.rdd.getNumPartitions
+        val n = math.min(wanted, math.max(1, scanParts))
+        (src.coalesce(n), n)
     }
     arranged.write.mode("overwrite").parquet(dir)
-    (dir, n)
+    (dir, planned)
   }
 
   /** A deliberately fragmented copy of lineitem — 64 hash-scattered files,

@@ -226,14 +226,16 @@ object SimilarityOps {
     val packed = t.embeddings
       .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
       .withColumn("q8", call_function("graft_q8_pack", col("emb")))
+    // the query norm rides the 1-row broadcast frame — computing it after
+    // the cross join would redo the O(dim) self-dot once per corpus row
     val q = packed
       .filter(col("vec_id") === queryId)
-      .select(col("emb").as("q_emb"), col("q8").as("q_q8"))
+      .select(col("emb").as("q_emb"), col("q8").as("q_q8"),
+        sqrt(call_function("graft_q8_dot", col("q8"), col("q8")).cast("double")).as("qn_b"))
     packed
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("qn_a", sqrt(call_function("graft_q8_dot", col("q8"), col("q8")).cast("double")))
-      .withColumn("qn_b", sqrt(call_function("graft_q8_dot", col("q_q8"), col("q_q8")).cast("double")))
       .withColumn("cos_q_raw",
         when(col("qn_a") === 0.0 || col("qn_b") === 0.0, 0.0)
           .otherwise(call_function("graft_q8_dot", col("q8"), col("q_q8")).cast("double")

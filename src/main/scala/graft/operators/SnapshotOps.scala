@@ -42,7 +42,9 @@ object SnapshotOps {
     * for "today's crawl", derived purely from the fixture so the oracle
     * can restate it): doc_id % 7 == 0 dropped (removals), text upper-cased
     * where doc_id % 11 == 0 (changes), and every doc_id % 13 == 0 re-added
-    * under doc_id + 10,000,000 (additions). */
+    * under doc_id + 2^40 (additions — the shift sits far above any
+    * plausible doc_id, so re-added ids cannot collide with genuine ones
+    * at any fixture scale). */
   private[operators] def syntheticSnapshotB(t: Tables): DataFrame = {
     val base = t.documents
       .filter(col("doc_id") % 7 =!= 0)
@@ -51,7 +53,7 @@ object SnapshotOps {
           .otherwise(col("text")).as("text"))
     val added = t.documents
       .filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("source"), col("text"))
+      .select((col("doc_id") + (1L << 40)).as("doc_id"), col("source"), col("text"))
     base.unionByName(added)
   }
 

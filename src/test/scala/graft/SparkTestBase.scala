@@ -30,4 +30,14 @@ abstract class SparkTestBase extends AnyFunSuite {
     s
   }
   lazy val t: Tables = TestSpark.sf0001
+
+  /** The `Input [...]` column list of every Exchange node in `df`'s
+    * formatted plan — the shared parser behind the "this shuffle carries
+    * digests/codes, never text/arrays" assertions.
+    */
+  def exchangeInputs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .split("""\(\d+\) Exchange""").toSeq.drop(1)
+      .map(_.linesIterator.find(_.trim.startsWith("Input")).getOrElse(""))
 }

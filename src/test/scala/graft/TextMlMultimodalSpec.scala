@@ -106,13 +106,10 @@ class TextMlMultimodalSpec extends SparkTestBase {
     val flags = TextOps.bigramPerplexity(t, med).collect().map(_.getBoolean(3))
     assert(flags.exists(identity) && flags.exists(!_))
     // scoring exchanges carry xxhash64 longs, never bigram text
-    val plan = TextOps.bigramPerplexity(t).queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = plan.split("""\(\d+\) Exchange""").drop(1)
-      .map(_.linesIterator.find(_.trim.startsWith("Input")).getOrElse(""))
+    val inputs = exchangeInputs(TextOps.bigramPerplexity(t))
     // the vocabulary distinct-count is the one permitted string exchange
-    assert(exchangeInputs.count(in => in.contains("sh#") || in.contains("text#")) == 0,
-      s"a scoring exchange carries token text:\n${exchangeInputs.mkString("\n")}")
+    assert(inputs.count(in => in.contains("sh#") || in.contains("text#")) == 0,
+      s"a scoring exchange carries token text:\n${inputs.mkString("\n")}")
   }
 
   test("redactIds: digit runs replaced, redaction count audited") {

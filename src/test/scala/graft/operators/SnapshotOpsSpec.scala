@@ -34,7 +34,7 @@ class SnapshotOpsSpec extends SparkTestBase {
     assert(byStatus.getOrElse("removed", Set()) == docs.filter(_ % 7 == 0))
     // added = exactly the shifted %13 == 0 docs
     assert(byStatus.getOrElse("added", Set()) ==
-      docs.filter(_ % 13 == 0).map(_ + 10000000L))
+      docs.filter(_ % 13 == 0).map(_ + (1L << 40)))
     // changed ⊆ surviving %11 == 0 docs (uppercasing no-letter text is a
     // digest no-op, so ⊆ not ==), and nothing else may change
     val changed = byStatus.getOrElse("changed", Set())
@@ -46,16 +46,12 @@ class SnapshotOpsSpec extends SparkTestBase {
   }
 
   test("the full-outer exchange carries digests, never text") {
-    val df = SnapshotOps.snapshotDiffStats(t)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = plan.split("""\(\d+\) Exchange""").drop(1)
-      .map(_.linesIterator.find(_.trim.startsWith("Input")).getOrElse(""))
-    assert(exchangeInputs.nonEmpty)
-    exchangeInputs.foreach { in =>
+    val inputs = exchangeInputs(SnapshotOps.snapshotDiffStats(t))
+    assert(inputs.nonEmpty)
+    inputs.foreach { in =>
       assert(!in.contains("text#"), s"an exchange still carries text: $in")
     }
-    assert(exchangeInputs.exists(in => in.contains("dig_a#") || in.contains("dig_b#")),
-      s"no exchange carries the digests:\n${exchangeInputs.mkString("\n")}")
+    assert(inputs.exists(in => in.contains("dig_a#") || in.contains("dig_b#")),
+      s"no exchange carries the digests:\n${inputs.mkString("\n")}")
   }
 }
