@@ -211,6 +211,9 @@ object SparkEntry {
     // snapshot reconciliation (round-11): digests-only full-outer diff →
     // the added/changed slice is what incremental stages re-process
     "snapshot_diff_stats" -> q(SnapshotOps.snapshotDiffStats),
+    // batch CDC apply (round-11): merge(A, diff(A→B)) must reconstruct B
+    // exactly — the oracle states the rollup over B directly
+    "merge_apply_roundtrip" -> q(SnapshotOps.mergeApplyRoundtrip),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2210,6 +2213,22 @@ object SparkEntry {
         |       floor(((-CAST(sum(CAST(ln6 AS DECIMAL(28,6))) AS DOUBLE)) / count(*))
         |             * 1000000 + 0.5) / 1000000 <= 3.4 AS keep
         |FROM sc GROUP BY doc_id""".stripMargin,
+    // the merge-apply gate's oracle states the per-source rollup over
+    // snapshot B DIRECTLY — the engine reconstructs B by applying the
+    // derived changes feed to A, so the hash match is the CDC-apply proof
+    "merge_apply_roundtrip" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       min(md5(text)) AS min_digest,
+        |       max(md5(text)) AS max_digest
+        |FROM b GROUP BY source""".stripMargin,
     // snapshot B derived in SQL exactly as SnapshotOps.syntheticSnapshotB
     // derives it; the diff compares md5 digests, so "a %11 doc whose text
     // has no letters stays unchanged" falls out identically on both sides

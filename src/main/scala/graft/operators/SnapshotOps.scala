@@ -67,4 +67,59 @@ object SnapshotOps {
       .groupBy("source", "status")
       .agg(count(lit(1)).as("n"))
       .orderBy("source", "status")
+
+  /** Batch CDC APPLY — the MERGE INTO shape without a table format: a base
+    * table plus a changes feed (rows carrying an `op` of insert / update /
+    * delete) reconciled into the next table version. Deletes anti-join
+    * out; upserts take the change row over the base row
+    * (insert ∪ update wins on key collision — a full-outer join with a
+    * change-side-first coalesce, NOT a union+dedup, so the base table
+    * streams through one digestless shuffle on the key and the tiny
+    * changes side broadcasts when it fits).
+    */
+  def mergeApply(base: DataFrame, changes: DataFrame): DataFrame = {
+    val ch = changes.select(col("doc_id"), col("op"),
+      col("source").as("ch_source"), col("text").as("ch_text"))
+    base.join(ch, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(
+        col("doc_id"),
+        coalesce(col("ch_source"), col("source")).as("source"),
+        coalesce(col("ch_text"), col("text")).as("text"))
+  }
+
+  /** The changes feed that turns the fixture corpus into
+    * [[syntheticSnapshotB]] — derived from [[snapshotDiff]]'s statuses, so
+    * the gate below is SELF-PROVING: `mergeApply(A, diff(A→B)) == B`.
+    */
+  private[operators] def syntheticChanges(t: Tables): DataFrame = {
+    val a = t.documents.select("doc_id", "source", "text")
+    val b = syntheticSnapshotB(t)
+    val d = snapshotDiff(a, b).filter(col("status") =!= "unchanged")
+    d.select(col("doc_id"),
+        when(col("status") === "removed", "delete")
+          .when(col("status") === "added", "insert")
+          .otherwise("update").as("op"))
+      .join(b.withColumnsRenamed(Map("source" -> "b_source", "text" -> "b_text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("op"),
+        col("b_source").as("source"), col("b_text").as("text"))
+  }
+
+  /** Gate query: apply the derived changes feed to the base corpus and
+    * roll up the RESULT per source (doc count, char sum, xor-free digest
+    * sum stand-in: min/max digests). The oracle states the same rollup
+    * over its own derivation of snapshot B directly — the hash match
+    * proves merge(A, diff(A→B)) reconstructed B exactly, every insert
+    * applied, every delete gone, every update taken from the change side.
+    */
+  def mergeApplyRoundtrip(t: Tables): DataFrame =
+    mergeApply(t.documents.select("doc_id", "source", "text"), syntheticChanges(t))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(md5(col("text"))).as("min_digest"),
+        max(md5(col("text"))).as("max_digest"))
+      .orderBy("source")
 }

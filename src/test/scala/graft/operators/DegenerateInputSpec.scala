@@ -82,6 +82,8 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(SnapshotOps.snapshotDiffStats(et).count() == 0)
     // no documents → no bigrams → empty perplexity table
     assert(TextOps.bigramPerplexity(et).count() == 0)
+    // empty base + empty changes → empty merged corpus
+    assert(SnapshotOps.mergeApplyRoundtrip(et).count() == 0)
   }
 
   test("round-10 samplers and layout on an empty corpus") {

@@ -45,6 +45,25 @@ class SnapshotOpsSpec extends SparkTestBase {
       docs.filter(d => d % 7 != 0 && !changed(d)) ++ Set())
   }
 
+  test("mergeApply: insert/update/delete each land; fixture merge reconstructs snapshot B row-for-row") {
+    val base = Seq((1L, "s", "alpha"), (2L, "s", "beta"), (3L, "s", "gamma"))
+      .toDF("doc_id", "source", "text")
+    val changes = Seq(
+      (2L, "delete", "s", "beta"),
+      (3L, "update", "s", "GAMMA"),
+      (4L, "insert", "s", "delta"))
+      .toDF("doc_id", "op", "source", "text")
+    val got = SnapshotOps.mergeApply(base, changes)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == Map(1L -> "alpha", 3L -> "GAMMA", 4L -> "delta"))
+    // self-proof at fixture scale: applying the derived diff to A yields
+    // exactly B (both directions of exceptAll empty)
+    val a = t.documents.select("doc_id", "source", "text")
+    val b = SnapshotOps.syntheticSnapshotB(t)
+    val merged = SnapshotOps.mergeApply(a, SnapshotOps.syntheticChanges(t))
+    assert(merged.exceptAll(b).isEmpty && b.exceptAll(merged).isEmpty)
+  }
+
   test("the full-outer exchange carries digests, never text") {
     val inputs = exchangeInputs(SnapshotOps.snapshotDiffStats(t))
     assert(inputs.nonEmpty)
