@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CoreQueries, EventOps, JoinOps, TextOps}
+import graft.operators.{CoreQueries, EventOps, JoinOps, PackingOps, SimilarityOps, SnapshotOps, TextOps}
 
 /** Cross-engine stability, proven from the inside: the round-2 convention
   * is that every gated sum/avg over doubles accumulates in exact DECIMAL
@@ -23,7 +23,15 @@ class StabilitySpec extends SparkTestBase {
       EventOps.hourlyTypeCounts(t),
       JoinOps.revenueByPriority(t),
       TextOps.qualityByLang(t),
-      TextOps.tokenStats(t)
+      TextOps.tokenStats(t),
+      // round-11 decimal/exact-arithmetic paths: bigram-LM scoring
+      // (rounded-ln DECIMAL sums), sqrt-share budgets + running-total
+      // draw, int8 quantized scoring, digest diff, CDC reconstruction
+      TextOps.bigramPerplexity(t),
+      PackingOps.sampleMixtureTemperature(t),
+      SimilarityOps.quantizedTopK(t, 0L, 10),
+      SnapshotOps.snapshotDiffStats(t),
+      SnapshotOps.mergeApplyRoundtrip(t)
     ).map(_.collect().toSeq)
 
     val before = spark.conf.get("spark.sql.shuffle.partitions")
