@@ -214,6 +214,16 @@ object SparkEntry {
     // batch CDC apply (round-11): merge(A, diff(A→B)) must reconstruct B
     // exactly — the oracle states the rollup over B directly
     "merge_apply_roundtrip" -> q(SnapshotOps.mergeApplyRoundtrip),
+    // incremental aggregate maintenance (round-11): refresh rollup(A) from
+    // the CDC feed's signed before/after deltas WITHOUT rescanning the
+    // corpus; the oracle states rollup(B) directly — self-proving like the
+    // CDC gate, with every term exact (long counts, DECIMAL digest sums)
+    "agg_incremental_rollup" -> q(SnapshotOps.incrementalRollupGate),
+    // KMV shard-sketch mergeability (round-11): per-source bottom-k
+    // sketches merged (≤ #sources×k digests) must estimate EXACTLY what
+    // one direct corpus-wide graft_kmv_distinct estimates — the theorem
+    // that answers corpus distincts from stored shard sketches at 100 TB
+    "sketch_kmv_merge" -> q(t => CoreQueries.sketchKmvMerge(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2229,6 +2239,76 @@ object SparkEntry {
         |       min(md5(text)) AS min_digest,
         |       max(md5(text)) AS max_digest
         |FROM b GROUP BY source""".stripMargin,
+    // incremental rollup maintenance: the oracle states rollup(B) from its
+    // own derivation of B (the engine path only ever reads rollup(A) + the
+    // delta feed) — per-row digest terms are the first 12 md5 nibbles
+    // parsed with the kmv oracle's strpos arithmetic, summed as
+    // DECIMAL(38,0) so both engines are exact at any corpus size
+    "agg_incremental_rollup" -> {
+      val nibbles = (0 until 12)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
+        .mkString(" +\n           ")
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |h AS (SELECT source, text, md5(text) AS hx FROM b)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |       CAST(sum(CAST(($nibbles) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest_sum
+         |FROM h GROUP BY source""".stripMargin
+    },
+    // KMV shard-merge: BOTH estimates restated structurally — merged via
+    // per-source bottom-k windows then a global window over the ≤ k×sources
+    // merge input, direct via the corpus-wide bottom-k (the existing kmv
+    // oracle's shape) — same exact nibble arithmetic, one IEEE division;
+    // the equality flag is computed from the two restatements, not assumed
+    "sketch_kmv_merge" -> {
+      def nib(c: String) = (0 until 12)
+        .map(i => s"(strpos('0123456789abcdef', substr($c, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
+        .mkString(" +\n           ")
+      s"""WITH v AS (
+         |  SELECT DISTINCT source, md5(text) AS h
+         |  FROM documents WHERE text IS NOT NULL),
+         |shard AS (
+         |  SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM v),
+         |mu AS (SELECT DISTINCT h FROM shard WHERE rn <= 32),
+         |mr AS (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn,
+         |         count(*) OVER () AS tot
+         |  FROM mu),
+         |mb AS (SELECT least(max(tot), 32) AS sz FROM mr),
+         |mk AS (SELECT h AS hk FROM mr WHERE rn = 32),
+         |me AS (
+         |  SELECT CASE WHEN k.hk IS NULL THEN CAST(b.sz AS DOUBLE)
+         |              ELSE 31.0 * 281474976710656.0 / (${nib("k.hk")})
+         |         END AS e
+         |  FROM mb b LEFT JOIN mk k ON TRUE),
+         |d AS (SELECT DISTINCT h FROM v),
+         |dr AS (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn,
+         |         count(*) OVER () AS nd
+         |  FROM d),
+         |db AS (SELECT least(max(nd), 32) AS sz FROM dr),
+         |dk AS (SELECT h AS hk FROM dr WHERE rn = 32),
+         |de AS (
+         |  SELECT CASE WHEN k.hk IS NULL THEN CAST(b.sz AS DOUBLE)
+         |              ELSE 31.0 * 281474976710656.0 / (${nib("k.hk")})
+         |         END AS e
+         |  FROM db b LEFT JOIN dk k ON TRUE)
+         |SELECT (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+         |       (SELECT count(DISTINCT md5(text)) FROM documents) AS n_exact,
+         |       floor(me.e * 100 + 0.5) / 100 AS merged_estimate,
+         |       floor(de.e * 100 + 0.5) / 100 AS direct_estimate,
+         |       floor(me.e * 100 + 0.5) / 100 = floor(de.e * 100 + 0.5) / 100
+         |         AS merge_equals_direct
+         |FROM me, de""".stripMargin
+    },
     // snapshot B derived in SQL exactly as SnapshotOps.syntheticSnapshotB
     // derives it; the diff compares md5 digests, so "a %11 doc whose text
     // has no letters stays unchanged" falls out identically on both sides

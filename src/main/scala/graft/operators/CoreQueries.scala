@@ -719,6 +719,63 @@ object CoreQueries {
           .as("kmv_estimate"))
       .orderBy("l_returnflag")
 
+  /** KMV shard-sketch MERGEABILITY — the property that makes bottom-k
+    * sketches the 100 TB distinct-count tool: each shard (here: each
+    * `source`) keeps only its k smallest md5 digests of the value set,
+    * and the union's bottom-k equals the bottom-k of the merged shard
+    * sketches — a theorem, not an approximation (any digest among the
+    * global k smallest is among its own shard's k smallest). So
+    * corpus-wide distinct estimates are answered from #shards × k stored
+    * digests with NO rescan of the data.
+    *
+    * The gate computes the estimate BOTH ways — per-shard windows + tiny
+    * merge (≤ #sources × k rows feed the global window) vs one direct
+    * `graft_kmv_distinct` aggregate over the corpus — with identical
+    * arithmetic to [[graft.plans.KmvDistinct.eval]]: exact 48-bit nibble
+    * value, exact (k−1)·16^12 numerator, one IEEE division. Equality is
+    * emitted as a column the oracle recomputes from both restatements,
+    * so the whole row hash-gates (unlike HLL, whose merge result is
+    * implementation-defined).
+    *
+    * Scale shape: the per-shard bottom-k is a rank-filter window
+    * (WindowGroupLimit forwards ≤ k rows per source per task map-side,
+    * the `sample_weighted_per_group` shape); the global window runs over
+    * the already-k-bounded merge input, never the corpus.
+    */
+  def sketchKmvMerge(t: Tables, k: Int = 32): DataFrame =
+    sketchKmvMergeOn(t.documents, k)
+
+  /** [[sketchKmvMerge]] over an explicit (source, text) frame — the spec
+    * seam for sub-k and hand-built shard corpora. */
+  def sketchKmvMergeOn(docs: DataFrame, k: Int): DataFrame = {
+    val v = docs.filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text")).as("h")).distinct()
+    val perShard = v
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+    val merged = perShard.select("h").distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("h")))
+      .filter(col("rn") <= k)
+    val numer = lit((k - 1).toDouble * 281474976710656.0)
+    val mergedEst = merged.agg(
+      count(lit(1)).as("sz"),
+      max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(when(col("sz") < k, col("sz").cast("double"))
+        .otherwise(numer / conv(substring(col("hk"), 1, 12), 16, 10).cast("double"))
+        .as("merged_est"))
+    val direct = docs.agg(
+      countDistinct(md5(col("text"))).as("n_exact"),
+      countDistinct(col("source")).as("n_sources"),
+      call_function("graft_kmv_distinct", col("text"), lit(k)).as("direct_est"))
+    direct.crossJoin(broadcast(mergedEst)).select(
+      col("n_sources"), col("n_exact"),
+      roundN(col("merged_est"), 2).as("merged_estimate"),
+      roundN(col("direct_est"), 2).as("direct_estimate"),
+      (roundN(col("merged_est"), 2) === roundN(col("direct_est"), 2))
+        .as("merge_equals_direct"))
+  }
+
   /** Full `spark.sql` surface over registered views (TPC-H Q3 shape):
     * the SQL text goes through the same Catalyst pipeline as the DataFrame
     * DSL — one parser/optimizer, two front doors.

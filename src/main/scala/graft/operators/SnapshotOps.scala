@@ -122,4 +122,95 @@ object SnapshotOps {
         min(md5(col("text"))).as("min_digest"),
         max(md5(col("text"))).as("max_digest"))
       .orderBy("source")
+
+  // ---------------------------------------------------------------------
+  // Incremental aggregate maintenance — the materialized-view shape.
+  // ---------------------------------------------------------------------
+
+  /** First 48 bits of md5(text) as an exact DECIMAL(38,0) — the per-row
+    * content term of [[rollupStats]]'s `digest_sum`. 48 bits keeps every
+    * per-row value exact through `conv`'s base-10 string and the DECIMAL
+    * cast, and the DECIMAL(38,0) sum is exact at any corpus size (a LONG
+    * sum would overflow past ~2^15 docs), so Spark and the oracle agree
+    * bit-for-bit regardless of accumulation order.
+    */
+  private def digest48(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(text), 1, 12), 16, 10).cast("decimal(38,0)")
+
+  /** The maintained aggregate: per-source doc count, char sum, and a
+    * content-sensitive digest sum. All three are SUBTRACTABLE (count/sum
+    * — a delete's contribution can be removed without rescanning), which
+    * is the class of aggregate this maintenance path supports; min/max or
+    * distinct counts need sketches or a rescan and deliberately aren't
+    * here (`sketch_kmv_merge` covers the sketch route for distincts).
+    */
+  def rollupStats(df: DataFrame): DataFrame =
+    df.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).as("total_chars"),
+      sum(digest48(col("text"))).as("digest_sum"))
+
+  /** Refresh a maintained [[rollupStats]] table from a CDC changes feed
+    * WITHOUT rescanning the corpus — the 100 TB move: the base table is
+    * never read here, only yesterday's tiny per-source rollup and the
+    * delta batch. The feed carries before-images (`prev_source`,
+    * `prev_text`) alongside the after-image, the standard CDC envelope
+    * (Debezium-style), so each change row contributes signed deltas:
+    * the before-image is subtracted for update/delete, the after-image
+    * added for update/insert. The delta rollup is |changes|-bound and the
+    * final full-outer join touches only per-source rows (broadcastable);
+    * a source whose count reaches zero drops out, matching a direct
+    * rollup of the new snapshot exactly.
+    */
+  def incrementalRollup(oldRollup: DataFrame, changes: DataFrame): DataFrame = {
+    val zero = lit(0).cast("decimal(38,0)")
+    val before = changes.filter(col("op").isin("update", "delete"))
+      .select(col("prev_source").as("source"),
+        lit(-1L).as("d_docs"),
+        (-length(col("prev_text"))).cast("long").as("d_chars"),
+        negative(digest48(col("prev_text"))).as("d_digest"))
+    val after = changes.filter(col("op").isin("update", "insert"))
+      .select(col("source"),
+        lit(1L).as("d_docs"),
+        length(col("text")).cast("long").as("d_chars"),
+        digest48(col("text")).as("d_digest"))
+    val delta = before.unionByName(after)
+      .groupBy("source")
+      .agg(sum("d_docs").as("d_docs"), sum("d_chars").as("d_chars"),
+        sum("d_digest").as("d_digest"))
+    oldRollup.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("total_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L)))
+          .as("total_chars"),
+        (coalesce(col("digest_sum"), zero) + coalesce(col("d_digest"), zero))
+          .cast("decimal(38,0)").as("digest_sum"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** [[syntheticChanges]] extended with before-images — the CDC envelope
+    * [[incrementalRollup]] consumes. Derivation-only (fixture → feed); a
+    * production feed ships the images from the change-capture layer.
+    */
+  private[operators] def syntheticChangesWithImages(t: Tables): DataFrame = {
+    val a = t.documents.select("doc_id", "source", "text")
+    syntheticChanges(t)
+      .join(a.withColumnsRenamed(
+          Map("source" -> "prev_source", "text" -> "prev_text")),
+        Seq("doc_id"), "left")
+  }
+
+  /** Gate query: maintain rollup(A) through the A→B changes feed and emit
+    * the refreshed per-source rows. SELF-PROVING like the CDC gate: the
+    * engine path never scans snapshot B — the oracle states rollup(B)
+    * from its own derivation of B directly, so the hash match proves
+    * merge(rollup(A), Δ) == rollup(apply(A, Δ)) with every term exact
+    * (long counts/char sums, DECIMAL digest sums).
+    */
+  def incrementalRollupGate(t: Tables): DataFrame =
+    incrementalRollup(
+      rollupStats(t.documents.select("doc_id", "source", "text")),
+      syntheticChangesWithImages(t))
+      .orderBy("source")
 }

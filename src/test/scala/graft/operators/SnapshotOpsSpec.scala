@@ -64,6 +64,56 @@ class SnapshotOpsSpec extends SparkTestBase {
     assert(merged.exceptAll(b).isEmpty && b.exceptAll(merged).isEmpty)
   }
 
+  test("incrementalRollup: every CDC op contributes its signed deltas, including cross-source moves") {
+    val a = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s2", "gamma"),
+      (4L, "s2", "delta"), (5L, "s3", "only"))
+      .toDF("doc_id", "source", "text")
+    val changes = Seq(
+      // update in place (text changes → chars + digest move)
+      (1L, "update", "s1", "ALPHA-LONGER", "s1", "alpha"),
+      // cross-source move: s1 loses the doc, s2 gains it
+      (2L, "update", "s2", "beta", "s1", "beta"),
+      // delete the only doc of s3 — the source must vanish from the rollup
+      (5L, "delete", null, null, "s3", "only"),
+      // insert under a source the old rollup never saw
+      (6L, "insert", "s4", "fresh", null, null))
+      .toDF("doc_id", "op", "source", "text", "prev_source", "prev_text")
+    val got = SnapshotOps.incrementalRollup(SnapshotOps.rollupStats(a), changes)
+    // ground truth: roll up the reconstructed snapshot directly
+    val direct = SnapshotOps.rollupStats(SnapshotOps.mergeApply(a, changes))
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty,
+      s"incremental ${got.collect().mkString(",")} vs direct ${direct.collect().mkString(",")}")
+    val sources = got.select("source").as[String].collect().toSet
+    assert(sources == Set("s1", "s2", "s4"), s"got sources $sources")
+  }
+
+  test("fixture self-proof: maintained rollup equals a direct rollup of snapshot B, bit for bit") {
+    val got = SnapshotOps.incrementalRollupGate(t)
+    val direct = SnapshotOps.rollupStats(SnapshotOps.syntheticSnapshotB(t))
+    // compare names + types (nullability legitimately differs: the
+    // coalesce-based maintenance arithmetic is provably non-null)
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      direct.schema.map(f => (f.name, f.dataType)),
+      s"maintained schema ${got.schema} differs from direct ${direct.schema}")
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty)
+  }
+
+  test("the maintenance path never scans the base corpus' text at merge time") {
+    // the delta side reads only the changes feed; the join input sizes are
+    // per-source rollup rows + |changes| — assert no exchange in the final
+    // join carries the corpus' text column
+    val a = t.documents.select("doc_id", "source", "text")
+    val changes = SnapshotOps.syntheticChangesWithImages(t)
+    val refreshed = SnapshotOps.incrementalRollup(SnapshotOps.rollupStats(a), changes)
+    val inputs = exchangeInputs(refreshed)
+    assert(inputs.nonEmpty)
+    inputs.foreach { in =>
+      assert(!in.contains("text#"),
+        s"rollup maintenance shuffles document text: $in")
+    }
+  }
+
   test("the full-outer exchange carries digests, never text") {
     val inputs = exchangeInputs(SnapshotOps.snapshotDiffStats(t))
     assert(inputs.nonEmpty)

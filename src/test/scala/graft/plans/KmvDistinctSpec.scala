@@ -46,6 +46,51 @@ class KmvDistinctSpec extends SparkTestBase {
     assert(got("a") == aOnly, "group sketch must equal its own global sketch")
   }
 
+  test("shard-merge gate: merged per-source sketches equal the direct corpus sketch on the fixture") {
+    val row = graft.operators.CoreQueries.sketchKmvMerge(t).head()
+    assert(row.getAs[Boolean]("merge_equals_direct"),
+      s"merged ${row.getAs[Double]("merged_estimate")} != direct ${row.getAs[Double]("direct_estimate")}")
+    // n_exact is the real corpus distinct count, recomputed independently
+    val nExact = t.documents.filter(col("text").isNotNull)
+      .select(md5(col("text"))).distinct().count()
+    assert(row.getAs[Long]("n_exact") == nExact)
+    assert(row.getAs[Double]("merged_estimate") > 0.0)
+  }
+
+  test("shard-merge theorem: union bottom-k == bottom-k of merged shard sketches, driver-recomputed") {
+    import spark.implicits._
+    // 5 shards, overlapping values (shared docs across sources), > k distinct
+    val docs = (0 until 400).map(i => (s"src${i % 5}", s"doc content ${i % 170}"))
+      .toDF("source", "text").repartition(11)
+    val row = graft.operators.CoreQueries.sketchKmvMergeOn(docs, 32).head()
+    assert(row.getAs[Boolean]("merge_equals_direct"))
+    assert(row.getAs[Long]("n_exact") == 170L)
+    assert(row.getAs[Long]("n_sources") == 5L)
+    // driver-side ground truth: k-th smallest md5 digest of the distinct
+    // value set, the same estimator arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = (0 until 170).map { i =>
+      md.reset()
+      md.digest(s"doc content $i".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }.sorted
+    val expected = 31.0 * 281474976710656.0 /
+      java.lang.Long.parseLong(digests(31).substring(0, 12), 16).toDouble
+    val expRounded = math.floor(expected * 100 + 0.5) / 100
+    assert(row.getAs[Double]("direct_estimate") == expRounded,
+      s"direct ${row.getAs[Double]("direct_estimate")} != driver $expRounded")
+  }
+
+  test("shard-merge gate: exact (and equal) both ways under k distinct values") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (s"s${i % 3}", s"t${i % 12}"))
+      .toDF("source", "text")
+    val row = graft.operators.CoreQueries.sketchKmvMergeOn(docs, 32).head()
+    assert(row.getAs[Double]("merged_estimate") == 12.0)
+    assert(row.getAs[Double]("direct_estimate") == 12.0)
+    assert(row.getAs[Boolean]("merge_equals_direct"))
+  }
+
   test("registered in SQL via the extensions seam") {
     (0 until 100).map(i => s"s$i").toDF("v").createOrReplaceTempView("kmv_in")
     val viaSql = spark.sql(
