@@ -66,7 +66,11 @@ object Plans {
       "ann_quantized (codegen q8 pack + integer dot, TakeOrderedAndProject)" ->
         operators.SimilarityOps.quantizedTopK(t, 0L, 10),
       "ann_knn_join_q8 (bucket exchange carries 64-byte codes, not fp64 arrays)" ->
-        operators.SimilarityOps.knnJoinQ8(t, 3))
+        operators.SimilarityOps.knnJoinQ8(t, 3),
+      "agg_incremental_rollup (delta-only refresh: no exchange carries corpus text)" ->
+        operators.SnapshotOps.incrementalRollupGate(t),
+      "sketch_kmv_merge (per-shard WindowGroupLimit + 1-row merged-estimate broadcast)" ->
+        operators.CoreQueries.sketchKmvMerge(t))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
