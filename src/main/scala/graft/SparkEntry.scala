@@ -449,6 +449,11 @@ object SparkEntry {
     "split_counts"        -> q(CoreQueries.splitCounts),
     "sample_stratified"   -> q(CoreQueries.stratifiedSampleCounts),
     "row_ids"             -> q(CoreQueries.rowIds),
+    // the gate derives rollup(A) + the CDC envelope from the corpus (a
+    // verification device); production reads both from storage — the
+    // probe times the refresh alone over materialized inputs with a
+    // bounded changes batch, the delta-bound cost the operator claims
+    "agg_incremental_rollup" -> q(t => SnapshotOps.incrementalRollupProbe(t)),
     "ml_feature_impute"   -> q(FeatureEngineering.imputedOrders),
     "ml_feature_impute_median" -> q(FeatureEngineering.imputedOrdersMedian),
     "ml_feature_vector_index"  -> q(FeatureEngineering.vectorIndexedFeatures),

@@ -114,6 +114,21 @@ class SnapshotOpsSpec extends SparkTestBase {
     }
   }
 
+  test("refresh probe: materialized-input refresh equals the direct rollup of the capped application") {
+    val probe = SnapshotOps.incrementalRollupProbe(t, maxChanges = 50)
+    // ground truth: apply the SAME capped batch to A directly, then roll up
+    val a = t.documents.select("doc_id", "source", "text")
+    val capped = SnapshotOps.syntheticChangesWithImages(t)
+      .orderBy("doc_id").limit(50)
+    val direct = SnapshotOps.rollupStats(SnapshotOps.mergeApply(a, capped))
+      .orderBy("source")
+    assert(probe.exceptAll(direct).isEmpty && direct.exceptAll(probe).isEmpty)
+    // the timed plan scans the two materialized inputs, not documents.parquet
+    val scans = probe.queryExecution.executedPlan.toString
+    assert(!scans.contains("documents.parquet"),
+      "refresh probe still scans the corpus")
+  }
+
   test("the full-outer exchange carries digests, never text") {
     val inputs = exchangeInputs(SnapshotOps.snapshotDiffStats(t))
     assert(inputs.nonEmpty)
