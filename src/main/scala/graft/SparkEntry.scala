@@ -224,6 +224,13 @@ object SparkEntry {
     // one direct corpus-wide graft_kmv_distinct estimates — the theorem
     // that answers corpus distincts from stored shard sketches at 100 TB
     "sketch_kmv_merge" -> q(t => CoreQueries.sketchKmvMerge(t)),
+    // Datasketches HLL shard-merge twin (round-11): native persistable
+    // sketches — estimates are engine-specific, so only exact counts +
+    // recomputed booleans are emitted (verdict gate, GateInvariants)
+    "sketch_hll_merge" -> q(t => CoreQueries.sketchHllMerge(t)),
+    // Dataset.observe intake counters (round-11): exact metrics collected
+    // on the SAME pass as the driving action — full hash gate
+    "observe_intake_stats" -> q(t => ObservabilityOps.observedIntakeStats(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2314,6 +2321,25 @@ object SparkEntry {
          |         AS merge_equals_direct
          |FROM me, de""".stripMargin
     },
+    // HLL estimates are DataSketches-internal, so the oracle states only
+    // the exact counts and the two booleans as `true`; GateInvariants
+    // recomputes both booleans from the raw estimates engine-side, so a
+    // doctored or inverted verdict fails at verify time (the standard
+    // verdict-gate posture)
+    "sketch_hll_merge" ->
+      """SELECT count(DISTINCT source) AS n_sources,
+        |       count(DISTINCT md5(text)) AS n_exact,
+        |       TRUE AS merged_in_band,
+        |       TRUE AS direct_in_band
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // observed metrics are exact count/sum accumulators on the driving
+    // pass — the oracle states every column directly (full hash gate)
+    "observe_intake_stats" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       count(CASE WHEN length(text) < 100 THEN 1 END) AS short_docs,
+        |       count(CASE WHEN length(text) >= 100 THEN 1 END) AS n_kept
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // snapshot B derived in SQL exactly as SnapshotOps.syntheticSnapshotB
     // derives it; the diff compares md5 digests, so "a %11 doc whose text
     // has no letters stays unchanged" falls out identically on both sides

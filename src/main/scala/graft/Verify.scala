@@ -614,6 +614,33 @@ object GateInvariants {
         .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
       require(got == onDisk,
         "invariant: binaryFile rows disagree with on-disk names/sizes/digests")
+    case "sketch_hll_merge" =>
+      // the oracle states the booleans as `true`; recompute both from the
+      // RAW DataSketches estimates so the gate can't self-certify: the
+      // emitted verdicts must equal the recomputation AND hold
+      val tt = core.Tables(spark, sfDir)
+      val raw = operators.CoreQueries.sketchHllEstimates(tt.documents, 12).head()
+      val nSources = raw.getAs[Long]("n_sources")
+      val nExact = raw.getAs[Long]("n_exact")
+      val mergedEst = raw.getAs[Long]("merged_est")
+      val directEst = raw.getAs[Long]("direct_est")
+      def band(est: Long) = math.abs(est - nExact.toDouble) <= nExact * 0.1
+      val indepMerged = band(mergedEst)
+      val indepDirect = band(directEst)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getAs[Long]("n_sources") == nSources &&
+        row.getAs[Long]("n_exact") == nExact,
+        s"invariant: gate counts (${row.getAs[Long]("n_sources")}, " +
+          s"${row.getAs[Long]("n_exact")}) != recomputed ($nSources, $nExact)")
+      require(row.getAs[Boolean]("merged_in_band") == indepMerged,
+        s"invariant: merged_in_band ${row.getAs[Boolean]("merged_in_band")} " +
+          s"disagrees with recomputation $indepMerged ($mergedEst vs $nExact)")
+      require(row.getAs[Boolean]("direct_in_band") == indepDirect,
+        s"invariant: direct_in_band ${row.getAs[Boolean]("direct_in_band")} " +
+          s"disagrees with recomputation $indepDirect ($directEst vs $nExact)")
+      require(indepMerged && indepDirect,
+        s"invariant: HLL contract violated (merged=$mergedEst, direct=$directEst, exact=$nExact)")
     case _ => ()
   }
 }

@@ -776,6 +776,70 @@ object CoreQueries {
         .as("merge_equals_direct"))
   }
 
+  /** Datasketches HLL twin of [[sketchKmvMerge]] — Spark's NATIVE
+    * persistable distinct-count sketch surface (`hll_sketch_agg` /
+    * `hll_union_agg` / `hll_sketch_estimate`, Apache DataSketches HLL
+    * under the hood). The production shape at 100 TB: per-shard/day
+    * sketches land as a BINARY column in a stats table; corpus-wide
+    * distinct counts are answered by unioning the stored sketches —
+    * registers merge by max, so the union's estimate equals building one
+    * sketch over the whole corpus directly.
+    *
+    * Unlike KMV's 48-bit nibble arithmetic, the HLL estimate is
+    * implementation-defined (DataSketches internals) — and unlike KMV,
+    * HLL's union is NOT estimate-identical to a direct build: unioning
+    * promotes coupon-mode (exact) shard sketches into the HLL register
+    * array, so on this very fixture the union reads 503 where the direct
+    * sketch reads 499 (exact: 500). That asymmetry is precisely why
+    * [[sketchKmvMerge]] carries the exact-merge theorem and this gate is
+    * its native-surface complement, claiming what HLL actually
+    * guarantees: both paths estimate within the error band. The gate
+    * emits only oracle-stateable facts (exact counts) plus two booleans
+    * the oracle states as `true` and [[graft.Verify.GateInvariants]]
+    * independently recomputes from [[sketchHllEstimates]] (a doctored or
+    * inverted boolean fails loudly):
+    *  - `merged_in_band`: |union-of-shards estimate − exact| ≤ 10% ·
+    *    exact;
+    *  - `direct_in_band`: same bound for the whole-corpus sketch — 10%
+    *    is ~6× the lgK=12 RSE (1.04/√4096 ≈ 1.6%), far beyond any
+    *    plausible drift.
+    */
+  def sketchHllMerge(t: Tables, lgK: Int = 12): DataFrame =
+    sketchHllMergeOn(t.documents, lgK)
+
+  /** [[sketchHllMerge]] over an explicit (source, text) frame. */
+  def sketchHllMergeOn(docs: DataFrame, lgK: Int): DataFrame = {
+    def inBand(est: org.apache.spark.sql.Column) =
+      abs(est.cast("double") - col("n_exact").cast("double")) <=
+        col("n_exact").cast("double") * 0.1
+    sketchHllEstimates(docs, lgK).select(
+      col("n_sources"), col("n_exact"),
+      inBand(col("merged_est")).as("merged_in_band"),
+      inBand(col("direct_est")).as("direct_in_band"))
+  }
+
+  /** Raw estimates behind [[sketchHllMergeOn]] — the recompute seam for
+    * `GateInvariants` and the spec: (n_sources, n_exact, merged_est,
+    * direct_est). Per-shard sketches are a tiny per-source aggregate
+    * (the rows a real pipeline would PERSIST); the union aggregates
+    * #sources binary sketches, never rescanning values.
+    */
+  def sketchHllEstimates(docs: DataFrame, lgK: Int): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+    val perShard = d.groupBy("source")
+      .agg(hll_sketch_agg(col("text"), lgK).as("sk"))
+    val merged = perShard
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    // the exact count is the gate's verification term — distinct over
+    // md5 digests so the exchange carries 16-byte digests, never text
+    // (the engine-wide digests-only rule; md5-distinct == text-distinct)
+    val direct = d.agg(
+      countDistinct(md5(col("text"))).as("n_exact"),
+      countDistinct(col("source")).as("n_sources"),
+      hll_sketch_estimate(hll_sketch_agg(col("text"), lgK)).as("direct_est"))
+    direct.crossJoin(broadcast(merged))
+  }
+
   /** Full `spark.sql` surface over registered views (TPC-H Q3 shape):
     * the SQL text goes through the same Catalyst pipeline as the DataFrame
     * DSL — one parser/optimizer, two front doors.

@@ -52,7 +52,7 @@ class PlanLintSpec extends SparkTestBase {
     // broadcast 1-row vocabulary size feeding the smoothing denominator
     "text_bigram_perplexity",
     // broadcast 1-row merged-shard estimate joined onto the direct sketch
-    "sketch_kmv_merge")
+    "sketch_kmv_merge", "sketch_hll_merge")
 
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
