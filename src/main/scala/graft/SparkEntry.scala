@@ -231,6 +231,10 @@ object SparkEntry {
     // Dataset.observe intake counters (round-11): exact metrics collected
     // on the SAME pass as the driving action — full hash gate
     "observe_intake_stats" -> q(t => ObservabilityOps.observedIntakeStats(t)),
+    // schema evolution (round-11): two-generation parquet dir (early
+    // files lack lang/n_chars) read schema-first; the rollup backfills
+    // the old generation's chars from the text — full hash gate
+    "schema_evolution_rollup" -> q(t => sources.SchemaEvolution.evolutionRollup(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2332,6 +2336,18 @@ object SparkEntry {
         |       TRUE AS merged_in_band,
         |       TRUE AS direct_in_band
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // the oracle replays the generation split (doc_id mod 2) on the source
+    // table: even rows were written WITHOUT lang/n_chars, so their chars
+    // backfill from the text and their lang reads null; odd rows keep the
+    // fixture values (coalesce mirrors the engine's backfill exactly)
+    "schema_evolution_rollup" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(CASE WHEN doc_id % 2 = 1 AND lang IS NOT NULL THEN 1 END)
+        |         AS n_evolved,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN length(text)
+        |                     ELSE coalesce(n_chars, length(text)) END) AS BIGINT)
+        |         AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
     // observed metrics are exact count/sum accumulators on the driving
     // pass — the oracle states every column directly (full hash gate)
     "observe_intake_stats" ->
