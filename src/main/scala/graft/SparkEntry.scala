@@ -235,6 +235,10 @@ object SparkEntry {
     // files lack lang/n_chars) read schema-first; the rollup backfills
     // the old generation's chars from the text — full hash gate
     "schema_evolution_rollup" -> q(t => sources.SchemaEvolution.evolutionRollup(t)),
+    // parquet footer zone maps (round-11): per-file min/max/null stats
+    // from footers only — Spark's parquet-hadoop vs DuckDB's
+    // parquet_metadata must agree byte-for-byte
+    "stats_parquet_footer" -> q(t => sources.ParquetStats.documentsFooterStats(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2336,6 +2340,20 @@ object SparkEntry {
         |       TRUE AS merged_in_band,
         |       TRUE AS direct_in_band
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // two independent parquet implementations reading the same footers:
+    // the engine aggregates row-group stats via parquet-hadoop, DuckDB
+    // via parquet_metadata() — the dir literal is the verify scale and
+    // dev_check/driver rewrite it per SF (the binary-ingest convention)
+    "stats_parquet_footer" ->
+      """SELECT parse_filename(file_name) AS file_name,
+        |       path_in_schema AS "column",
+        |       CAST(sum(row_group_num_rows) AS BIGINT) AS n_rows,
+        |       CAST(sum(stats_null_count) AS BIGINT) AS null_count,
+        |       min(CAST(stats_min_value AS BIGINT)) AS min_value,
+        |       max(CAST(stats_max_value AS BIGINT)) AS max_value
+        |FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+        |WHERE path_in_schema IN ('doc_id', 'n_chars')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the oracle replays the generation split (doc_id mod 2) on the source
     // table: even rows were written WITHOUT lang/n_chars, so their chars
     // backfill from the text and their lang reads null; odd rows keep the

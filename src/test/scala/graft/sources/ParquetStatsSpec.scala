@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ParquetStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fixture footer stats match a full data scan (rows, nulls, min, max)") {
+    val stats = ParquetStats.documentsFooterStats(t).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(stats.keySet == Set("doc_id", "n_chars"))
+    val direct = t.documents.agg(
+      count(lit(1)), min("doc_id"), max("doc_id"),
+      min("n_chars"), max("n_chars")).head()
+    Seq("doc_id", "n_chars").foreach { c =>
+      assert(stats(c).getAs[Long]("n_rows") == direct.getLong(0))
+      assert(stats(c).getAs[Long]("null_count") == 0L)
+    }
+    assert(stats("doc_id").getAs[Long]("min_value") == direct.getLong(1))
+    assert(stats("doc_id").getAs[Long]("max_value") == direct.getLong(2))
+    assert(stats("n_chars").getAs[Long]("min_value") == direct.getLong(3))
+    assert(stats("n_chars").getAs[Long]("max_value") == direct.getLong(4))
+  }
+
+  test("multi-file engine-written dir: per-file footer stats == per-file data scan") {
+    // ground truth per physical file via input_file_name(), the zone maps
+    // a min/max-pruned scan would actually consult
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stats_multi").toString
+    t.documents.select("doc_id", "n_chars")
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val stats = ParquetStats.footerStats(t, dir, Seq("doc_id"))
+      .select("file_name", "n_rows", "min_value", "max_value")
+    val direct = spark.read.parquet(dir)
+      .withColumn("file_name",
+        element_at(split(input_file_name(), "/"), -1))
+      .groupBy("file_name")
+      .agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_value"), max("doc_id").as("max_value"))
+    assert(stats.exceptAll(direct).isEmpty && direct.exceptAll(stats).isEmpty,
+      s"footer stats ${stats.collect().toSeq} != scan ${direct.collect().toSeq}")
+    // range partitioning => per-file doc_id spans must not overlap
+    val spans = stats.orderBy("min_value")
+      .select("min_value", "max_value").as[(Long, Long)].collect()
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"zone maps overlap: $hi >= $lo2")
+      case _ =>
+    }
+  }
+
+  test("null counts surface in the stats table") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stats_nulls").toString
+    Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, "c"), (null, "d"))
+      .toDF("v", "k").coalesce(1).write.mode("overwrite").parquet(dir)
+    val row = ParquetStats.footerStats(t, dir, Seq("v")).head()
+    assert(row.getAs[Long]("n_rows") == 4L)
+    assert(row.getAs[Long]("null_count") == 2L)
+    assert(row.getAs[Long]("min_value") == 1L)
+    assert(row.getAs[Long]("max_value") == 3L)
+  }
+}
