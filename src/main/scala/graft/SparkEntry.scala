@@ -239,6 +239,10 @@ object SparkEntry {
     // from footers only — Spark's parquet-hadoop vs DuckDB's
     // parquet_metadata must agree byte-for-byte
     "stats_parquet_footer" -> q(t => sources.ParquetStats.documentsFooterStats(t)),
+    // manifest-driven file pruning (round-11): files skipped by zone map
+    // BEFORE being opened; the rollup hash proves pruning lossless and
+    // skipped_some (recomputed by GateInvariants) proves it happened
+    "stats_pruned_scan" -> q(t => sources.ParquetStats.prunedScanGate(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2354,6 +2358,24 @@ object SparkEntry {
         |FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
         |WHERE path_in_schema IN ('doc_id', 'n_chars')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the pruned scan's lo/hi derive from integer min/max arithmetic the
+    // oracle replays exactly (// is floor division; both operands
+    // non-negative, so it equals Scala's Long truncation); the rollup is
+    // stated from the SOURCE table — pruning must be invisible
+    "stats_pruned_scan" -> {
+      """WITH b AS (SELECT min(o_orderkey) AS lo0, max(o_orderkey) AS hi0
+        |           FROM orders),
+        |r AS (SELECT lo0 + (hi0 - lo0) // 4 AS lo,
+        |             lo0 + 3 * (hi0 - lo0) // 4 AS hi FROM b)
+        |SELECT o_orderstatus,
+        |       count(*) AS n_orders,
+        |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |             * 100 + 0.5) / 100 AS total_price,
+        |       TRUE AS skipped_some
+        |FROM orders, r
+        |WHERE o_orderkey >= r.lo AND o_orderkey <= r.hi
+        |GROUP BY o_orderstatus""".stripMargin
+    },
     // the oracle replays the generation split (doc_id mod 2) on the source
     // table: even rows were written WITHOUT lang/n_chars, so their chars
     // backfill from the text and their lang reads null; odd rows keep the

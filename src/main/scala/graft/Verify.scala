@@ -614,6 +614,33 @@ object GateInvariants {
         .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
       require(got == onDisk,
         "invariant: binaryFile rows disagree with on-disk names/sizes/digests")
+    case "stats_pruned_scan" =>
+      // skipped_some is oracle-stated `true`; recompute the prune from
+      // the stats table with the gate's own bounds arithmetic and require
+      // the emitted boolean to match AND hold, plus row-conservation:
+      // pruned-scan row count == unpruned filter count
+      val tt = core.Tables(spark, sfDir)
+      val bounds = tt.orders.agg(
+        org.apache.spark.sql.functions.min("o_orderkey").cast("long"),
+        org.apache.spark.sql.functions.max("o_orderkey").cast("long")).head()
+      val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+      val (lo, hi) = (lo0 + (hi0 - lo0) / 4, lo0 + 3 * (hi0 - lo0) / 4)
+      val dir = sources.ParquetStats.rangeClusteredOrdersDir(tt)
+      val (pruned, kept, total) =
+        sources.ParquetStats.prunedScan(tt, dir, "o_orderkey", lo, hi)
+      val indepSkipped = kept < total
+      val directN = tt.orders
+        .filter(org.apache.spark.sql.functions.col("o_orderkey").between(lo, hi))
+        .count()
+      require(pruned.count() == directN,
+        s"invariant: pruned scan rows ${pruned.count()} != direct filter $directN")
+      df.collect().foreach { row =>
+        require(row.getAs[Boolean]("skipped_some") == indepSkipped,
+          s"invariant: skipped_some ${row.getAs[Boolean]("skipped_some")} " +
+            s"disagrees with recomputation $indepSkipped ($kept of $total files)")
+      }
+      require(indepSkipped,
+        s"invariant: zone maps pruned nothing ($kept of $total files read)")
     case "sketch_hll_merge" =>
       // the oracle states the booleans as `true`; recompute both from the
       // RAW DataSketches estimates so the gate can't self-certify: the

@@ -56,9 +56,9 @@ object ParquetStats {
                 .foreach { chunk =>
                   rows += b.getRowCount
                   val st = chunk.getStatistics
+                  if (st != null && st.isNumNullsSet) nulls += st.getNumNulls
                   if (st == null || !st.hasNonNullValue) statsOk = false
                   else {
-                    nulls += st.getNumNulls
                     val lo = st.genericGetMin.asInstanceOf[Number].longValue
                     val hi = st.genericGetMax.asInstanceOf[Number].longValue
                     mn = Some(mn.fold(lo)(math.min(_, lo)))
@@ -84,4 +84,79 @@ object ParquetStats {
     footerStats(t, t.dir, Seq("doc_id", "n_chars"))
       .filter(col("file_name") === "documents.parquet")
       .orderBy("file_name", "column")
+
+  /** Manifest-driven scan: consult [[footerStats]] and hand Spark ONLY
+    * the files whose [min, max] zone map can contain `[lo, hi]` rows —
+    * files are skipped before they are OPENED (Spark's own row-group
+    * pruning still needs a footer read per file; at 100 TB on an object
+    * store, not issuing those GETs is the win, and it is exactly what an
+    * Iceberg/Delta manifest buys). Files without stats are kept — "can't
+    * prove it can't match" never skips. The result is
+    * boundary-independent: pruning only drops files the residual filter
+    * would have emptied anyway, so correctness never depends on HOW the
+    * data was laid out — only the skip COUNT does (measured in the spec).
+    * The driver-side file-name collect is O(#files), the same order as
+    * the directory listing itself.
+    */
+  def prunedScan(t: Tables, dir: String, column: String,
+                 lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val stats = footerStats(t, dir, Seq(column)).collect()
+    val total = stats.length
+    val keep = stats.filter { r =>
+      val mn = Option(r.getAs[java.lang.Long]("min_value"))
+      val mx = Option(r.getAs[java.lang.Long]("max_value"))
+      mn.isEmpty || mx.isEmpty || (mx.get >= lo && mn.get <= hi)
+    }.map(r => s"$dir/${r.getAs[String]("file_name")}")
+    val df =
+      if (keep.isEmpty)
+        t.spark.read.parquet(dir).filter(lit(false))
+      else t.spark.read.parquet(keep.toIndexedSeq: _*)
+    (df.filter(col(column) >= lo && col(column) <= hi), keep.length, total)
+  }
+
+  private val rangeDirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** A 8-file range-clustered copy of `orders` derived once per fixture
+    * generation — the layout under which zone maps actually prune
+    * (an unclustered layout keeps every file; correctness is identical,
+    * only the skip count differs — both measured in `ParquetStatsSpec`).
+    */
+  def rangeClusteredOrdersDir(t: Tables): String = Tables.cachedPerGeneration(
+    rangeDirCache, t.dir, "orders.parquet") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_range_orders").toString
+    t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(base)
+    base
+  }
+
+  /** Gate query: manifest-pruned scan of the range-clustered orders copy
+    * over the middle half of the KEY SPACE (lo/hi from integer min/max
+    * arithmetic, so the oracle derives them identically), rolled up per
+    * status. The oracle states the same filter+rollup from the source
+    * table, so the hash proves pruning dropped no qualifying row and
+    * invented none — regardless of which files the zone maps skipped.
+    * `skipped_some` (oracle-stated `true`, recomputed by
+    * `GateInvariants`) proves pruning actually happened on the fixture;
+    * the exact file counts are layout-dependent (empty range partitions
+    * write no file) and deliberately not hashed — the spec reports them.
+    */
+  def prunedScanGate(t: Tables): DataFrame = {
+    val bounds = t.orders.agg(
+      min("o_orderkey").cast("long"), max("o_orderkey").cast("long")).head()
+    val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+    val lo = lo0 + (hi0 - lo0) / 4
+    val hi = lo0 + 3 * (hi0 - lo0) / 4
+    val (df, kept, total) = prunedScan(
+      t, rangeClusteredOrdersDir(t), "o_orderkey", lo, hi)
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.NumericFunctions.roundN(
+          graft.functions.NumericFunctions.decSum(col("o_totalprice")), 2)
+          .as("total_price"))
+      .withColumn("skipped_some", lit(kept < total))
+      .orderBy("o_orderstatus")
+  }
 }
