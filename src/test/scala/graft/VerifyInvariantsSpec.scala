@@ -113,6 +113,37 @@ class VerifyInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("round-11 sketch and pruning gates satisfy their invariants; doctored outputs rejected") {
+    GateInvariants.check("sketch_hll_merge",
+      CoreQueries.sketchHllMerge(t),
+      (s, d) => CoreQueries.sketchHllMerge(core.Tables(s, d)), spark, dir)
+    GateInvariants.check("stats_pruned_scan",
+      sources.ParquetStats.prunedScanGate(t),
+      (s, d) => sources.ParquetStats.prunedScanGate(core.Tables(s, d)), spark, dir)
+    // flipped band verdict disagrees with the raw-estimate recomputation
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("sketch_hll_merge",
+        CoreQueries.sketchHllMerge(t)
+          .withColumn("merged_in_band", !col("merged_in_band")),
+        (s, d) => CoreQueries.sketchHllMerge(core.Tables(s, d)), spark, dir)
+    }
+    // doctored exact count with verdicts left true: rejected by recount
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("sketch_hll_merge",
+        CoreQueries.sketchHllMerge(t)
+          .withColumn("n_exact", col("n_exact") * 2),
+        (s, d) => CoreQueries.sketchHllMerge(core.Tables(s, d)), spark, dir)
+    }
+    // flipped skip verdict disagrees with the recomputed prune
+    intercept[IllegalArgumentException] {
+      GateInvariants.check("stats_pruned_scan",
+        sources.ParquetStats.prunedScanGate(t)
+          .withColumn("skipped_some", !col("skipped_some")),
+        (s, d) => sources.ParquetStats.prunedScanGate(core.Tables(s, d)),
+        spark, dir)
+    }
+  }
+
   test("gate surface is closed: every query has an oracle, no stale entries") {
     // since round 10 there are ZERO rows-only gates — a new query landing
     // without oracle SQL (or an oracle outliving its query, or a bench
