@@ -243,6 +243,10 @@ object SparkEntry {
     // BEFORE being opened; the rollup hash proves pruning lossless and
     // skipped_some (recomputed by GateInvariants) proves it happened
     "stats_pruned_scan" -> q(t => sources.ParquetStats.prunedScanGate(t)),
+    // streaming progress ledger (round-11): monitoring-plane numInputRows
+    // reconciled against the sink and the oracle's direct count
+    "events_progress_ledger" -> ((s, dir) =>
+      EventStream.progressLedger(s, dir, s"graft_ledger_${System.nanoTime()}")),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2358,6 +2362,14 @@ object SparkEntry {
         |FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
         |WHERE path_in_schema IN ('doc_id', 'n_chars')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // both ledger sides must equal the direct event count; the boolean
+    // is derived from the two oracle-stated counts, so the whole row
+    // hash-gates (no engine-specific value escapes into the hash)
+    "events_progress_ledger" ->
+      """SELECT count(*) AS rows_ingested,
+        |       count(*) AS rows_in_sink,
+        |       TRUE AS ledger_balanced
+        |FROM events""".stripMargin,
     // the pruned scan's lo/hi derive from integer min/max arithmetic the
     // oracle replays exactly (// is floor division; both operands
     // non-negative, so it equals Scala's Long truncation); the rollup is

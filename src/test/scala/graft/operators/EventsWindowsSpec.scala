@@ -445,4 +445,14 @@ class EventsWindowsSpec extends SparkTestBase {
         s"only-in-got ${(got -- expected).take(3)}, only-in-expected ${(expected -- got).take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("progress ledger: monitoring-plane counts reconcile with the sink and the source") {
+    val row = graft.streaming.EventStream.progressLedger(
+      spark, t.dir, s"graft_ledger_spec_${System.nanoTime()}").head()
+    val direct = t.events.count()
+    assert(row.getAs[Long]("rows_ingested") == direct,
+      s"progress numInputRows ${row.getAs[Long]("rows_ingested")} != source $direct")
+    assert(row.getAs[Long]("rows_in_sink") == direct)
+    assert(row.getAs[Boolean]("ledger_balanced"))
+  }
 }
