@@ -30,15 +30,28 @@ object ParquetStats {
                   cols: Seq[String]): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val dir = new java.io.File(fileGlobDir)
-    val paths = dir.listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
-      .map(_.getAbsolutePath).toSeq.sorted
+    // list through the Hadoop FS interface (what an object store exposes),
+    // not java.io — the same posture as LayoutOps.parquetBytes; flat dir
+    // (partitioned layouts pass each leaf dir, as their scans do)
+    val dirPath = new org.apache.hadoop.fs.Path(fileGlobDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = fs.listStatus(dirPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq.sorted
     val wanted = cols.toSet
+    // ship the session's Hadoop conf to executors as plain entries
+    // (object-store credentials/endpoints live there; Configuration
+    // itself is not serializable and Spark's wrapper is private)
+    val confEntries: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap
+    }
     spark.createDataset(paths)
       .repartition(math.min(paths.size, 32).max(1))
       .flatMap { p =>
         val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(p), conf))
