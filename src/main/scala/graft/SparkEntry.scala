@@ -2358,7 +2358,9 @@ object SparkEntry {
         |       CAST(sum(row_group_num_rows) AS BIGINT) AS n_rows,
         |       CAST(sum(stats_null_count) AS BIGINT) AS null_count,
         |       min(CAST(stats_min_value AS BIGINT)) AS min_value,
-        |       max(CAST(stats_max_value AS BIGINT)) AS max_value
+        |       max(CAST(stats_max_value AS BIGINT)) AS max_value,
+        |       bool_and(stats_min_value IS NOT NULL
+        |                AND stats_max_value IS NOT NULL) AS stats_complete
         |FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
         |WHERE path_in_schema IN ('doc_id', 'n_chars')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -2423,9 +2425,9 @@ object SparkEntry {
         |db AS (SELECT doc_id, source AS src_b, md5(text) AS dig_b FROM b),
         |d AS (
         |  SELECT COALESCE(db.src_b, da.src_a) AS source,
-        |         CASE WHEN da.dig_a IS NULL THEN 'added'
-        |              WHEN db.dig_b IS NULL THEN 'removed'
-        |              WHEN da.dig_a <> db.dig_b THEN 'changed'
+        |         CASE WHEN da.doc_id IS NULL THEN 'added'
+        |              WHEN db.doc_id IS NULL THEN 'removed'
+        |              WHEN da.dig_a IS DISTINCT FROM db.dig_b THEN 'changed'
         |              ELSE 'unchanged' END AS status
         |  FROM da FULL OUTER JOIN db ON da.doc_id = db.doc_id)
         |SELECT source, status, count(*) AS n

@@ -88,6 +88,35 @@ object Tables {
     * keeps a wider key for session identity and threshold, so it inlines
     * the same eviction rule rather than calling here).
     */
+  /** Best-effort recursive delete for evicted derivation dirs (temp
+    * parquet the per-generation caches materialized); failures are
+    * swallowed — a leaked dir is the pre-fix status quo, never an error.
+    */
+  def deleteRecursively(path: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        val stream = java.nio.file.Files.walk(root)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally stream.close()
+      }
+    } catch { case _: Throwable => () }
+
+  /** [[cachedPerGeneration]] for values that ARE on-disk paths: evicting
+    * a stale generation also deletes its materialized directory, so a
+    * long-running JVM doesn't strand one full derivation per fixture
+    * regeneration.
+    */
+  def cachedPathPerGeneration(
+      cache: scala.collection.concurrent.TrieMap[(String, Long), String],
+      dir: String, fixture: String)(compute: => String): String = {
+    val stamp = fixtureStamp(s"$dir/$fixture")
+    cache.keys.filter(k => k._1 == dir && k._2 != stamp)
+      .foreach(k => cache.remove(k).foreach(deleteRecursively))
+    cachedPerGeneration(cache, dir, fixture)(compute)
+  }
+
   def cachedPerGeneration[V](
       cache: scala.collection.concurrent.TrieMap[(String, Long), V],
       dir: String, fixture: String)(compute: => V): V = {

@@ -34,8 +34,10 @@ object ObservabilityOps {
         count(when(length(col("text")) < minChars, 1)).as("short_docs"))
     val nKept = source.filter(length(col("text")) >= minChars).count()
     val m = obs.get
+    // a sum over zero observed rows is NULL (matching SQL); unboxing it
+    // to Long would silently coin a 0 the oracle doesn't state
     Seq((m("n_docs").asInstanceOf[Long],
-      m("total_chars").asInstanceOf[Long],
+      Option(m("total_chars").asInstanceOf[java.lang.Long]).map(_.toLong),
       m("short_docs").asInstanceOf[Long],
       nKept))
       .toDF("n_docs", "total_chars", "short_docs", "n_kept")

@@ -24,17 +24,23 @@ object SnapshotOps {
     * want the re-process slice filter `status IN ('added','changed')`.
     */
   def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    // presence is a non-null literal marker per side, NOT digest
+    // nullness: a null-text document has a null md5 but is still
+    // PRESENT, and classifying it "added" on every diff would feed a
+    // spurious insert into the CDC consumers downstream. Digest
+    // comparison is null-safe (<=>) for the same reason: null-vs-text
+    // is a change, null-vs-null is unchanged.
     val da = a.select(col("doc_id"), col("source").as("src_a"),
-      md5(col("text")).as("dig_a"))
+      md5(col("text")).as("dig_a"), lit(true).as("in_a"))
     val db = b.select(col("doc_id"), col("source").as("src_b"),
-      md5(col("text")).as("dig_b"))
+      md5(col("text")).as("dig_b"), lit(true).as("in_b"))
     da.join(db, Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
         coalesce(col("src_b"), col("src_a")).as("source"),
-        when(col("dig_a").isNull, "added")
-          .when(col("dig_b").isNull, "removed")
-          .when(col("dig_a") =!= col("dig_b"), "changed")
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(!(col("dig_a") <=> col("dig_b")), "changed")
           .otherwise("unchanged").as("status"))
   }
 
@@ -84,8 +90,12 @@ object SnapshotOps {
       .filter(col("op").isNull || col("op") =!= "delete")
       .select(
         col("doc_id"),
-        coalesce(col("ch_source"), col("source")).as("source"),
-        coalesce(col("ch_text"), col("text")).as("text"))
+        // the change side WINS when an op is present (a coalesce would
+        // silently resurrect the base value for an update-to-null)
+        when(col("op").isNotNull, col("ch_source"))
+          .otherwise(col("source")).as("source"),
+        when(col("op").isNotNull, col("ch_text"))
+          .otherwise(col("text")).as("text"))
   }
 
   /** The changes feed that turns the fixture corpus into
@@ -238,7 +248,14 @@ object SnapshotOps {
       Tables.fixtureStamp(s"${t.dir}/documents.parquet"))
     refreshInputCache.keys
       .filter(k => k._1 == t.dir && k._3 != key._3)
-      .foreach(refreshInputCache.remove)
+      .foreach { k =>
+        // evicting a stale generation also deletes its materialized
+        // temp base (both subdirs live under rollupDir's parent)
+        refreshInputCache.remove(k).foreach { case (rollupDir, _) =>
+          Tables.deleteRecursively(
+            java.nio.file.Paths.get(rollupDir).getParent.toString)
+        }
+      }
     val (rollupDir, changesDir) = refreshInputCache.getOrElseUpdate(key, {
       val base = java.nio.file.Files
         .createTempDirectory("graft_refresh_inputs").toString

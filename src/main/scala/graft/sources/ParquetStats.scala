@@ -23,8 +23,10 @@ object ParquetStats {
 
   /** One row per (file, INT64 column): total rows, null count, min, max
     * — aggregated across the file's row groups from footer statistics
-    * only. Columns without footer stats yield null min/max (and the
-    * caller's pruning falls back to "can't skip").
+    * only, skipping stats-less groups the way a SQL min/max over the
+    * metadata rows skips NULLs; `stats_complete` reports whether every
+    * group contributed (pruning treats an incomplete file as
+    * un-skippable).
     */
   def footerStats(t: Tables, fileGlobDir: String,
                   cols: Seq[String]): DataFrame = {
@@ -62,7 +64,7 @@ object ParquetStats {
           wanted.toSeq.sorted.map { c =>
             var rows = 0L; var nulls = 0L
             var mn: Option[Long] = None; var mx: Option[Long] = None
-            var statsOk = true
+            var complete = true
             blocks.foreach { b =>
               b.getColumns.asScala
                 .find(_.getPath.toDotString == c)
@@ -70,7 +72,14 @@ object ParquetStats {
                   rows += b.getRowCount
                   val st = chunk.getStatistics
                   if (st != null && st.isNumNullsSet) nulls += st.getNumNulls
-                  if (st == null || !st.hasNonNullValue) statsOk = false
+                  // min/max aggregate over the row groups that HAVE
+                  // stats (a SQL min/max over the metadata rows skips
+                  // NULLs the same way — the oracle's semantics);
+                  // `stats_complete` records whether every group
+                  // contributed, which is what pruning must consult —
+                  // a partial min/max says nothing about the rows in
+                  // the stats-less groups
+                  if (st == null || !st.hasNonNullValue) complete = false
                   else {
                     val lo = st.genericGetMin.asInstanceOf[Number].longValue
                     val hi = st.genericGetMax.asInstanceOf[Number].longValue
@@ -79,13 +88,12 @@ object ParquetStats {
                   }
                 }
             }
-            (fileName, c, rows, nulls,
-              if (statsOk) mn else None, if (statsOk) mx else None)
+            (fileName, c, rows, nulls, mn, mx, complete)
           }
         } finally reader.close()
       }
       .toDF("file_name", "column", "n_rows", "null_count",
-        "min_value", "max_value")
+        "min_value", "max_value", "stats_complete")
   }
 
   /** Gate query: footer stats of the fixture's `documents.parquet` over
@@ -94,8 +102,9 @@ object ParquetStats {
     * parquet implementations must agree byte-for-byte on the zone maps.
     */
   def documentsFooterStats(t: Tables): DataFrame =
-    footerStats(t, t.dir, Seq("doc_id", "n_chars"))
-      .filter(col("file_name") === "documents.parquet")
+    // listStatus on a file path returns that file — only the one footer
+    // is opened, not every fixture table's
+    footerStats(t, s"${t.dir}/documents.parquet", Seq("doc_id", "n_chars"))
       .orderBy("file_name", "column")
 
   /** Manifest-driven scan: consult [[footerStats]] and hand Spark ONLY
@@ -118,7 +127,10 @@ object ParquetStats {
     val keep = stats.filter { r =>
       val mn = Option(r.getAs[java.lang.Long]("min_value"))
       val mx = Option(r.getAs[java.lang.Long]("max_value"))
-      mn.isEmpty || mx.isEmpty || (mx.get >= lo && mn.get <= hi)
+      // a file whose stats are incomplete can't be skipped: its partial
+      // min/max says nothing about the rows in the stats-less groups
+      !r.getAs[Boolean]("stats_complete") ||
+        mn.isEmpty || mx.isEmpty || (mx.get >= lo && mn.get <= hi)
     }.map(r => s"$dir/${r.getAs[String]("file_name")}")
     val df =
       if (keep.isEmpty)
@@ -135,7 +147,7 @@ object ParquetStats {
     * (an unclustered layout keeps every file; correctness is identical,
     * only the skip count differs — both measured in `ParquetStatsSpec`).
     */
-  def rangeClusteredOrdersDir(t: Tables): String = Tables.cachedPerGeneration(
+  def rangeClusteredOrdersDir(t: Tables): String = Tables.cachedPathPerGeneration(
     rangeDirCache, t.dir, "orders.parquet") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_range_orders").toString

@@ -28,7 +28,7 @@ object SchemaEvolution {
     scala.collection.concurrent.TrieMap.empty[(String, Long), String]
 
   /** Two-generation parquet dir derived once per fixture generation. */
-  def evolvedDir(t: Tables): String = Tables.cachedPerGeneration(
+  def evolvedDir(t: Tables): String = Tables.cachedPathPerGeneration(
     dirCache, t.dir, "documents.parquet") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_evolved").toString

@@ -27,6 +27,13 @@ class PlanLintSpec extends SparkTestBase {
     "events_stream_join", "events_stream_left_join",
     "events_stream_full_join", "events_foreach_upsert",
     "dedup_minhash_streaming", "dedup_minhash_windowed",
+    // streaming construction drains a real query; the returned 1-row
+    // ledger frame is a LocalTableScan with no plan worth linting
+    "events_progress_ledger",
+    // construction runs the driving action and emits a local metrics
+    // row — the observed pipeline's own plan is what executed, the
+    // returned frame is a LocalTableScan
+    "observe_intake_stats",
     "ml_price_metrics", "ml_price_metrics_full", "ml_cv_linear",
     // verdict-gate construction fits transformers (collect-backed);
     // their raw probes (imputedOrders/onehotFeatures/

@@ -114,6 +114,34 @@ class SnapshotOpsSpec extends SparkTestBase {
     }
   }
 
+  test("null-text documents diff by presence, not digest nullness") {
+    val a = Seq((1L, "s", Option.empty[String]), (2L, "s", Option("x")),
+      (3L, "s", Option.empty[String]), (4L, "s", Option.empty[String]))
+      .toDF("doc_id", "source", "text")
+    val b = Seq((1L, "s", Option.empty[String]), (2L, "s", Option("x")),
+      (3L, "s", Option("now text")), (5L, "s", Option.empty[String]))
+      .toDF("doc_id", "source", "text")
+    val got = SnapshotOps.snapshotDiff(a, b)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", // null text both sides: present + equal
+      2L -> "unchanged",
+      3L -> "changed",   // null -> text IS a change
+      4L -> "removed",   // null-text doc genuinely gone
+      5L -> "added"),    // null-text doc genuinely new
+      s"got $got")
+    // and a merge of the derived feed still reconstructs B, including
+    // the null-text rows an update-to-null must not resurrect
+    val changes = got.filterNot(_._2 == "unchanged").toSeq.map {
+      case (id, "removed") => (id, "delete", Option.empty[String], Option.empty[String])
+      case (3L, _) => (3L, "update", Option("s"), Option("now text"))
+      case (5L, _) => (5L, "insert", Option("s"), Option.empty[String])
+      case other => fail(s"unexpected $other")
+    }.toDF("doc_id", "op", "source", "text")
+    val merged = SnapshotOps.mergeApply(a, changes)
+    assert(merged.exceptAll(b).isEmpty && b.exceptAll(merged).isEmpty)
+  }
+
   test("refresh probe: materialized-input refresh equals the direct rollup of the capped application") {
     val probe = SnapshotOps.incrementalRollupProbe(t, maxChanges = 50)
     // ground truth: apply the SAME capped batch to A directly, then roll up

@@ -16,6 +16,7 @@ class ParquetStatsSpec extends SparkTestBase {
     Seq("doc_id", "n_chars").foreach { c =>
       assert(stats(c).getAs[Long]("n_rows") == direct.getLong(0))
       assert(stats(c).getAs[Long]("null_count") == 0L)
+      assert(stats(c).getAs[Boolean]("stats_complete"))
     }
     assert(stats("doc_id").getAs[Long]("min_value") == direct.getLong(1))
     assert(stats("doc_id").getAs[Long]("max_value") == direct.getLong(2))
@@ -88,6 +89,9 @@ class ParquetStatsSpec extends SparkTestBase {
     assert(total == 1 && kept == 1,
       s"stats-less file was skipped ($kept of $total)")
     assert(pruned.count() == 0)
+    val row = ParquetStats.footerStats(t, dir, Seq("v")).head()
+    assert(!row.getAs[Boolean]("stats_complete"),
+      "all-null chunk should mark the file's stats incomplete")
   }
 
   test("null counts surface in the stats table") {
