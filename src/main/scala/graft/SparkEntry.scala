@@ -247,6 +247,9 @@ object SparkEntry {
     // reconciled against the sink and the oracle's direct count
     "events_progress_ledger" -> ((s, dir) =>
       EventStream.progressLedger(s, dir, s"graft_ledger_${System.nanoTime()}")),
+    // clustering-depth meter (round-11): exact span arithmetic over the
+    // footer stats — the re-cluster decision signal, footers only
+    "stats_clustering_depth" -> q(t => sources.ParquetStats.documentsClusteringDepth(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2372,6 +2375,23 @@ object SparkEntry {
         |       count(*) AS rows_in_sink,
         |       TRUE AS ledger_balanced
         |FROM events""".stripMargin,
+    // same parquet_metadata surface as the stats gate; spans are exact
+    // +1-inclusive long arithmetic on both sides
+    "stats_clustering_depth" ->
+      """WITH f AS (
+        |  SELECT file_name, path_in_schema AS c,
+        |         min(CAST(stats_min_value AS BIGINT)) AS mn,
+        |         max(CAST(stats_max_value AS BIGINT)) AS mx
+        |  FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+        |  WHERE path_in_schema IN ('doc_id', 'n_chars')
+        |  GROUP BY 1, 2
+        |  HAVING bool_and(stats_min_value IS NOT NULL
+        |                  AND stats_max_value IS NOT NULL))
+        |SELECT c AS "column",
+        |       count(*) AS n_files,
+        |       CAST(sum(mx - mn + 1) AS BIGINT) AS span_sum,
+        |       CAST(max(mx) - min(mn) + 1 AS BIGINT) AS global_span
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // the pruned scan's lo/hi derive from integer min/max arithmetic the
     // oracle replays exactly (// is floor division; both operands
     // non-negative, so it equals Scala's Long truncation); the rollup is

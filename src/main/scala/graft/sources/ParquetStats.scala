@@ -139,6 +139,35 @@ object ParquetStats {
     (df.filter(col(column) >= lo && col(column) <= hi), keep.length, total)
   }
 
+  /** Clustering-depth METER over the stats table — the decision input
+    * for "is this column worth re-clustering": `span_sum / global_span`
+    * is the expected number of files whose zone map contains a uniform
+    * random probe point (≈1 on a range-clustered layout, ≈#files on a
+    * shuffled one — both measured in `ParquetStatsSpec`). Emitted as the
+    * two exact LONG terms, not the ratio, so the row hash-gates with no
+    * floating point; consumes footers only, like everything above.
+    */
+  def clusteringDepth(t: Tables, dir: String, cols: Seq[String]): DataFrame = {
+    val s = footerStats(t, dir, cols)
+      .filter(col("stats_complete") && col("min_value").isNotNull)
+    s.groupBy("column")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("max_value") - col("min_value") + 1L).as("span_sum"),
+        (max("max_value") - min("min_value") + 1L).as("global_span"))
+      .orderBy("column")
+  }
+
+  /** Gate query: clustering depth of the fixture's single-file
+    * `documents.parquet` — span_sum == global_span by construction (one
+    * file), and the oracle recomputes both terms from
+    * `parquet_metadata()`'s stats with the same +1-inclusive arithmetic.
+    * The clustered-vs-shuffled separation the meter exists for is
+    * measured on engine-written dirs in `ParquetStatsSpec`.
+    */
+  def documentsClusteringDepth(t: Tables): DataFrame =
+    clusteringDepth(t, s"${t.dir}/documents.parquet", Seq("doc_id", "n_chars"))
+
   private val rangeDirCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), String]
 

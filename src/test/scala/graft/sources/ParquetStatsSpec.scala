@@ -94,6 +94,30 @@ class ParquetStatsSpec extends SparkTestBase {
       "all-null chunk should mark the file's stats incomplete")
   }
 
+  test("clustering depth separates a range-clustered layout from a shuffled one") {
+    val clustered = ParquetStats.rangeClusteredOrdersDir(t)
+    val shuffled = java.nio.file.Files
+      .createTempDirectory("graft_shuffled_orders").toString
+    t.orders.select("o_orderkey", "o_orderstatus")
+      .repartition(8)   // hash-ish round-robin: every file spans ~everything
+      .write.mode("overwrite").parquet(shuffled)
+    def depth(dir: String): Double = {
+      val r = ParquetStats.clusteringDepth(t, dir, Seq("o_orderkey")).head()
+      r.getAs[Long]("span_sum").toDouble / r.getAs[Long]("global_span")
+    }
+    val (dc, ds) = (depth(clustered), depth(shuffled))
+    info(f"clustered depth $dc%.2f vs shuffled $ds%.2f")
+    assert(dc < 1.5, f"range-clustered depth $dc%.2f should be ~1")
+    assert(ds > 4.0, f"shuffled depth $ds%.2f should approach the file count")
+  }
+
+  test("clustering depth on the single-file fixture: span_sum == global_span") {
+    ParquetStats.documentsClusteringDepth(t).collect().foreach { r =>
+      assert(r.getAs[Long]("n_files") == 1L)
+      assert(r.getAs[Long]("span_sum") == r.getAs[Long]("global_span"))
+    }
+  }
+
   test("null counts surface in the stats table") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stats_nulls").toString
