@@ -89,8 +89,9 @@ object Tables {
     * the same eviction rule rather than calling here).
     */
   /** Best-effort recursive delete for evicted derivation dirs (temp
-    * parquet the per-generation caches materialized); failures are
-    * swallowed — a leaked dir is the pre-fix status quo, never an error.
+    * parquet the per-generation caches materialized); IO failures are
+    * swallowed — a leaked dir is the pre-fix status quo, never an error
+    * — but fatal VM errors and interrupts propagate.
     */
   def deleteRecursively(path: String): Unit =
     try {
@@ -101,20 +102,34 @@ object Tables {
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
         finally stream.close()
       }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** [[cachedPerGeneration]] for values that ARE on-disk paths: evicting
-    * a stale generation also deletes its materialized directory, so a
+    * a stale generation also DELETES its materialized directory, so a
     * long-running JVM doesn't strand one full derivation per fixture
-    * regeneration.
+    * regeneration. One stamp read serves both the evict-with-delete and
+    * the lookup, so no eviction can slip through without its delete.
+    * Caveat (the `LayoutOps.layoutDir` posture): a caller that held a
+    * LAZY frame over the old generation's dir across a regeneration
+    * would scan deleted files — Verify/Bench evaluate promptly and
+    * fixture regeneration is quiescent during gate runs.
     */
   def cachedPathPerGeneration(
       cache: scala.collection.concurrent.TrieMap[(String, Long), String],
       dir: String, fixture: String)(compute: => String): String = {
-    val stamp = fixtureStamp(s"$dir/$fixture")
-    cache.keys.filter(k => k._1 == dir && k._2 != stamp)
+    val key = (dir, fixtureStamp(s"$dir/$fixture"))
+    cache.keys.filter(k => k._1 == dir && k._2 != key._2)
       .foreach(k => cache.remove(k).foreach(deleteRecursively))
-    cachedPerGeneration(cache, dir, fixture)(compute)
+    cache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val v = compute
+        // same stale-compute guard as cachedPerGeneration: never cache a
+        // value computed against files a regeneration just replaced
+        if (fixtureStamp(s"$dir/$fixture") == key._2)
+          cache.putIfAbsent(key, v).getOrElse(v)
+        else v
+    }
   }
 
   def cachedPerGeneration[V](
