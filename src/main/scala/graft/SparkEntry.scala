@@ -2273,8 +2273,13 @@ object SparkEntry {
     // incremental rollup maintenance: the oracle states rollup(B) from its
     // own derivation of B (the engine path only ever reads rollup(A) + the
     // delta feed) — per-row digest terms are the first 12 md5 nibbles
-    // parsed with the kmv oracle's strpos arithmetic, summed as
-    // DECIMAL(38,0) so both engines are exact at any corpus size
+    // parsed with the kmv oracle's strpos arithmetic, summed exactly as
+    // DECIMAL(38,0) then reduced mod 2^48 into a BIGINT: the round-11
+    // driver capture proved an unbounded DECIMAL column is hash-hostile
+    // (the raw sum crosses 2^53 between SFs and a float hop in any
+    // canonicalizer silently rounds it), so every emitted digest_sum is
+    // now an exactly-float-representable int64 on both sides; char sums
+    // coalesce to 0 to match the engine's non-null maintenance contract
     "agg_incremental_rollup" -> {
       val nibbles = (0 until 12)
         .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
@@ -2288,8 +2293,9 @@ object SparkEntry {
          |  FROM documents WHERE doc_id % 13 = 0),
          |h AS (SELECT source, text, md5(text) AS hx FROM b)
          |SELECT source, count(*) AS n_docs,
-         |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
-         |       CAST(sum(CAST(($nibbles) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest_sum
+         |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+         |       CAST(coalesce(sum(CAST(($nibbles) AS DECIMAL(38,0))), 0)
+         |            % 281474976710656 AS BIGINT) AS digest_sum
          |FROM h GROUP BY source""".stripMargin
     },
     // KMV shard-merge: BOTH estimates restated structurally — merged via

@@ -36,6 +36,7 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        GateInvariants.checkMagnitudes(name, df)
         GateInvariants.check(name, df, fn, spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
@@ -135,6 +136,56 @@ object Verify {
   */
 object GateInvariants {
   private type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Every gated numeric value must stay strictly below 2^53 in absolute
+    * value — the double-exactness boundary. Round 11's single red row was
+    * exactly this failure class: the engine and the oracle agreed on an
+    * exact DECIMAL(38,0) whose magnitude crossed 2^53 between SFs, and a
+    * float hop in the driver's canonicalization silently rounded one
+    * side. This check runs on EVERY gate's output before it is written,
+    * over every numeric column (integral, decimal, float/double, and
+    * arrays thereof; NaN excluded — it canonicalizes symbolically), so no
+    * future gate can reintroduce a value a float-canonicalizing hasher
+    * would mangle. One aggregate pass per gate at verify time.
+    */
+  def checkMagnitudes(name: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val bound = 9007199254740992.0 // 2^53
+    def numericAbs(c: org.apache.spark.sql.Column, dt: DataType)
+        : Option[org.apache.spark.sql.Column] = dt match {
+      case FloatType | DoubleType =>
+        Some(max(when(!isnan(c), abs(c.cast("double")))))
+      case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
+        Some(max(abs(c.cast("double"))))
+      case _ => None
+    }
+    val checks = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          Some(max(array_max(filter(
+            transform(col(s"`${f.name}`"), x => abs(x.cast("double"))),
+            v => !isnan(v)))).as(f.name))
+        case ArrayType(ByteType | ShortType | IntegerType | LongType |
+            _: DecimalType, _) =>
+          Some(max(array_max(
+            transform(col(s"`${f.name}`"), x => abs(x.cast("double")))))
+            .as(f.name))
+        case dt => numericAbs(col(s"`${f.name}`"), dt).map(_.as(f.name))
+      }
+    }
+    if (checks.nonEmpty) {
+      val row = df.agg(checks.head, checks.tail: _*).head()
+      checks.indices.foreach { i =>
+        if (!row.isNullAt(i)) {
+          val v = row.getDouble(i)
+          require(v < bound,
+            s"invariant: gate '$name' column '${row.schema(i).name}' emits " +
+              f"|value| = $v%.0f >= 2^53 — not exactly float-representable; " +
+              "bound the gate's arithmetic (mod-2^48 digests, hex strings)")
+        }
+      }
+    }
+  }
 
   /** Verdict-gate comparison for the ANN gates: re-run the RAW index
     * probe, recompute the four verdict facts from its rows, and require

@@ -147,18 +147,40 @@ object SnapshotOps {
   private def digest48(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(text), 1, 12), 16, 10).cast("decimal(38,0)")
 
+  /** 2^48 — the modulus every emitted `digest_sum` is reduced by. The
+    * round-11 driver artifact hash-failed this family's one gate on the
+    * repo's only unbounded-magnitude DECIMAL column (the raw sum crosses
+    * 2^53 ≈ 9.0e15 between sf0.01 and sf0.1, and any float hop in a
+    * downstream canonicalizer silently rounds it), so the contract is
+    * now: digest sums are BIGINT in [0, 2^48) — modular add/subtract is a
+    * group, so the subtractable-aggregate proof (incremental == direct)
+    * survives the reduction, and every emitted value stays exactly
+    * float-representable (enforced repo-wide by
+    * [[graft.GateInvariants.checkMagnitudes]]).
+    */
+  private val digestModulus = 1L << 48
+
+  private def modDigest(sum: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(coalesce(sum, lit(0).cast("decimal(38,0)")),
+      lit(digestModulus).cast("decimal(38,0)")).cast("long")
+
   /** The maintained aggregate: per-source doc count, char sum, and a
-    * content-sensitive digest sum. All three are SUBTRACTABLE (count/sum
-    * — a delete's contribution can be removed without rescanning), which
-    * is the class of aggregate this maintenance path supports; min/max or
-    * distinct counts need sketches or a rescan and deliberately aren't
-    * here (`sketch_kmv_merge` covers the sketch route for distincts).
+    * content-sensitive digest sum (mod 2^48, see [[modDigest]]). All
+    * three are SUBTRACTABLE (count/sum — a delete's contribution can be
+    * removed without rescanning; the mod reduction commutes with add and
+    * subtract), which is the class of aggregate this maintenance path
+    * supports; min/max or distinct counts need sketches or a rescan and
+    * deliberately aren't here (`sketch_kmv_merge` covers the sketch route
+    * for distincts). Char and digest sums coalesce to 0 for a source
+    * whose rows all carry null text — the same non-null contract
+    * [[incrementalRollup]]'s maintenance arithmetic emits, so the two
+    * paths agree on such corpora too (round-11 advice).
     */
   def rollupStats(df: DataFrame): DataFrame =
     df.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
-      sum(length(col("text"))).as("total_chars"),
-      sum(digest48(col("text"))).as("digest_sum"))
+      coalesce(sum(length(col("text"))).cast("long"), lit(0L)).as("total_chars"),
+      modDigest(sum(digest48(col("text")))).as("digest_sum"))
 
   /** Refresh a maintained [[rollupStats]] table from a CDC changes feed
     * WITHOUT rescanning the corpus — the 100 TB move: the base table is
@@ -194,8 +216,12 @@ object SnapshotOps {
           .as("n_docs"),
         (coalesce(col("total_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L)))
           .as("total_chars"),
-        (coalesce(col("digest_sum"), zero) + coalesce(col("d_digest"), zero))
-          .cast("decimal(38,0)").as("digest_sum"))
+        // the stored digest is already reduced mod 2^48; the signed delta
+        // is an exact DECIMAL — pmod of the sum re-reduces into [0, 2^48)
+        // and equals the direct rollup's reduction exactly (mod is a
+        // group homomorphism over signed addition)
+        modDigest(coalesce(col("digest_sum"), lit(0L)).cast("decimal(38,0)") +
+          coalesce(col("d_digest"), zero)).as("digest_sum"))
       .filter(col("n_docs") > 0)
   }
 
@@ -256,18 +282,32 @@ object SnapshotOps {
             java.nio.file.Paths.get(rollupDir).getParent.toString)
         }
       }
-    val (rollupDir, changesDir) = refreshInputCache.getOrElseUpdate(key, {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_refresh_inputs").toString
-      val rollupDir = s"$base/rollup_a"
-      val changesDir = s"$base/changes"
-      rollupStats(t.documents.select("doc_id", "source", "text"))
-        .write.mode("overwrite").parquet(rollupDir)
-      syntheticChangesWithImages(t)
-        .orderBy("doc_id").limit(maxChanges)
-        .write.mode("overwrite").parquet(changesDir)
-      (rollupDir, changesDir)
-    })
+    val (rollupDir, changesDir) = refreshInputCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_refresh_inputs").toString
+        val v = (s"$base/rollup_a", s"$base/changes")
+        rollupStats(t.documents.select("doc_id", "source", "text"))
+          .write.mode("overwrite").parquet(v._1)
+        syntheticChangesWithImages(t)
+          .orderBy("doc_id").limit(maxChanges)
+          .write.mode("overwrite").parquet(v._2)
+        // Tables.cachedPathPerGeneration's stale-compute guard, inlined
+        // for this wider key (round-11 advice): a fixture regeneration
+        // landing DURING the materialization must not cache
+        // pre-regeneration inputs under the new generation's key, and a
+        // concurrent double-materialization must not leak its losing
+        // temp dir — the loser serves its own files this once and
+        // deletes them lazily on the next eviction sweep, so delete the
+        // non-cached copy only when another value won the race.
+        if (Tables.fixtureStamp(s"${t.dir}/documents.parquet") == key._3)
+          refreshInputCache.putIfAbsent(key, v) match {
+            case None => v
+            case Some(winner) => Tables.deleteRecursively(base); winner
+          }
+        else v
+    }
     incrementalRollup(
       t.spark.read.parquet(rollupDir),
       t.spark.read.parquet(changesDir))

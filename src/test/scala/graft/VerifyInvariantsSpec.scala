@@ -275,4 +275,33 @@ class VerifyInvariantsSpec extends SparkTestBase {
         (s, d) => ml.PricePipeline.fastMetricsGate(core.Tables(s, d)), spark, dir)
     }
   }
+
+  test("checkMagnitudes: float-representable values pass; >= 2^53 rejected in every numeric shape") {
+    import spark.implicits._
+    // the real rollup gate (the round-11 failure site) must now pass
+    GateInvariants.checkMagnitudes("agg_incremental_rollup",
+      operators.SnapshotOps.incrementalRollupGate(t))
+    // in-band values across the checked types pass, including NaN doubles
+    // (canonicalized symbolically, not as a float) and numeric arrays
+    val ok = Seq((1L, (1L << 52).toDouble, BigDecimal(9007199254740991L),
+        Seq(1.0, Double.NaN), Seq(3L)))
+      .toDF("l", "d", "dec", "darr", "larr")
+    GateInvariants.checkMagnitudes("ok", ok)
+    // a 2^60 long is exactly the class the round-11 driver capture mangled
+    intercept[IllegalArgumentException] {
+      GateInvariants.checkMagnitudes("big_long", Seq(1L << 60).toDF("v"))
+    }
+    intercept[IllegalArgumentException] {
+      GateInvariants.checkMagnitudes("big_dec",
+        Seq(BigDecimal("40000000000000000")).toDF("v"))
+    }
+    intercept[IllegalArgumentException] {
+      GateInvariants.checkMagnitudes("big_neg_double",
+        Seq(-1.0e16).toDF("v"))
+    }
+    intercept[IllegalArgumentException] {
+      GateInvariants.checkMagnitudes("big_arr",
+        Seq(Seq(1.0, (1L << 53).toDouble)).toDF("v"))
+    }
+  }
 }
