@@ -251,10 +251,17 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // --- Contention sentinel (see object doc + BenchCalibration) ---
-    val (run, calibRatio, hostDegraded, rerun) =
+    val sentinel =
       BenchCalibration.withSentinel(() => runSuite(spark, sfDir, only))
-    val calibJson = s""""calibration_ratio":$calibRatio,""" +
-      s""""host_degraded":$hostDegraded,"suite_rerun":$rerun"""
+    val run = sentinel.result
+    // calibration_ratio keeps its r11 meaning (the headline the driver
+    // reads) but is now the max of the PRE- and POST-suite probes; both
+    // sides ship alongside so a mid-run contention arrival is visible
+    val calibJson = s""""calibration_ratio":${sentinel.ratioMax},""" +
+      s""""calibration_ratio_pre":${sentinel.ratioPre},""" +
+      s""""calibration_ratio_post":${sentinel.ratioPost},""" +
+      s""""host_degraded":${sentinel.hostDegraded},""" +
+      s""""suite_rerun":${sentinel.suiteRerun}"""
 
     val results = run.results
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -117,25 +117,53 @@ object BenchCalibration {
 
   def degraded(r: Double): Boolean = r > degradedThreshold
 
+  /** One sentinel pass: (pre-probe ratio, suite result, post-probe
+    * ratio). The reported `calibration_ratio` is the MAX of the two —
+    * round 11 showed a single pre-suite probe under-reads contention
+    * that arrives MID-run (driver capture at ratio 1.41 was ~17 % above
+    * the quiet-host archive), so the probe now brackets the suite and
+    * the artifact carries both sides.
+    */
+  private def bracketed[T](suite: () => T, probe: () => Double)
+      : (Double, T, Double) = {
+    val pre = ratio(probe())
+    val run = suite()
+    val post = ratio(probe())
+    (pre, run, post)
+  }
+
+  /** The artifact fields one sentinel run reports. */
+  final case class Sentinel[T](result: T, ratioPre: Double,
+                               ratioPost: Double, hostDegraded: Boolean,
+                               suiteRerun: Boolean) {
+    /** max(pre, post) rounded — the single headline `calibration_ratio`. */
+    def ratioMax: Double =
+      math.round(math.max(ratioPre, ratioPost) * 100) / 100.0
+  }
+
   /** The sentinel's whole contract in one testable function: probe, run
-    * the suite; when the PRE-suite probe reads degraded, probe again and
-    * re-run ONCE, reporting the second pass with its own ratio. Returns
-    * (reported result, reported calibration_ratio, host_degraded,
-    * suite_rerun) — exactly the fields Bench's JSON lines carry, so
-    * `BenchCalibrationSpec` pins the artifact semantics (one rerun max,
-    * flag follows the REPORTED run's probe) without timing anything.
+    * the suite, probe AGAIN (contention can arrive mid-run — the
+    * round-11 driver capture did exactly that); when EITHER probe of the
+    * first pass reads degraded, re-run ONCE and report the second pass
+    * with its own bracketing probes. `BenchCalibrationSpec` pins the
+    * artifact semantics (one rerun max, flags follow the REPORTED run's
+    * probes) without timing anything.
     */
   def withSentinel[T](suite: () => T,
-                      probe: () => Double = () => measure()): (T, Double, Boolean, Boolean) = {
-    val r0 = ratio(probe())
-    val run0 = suite()
-    if (!degraded(r0)) (run0, math.round(r0 * 100) / 100.0, false, false)
+                      probe: () => Double = () => measure()): Sentinel[T] = {
+    val round2 = (r: Double) => math.round(r * 100) / 100.0
+    val (pre0, run0, post0) = bracketed(suite, probe)
+    if (!degraded(pre0) && !degraded(post0))
+      Sentinel(run0, round2(pre0), round2(post0), hostDegraded = false,
+        suiteRerun = false)
     else {
       // ASCII only: the forked JVM's default charset mangles wider chars
-      System.err.println(f"[bench] calibration ratio $r0%.2f > " +
-        f"$degradedThreshold -- host contended; re-running the suite once")
-      val r1 = ratio(probe())
-      (suite(), math.round(r1 * 100) / 100.0, degraded(r1), true)
+      System.err.println(f"[bench] calibration ratios $pre0%.2f/$post0%.2f " +
+        f"vs threshold $degradedThreshold -- host contended; " +
+        "re-running the suite once")
+      val (pre1, run1, post1) = bracketed(suite, probe)
+      Sentinel(run1, round2(pre1), round2(post1),
+        hostDegraded = degraded(pre1) || degraded(post1), suiteRerun = true)
     }
   }
 }

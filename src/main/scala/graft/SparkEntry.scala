@@ -250,6 +250,16 @@ object SparkEntry {
     // clustering-depth meter (round-11): exact span arithmetic over the
     // footer stats — the re-cluster decision signal, footers only
     "stats_clustering_depth" -> q(t => sources.ParquetStats.documentsClusteringDepth(t)),
+    // typed zone maps (round-12): footer min/max for strings, doubles and
+    // timestamps — parquet-hadoop vs DuckDB parquet_metadata per type
+    "stats_footer_typed" -> q(t => sources.ParquetStats.ordersFooterStatsTyped(t)),
+    // multi-file clustering depth (round-12): the meter's clustered-vs-
+    // scattered separation on two DETERMINISTIC 8-file layouts whose
+    // per-file extents the oracle recomputes from the source table
+    "stats_clustering_depth_multi" -> q(t => sources.ParquetStats.bucketedClusteringDepth(t)),
+    // type-widening evolution (round-12): int32→long / float→double files
+    // under one stated wide schema — values proven unshifted by the hash
+    "schema_evolution_widen" -> q(t => sources.SchemaEvolution.wideningRollup(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2427,6 +2437,68 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN length(text)
         |                     ELSE coalesce(n_chars, length(text)) END) AS BIGINT)
         |         AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    // typed zone maps: DuckDB renders every footer stat as VARCHAR; the
+    // CASE-guarded casts decode each per the column's type (BIGINT and
+    // shortest-round-trip DOUBLE round-trip exactly; TIMESTAMP via its
+    // own MICROS decode; strings verbatim) — the dir literal is the
+    // verify scale, rewritten per SF like the other metadata gates
+    "stats_footer_typed" ->
+      """WITH m AS (
+        |  SELECT parse_filename(file_name) AS file_name,
+        |         path_in_schema AS c, stats_min_value AS smin,
+        |         stats_max_value AS smax, stats_null_count,
+        |         row_group_num_rows
+        |  FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet')
+        |  WHERE path_in_schema IN ('o_orderkey', 'o_orderstatus',
+        |        'o_orderpriority', 'o_totalprice', 'o_orderdate'))
+        |SELECT file_name, c AS "column",
+        |       CAST(sum(row_group_num_rows) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(stats_null_count), 0) AS BIGINT) AS null_count,
+        |       min(CASE WHEN c = 'o_orderkey' THEN CAST(smin AS BIGINT) END) AS min_long,
+        |       max(CASE WHEN c = 'o_orderkey' THEN CAST(smax AS BIGINT) END) AS max_long,
+        |       min(CASE WHEN c = 'o_totalprice' THEN CAST(smin AS DOUBLE) END) AS min_double,
+        |       max(CASE WHEN c = 'o_totalprice' THEN CAST(smax AS DOUBLE) END) AS max_double,
+        |       min(CASE WHEN c IN ('o_orderstatus', 'o_orderpriority') THEN smin END) AS min_string,
+        |       max(CASE WHEN c IN ('o_orderstatus', 'o_orderpriority') THEN smax END) AS max_string,
+        |       min(CASE WHEN c = 'o_orderdate' THEN CAST(smin AS TIMESTAMP) END) AS min_ts,
+        |       max(CASE WHEN c = 'o_orderdate' THEN CAST(smax AS TIMESTAMP) END) AS max_ts,
+        |       bool_and(smin IS NOT NULL AND smax IS NOT NULL) AS stats_complete
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // multi-file clustering depth: both layouts' bucket arithmetic is
+    // restated from the source table (range: (key-lo)*8 div span;
+    // scatter: key mod 8) — per-bucket min/max ARE the per-file footer
+    // extents because each bucket writes exactly one file, so the meter's
+    // clustered-vs-scattered separation hash-gates end to end
+    "stats_clustering_depth_multi" ->
+      """WITH bounds AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |                FROM orders),
+        |rf AS (SELECT (o_orderkey - lo) * 8 // (hi - lo + 1) AS b,
+        |              min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |       FROM orders, bounds GROUP BY 1),
+        |sf AS (SELECT o_orderkey % 8 AS b,
+        |              min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |       FROM orders GROUP BY 1)
+        |SELECT 'range' AS layout, 'o_orderkey' AS "column",
+        |       count(*) AS n_files,
+        |       CAST(sum(mx - mn + 1) AS BIGINT) AS span_sum,
+        |       CAST(max(mx) - min(mn) + 1 AS BIGINT) AS global_span
+        |FROM rf
+        |UNION ALL
+        |SELECT 'scatter', 'o_orderkey', count(*),
+        |       CAST(sum(mx - mn + 1) AS BIGINT),
+        |       CAST(max(mx) - min(mn) + 1 AS BIGINT)
+        |FROM sf
+        |ORDER BY 1""".stripMargin,
+    // type-widening: the narrow generation's int32/float casts are
+    // lossless by construction (n_chars < 2^31, score = n_chars*0.5 is
+    // exact in float), so the oracle restates the widened values from
+    // the source table directly — any widening shift breaks the hash
+    "schema_evolution_widen" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(CAST(n_chars AS DOUBLE) * 0.5) AS min_score,
+        |       max(CAST(n_chars AS DOUBLE) * 0.5) AS max_score
         |FROM documents GROUP BY source""".stripMargin,
     // observed metrics are exact count/sum accumulators on the driving
     // pass — the oracle states every column directly (full hash gate)

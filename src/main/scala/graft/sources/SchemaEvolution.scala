@@ -76,4 +76,73 @@ object SchemaEvolution {
         sum(coalesce(col("n_chars"), length(col("text")).cast("long")))
           .as("total_chars"))
       .orderBy("source")
+
+  // ---------------------------------------------------------------------
+  // Type-widening evolution — the OTHER schema change a months-old corpus
+  // hits (round-11 residue 2): early files wrote a column NARROW
+  // (int32 counters, float scores), later files wide (int64, double).
+  // ---------------------------------------------------------------------
+
+  private val widenCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** Two-generation dir where generation 1 (doc_id ≡ 0 mod 2) stores
+    * `n_chars` as INT32 and `score` as FLOAT, generation 2 as INT64 /
+    * DOUBLE — same column names, widened physical types. `score` is
+    * n_chars · 0.5, exactly representable in BOTH float and double for
+    * any fixture length (< 2²³), so the widened read's values are
+    * restatable by the oracle without float-rounding hazards.
+    */
+  def widenedDir(t: Tables): String = Tables.cachedPathPerGeneration(
+    widenCache, t.dir, "documents.parquet") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_widened").toString
+    val docs = t.documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("score", col("n_chars").cast("double") * 0.5)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("int").as("n_chars"),
+        col("score").cast("float").as("score"))
+      .write.mode("append").parquet(base)
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(base)
+    base
+  }
+
+  /** The WIDE schema a schema-first reader states over [[widenedDir]]:
+    * Spark's vectorized parquet reader up-converts INT32→LONG and
+    * FLOAT→DOUBLE per file at scan time (a lossless promotion — no
+    * planning-time footer sweep, no rewrite of the old files). Note
+    * `mergeSchema=true` CANNOT serve this corpus: `StructType.merge`
+    * refuses int-vs-long on the same field name, which is exactly why
+    * the stated-schema path is the production read
+    * (`SchemaEvolutionSpec` pins both behaviors).
+    */
+  val widenedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("score", DoubleType)))
+
+  def widenedRead(t: Tables): DataFrame =
+    t.spark.read.schema(widenedSchema).parquet(widenedDir(t))
+
+  /** Gate query: roll up the widened read per source — row counts, the
+    * int-widened char sum as one LONG, and the float-widened score
+    * extremes as DOUBLEs. The oracle restates all of it from the source
+    * table (generation membership is value-invariant here: the narrow
+    * cast is lossless by construction), so the hash proves the widened
+    * scan neither shifted a value nor dropped a row across the
+    * type-evolution boundary.
+    */
+  def wideningRollup(t: Tables): DataFrame =
+    widenedRead(t)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("source")
 }

@@ -60,23 +60,33 @@ class BenchCalibrationSpec extends AnyFunSuite {
       s"calibration wildly unrepeatable back-to-back: $a vs $b")
   }
 
-  test("withSentinel: quiet host runs once; degraded host re-runs ONCE and " +
-      "the flag follows the reported run's probe") {
-    def sentinel(probes: Double*): (Int, Double, Boolean, Boolean, Int) = {
+  test("withSentinel: quiet host runs once; degraded host re-runs ONCE; " +
+      "probes BRACKET the suite and flags follow the reported run's probes") {
+    def sentinel(probes: Double*)
+        : (Int, Double, Double, Double, Boolean, Boolean, Int) = {
       val it = probes.iterator
       var suiteRuns = 0
-      val (res, r, deg, rerun) = BenchCalibration.withSentinel(
+      val s = BenchCalibration.withSentinel(
         () => { suiteRuns += 1; suiteRuns },
         () => it.next() * BenchCalibration.reference)
-      (res, r, deg, rerun, suiteRuns)
+      (s.result, s.ratioPre, s.ratioPost, s.ratioMax, s.hostDegraded,
+        s.suiteRerun, suiteRuns)
     }
-    // quiet: one suite pass, no flags
-    assert(sentinel(1.0) === ((1, 1.0, false, false, 1)))
-    // contended start, quiet by the re-probe: rerun recorded, flag CLEAR
-    // (the reported numbers came from a quiet pass)
-    assert(sentinel(3.0, 1.1) === ((2, 1.1, false, true, 2)))
-    // contended throughout: exactly one rerun (never loops), flag SET
-    assert(sentinel(3.0, 4.0) === ((2, 4.0, true, true, 2)))
+    // quiet throughout: one suite pass, both probes consumed, no flags
+    assert(sentinel(1.0, 1.2) === ((1, 1.0, 1.2, 1.2, false, false, 1)))
+    // contention arriving MID-run (the round-11 driver capture): quiet
+    // pre-probe, degraded post-probe — the rerun triggers anyway; the
+    // quiet second pass reports its own bracketing probes, flag CLEAR
+    assert(sentinel(1.1, 3.0, 1.0, 1.2) ===
+      ((2, 1.0, 1.2, 1.2, false, true, 2)))
+    // contended start, quiet by the second pass: rerun recorded, flag
+    // CLEAR (the reported numbers came from a quiet pass)
+    assert(sentinel(3.0, 1.1, 1.0, 1.1) ===
+      ((2, 1.0, 1.1, 1.1, false, true, 2)))
+    // contended throughout: exactly one rerun (never loops), flag SET,
+    // headline ratio is the max of the reported pass's two probes
+    assert(sentinel(3.0, 3.5, 4.0, 2.0) ===
+      ((2, 4.0, 2.0, 4.0, true, true, 2)))
   }
 
   test("synthetic oversubscription inflates the measurement the flag reads") {

@@ -118,6 +118,98 @@ class ParquetStatsSpec extends SparkTestBase {
     }
   }
 
+  test("a file lacking the requested column reports stats_complete=false, never a trusted empty row") {
+    // schema-evolution reality: old-generation files predate the column.
+    // complete=true must imply a usable min/max — a pruning consumer
+    // trusting the flag on a column-less file would skip rows it never
+    // proved absent (round-11 advice)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stats_absent").toString
+    Seq((1L, "a"), (2L, "b")).toDF("v", "k")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val row = ParquetStats.footerStats(t, dir, Seq("nope")).head()
+    assert(row.getAs[Long]("n_rows") == 0L)
+    assert(!row.getAs[Boolean]("stats_complete"),
+      "column absent from every row group must not read stats_complete=true")
+  }
+
+  test("typed footer stats match a full data scan for string, double and timestamp columns") {
+    val stats = ParquetStats.ordersFooterStatsTyped(t).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(stats.keySet == Set("o_orderkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice", "o_orderdate"))
+    val d = t.orders.agg(
+      min("o_orderkey"), max("o_orderkey"),
+      min("o_orderstatus"), max("o_orderstatus"),
+      min("o_totalprice"), max("o_totalprice"),
+      min("o_orderdate"), max("o_orderdate")).head()
+    stats.values.foreach(r => assert(r.getAs[Boolean]("stats_complete")))
+    assert(stats("o_orderkey").getAs[Long]("min_long") == d.getLong(0))
+    assert(stats("o_orderkey").getAs[Long]("max_long") == d.getLong(1))
+    assert(stats("o_orderstatus").getAs[String]("min_string") == d.getString(2))
+    assert(stats("o_orderstatus").getAs[String]("max_string") == d.getString(3))
+    assert(stats("o_totalprice").getAs[Double]("min_double") == d.getDouble(4))
+    assert(stats("o_totalprice").getAs[Double]("max_double") == d.getDouble(5))
+    // fixture timestamps are NTZ, the stats column is UTC-session LTZ —
+    // compare the wall-clock rendering both types share
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val tsStats = ParquetStats.ordersFooterStatsTyped(t)
+      .filter(col("column") === "o_orderdate")
+      .select(date_format(col("min_ts"), fmt), date_format(col("max_ts"), fmt))
+      .head()
+    val tsDirect = t.orders.agg(
+      date_format(min("o_orderdate"), fmt),
+      date_format(max("o_orderdate"), fmt)).head()
+    assert(tsStats.getString(0) == tsDirect.getString(0))
+    assert(tsStats.getString(1) == tsDirect.getString(1))
+    // untyped pairs stay null on a typed column
+    assert(stats("o_totalprice").isNullAt(stats("o_totalprice").fieldIndex("min_long")))
+    assert(stats("o_orderkey").isNullAt(stats("o_orderkey").fieldIndex("min_string")))
+  }
+
+  test("deterministic bucket layouts: one file per bucket, and the depth meter separates them on the gate surface") {
+    val base = ParquetStats.bucketLayoutsDir(t)
+    // one file per hive bucket dir — the invariant that makes per-file
+    // footer extents equal per-bucket true extents (what the oracle
+    // recomputes)
+    Seq("range", "scatter").foreach { l =>
+      val buckets = new java.io.File(s"$base/$l").listFiles()
+        .filter(_.getName.startsWith("bucket="))
+      assert(buckets.length == 8, s"$l: expected 8 bucket dirs")
+      buckets.foreach { b =>
+        val n = b.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n == 1, s"$l/${b.getName}: expected 1 file, got $n")
+      }
+    }
+    val rows = ParquetStats.bucketedClusteringDepth(t).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    def ratio(l: String): Double =
+      rows(l).getAs[Long]("span_sum").toDouble / rows(l).getAs[Long]("global_span")
+    info(f"range depth ${ratio("range")}%.2f vs scatter ${ratio("scatter")}%.2f")
+    assert(rows("range").getAs[Long]("n_files") == 8L)
+    assert(rows("scatter").getAs[Long]("n_files") == 8L)
+    assert(ratio("range") < 1.5)
+    assert(ratio("scatter") > 6.0)
+    // the oracle's recomputation from the source table, replayed in
+    // Spark: per-bucket min/max spans must equal the footer-read spans
+    val b = t.orders.agg(min("o_orderkey").cast("long"),
+      max("o_orderkey").cast("long")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    def spanOf(bucketExpr: org.apache.spark.sql.Column): (Long, Long) = {
+      val f = t.orders.groupBy(bucketExpr.as("b"))
+        .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .agg(sum(col("mx") - col("mn") + 1L),
+          (max("mx") - min("mn") + 1L)).head()
+      (f.getLong(0), f.getLong(1))
+    }
+    val (rs, rg) = spanOf(expr(s"CAST((o_orderkey - $lo) * 8 DIV ${hi - lo + 1} AS INT)"))
+    assert(rows("range").getAs[Long]("span_sum") == rs)
+    assert(rows("range").getAs[Long]("global_span") == rg)
+    val (ss, sg) = spanOf(expr("CAST(o_orderkey % 8 AS INT)"))
+    assert(rows("scatter").getAs[Long]("span_sum") == ss)
+    assert(rows("scatter").getAs[Long]("global_span") == sg)
+  }
+
   test("null counts surface in the stats table") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stats_nulls").toString

@@ -39,6 +39,39 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
   }
 
+  test("type widening: narrow int32/float generation reads back exactly under the wide schema") {
+    val dir = SchemaEvolution.widenedDir(t)
+    // physically two-generation: file schemas disagree on the PHYSICAL
+    // type of the same column names
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val nCharsTypes = files
+      .map(f => spark.read.parquet(f).schema("n_chars").dataType.typeName).toSet
+    assert(nCharsTypes == Set("integer", "long"),
+      s"expected int32 and int64 generations, got $nCharsTypes")
+    // the widened read's values equal the source-derived wide values
+    // exactly — the promotions are lossless, no value shifted
+    val back = SchemaEvolution.widenedRead(t)
+      .select("doc_id", "source", "n_chars", "score")
+    val src = t.documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("score", col("n_chars").cast("double") * 0.5)
+    assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
+  }
+
+  test("type widening: mergeSchema cannot serve an int-vs-long corpus — schema-first is the only path") {
+    // StructType.merge refuses to widen conflicting primitive types, so
+    // the discovery read FAILS on a type-evolved dir; pinning the failure
+    // documents why widenedRead states the schema instead
+    val e = intercept[Throwable] {
+      t.spark.read.option("mergeSchema", "true")
+        .parquet(SchemaEvolution.widenedDir(t)).collect()
+    }
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(msg.toLowerCase.contains("merge") || msg.toLowerCase.contains("schema"),
+      s"expected a schema-merge failure, got: $msg")
+  }
+
   test("rollup gate backfills old-generation chars from the text itself") {
     val row = SchemaEvolution.evolutionRollup(t)
       .agg(sum("total_chars"), sum("n_docs"), sum("n_evolved")).head()
