@@ -260,6 +260,13 @@ object SparkEntry {
     // type-widening evolution (round-12): int32→long / float→double files
     // under one stated wide schema — values proven unshifted by the hash
     "schema_evolution_widen" -> q(t => sources.SchemaEvolution.wideningRollup(t)),
+    // typed pruning consumers (round-12): the scans the typed zone maps
+    // exist for — whole year-files skipped by timestamp extents, string
+    // buckets by UTF8 extents, and a parquet-bloom point lookup on a
+    // scattered key where zone maps keep everything
+    "stats_pruned_scan_date" -> q(t => sources.ParquetStats.datePrunedScanGate(t)),
+    "stats_pruned_scan_string" -> q(t => sources.ParquetStats.stringPrunedScanGate(t)),
+    "stats_bloom_point_lookup" -> q(t => sources.ParquetStats.bloomLookupGate(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2490,6 +2497,38 @@ object SparkEntry {
         |       CAST(max(mx) - min(mn) + 1 AS BIGINT)
         |FROM sf
         |ORDER BY 1""".stripMargin,
+    // typed pruning gates: the oracle restates each probe's derivation
+    // (epoch-micros window arithmetic / fixed priority / one-third key)
+    // and the filtered rollup from the source table — pruning must be
+    // lossless regardless of which files were skipped; skipped_some is
+    // oracle-stated TRUE and recomputed by GateInvariants
+    "stats_pruned_scan_date" ->
+      """WITH b AS (SELECT epoch_us(min(o_orderdate)) AS lo0,
+        |                  epoch_us(max(o_orderdate)) AS hi0 FROM orders),
+        |r AS (SELECT lo0 + (hi0 - lo0) // 4 AS lo,
+        |             lo0 + 3 * (hi0 - lo0) // 4 AS hi FROM b)
+        |SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |             * 100 + 0.5) / 100 AS total_price,
+        |       TRUE AS skipped_some
+        |FROM orders, r
+        |WHERE epoch_us(o_orderdate) >= r.lo AND epoch_us(o_orderdate) <= r.hi
+        |GROUP BY o_orderpriority""".stripMargin,
+    "stats_pruned_scan_string" ->
+      """SELECT o_orderstatus,
+        |       count(*) AS n_orders,
+        |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |             * 100 + 0.5) / 100 AS total_price,
+        |       TRUE AS skipped_some
+        |FROM orders WHERE o_orderpriority = '3-MEDIUM'
+        |GROUP BY o_orderstatus""".stripMargin,
+    "stats_bloom_point_lookup" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |           FROM orders)
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+        |       TRUE AS skipped_some
+        |FROM orders, b WHERE o_orderkey = lo + (hi - lo) // 3""".stripMargin,
     // type-widening: the narrow generation's int32/float casts are
     // lossless by construction (n_chars < 2^31, score = n_chars*0.5 is
     // exact in float), so the oracle restates the widened values from

@@ -692,6 +692,62 @@ object GateInvariants {
       }
       require(indepSkipped,
         s"invariant: zone maps pruned nothing ($kept of $total files read)")
+    case "stats_pruned_scan_date" =>
+      // same contract as stats_pruned_scan for the TIMESTAMP zone maps:
+      // recompute the prune with the gate's own window arithmetic;
+      // skipped_some must match AND hold, row conservation must hold
+      val tt = core.Tables(spark, sfDir)
+      val (lo, hi) = sources.ParquetStats.dateWindow(tt)
+      val (pruned, kept, total) = sources.ParquetStats.prunedScanTs(
+        tt, s"${sources.ParquetStats.typedLayoutsDir(tt)}/date",
+        "o_orderdate", lo, hi)
+      val directN = tt.orders.filter(
+        org.apache.spark.sql.functions
+          .unix_micros(org.apache.spark.sql.functions.col("o_orderdate")
+            .cast("timestamp")).between(lo, hi)).count()
+      require(pruned.count() == directN,
+        s"invariant: date-pruned rows ${pruned.count()} != direct $directN")
+      df.collect().foreach { row =>
+        require(row.getAs[Boolean]("skipped_some") == (kept < total),
+          s"invariant: skipped_some disagrees ($kept of $total files)")
+      }
+      require(kept < total,
+        s"invariant: timestamp zone maps pruned nothing ($kept of $total)")
+    case "stats_pruned_scan_string" =>
+      val tt = core.Tables(spark, sfDir)
+      val (pruned, kept, total) = sources.ParquetStats.prunedScanString(
+        tt, s"${sources.ParquetStats.typedLayoutsDir(tt)}/priority",
+        "o_orderpriority", sources.ParquetStats.priorityProbe)
+      val directN = tt.orders.filter(
+        org.apache.spark.sql.functions.col("o_orderpriority") ===
+          sources.ParquetStats.priorityProbe).count()
+      require(pruned.count() == directN,
+        s"invariant: string-pruned rows ${pruned.count()} != direct $directN")
+      df.collect().foreach { row =>
+        require(row.getAs[Boolean]("skipped_some") == (kept < total),
+          s"invariant: skipped_some disagrees ($kept of $total files)")
+      }
+      require(kept < total,
+        s"invariant: UTF8 zone maps pruned nothing ($kept of $total)")
+    case "stats_bloom_point_lookup" =>
+      val tt = core.Tables(spark, sfDir)
+      val key = sources.ParquetStats.bloomProbeKey(tt)
+      val (pruned, kept, total) = sources.ParquetStats.bloomPrunedLookup(
+        tt, s"${sources.ParquetStats.typedLayoutsDir(tt)}/bloom",
+        "o_orderkey", key)
+      val directN = tt.orders.filter(
+        org.apache.spark.sql.functions.col("o_orderkey") === key).count()
+      require(pruned.count() == directN,
+        s"invariant: bloom-pruned rows ${pruned.count()} != direct $directN")
+      require(directN > 0,
+        "invariant: bloom probe key missing from the fixture — the gate " +
+          "would pass vacuously on an empty row set")
+      df.collect().foreach { row =>
+        require(row.getAs[Boolean]("skipped_some") == (kept < total),
+          s"invariant: skipped_some disagrees ($kept of $total files)")
+      }
+      require(kept < total,
+        s"invariant: bloom filters pruned nothing ($kept of $total files)")
     case "sketch_hll_merge" =>
       // the oracle states the booleans as `true`; recompute both from the
       // RAW DataSketches estimates so the gate can't self-certify: the

@@ -105,11 +105,11 @@ object ParquetStats {
             // pruning consumer trusting the flag would treat the file
             // as provably non-matching (round-11 advice). complete=true
             // must imply a usable min/max.
-            (fileName, c, rows, nulls, mn, mx, complete && found)
+            (fileName, p, c, rows, nulls, mn, mx, complete && found)
           }
         } finally reader.close()
       }
-      .toDF("file_name", "column", "n_rows", "null_count",
+      .toDF("file_name", "file_path", "column", "n_rows", "null_count",
         "min_value", "max_value", "stats_complete")
   }
 
@@ -119,9 +119,11 @@ object ParquetStats {
     * parquet implementations must agree byte-for-byte on the zone maps.
     */
   def documentsFooterStats(t: Tables): DataFrame =
-    // listStatus on a file path returns that file — only the one footer
-    // is opened, not every fixture table's
+    // listing a file path returns that file — only the one footer is
+    // opened, not every fixture table's. file_path (a temp-dir absolute
+    // path, pruning-internal) stays off the hashed gate surface.
     footerStats(t, s"${t.dir}/documents.parquet", Seq("doc_id", "n_chars"))
+      .drop("file_path")
       .orderBy("file_name", "column")
 
   /** Manifest-driven scan: consult [[footerStats]] and hand Spark ONLY
@@ -148,7 +150,7 @@ object ParquetStats {
       // min/max says nothing about the rows in the stats-less groups
       !r.getAs[Boolean]("stats_complete") ||
         mn.isEmpty || mx.isEmpty || (mx.get >= lo && mn.get <= hi)
-    }.map(r => s"$dir/${r.getAs[String]("file_name")}")
+    }.map(_.getAs[String]("file_path"))
     val df =
       if (keep.isEmpty)
         t.spark.read.parquet(dir).filter(lit(false))
@@ -268,6 +270,21 @@ object ParquetStats {
     */
   def footerStatsTyped(t: Tables, fileGlobDir: String,
                        cols: Seq[String]): DataFrame = {
+    val raw = footerStatsTypedRaw(t, fileGlobDir, cols)
+    raw.select(col("file_name"), col("column"), col("n_rows"),
+      col("null_count"), col("min_long"), col("max_long"),
+      col("min_double"), col("max_double"),
+      col("min_string"), col("max_string"),
+      timestamp_micros(col("min_ts_us")).as("min_ts"),
+      timestamp_micros(col("max_ts_us")).as("max_ts"),
+      col("stats_complete"))
+  }
+
+  /** [[footerStatsTyped]] before the timestamp conversion — timestamp
+    * extents as raw epoch micros, which is what the pruning predicates
+    * compare against. */
+  private[sources] def footerStatsTypedRaw(t: Tables, fileGlobDir: String,
+                                           cols: Seq[String]): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     val dirPath = new org.apache.hadoop.fs.Path(fileGlobDir)
@@ -288,7 +305,7 @@ object ParquetStats {
       spark.sparkContext.hadoopConfiguration.iterator().asScala
         .map(e => e.getKey -> e.getValue).toMap
     }
-    val raw = spark.createDataset(paths)
+    spark.createDataset(paths)
       .repartition(math.min(paths.size, 32).max(1))
       .flatMap { p =>
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -357,22 +374,15 @@ object ParquetStats {
                   }
                 }
             }
-            (fileName, c, rows, nulls, mnL, mxL, mnD, mxD, mnS, mxS,
+            (fileName, p, c, rows, nulls, mnL, mxL, mnD, mxD, mnS, mxS,
               mnT, mxT, complete && found)
           }
         } finally reader.close()
       }
-      .toDF("file_name", "column", "n_rows", "null_count",
+      .toDF("file_name", "file_path", "column", "n_rows", "null_count",
         "min_long", "max_long", "min_double", "max_double",
         "min_string", "max_string", "min_ts_us", "max_ts_us",
         "stats_complete")
-    raw.select(col("file_name"), col("column"), col("n_rows"),
-      col("null_count"), col("min_long"), col("max_long"),
-      col("min_double"), col("max_double"),
-      col("min_string"), col("max_string"),
-      timestamp_micros(col("min_ts_us")).as("min_ts"),
-      timestamp_micros(col("max_ts_us")).as("max_ts"),
-      col("stats_complete"))
   }
 
   /** Gate query: typed footer stats of the fixture's `orders.parquet` —
@@ -449,5 +459,240 @@ object ParquetStats {
           .withColumn("layout", lit("scatter")))
       .select("layout", "column", "n_files", "span_sum", "global_span")
       .orderBy("layout")
+  }
+
+  // ---------------------------------------------------------------------
+  // Typed pruning consumers — the scans the typed zone maps exist FOR,
+  // plus parquet bloom filters for point lookups where zone maps can't
+  // help (scattered high-cardinality keys).
+  // ---------------------------------------------------------------------
+
+  private val typedLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** Three more deterministic layouts of `orders`, one per typed-pruning
+    * gate, each hive-bucketed by a value-derived expression so the file
+    * population is oracle-restatable:
+    *
+    *  - `date/`: bucket = year(o_orderdate) — one file per year, the
+    *    time-partitioned corpus every warehouse actually has; a date
+    *    window prunes whole years by their timestamp zone maps.
+    *  - `priority/`: bucket = leading digit of o_orderpriority — one
+    *    file per priority; a string equality probe prunes by the UTF8
+    *    zone maps.
+    *  - `bloom/`: bucket = o_orderkey mod 8 with a parquet BLOOM FILTER
+    *    written on o_orderkey — the mod-scatter makes every file's
+    *    [min,max] span ~the whole key space, so zone maps keep all 8
+    *    and ONLY the bloom probe can skip; exactly the high-cardinality
+    *    point-lookup case manifests can't serve.
+    */
+  def typedLayoutsDir(t: Tables): String = Tables.cachedPathPerGeneration(
+    typedLayoutCache, t.dir, "orders.parquet") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_typed_layouts").toString
+    val src = t.orders.select("o_orderkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice", "o_orderdate")
+    src.withColumn("bucket", year(col("o_orderdate")))
+      .repartition(8, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$base/date")
+    src.withColumn("bucket",
+        substring(col("o_orderpriority"), 1, 1).cast("int"))
+      .repartition(5, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$base/priority")
+    src.withColumn("bucket", expr("CAST(o_orderkey % 8 AS INT)"))
+      .repartition(8, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+      .parquet(s"$base/bloom")
+    base
+  }
+
+  /** Date-window file pruning over TIMESTAMP(MICROS) zone maps: files
+    * whose [min_ts, max_ts] cannot intersect [loMicros, hiMicros] are
+    * never opened. Same keep rules as the INT64 path — incomplete or
+    * missing stats never skip.
+    */
+  def prunedScanTs(t: Tables, dir: String, column: String,
+                   loMicros: Long, hiMicros: Long): (DataFrame, Int, Int) = {
+    val stats = footerStatsTypedRaw(t, dir, Seq(column)).collect()
+    val keep = stats.filter { r =>
+      val mn = Option(r.getAs[java.lang.Long]("min_ts_us"))
+      val mx = Option(r.getAs[java.lang.Long]("max_ts_us"))
+      !r.getAs[Boolean]("stats_complete") ||
+        mn.isEmpty || mx.isEmpty ||
+        (mx.get >= loMicros && mn.get <= hiMicros)
+    }.map(_.getAs[String]("file_path"))
+    prunedResidual(t, dir, keep.toIndexedSeq, stats.length,
+      unix_micros(col(column).cast("timestamp")).between(loMicros, hiMicros))
+  }
+
+  /** String-equality file pruning over UTF8 zone maps: keep a file iff
+    * min_string <= value <= max_string in unsigned byte order (parquet's
+    * and DuckDB's collation) — or its stats can't prove otherwise.
+    */
+  def prunedScanString(t: Tables, dir: String, column: String,
+                       value: String): (DataFrame, Int, Int) = {
+    val stats = footerStatsTypedRaw(t, dir, Seq(column)).collect()
+    val keep = stats.filter { r =>
+      val mn = Option(r.getAs[String]("min_string"))
+      val mx = Option(r.getAs[String]("max_string"))
+      !r.getAs[Boolean]("stats_complete") ||
+        mn.isEmpty || mx.isEmpty ||
+        (!utf8Less(value, mn.get) && !utf8Less(mx.get, value))
+    }.map(_.getAs[String]("file_path"))
+    prunedResidual(t, dir, keep.toIndexedSeq, stats.length,
+      col(column) === value)
+  }
+
+  /** Shared tail of every pruned scan: read ONLY the kept files, apply
+    * the residual filter (pruning is an optimization, never the filter
+    * itself — correctness stays layout-independent), report
+    * (result, kept, total).
+    */
+  private def prunedResidual(t: Tables, dir: String, keep: Seq[String],
+                             total: Int,
+                             residual: org.apache.spark.sql.Column)
+      : (DataFrame, Int, Int) = {
+    val df =
+      if (keep.isEmpty) t.spark.read.parquet(dir).filter(lit(false))
+      else t.spark.read.parquet(keep: _*)
+    (df.filter(residual), keep.length, total)
+  }
+
+  /** Point-lookup file pruning via parquet BLOOM FILTERS: each file's
+    * bloom for `column` is probed with the key — a negative PROVES the
+    * key is absent from the file (blooms have no false negatives), so
+    * the file is skipped before any data page is read; a positive or a
+    * missing bloom keeps it. The probe is distributed like the stats
+    * sweeps (executors read footers + bloom pages only); the driver
+    * collects O(#files) booleans. This is the skip mechanism for
+    * point lookups on SCATTERED high-cardinality keys, where every
+    * file's [min,max] spans the probe and zone maps keep everything.
+    */
+  def bloomPrunedLookup(t: Tables, dir: String, column: String,
+                        key: Long): (DataFrame, Int, Int) = {
+    val spark = t.spark
+    import spark.implicits._
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = {
+      val it = fs.listFiles(dirPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          buf += s.getPath.toString
+      }
+      buf.toSeq.sorted
+    }
+    val confEntries: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap
+    }
+    val flags = spark.createDataset(paths)
+      .repartition(math.min(paths.size, 32).max(1))
+      .map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          val mightContain = reader.getFooter.getBlocks.asScala.exists { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+              case None => true // column absent: can't prove, keep
+              case Some(chunk) =>
+                val bf = reader.getBloomFilterDataReader(b)
+                  .readBloomFilter(chunk)
+                // no bloom written for this chunk: can't prove, keep
+                bf == null || bf.findHash(bf.hash(key))
+            }
+          }
+          (p, mightContain)
+        } finally reader.close()
+      }
+      .collect()
+    val keep = flags.filter(_._2).map(_._1)
+    prunedResidual(t, dir, keep.toIndexedSeq, flags.length,
+      col(column) === key)
+  }
+
+  /** The probe window both the date gate and its invariant derive: the
+    * middle half of the order-date MICROS span. */
+  private[graft] def dateWindow(t: Tables): (Long, Long) = {
+    val b = t.orders.agg(
+      unix_micros(min(col("o_orderdate")).cast("timestamp")),
+      unix_micros(max(col("o_orderdate")).cast("timestamp"))).head()
+    val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+    (lo0 + (hi0 - lo0) / 4, lo0 + 3 * (hi0 - lo0) / 4)
+  }
+
+  /** Gate query: date-window pruned scan over the year-bucketed layout,
+    * rolled up per priority — the oracle restates the same epoch-micros
+    * window arithmetic and filter from the source table, so the hash
+    * proves timestamp zone-map pruning lossless; `skipped_some`
+    * (GateInvariants-recomputed) proves whole year-files were skipped
+    * unopened.
+    */
+  def datePrunedScanGate(t: Tables): DataFrame = {
+    val (lo, hi) = dateWindow(t)
+    val (df, kept, total) = prunedScanTs(
+      t, s"${typedLayoutsDir(t)}/date", "o_orderdate", lo, hi)
+    df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.NumericFunctions.roundN(
+          graft.functions.NumericFunctions.decSum(col("o_totalprice")), 2)
+          .as("total_price"))
+      .withColumn("skipped_some", lit(kept < total))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The string probe value: fixed mid-scale priority, present at every
+    * SF. */
+  private[graft] val priorityProbe = "3-MEDIUM"
+
+  /** Gate query: string-equality pruned scan over the priority-bucketed
+    * layout — UTF8 zone maps skip every file whose [min,max] excludes
+    * the probe (4 of 5 here), and the per-status rollup hash proves the
+    * skip lost nothing.
+    */
+  def stringPrunedScanGate(t: Tables): DataFrame = {
+    val (df, kept, total) = prunedScanString(
+      t, s"${typedLayoutsDir(t)}/priority", "o_orderpriority", priorityProbe)
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.NumericFunctions.roundN(
+          graft.functions.NumericFunctions.decSum(col("o_totalprice")), 2)
+          .as("total_price"))
+      .withColumn("skipped_some", lit(kept < total))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The lookup key both the bloom gate and its invariant derive: one
+    * third into the key span (keys are dense in the fixture, so it
+    * exists at every SF — and the oracle derives the same value). */
+  private[graft] def bloomProbeKey(t: Tables): Long = {
+    val b = t.orders.agg(min("o_orderkey").cast("long"),
+      max("o_orderkey").cast("long")).head()
+    b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 3
+  }
+
+  /** Gate query: bloom-pruned point lookup on the mod-scattered layout.
+    * Zone maps CANNOT prune here (every file spans the key range —
+    * exactly what `stats_clustering_depth_multi` measures for this
+    * layout); the bloom probe skips ~7 of 8 files on footer+bloom reads
+    * alone. The emitted row is the order itself — any pruning slip
+    * (wrong file skipped) loses the row and breaks the hash.
+    */
+  def bloomLookupGate(t: Tables): DataFrame = {
+    val key = bloomProbeKey(t)
+    val (df, kept, total) = bloomPrunedLookup(
+      t, s"${typedLayoutsDir(t)}/bloom", "o_orderkey", key)
+    df.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("skipped_some", lit(kept < total))
+      .orderBy("o_orderkey")
   }
 }

@@ -210,6 +210,49 @@ class ParquetStatsSpec extends SparkTestBase {
     assert(rows("scatter").getAs[Long]("global_span") == sg)
   }
 
+  test("typed pruning: date window skips whole year-files, losslessly") {
+    val (lo, hi) = ParquetStats.dateWindow(t)
+    val (df, kept, total) = ParquetStats.prunedScanTs(
+      t, s"${ParquetStats.typedLayoutsDir(t)}/date", "o_orderdate", lo, hi)
+    val direct = t.orders.filter(
+      unix_micros(col("o_orderdate").cast("timestamp")).between(lo, hi)).count()
+    info(s"date prune kept $kept of $total year-files")
+    assert(kept < total, "middle-half window should skip outer years")
+    assert(kept > 0 && df.count() == direct)
+  }
+
+  test("typed pruning: string equality keeps exactly the probe's priority file") {
+    val (df, kept, total) = ParquetStats.prunedScanString(
+      t, s"${ParquetStats.typedLayoutsDir(t)}/priority",
+      "o_orderpriority", ParquetStats.priorityProbe)
+    assert(total == 5 && kept == 1,
+      s"one-priority-per-file layout should keep 1 of 5, kept $kept of $total")
+    val direct = t.orders
+      .filter(col("o_orderpriority") === ParquetStats.priorityProbe).count()
+    assert(df.count() == direct)
+  }
+
+  test("bloom pruning: point lookup skips scattered files zone maps cannot, and never loses the row") {
+    val key = ParquetStats.bloomProbeKey(t)
+    val dir = s"${ParquetStats.typedLayoutsDir(t)}/bloom"
+    // zone maps are useless on this layout: every file's [min,max]
+    // contains the key
+    val (_, zmKept, zmTotal) = ParquetStats.prunedScan(t, dir, "o_orderkey", key, key)
+    assert(zmKept == zmTotal, "mod-scatter should defeat min/max pruning")
+    // the bloom probe skips almost everything (FPR may keep an extra
+    // file or two; a false NEGATIVE would lose the row and fail below)
+    val (df, kept, total) = ParquetStats.bloomPrunedLookup(t, dir, "o_orderkey", key)
+    info(s"bloom kept $kept of $total files (zone maps kept $zmKept)")
+    assert(total == 8 && kept < total)
+    val rows = df.select("o_orderkey").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(key))
+    // a key OUTSIDE the domain: blooms reject every file, zero reads
+    val (miss, keptMiss, _) =
+      ParquetStats.bloomPrunedLookup(t, dir, "o_orderkey", Long.MaxValue - 7)
+    assert(keptMiss == 0 && miss.count() == 0,
+      s"absent key should open no files, opened $keptMiss")
+  }
+
   test("null counts surface in the stats table") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stats_nulls").toString
