@@ -219,6 +219,13 @@ object SparkEntry {
     // corpus; the oracle states rollup(B) directly — self-proving like the
     // CDC gate, with every term exact (long counts, DECIMAL digest sums)
     "agg_incremental_rollup" -> q(SnapshotOps.incrementalRollupGate),
+    // multi-batch CDC (round-12): two consecutive feeds applied
+    // sequentially, applied as ONE compacted net feed, and folded into
+    // the maintained rollup — all three against oracles stating the
+    // second-hop snapshot C directly (self-proving composition)
+    "merge_apply_multibatch" -> q(SnapshotOps.multibatchApplyRoundtrip),
+    "merge_apply_compacted" -> q(SnapshotOps.compactedApplyRoundtrip),
+    "agg_incremental_rollup_multi" -> q(SnapshotOps.incrementalRollupMultiGate),
     // KMV shard-sketch mergeability (round-11): per-source bottom-k
     // sketches merged (≤ #sources×k digests) must estimate EXACTLY what
     // one direct corpus-wide graft_kmv_distinct estimates — the theorem
@@ -2287,6 +2294,85 @@ object SparkEntry {
         |       min(md5(text)) AS min_digest,
         |       max(md5(text)) AS max_digest
         |FROM b GROUP BY source""".stripMargin,
+    // multi-batch CDC gates: the oracle derives snapshot C (the second
+    // hop) as a nested CTE over the same B derivation — doc_id % 5
+    // dropped, ' v2' appended where % 9 (null text stays null on both
+    // engines), % 21 re-added under +2^41 — and states rollup(C)
+    // directly. Sequential-apply and compacted-apply are two independent
+    // engine paths against this ONE oracle.
+    "merge_apply_multibatch" -> {
+      val cRollup =
+        """WITH b AS (
+          |  SELECT doc_id, source,
+          |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |c AS (
+          |  SELECT doc_id, source,
+          |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+          |  FROM b WHERE doc_id % 5 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 2199023255552 AS doc_id, source, text
+          |  FROM b WHERE doc_id % 21 = 0)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+          |       min(md5(text)) AS min_digest,
+          |       max(md5(text)) AS max_digest
+          |FROM c GROUP BY source""".stripMargin
+      cRollup
+    },
+    "merge_apply_compacted" -> {
+      val cRollup =
+        """WITH b AS (
+          |  SELECT doc_id, source,
+          |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |c AS (
+          |  SELECT doc_id, source,
+          |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+          |  FROM b WHERE doc_id % 5 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 2199023255552 AS doc_id, source, text
+          |  FROM b WHERE doc_id % 21 = 0)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+          |       min(md5(text)) AS min_digest,
+          |       max(md5(text)) AS max_digest
+          |FROM c GROUP BY source""".stripMargin
+      cRollup
+    },
+    // maintained rollup through BOTH batches — same C derivation, stated
+    // in the rollupStats shape (mod-2^48 BIGINT digest sums)
+    "agg_incremental_rollup_multi" -> {
+      val nibbles = (0 until 12)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |c AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM b WHERE doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 2199023255552 AS doc_id, source, text
+         |  FROM b WHERE doc_id % 21 = 0),
+         |h AS (SELECT source, text, md5(text) AS hx FROM c)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+         |       CAST(coalesce(sum(CAST(($nibbles) AS DECIMAL(38,0))), 0)
+         |            % 281474976710656 AS BIGINT) AS digest_sum
+         |FROM h GROUP BY source""".stripMargin
+    },
     // incremental rollup maintenance: the oracle states rollup(B) from its
     // own derivation of B (the engine path only ever reads rollup(A) + the
     // delta feed) — per-row digest terms are the first 12 md5 nibbles

@@ -98,13 +98,29 @@ object SnapshotOps {
           .otherwise(col("text")).as("text"))
   }
 
-  /** The changes feed that turns the fixture corpus into
-    * [[syntheticSnapshotB]] — derived from [[snapshotDiff]]'s statuses, so
-    * the gate below is SELF-PROVING: `mergeApply(A, diff(A→B)) == B`.
+  /** The second-hop synthetic snapshot (the corpus after ANOTHER crawl):
+    * derived from [[syntheticSnapshotB]] with fresh residues — doc_id
+    * % 5 dropped, ` v2` appended where % 9 (null text stays null —
+    * concat-with-null on both engines), % 21 re-added under +2^41.
+    * Purely fixture-derived so the oracle restates it as a nested CTE.
     */
-  private[operators] def syntheticChanges(t: Tables): DataFrame = {
-    val a = t.documents.select("doc_id", "source", "text")
+  private[operators] def syntheticSnapshotC(t: Tables): DataFrame = {
     val b = syntheticSnapshotB(t)
+    val base = b.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val added = b.filter(col("doc_id") % 21 === 0)
+      .select((col("doc_id") + (1L << 41)).as("doc_id"), col("source"),
+        col("text"))
+    base.unionByName(added)
+  }
+
+  /** The changes feed that turns snapshot `a` into snapshot `b` —
+    * derived from [[snapshotDiff]]'s statuses, so every consumer gate is
+    * SELF-PROVING: `mergeApply(a, changesBetween(a, b)) == b`.
+    */
+  private def changesBetween(a: DataFrame, b: DataFrame): DataFrame = {
     val d = snapshotDiff(a, b).filter(col("status") =!= "unchanged")
     d.select(col("doc_id"),
         when(col("status") === "removed", "delete")
@@ -115,6 +131,14 @@ object SnapshotOps {
       .select(col("doc_id"), col("op"),
         col("b_source").as("source"), col("b_text").as("text"))
   }
+
+  private[operators] def syntheticChanges(t: Tables): DataFrame =
+    changesBetween(t.documents.select("doc_id", "source", "text"),
+      syntheticSnapshotB(t))
+
+  /** The B→C feed — the NEXT CDC batch after [[syntheticChanges]]. */
+  private[operators] def syntheticChanges2(t: Tables): DataFrame =
+    changesBetween(syntheticSnapshotB(t), syntheticSnapshotC(t))
 
   /** Gate query: apply the derived changes feed to the base corpus and
     * roll up the RESULT per source (doc count, char sum, xor-free digest
@@ -311,6 +335,103 @@ object SnapshotOps {
     incrementalRollup(
       t.spark.read.parquet(rollupDir),
       t.spark.read.parquet(changesDir))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // Multi-batch CDC — sequential apply, changelog compaction, and the
+  // maintained aggregate surviving successive refreshes.
+  // ---------------------------------------------------------------------
+
+  /** COMPACT two consecutive CDC batches into one net feed — the
+    * change-log compaction a 100 TB pipeline runs so a day of hourly
+    * batches applies as ONE keyed shuffle instead of 24. Op composition
+    * over a full-outer join on the key (f2 wins the payload):
+    *
+    *  - one side only → that side's row unchanged;
+    *  - f2 = delete → delete (update∘delete; insert∘delete composes to
+    *    a no-op against the base, which a delete row also is — MERGE
+    *    deletes are key-matched, so deleting a never-inserted key
+    *    touches nothing);
+    *  - f1 = delete, f2 = insert → update (the key exists in the base);
+    *  - otherwise f1's op with f2's payload (insert∘update → insert,
+    *    update∘update → update).
+    *
+    * The net feed is |f1 ∪ f2|-bound; the base table is never read.
+    */
+  def compactChanges(f1: DataFrame, f2: DataFrame): DataFrame = {
+    val a = f1.select(col("doc_id"), col("op").as("op1"),
+      col("source").as("src1"), col("text").as("text1"))
+    val b = f2.select(col("doc_id"), col("op").as("op2"),
+      col("source").as("src2"), col("text").as("text2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("op2").isNull, col("op1"))
+          .when(col("op1").isNull, col("op2"))
+          .when(col("op2") === "delete", "delete")
+          .when(col("op1") === "delete", "update")
+          .otherwise(col("op1")).as("op"),
+        when(col("op2").isNull, col("src1")).otherwise(col("src2")).as("source"),
+        when(col("op2").isNull, col("text1")).otherwise(col("text2")).as("text"))
+  }
+
+  /** The shared rollup shape the three multi-batch gates emit: per-source
+    * doc count, char total, and digest extremes of the reconstructed
+    * snapshot — content-sensitive in every column, bounded per
+    * [[graft.GateInvariants.checkMagnitudes]].
+    */
+  private def contentRollup(df: DataFrame): DataFrame =
+    df.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text"))).cast("long"), lit(0L))
+          .as("total_chars"),
+        min(md5(col("text"))).as("min_digest"),
+        max(md5(col("text"))).as("max_digest"))
+      .orderBy("source")
+
+  /** Gate query: TWO sequential applies — merge(merge(A, Δ₁), Δ₂) —
+    * rolled up; the oracle states rollup(C) from its own nested
+    * derivation, so the hash proves apply composes across batches:
+    * every second-batch delete lands on first-batch state, re-inserts
+    * of previously-deleted keys resurface with the new payload, and
+    * nothing from batch 1 leaks past batch 2.
+    */
+  def multibatchApplyRoundtrip(t: Tables): DataFrame = {
+    val a = t.documents.select("doc_id", "source", "text")
+    contentRollup(
+      mergeApply(mergeApply(a, syntheticChanges(t)), syntheticChanges2(t)))
+  }
+
+  /** Gate query: ONE apply of the COMPACTED feed — merge(A, Δ₁∘Δ₂) —
+    * against the same rollup(C) oracle as [[multibatchApplyRoundtrip]]:
+    * two independent engine paths (sequential vs compacted) must both
+    * reconstruct C exactly, which is the changelog-compaction
+    * correctness theorem.
+    */
+  def compactedApplyRoundtrip(t: Tables): DataFrame = {
+    val a = t.documents.select("doc_id", "source", "text")
+    contentRollup(
+      mergeApply(a, compactChanges(syntheticChanges(t), syntheticChanges2(t))))
+  }
+
+  /** Gate query: the maintained rollup refreshed through BOTH batches —
+    * refresh(refresh(rollup(A), Δ₁), Δ₂) — against an oracle stating
+    * rollup(C) directly. Proves the subtractable-aggregate maintenance
+    * survives successive refreshes (the production cadence) without a
+    * rescan at either hop: sources whose counts hit zero drop out after
+    * batch 1 and may re-enter in batch 2.
+    */
+  def incrementalRollupMultiGate(t: Tables): DataFrame = {
+    val a = t.documents.select("doc_id", "source", "text")
+    val b = syntheticSnapshotB(t)
+    val feed1 = syntheticChangesWithImages(t)
+    val feed2 = changesBetween(b, syntheticSnapshotC(t))
+      .join(b.withColumnsRenamed(
+          Map("source" -> "prev_source", "text" -> "prev_text")),
+        Seq("doc_id"), "left")
+    incrementalRollup(incrementalRollup(rollupStats(a), feed1), feed2)
       .orderBy("source")
   }
 }

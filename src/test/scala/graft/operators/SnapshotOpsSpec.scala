@@ -64,6 +64,59 @@ class SnapshotOpsSpec extends SparkTestBase {
     assert(merged.exceptAll(b).isEmpty && b.exceptAll(merged).isEmpty)
   }
 
+  test("compactChanges: the op-composition table, pair by pair") {
+    // f1 then f2 over base {1:a, 2:b, 3:c, 5:e}; key 4 inserted then
+    // deleted (must vanish), key 5 deleted then re-inserted (must become
+    // an update with the new payload), key 6 inserted then updated (must
+    // stay an insert carrying f2's payload)
+    val f1 = Seq(
+      (1L, "update", "s", "a2"),
+      (2L, "delete", "s", null.asInstanceOf[String]),
+      (4L, "insert", "s", "d1"),
+      (5L, "delete", "s", null.asInstanceOf[String]),
+      (6L, "insert", "s", "f1")).toDF("doc_id", "op", "source", "text")
+    val f2 = Seq(
+      (1L, "delete", "s", null.asInstanceOf[String]),
+      (3L, "update", "s", "c2"),
+      (4L, "delete", "s", null.asInstanceOf[String]),
+      (5L, "insert", "s", "e2"),
+      (6L, "update", "s", "f2")).toDF("doc_id", "op", "source", "text")
+    val net = SnapshotOps.compactChanges(f1, f2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(net(1L)._1 == "delete")          // update∘delete
+    assert(net(2L) == (("delete", null)))   // f1 only
+    assert(net(3L) == (("update", "c2")))   // f2 only
+    assert(net(4L)._1 == "delete")          // insert∘delete → no-op delete
+    assert(net(5L) == (("update", "e2")))   // delete∘insert → update
+    assert(net(6L) == (("insert", "f2")))   // insert∘update → insert, f2 payload
+    // applying the net feed equals applying sequentially
+    val base = Seq((1L, "s", "a"), (2L, "s", "b"), (3L, "s", "c"),
+      (5L, "s", "e")).toDF("doc_id", "source", "text")
+    val seqApply = SnapshotOps.mergeApply(SnapshotOps.mergeApply(base, f1), f2)
+    val netApply = SnapshotOps.mergeApply(base,
+      SnapshotOps.compactChanges(f1, f2))
+    assert(seqApply.exceptAll(netApply).isEmpty &&
+      netApply.exceptAll(seqApply).isEmpty)
+  }
+
+  test("fixture two-hop self-proof: sequential and compacted applies both reconstruct snapshot C") {
+    val a = t.documents.select("doc_id", "source", "text")
+    val c = SnapshotOps.syntheticSnapshotC(t)
+    val seqApply = SnapshotOps.mergeApply(
+      SnapshotOps.mergeApply(a, SnapshotOps.syntheticChanges(t)),
+      SnapshotOps.syntheticChanges2(t))
+    assert(seqApply.exceptAll(c).isEmpty && c.exceptAll(seqApply).isEmpty)
+    val netApply = SnapshotOps.mergeApply(a, SnapshotOps.compactChanges(
+      SnapshotOps.syntheticChanges(t), SnapshotOps.syntheticChanges2(t)))
+    assert(netApply.exceptAll(c).isEmpty && c.exceptAll(netApply).isEmpty)
+    // and the maintained rollup refreshed through both hops equals the
+    // direct rollup of C, bit for bit
+    val maintained = SnapshotOps.incrementalRollupMultiGate(t)
+    val direct = SnapshotOps.rollupStats(c).orderBy("source")
+    assert(maintained.exceptAll(direct).isEmpty &&
+      direct.exceptAll(maintained).isEmpty)
+  }
+
   test("incrementalRollup: every CDC op contributes its signed deltas, including cross-source moves") {
     val a = Seq(
       (1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s2", "gamma"),
