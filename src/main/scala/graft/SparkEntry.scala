@@ -235,6 +235,10 @@ object SparkEntry {
     // sketches — estimates are engine-specific, so only exact counts +
     // recomputed booleans are emitted (verdict gate, GateInvariants)
     "sketch_hll_merge" -> q(t => CoreQueries.sketchHllMerge(t)),
+    // the storage hop behind the merge claim: per-source sketches
+    // persisted to parquet, read back, unioned (round-12) — lossless
+    // round trip + band verdicts, GateInvariants-recomputed
+    "sketch_hll_persisted" -> q(t => CoreQueries.sketchHllPersisted(t)),
     // Dataset.observe intake counters (round-11): exact metrics collected
     // on the SAME pass as the driving action — full hash gate
     "observe_intake_stats" -> q(t => ObservabilityOps.observedIntakeStats(t)),
@@ -274,6 +278,9 @@ object SparkEntry {
     "stats_pruned_scan_date" -> q(t => sources.ParquetStats.datePrunedScanGate(t)),
     "stats_pruned_scan_string" -> q(t => sources.ParquetStats.stringPrunedScanGate(t)),
     "stats_bloom_point_lookup" -> q(t => sources.ParquetStats.bloomLookupGate(t)),
+    // metadata-only aggregation (round-12): count/min/max answered from
+    // footers alone, zero data pages — vs the oracle's full-scan answers
+    "stats_metadata_agg" -> q(t => sources.ParquetStats.metadataAggGate(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2460,6 +2467,16 @@ object SparkEntry {
         |       TRUE AS merged_in_band,
         |       TRUE AS direct_in_band
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // persisted-sketch round trip: oracle states the exact counts and
+    // the three booleans as TRUE; GateInvariants recomputes all three
+    // from a fresh read of the stored table (verdict-gate posture)
+    "sketch_hll_persisted" ->
+      """SELECT count(DISTINCT source) AS n_sources,
+        |       count(DISTINCT md5(text)) AS n_exact,
+        |       TRUE AS stored_rows_match,
+        |       TRUE AS storage_lossless,
+        |       TRUE AS merged_in_band
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // two independent parquet implementations reading the same footers:
     // the engine aggregates row-group stats via parquet-hadoop, DuckDB
     // via parquet_metadata() — the dir literal is the verify scale and
@@ -2615,6 +2632,27 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
         |       TRUE AS skipped_some
         |FROM orders, b WHERE o_orderkey = lo + (hi - lo) // 3""".stripMargin,
+    // metadata-only aggregation: the oracle runs the DIRECT data
+    // aggregates the footer answers must equal; the range layout holds
+    // exactly the orders rows, so its key stats restate from the table
+    "stats_metadata_agg" ->
+      """SELECT 'documents.doc_id' AS "column", count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS null_count,
+        |       min(doc_id) AS min_value, max(doc_id) AS max_value,
+        |       TRUE AS metadata_only
+        |FROM documents
+        |UNION ALL
+        |SELECT 'documents.n_chars', count(*),
+        |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       min(n_chars), max(n_chars), TRUE
+        |FROM documents
+        |UNION ALL
+        |SELECT 'orders_range.o_orderkey', count(*),
+        |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       min(o_orderkey), max(o_orderkey), TRUE
+        |FROM orders
+        |ORDER BY 1""".stripMargin,
     // type-widening: the narrow generation's int32/float casts are
     // lossless by construction (n_chars < 2^31, score = n_chars*0.5 is
     // exact in float), so the oracle restates the widened values from

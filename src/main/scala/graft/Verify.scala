@@ -748,6 +748,24 @@ object GateInvariants {
       }
       require(kept < total,
         s"invariant: bloom filters pruned nothing ($kept of $total files)")
+    case "stats_metadata_agg" =>
+      // metadata_only is oracle-stated TRUE; recompute the whole row
+      // from a fresh footer sweep and require exact equality — a gate
+      // that silently fell back to a data scan (or a footer sweep that
+      // drifted from the data) cannot self-certify
+      val tt = core.Tables(spark, sfDir)
+      val fresh = sources.ParquetStats.metadataAggGate(tt).collect()
+        .map(r => r.getAs[String]("column") -> r).toMap
+      df.collect().foreach { row =>
+        val c = row.getAs[String]("column")
+        require(fresh.contains(c), s"invariant: unknown column row '$c'")
+        require(row == fresh(c),
+          s"invariant: metadata agg row for '$c' not reproducible: " +
+            s"$row vs ${fresh(c)}")
+        require(row.getAs[Boolean]("metadata_only"),
+          s"invariant: metadata-only answer unproven for '$c' — the " +
+            "footer stats were incomplete and a scan would be required")
+      }
     case "sketch_hll_merge" =>
       // the oracle states the booleans as `true`; recompute both from the
       // RAW DataSketches estimates so the gate can't self-certify: the
@@ -775,6 +793,32 @@ object GateInvariants {
           s"disagrees with recomputation $indepDirect ($directEst vs $nExact)")
       require(indepMerged && indepDirect,
         s"invariant: HLL contract violated (merged=$mergedEst, direct=$directEst, exact=$nExact)")
+    case "sketch_hll_persisted" =>
+      // recompute all three verdicts from the raw persisted/live
+      // estimates so the gate can't self-certify — a doctored boolean,
+      // a truncated sketch table, or a lossy storage hop all fail here
+      val tt = core.Tables(spark, sfDir)
+      val raw = operators.CoreQueries.sketchHllPersistedEstimates(tt).head()
+      val nSources = raw.getAs[Long]("n_sources")
+      val nExact = raw.getAs[Long]("n_exact")
+      val storedRows = raw.getAs[Long]("stored_rows")
+      val storedEst = raw.getAs[Long]("stored_est")
+      val liveEst = raw.getAs[Long]("live_est")
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getAs[Long]("n_sources") == nSources &&
+        row.getAs[Long]("n_exact") == nExact,
+        "invariant: gate counts disagree with recomputation")
+      require(row.getAs[Boolean]("stored_rows_match") == (storedRows == nSources),
+        s"invariant: stored_rows_match disagrees ($storedRows vs $nSources)")
+      require(row.getAs[Boolean]("storage_lossless") == (storedEst == liveEst),
+        s"invariant: storage_lossless disagrees ($storedEst vs $liveEst)")
+      val indepBand = math.abs(storedEst - nExact.toDouble) <= nExact * 0.1
+      require(row.getAs[Boolean]("merged_in_band") == indepBand,
+        s"invariant: merged_in_band disagrees ($storedEst vs $nExact)")
+      require(storedRows == nSources && storedEst == liveEst && indepBand,
+        s"invariant: persisted-HLL contract violated (rows=$storedRows/" +
+          s"$nSources, stored=$storedEst, live=$liveEst, exact=$nExact)")
     case _ => ()
   }
 }

@@ -840,6 +840,69 @@ object CoreQueries {
     direct.crossJoin(broadcast(merged))
   }
 
+  private val hllSketchDirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** Per-source HLL sketches persisted as a parquet table — the storage
+    * hop [[sketchHllMerge]] only claims: at 100 TB the per-shard/day
+    * sketches land as a BINARY column in a stats table and corpus-wide
+    * distinct counts are answered from the STORED sketches, never
+    * rescanning values. One tiny table per fixture generation
+    * (#sources rows × ~2^lgK bytes), cached/evicted via
+    * [[Tables.cachedPathPerGeneration]].
+    */
+  def hllSketchTableDir(t: Tables, lgK: Int = 12): String =
+    Tables.cachedPathPerGeneration(hllSketchDirCache, t.dir, "documents.parquet") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_hll_sketch_table").toString
+      t.documents.filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(hll_sketch_agg(col("text"), lgK).as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  /** Gate query: the persisted-sketch round trip. Reads the parquet
+    * sketch table back, unions the STORED binary sketches, and claims
+    * (oracle states TRUE, [[graft.GateInvariants]] recomputes from
+    * [[sketchHllPersistedEstimates]]):
+    *  - `stored_rows_match`: the table holds exactly one sketch row per
+    *    source (count(DISTINCT source) — oracle-stateable);
+    *  - `storage_lossless`: union-of-stored estimate == union-of-live
+    *    estimate EXACTLY (parquet BINARY round trip loses nothing);
+    *  - `merged_in_band`: the stored-union estimate is within 10% of the
+    *    exact distinct count (~6× the lgK=12 RSE).
+    */
+  def sketchHllPersisted(t: Tables, lgK: Int = 12): DataFrame =
+    sketchHllPersistedEstimates(t, lgK).select(
+      col("n_sources"), col("n_exact"),
+      (col("stored_rows") === col("n_sources")).as("stored_rows_match"),
+      (col("stored_est") === col("live_est")).as("storage_lossless"),
+      (abs(col("stored_est").cast("double") - col("n_exact").cast("double")) <=
+        col("n_exact").cast("double") * 0.1).as("merged_in_band"))
+
+  /** Raw terms behind [[sketchHllPersisted]] — the recompute seam for
+    * `GateInvariants` and the spec: (n_sources, n_exact, stored_rows,
+    * stored_est, live_est). `stored_est` unions the sketches READ BACK
+    * from parquet; `live_est` unions in-memory shard sketches built the
+    * same way — equality proves the storage hop lossless.
+    */
+  def sketchHllPersistedEstimates(t: Tables, lgK: Int = 12): DataFrame = {
+    val stored = t.spark.read.parquet(hllSketchTableDir(t, lgK))
+    val fromStorage = stored.agg(
+      count(lit(1)).as("stored_rows"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("stored_est"))
+    val d = t.documents.filter(col("text").isNotNull)
+    val live = d.groupBy("source")
+      .agg(hll_sketch_agg(col("text"), lgK).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("live_est"))
+    d.agg(
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(md5(col("text"))).as("n_exact"))
+      .crossJoin(broadcast(fromStorage))
+      .crossJoin(broadcast(live))
+  }
+
   /** Full `spark.sql` surface over registered views (TPC-H Q3 shape):
     * the SQL text goes through the same Catalyst pipeline as the DataFrame
     * DSL — one parser/optimizer, two front doors.

@@ -75,6 +75,7 @@ object ParquetStats {
             var mn: Option[Long] = None; var mx: Option[Long] = None
             var complete = true
             var found = false
+            var nullsKnown = true
             blocks.foreach { b =>
               b.getColumns.asScala
                 .find(_.getPath.toDotString == c)
@@ -82,7 +83,12 @@ object ParquetStats {
                   found = true
                   rows += b.getRowCount
                   val st = chunk.getStatistics
+                  // nulls_known is tracked separately from
+                  // stats_complete: pruning only needs min/max, but a
+                  // metadata-only COUNT(col) must refuse when any
+                  // chunk's null count is unset
                   if (st != null && st.isNumNullsSet) nulls += st.getNumNulls
+                  else nullsKnown = false
                   // min/max aggregate over the row groups that HAVE
                   // stats (a SQL min/max over the metadata rows skips
                   // NULLs the same way — the oracle's semantics);
@@ -105,12 +111,13 @@ object ParquetStats {
             // pruning consumer trusting the flag would treat the file
             // as provably non-matching (round-11 advice). complete=true
             // must imply a usable min/max.
-            (fileName, p, c, rows, nulls, mn, mx, complete && found)
+            (fileName, p, c, rows, nulls, mn, mx, complete && found,
+              nullsKnown && found)
           }
         } finally reader.close()
       }
       .toDF("file_name", "file_path", "column", "n_rows", "null_count",
-        "min_value", "max_value", "stats_complete")
+        "min_value", "max_value", "stats_complete", "nulls_known")
   }
 
   /** Gate query: footer stats of the fixture's `documents.parquet` over
@@ -123,7 +130,7 @@ object ParquetStats {
     // opened, not every fixture table's. file_path (a temp-dir absolute
     // path, pruning-internal) stays off the hashed gate surface.
     footerStats(t, s"${t.dir}/documents.parquet", Seq("doc_id", "n_chars"))
-      .drop("file_path")
+      .drop("file_path", "nulls_known")
       .orderBy("file_name", "column")
 
   /** Manifest-driven scan: consult [[footerStats]] and hand Spark ONLY
@@ -694,5 +701,52 @@ object ParquetStats {
         col("o_orderpriority"), col("o_totalprice"))
       .withColumn("skipped_some", lit(kept < total))
       .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // Metadata-only aggregation — COUNT/MIN/MAX answered from footers
+  // alone, ZERO data pages read (the scan a 100 TB `SELECT count(*),
+  // min(k), max(k)` should never need; Spark's own
+  // parquet.aggregatePushdown does the same per file — this is the
+  // manifest-level version that doesn't even open the files once the
+  // stats table exists).
+  // ---------------------------------------------------------------------
+
+  /** One row answering count(*) / count-nulls / min / max for `column`
+    * over every file under `dir`, from footer statistics only.
+    * `metadata_only` reports whether the answer is PROVEN (every file's
+    * min/max stats complete AND every chunk's null count set) — when
+    * false, a production caller falls back to a data scan; the gate's
+    * invariant requires it true on the fixtures, so a silent fallback
+    * can't hide. Row counts come from block metadata (always exact);
+    * min/max exclude nulls exactly as SQL aggregates do.
+    */
+  def metadataAgg(t: Tables, dir: String, column: String): DataFrame =
+    footerStats(t, dir, Seq(column)).agg(
+      sum("n_rows").cast("long").as("n_rows"),
+      sum("null_count").cast("long").as("null_count"),
+      min("min_value").as("min_value"),
+      max("max_value").as("max_value"),
+      (min(col("stats_complete").cast("int")) === 1 &&
+        min(col("nulls_known").cast("int")) === 1).as("metadata_only"))
+
+  /** Gate query: metadata-only aggregates for two single-file fixture
+    * columns and the multi-file range layout, against an oracle running
+    * the DIRECT data aggregates — the hash proves the footer-derived
+    * answers equal a full scan's on every column, and `metadata_only`
+    * (oracle-stated TRUE, GateInvariants-recomputed) proves no scan was
+    * needed.
+    */
+  def metadataAggGate(t: Tables): DataFrame = {
+    def one(label: String, dir: String, c: String): DataFrame =
+      metadataAgg(t, dir, c).withColumn("column", lit(label))
+    one("documents.doc_id", s"${t.dir}/documents.parquet", "doc_id")
+      .unionByName(one("documents.n_chars",
+        s"${t.dir}/documents.parquet", "n_chars"))
+      .unionByName(one("orders_range.o_orderkey",
+        s"${bucketLayoutsDir(t)}/range", "o_orderkey"))
+      .select("column", "n_rows", "null_count", "min_value", "max_value",
+        "metadata_only")
+      .orderBy("column")
   }
 }

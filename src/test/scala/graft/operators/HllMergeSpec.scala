@@ -66,6 +66,28 @@ class HllMergeSpec extends SparkTestBase {
       f"(${(direct / 20000.0 - 1) * 100}%.2f%% / ${(merged / 20000.0 - 1) * 100}%.2f%%)")
   }
 
+  test("persisted gate: fixture sketch table round-trips losslessly and all verdicts hold") {
+    val row = CoreQueries.sketchHllPersisted(t).head()
+    assert(row.getAs[Boolean]("stored_rows_match"))
+    assert(row.getAs[Boolean]("storage_lossless"))
+    assert(row.getAs[Boolean]("merged_in_band"))
+    // the persisted table is the tiny artifact the 100 TB claim needs:
+    // one row per source, a BINARY sketch column
+    val stored = spark.read.parquet(CoreQueries.hllSketchTableDir(t))
+    assert(stored.columns.toSet == Set("source", "sk"))
+    assert(stored.schema("sk").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(stored.count() ==
+      t.documents.filter(col("text").isNotNull)
+        .select("source").distinct().count())
+  }
+
+  test("persisted estimates seam: stored union equals live union on the fixture") {
+    val raw = CoreQueries.sketchHllPersistedEstimates(t).head()
+    assert(raw.getAs[Long]("stored_est") == raw.getAs[Long]("live_est"))
+    assert(raw.getAs[Long]("stored_rows") == raw.getAs[Long]("n_sources"))
+  }
+
   test("sketches survive a parquet round-trip: stored union == in-memory union") {
     // the PERSISTENCE story: per-shard sketches written as a binary
     // column, read back, unioned — what a daily stats table does. The

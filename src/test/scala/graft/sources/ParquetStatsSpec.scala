@@ -253,6 +253,62 @@ class ParquetStatsSpec extends SparkTestBase {
       s"absent key should open no files, opened $keptMiss")
   }
 
+  test("metadata-only aggregation equals a full scan and proves itself metadata_only") {
+    // multi-file layout: sums/mins/maxes must aggregate ACROSS files
+    val dir = s"${ParquetStats.bucketLayoutsDir(t)}/range"
+    val r = ParquetStats.metadataAgg(t, dir, "o_orderkey").head()
+    val d = spark.read.parquet(dir).agg(
+      count(lit(1)), min("o_orderkey").cast("long"),
+      max("o_orderkey").cast("long")).head()
+    assert(r.getAs[Long]("n_rows") == d.getLong(0))
+    assert(r.getAs[Long]("null_count") == 0L)
+    assert(r.getAs[Long]("min_value") == d.getLong(1))
+    assert(r.getAs[Long]("max_value") == d.getLong(2))
+    assert(r.getAs[Boolean]("metadata_only"),
+      "complete stats over every file must prove the answer scan-free")
+  }
+
+  test("metadata-only aggregation: nulls excluded from min/max, counted exactly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_meta_nulls").toString
+    Seq[(java.lang.Long, String)]((5L, "a"), (null, "b"), (9L, "c"))
+      .toDF("v", "k").repartition(2).write.mode("overwrite").parquet(dir)
+    val r = ParquetStats.metadataAgg(t, dir, "v").head()
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(r.getAs[Long]("null_count") == 1L)
+    assert(r.getAs[Long]("min_value") == 5L)
+    assert(r.getAs[Long]("max_value") == 9L)
+  }
+
+  test("metadata-only aggregation refuses to certify when any file's stats are unusable") {
+    // an all-null chunk has no min/max → stats_complete=false for that
+    // file → the DIR-level answer must NOT claim metadata_only (a
+    // production caller falls back to a data scan)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_meta_incomplete").toString
+    Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"))
+      .toDF("v", "k").coalesce(1).write.parquet(s"$dir/p1")
+    Seq[(java.lang.Long, String)]((null, "c"), (null, "d"))
+      .toDF("v", "k").coalesce(1).write.parquet(s"$dir/p2")
+    // flatten the two files into one dir
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_meta_incomplete_flat").toString
+    Seq("p1", "p2").foreach { p =>
+      new java.io.File(s"$dir/$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(s"$out/${p}_${f.getName}"))
+        }
+    }
+    val r = ParquetStats.metadataAgg(t, out, "v").head()
+    assert(!r.getAs[Boolean]("metadata_only"),
+      "a stats-less file must demote the dir-level answer to unproven")
+    // the provable parts are still right
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("min_value") == 1L)
+    assert(r.getAs[Long]("max_value") == 2L)
+  }
+
   test("null counts surface in the stats table") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stats_nulls").toString
