@@ -226,6 +226,18 @@ object SparkEntry {
     "merge_apply_multibatch" -> q(SnapshotOps.multibatchApplyRoundtrip),
     "merge_apply_compacted" -> q(SnapshotOps.compactedApplyRoundtrip),
     "agg_incremental_rollup_multi" -> q(SnapshotOps.incrementalRollupMultiGate),
+    // time travel (round-12): versioned reads over the base+changelog
+    // chain — DESCRIBE HISTORY shape, one row per version, every version
+    // proven to reconstruct exactly against the oracle's own derivations
+    "time_travel_history" -> q(SnapshotOps.versionHistory),
+    // data-quality constraint suite (round-12): Deequ-shaped report —
+    // uniqueness / completeness / domains / ranges in ONE pass per table,
+    // referential integrity via anti joins; fully hash-gated
+    "dq_constraint_report" -> q(DataQualityOps.constraintReport),
+    // deterministic hash split (round-12): md5-bucket train/val/test —
+    // the reproducible, insertion-stable split a 100 TB corpus needs;
+    // the oracle replays every doc's assignment
+    "split_hash_counts" -> q(CoreQueries.hashSplitGate),
     // KMV shard-sketch mergeability (round-11): per-source bottom-k
     // sketches merged (≤ #sources×k digests) must estimate EXACTLY what
     // one direct corpus-wide graft_kmv_distinct estimates — the theorem
@@ -284,6 +296,9 @@ object SparkEntry {
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
+    // BM25 lexical retrieval (round-12): corpus search top-k — 6-decimal
+    // term scores, DECIMAL per-doc sums, deterministic tie-break
+    "text_bm25_topk" -> q(t => TextOps.bm25TopK(t)),
     "dedup_exact_stats"   -> q(DedupOps.exactDupStats),
     "dedup_exact_docs"    -> q(DedupOps.exactDedup),
     "dedup_ngram_jaccard" -> q(t => DedupOps.ngramJaccardPairs(t, 0.3)),
@@ -2256,6 +2271,37 @@ object SparkEntry {
         |         ELSE 'scalar' END AS category,
         |       count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    // BM25 restated end-to-end: same Lucene formula, same 6-decimal
+    // floor-rounding per term score, same DECIMAL accumulation per doc,
+    // same (score desc, doc_id) tie-break — every float op is either
+    // exact-integer-derived or identically ordered on both engines
+    "text_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |s AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM d),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM d)
+        |  WHERE w IN ('spark', 'join', 'stream')
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |ts AS (
+        |  SELECT tf.doc_id,
+        |         floor(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |               (tf.tf * (1.2 + 1)) /
+        |               (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl /
+        |                 (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |               * 1000000 + 0.5) / 1000000 AS term_score
+        |  FROM tf
+        |  JOIN df USING (w)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN s)
+        |SELECT doc_id, count(*) AS n_terms,
+        |       CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE) AS score
+        |FROM ts GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     // the bigram model restated on token text (the engine keys the same
     // counts by xxhash64 — identical counts absent a 2^-64 collision);
     // probabilities are exact counts under one double division, ln terms
@@ -2380,6 +2426,112 @@ object SparkEntry {
          |            % 281474976710656 AS BIGINT) AS digest_sum
          |FROM h GROUP BY source""".stripMargin
     },
+    // time travel: the oracle restates every version's global rollup from
+    // its own A/B/C derivations — same nibble digest arithmetic as the
+    // maintained-rollup oracles, mod-2^48 BIGINT digest sums
+    "time_travel_history" -> {
+      val nibbles = (0 until 12)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |c AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM b WHERE doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 2199023255552 AS doc_id, source, text
+         |  FROM b WHERE doc_id % 21 = 0),
+         |h0 AS (SELECT text, md5(text) AS hx FROM documents),
+         |h1 AS (SELECT text, md5(text) AS hx FROM b),
+         |h2 AS (SELECT text, md5(text) AS hx FROM c)
+         |SELECT 0 AS version, count(*) AS n_docs,
+         |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+         |       CAST(coalesce(sum(CAST(($nibbles) AS DECIMAL(38,0))), 0)
+         |            % 281474976710656 AS BIGINT) AS digest_sum
+         |FROM h0
+         |UNION ALL
+         |SELECT 1, count(*), CAST(coalesce(sum(length(text)), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CAST(($nibbles) AS DECIMAL(38,0))), 0)
+         |            % 281474976710656 AS BIGINT)
+         |FROM h1
+         |UNION ALL
+         |SELECT 2, count(*), CAST(coalesce(sum(length(text)), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CAST(($nibbles) AS DECIMAL(38,0))), 0)
+         |            % 281474976710656 AS BIGINT)
+         |FROM h2
+         |ORDER BY 1""".stripMargin
+    },
+    // data-quality constraint report: every count restated independently
+    // (aggregates + NOT EXISTS anti-joins); `passed` derived from the
+    // counts on both sides, never engine-stated
+    "dq_constraint_report" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(*) - count(DISTINCT o_orderkey) AS v_pk,
+        |         sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v_custkey,
+        |         sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS v_status,
+        |         sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+        |             THEN 0 ELSE 1 END) AS v_priority,
+        |         sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_price
+        |  FROM orders),
+        |ofk AS (
+        |  SELECT count(*) AS v FROM orders o2
+        |  WHERE o2.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o2.o_custkey)),
+        |d AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(*) - count(DISTINCT doc_id) AS v_pk,
+        |         sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS v_text
+        |  FROM documents),
+        |l AS (
+        |  SELECT count(*) AS n_rows,
+        |         sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v_qty
+        |  FROM lineitem),
+        |lfk AS (
+        |  SELECT count(*) AS v FROM lineitem li
+        |  WHERE li.l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = li.l_orderkey)),
+        |r AS (
+        |  SELECT 'orders_pk_unique' AS c, o.n_rows AS n, o.v_pk AS v FROM o
+        |  UNION ALL SELECT 'orders_custkey_not_null', o.n_rows, o.v_custkey FROM o
+        |  UNION ALL SELECT 'orders_status_domain', o.n_rows, o.v_status FROM o
+        |  UNION ALL SELECT 'orders_priority_subset', o.n_rows, o.v_priority FROM o
+        |  UNION ALL SELECT 'orders_totalprice_positive', o.n_rows, o.v_price FROM o
+        |  UNION ALL SELECT 'orders_fk_customer', o.n_rows, ofk.v FROM o, ofk
+        |  UNION ALL SELECT 'documents_pk_unique', d.n_rows, d.v_pk FROM d
+        |  UNION ALL SELECT 'documents_text_complete', d.n_rows, d.v_text FROM d
+        |  UNION ALL SELECT 'lineitem_quantity_range', l.n_rows, l.v_qty FROM l
+        |  UNION ALL SELECT 'lineitem_fk_orders', l.n_rows, lfk.v FROM l, lfk)
+        |SELECT c AS "constraint", CAST(n AS BIGINT) AS n_rows,
+        |       CAST(v AS BIGINT) AS n_violations,
+        |       CASE WHEN c = 'documents_text_complete' THEN v * 20 <= n
+        |            ELSE v = 0 END AS passed
+        |FROM r ORDER BY 1""".stripMargin,
+    // deterministic hash split: the oracle replays the md5-nibble bucket
+    // of every doc_id's decimal string, so each doc's train/val/test
+    // assignment must agree, not just the totals
+    "split_hash_counts" ->
+      """WITH h AS (
+        |  SELECT n_chars,
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN bucket < 205 THEN 'train'
+        |              WHEN bucket < 230 THEN 'val'
+        |              ELSE 'test' END AS split, bucket, n_chars
+        |  FROM h)
+        |SELECT split, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(min(bucket) AS INT) AS min_bucket,
+        |       CAST(max(bucket) AS INT) AS max_bucket
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     // incremental rollup maintenance: the oracle states rollup(B) from its
     // own derivation of B (the engine path only ever reads rollup(A) + the
     // delta feed) — per-row digest terms are the first 12 md5 nibbles

@@ -469,6 +469,40 @@ object CoreQueries {
       .toDF("n_source", "partitions_source", "train_in_band")
   }
 
+  /** Deterministic hash-based train/val/test assignment — the split a
+    * 100 TB corpus actually uses. `randomSplit` carries RNG state that is
+    * partition-layout-dependent and unstable under corpus growth; hashing
+    * the KEY instead makes the split (a) reproducible across runs,
+    * clusters and engines, (b) stable under insertion — an existing doc's
+    * split never changes when new docs arrive — and (c) embarrassingly
+    * parallel with zero coordination. Bucket = first two md5 nibbles of
+    * the key's decimal string ∈ [0,256); train < 205, val < 230, test
+    * otherwise (≈ 80/10/10).
+    */
+  def hashSplitAssign(df: DataFrame, key: String): DataFrame =
+    df.withColumn("bucket",
+        conv(substring(md5(col(key).cast("string")), 1, 2), 16, 10)
+          .cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test"))
+
+  /** Gate query: per-split doc and char totals plus the bucket extents —
+    * fully hash-gated (the oracle replays the same md5-nibble bucketing
+    * in SQL, so engine and oracle must agree on EVERY doc's assignment,
+    * not just the aggregate shape).
+    */
+  def hashSplitGate(t: Tables): DataFrame =
+    hashSplitAssign(t.documents, "doc_id")
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min("bucket").as("min_bucket"),
+        max("bucket").as("max_bucket"))
+      .orderBy("split")
+
   /** F10: monotonically_increasing_id — unique but partition-dependent
     * (SURVEY §2.8 quirk: ids are not stable between runs/layouts); the spec
     * checks uniqueness, the hash gate is [[rowIdsGate]].

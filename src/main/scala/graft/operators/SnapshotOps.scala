@@ -434,4 +434,45 @@ object SnapshotOps {
     incrementalRollup(incrementalRollup(rollupStats(a), feed1), feed2)
       .orderBy("source")
   }
+
+  // ---------------------------------------------------------------------
+  // Time travel — versioned reads over the base-plus-changelog chain.
+  // ---------------------------------------------------------------------
+
+  /** Read the corpus AS OF a version: v0 = the base snapshot, each
+    * subsequent version applies one more changelog batch — the
+    * Iceberg/Delta snapshot model, where a version is base + a bounded
+    * changelog prefix, never a physical copy per version. Reconstruction
+    * cost is |base| + Σ|batches ≤ v| regardless of how many versions
+    * exist; at 100 TB the periodic compaction ([[compactChanges]] /
+    * checkpointing) keeps the prefix short.
+    */
+  def asOfVersion(t: Tables, version: Int): DataFrame = {
+    require(version >= 0 && version <= 2, s"unknown version $version")
+    val base = t.documents.select("doc_id", "source", "text")
+    version match {
+      case 0 => base
+      case 1 => mergeApply(base, syntheticChanges(t))
+      case 2 => mergeApply(base,
+        compactChanges(syntheticChanges(t), syntheticChanges2(t)))
+    }
+  }
+
+  /** Gate query: the table-history surface (DESCRIBE HISTORY shape) —
+    * one row per version with its global doc count, char total, and
+    * mod-2^48 digest sum. The oracle restates all three versions from
+    * its own A/B/C derivations, so the hash proves every version
+    * reconstructs exactly — time travel to v1 returns B, not "roughly
+    * B". All columns are int64 and content-sensitive.
+    */
+  def versionHistory(t: Tables): DataFrame =
+    (0 to 2).map { v =>
+      asOfVersion(t, v).agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text"))).cast("long"), lit(0L))
+          .as("total_chars"),
+        modDigest(sum(digest48(col("text")))).as("digest_sum"))
+        .select(lit(v).as("version"), col("n_docs"), col("total_chars"),
+          col("digest_sum"))
+    }.reduce(_.unionByName(_)).orderBy("version")
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
-import graft.functions.NumericFunctions.{decAvg, roundN}
+import graft.functions.NumericFunctions.{decAvg, decSum, roundN}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the language-ID /
@@ -307,5 +307,48 @@ object TextOps {
           .as("avg_nll"))
       .withColumn("keep", col("avg_nll") <= tau)
       .orderBy("doc_id")
+  }
+
+  /** BM25 keyword relevance ranking — the lexical retrieval op a corpus
+    * search / curation layer runs ("find the documents most about X").
+    * Lucene's formula: idf = ln(1 + (N − df + ½)/(df + ½)); term score =
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Scale shape: the explode is filtered to the query's terms BEFORE the
+    * (doc, term) shuffle, so the exchange carries only query-term hits —
+    * O(hits), not O(corpus tokens). df (≤|q| rows) and the corpus stats
+    * (1 row) are broadcast; the final top-k is TakeOrderedAndProject
+    * (per-partition heads, never a full sort). Cross-engine float
+    * determinism follows the perplexity gate's recipe: each term score is
+    * floor-rounded to 6 decimals, per-doc totals accumulate in DECIMAL
+    * (order-independent), avgdl is one IEEE division of two exact longs.
+    */
+  def bm25TopK(t: Tables,
+               query: Seq[String] = Seq("spark", "join", "stream"),
+               k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val d = t.documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(query: _*))
+      .groupBy("doc_id", "dl", "w")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("term_score", roundN(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), decSum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
   }
 }

@@ -112,6 +112,51 @@ class TextMlMultimodalSpec extends SparkTestBase {
       s"a scoring exchange carries token text:\n${inputs.mkString("\n")}")
   }
 
+  test("bm25TopK: scores match a driver-side BM25 recompute; ranking is the true order") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val query = Seq("spark", "join", "stream")
+    val (k1, b) = (1.2, 0.75)
+    val docs = t.documents.select("doc_id", "text").as[(Long, String)]
+      .collect().filter(_._2 != null)
+      .map { case (id, tx) => id -> tx.split("\\s+").toSeq }
+    val nDocs = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / nDocs.toDouble
+    val df = query.map(w => w -> docs.count(_._2.contains(w)).toLong).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = docs.flatMap { case (id, tk) =>
+      val dl = tk.length
+      val terms = query.flatMap { w =>
+        val tf = tk.count(_ == w)
+        if (tf == 0) None
+        else Some(r6(math.log(1.0 + (nDocs - df(w) + 0.5) / (df(w) + 0.5)) *
+          (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))))
+      }
+      if (terms.isEmpty) None
+      else Some(id -> (terms.length.toLong,
+        terms.map(s => BigDecimal(s.toString)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    }.toMap
+    val top = expect.toSeq.sortBy { case (id, (_, s)) => (-s, id) }.take(15)
+    val got = TextOps.bm25TopK(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == math.min(15, expect.size))
+    got.zip(top).foreach { case ((gid, gn, gs), (eid, (en, es))) =>
+      assert(gid == eid, s"rank order diverges: got doc $gid want $eid")
+      assert(gn == en, s"doc $gid matched-term count")
+      assert(math.abs(gs - es) < 1e-9, s"doc $gid score $gs vs $es")
+    }
+    // a doc containing none of the query terms never appears
+    val misses = docs.filter(d => !query.exists(d._2.contains)).map(_._1).toSet
+    assert(got.map(_._1).toSet.intersect(misses).isEmpty)
+  }
+
+  test("bm25TopK plan: top-k is TakeOrderedAndProject, never a global sort") {
+    import graft.operators.TextOps
+    val plan = TextOps.bm25TopK(t).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("redactIds: digit runs replaced, redaction count audited") {
     val rows = TextOps.redactIds(t).collect()
     assert(rows.length == t.customer.count())

@@ -310,4 +310,45 @@ class CoreQueriesSpec extends SparkTestBase {
         s"rank interval [${below + 1}, $atOrBelow] outside ε-bound [$loRank, $hiRank] (n=$n)")
     }
   }
+
+  test("hash split: exact partition, correct bucket fences, ~80/10/10 shares") {
+    val assigned = CoreQueries.hashSplitAssign(t.documents, "doc_id")
+    val n = t.documents.count()
+    assert(assigned.count() == n, "assignment must not drop or add rows")
+    val rows = CoreQueries.hashSplitGate(t).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum == n)
+    // bucket fences are hard boundaries, not tendencies
+    assert(rows("train").getAs[Int]("min_bucket") >= 0 &&
+      rows("train").getAs[Int]("max_bucket") <= 204)
+    assert(rows("val").getAs[Int]("min_bucket") >= 205 &&
+      rows("val").getAs[Int]("max_bucket") <= 229)
+    assert(rows("test").getAs[Int]("min_bucket") >= 230 &&
+      rows("test").getAs[Int]("max_bucket") <= 255)
+    // binomial 6σ bands around the target shares (p=205/256, 25/256, 26/256)
+    def inBand(k: Long, p: Double): Boolean =
+      math.abs(k - n * p) <= 6 * math.sqrt(n * p * (1 - p)) + 1
+    assert(inBand(rows("train").getAs[Long]("n_docs"), 205.0 / 256))
+    assert(inBand(rows("val").getAs[Long]("n_docs"), 25.0 / 256))
+    assert(inBand(rows("test").getAs[Long]("n_docs"), 26.0 / 256))
+  }
+
+  test("hash split is deterministic and insertion-stable (a doc's split never changes)") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val full = CoreQueries.hashSplitAssign(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // rerun: identical (no RNG state)
+    val again = CoreQueries.hashSplitAssign(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(full == again)
+    // assign over HALF the corpus: every shared doc keeps its split —
+    // the property randomSplit cannot give (its assignment depends on
+    // partition layout and the rows around each row)
+    val half = CoreQueries.hashSplitAssign(
+      docs.filter($"doc_id" <= 250), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, s) => assert(full(id) == s) }
+  }
 }

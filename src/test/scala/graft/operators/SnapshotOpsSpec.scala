@@ -210,6 +210,34 @@ class SnapshotOpsSpec extends SparkTestBase {
       "refresh probe still scans the corpus")
   }
 
+  test("time travel: each version reconstructs its snapshot exactly") {
+    val a = t.documents.select("doc_id", "source", "text")
+    val b = SnapshotOps.syntheticSnapshotB(t)
+    val c = SnapshotOps.syntheticSnapshotC(t)
+    Seq(0 -> a, 1 -> b, 2 -> c).foreach { case (v, snap) =>
+      val got = SnapshotOps.asOfVersion(t, v)
+      assert(got.exceptAll(snap).isEmpty && snap.exceptAll(got).isEmpty,
+        s"as-of v$v diverges from its snapshot")
+    }
+  }
+
+  test("version history: rows equal the per-version rollups, and versions genuinely differ") {
+    val hist = SnapshotOps.versionHistory(t).collect()
+      .map(r => r.getAs[Int]("version") -> r).toMap
+    assert(hist.keySet == Set(0, 1, 2))
+    Seq(0, 1, 2).foreach { v =>
+      val d = SnapshotOps.asOfVersion(t, v).agg(
+        count(lit(1)), sum(length(col("text"))).cast("long")).head()
+      assert(hist(v).getAs[Long]("n_docs") == d.getLong(0))
+      assert(hist(v).getAs[Long]("total_chars") == d.getLong(1))
+      assert(hist(v).getAs[Long]("digest_sum") >= 0L &&
+        hist(v).getAs[Long]("digest_sum") < (1L << 48))
+    }
+    // the chain is a real history, not three copies of the same table
+    assert(hist(0).getAs[Long]("digest_sum") != hist(1).getAs[Long]("digest_sum"))
+    assert(hist(1).getAs[Long]("digest_sum") != hist(2).getAs[Long]("digest_sum"))
+  }
+
   test("the full-outer exchange carries digests, never text") {
     val inputs = exchangeInputs(SnapshotOps.snapshotDiffStats(t))
     assert(inputs.nonEmpty)
