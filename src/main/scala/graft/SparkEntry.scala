@@ -131,6 +131,13 @@ object SparkEntry {
     "events_interval_join"     -> q(t => EventOps.intervalJoinBusyWindows(t, 20)),
     "events_sliding"           -> q(EventOps.slidingTypeCounts),
     "events_session_native"    -> q(EventOps.nativeSessionWindows),
+    // ordered conversion funnel (round-12): one exchange, array-expression
+    // step times; the oracle derives the steps via correlated min-joins
+    "events_funnel"            -> q(EventOps.funnelCounts),
+    // profiling (round-12): equi-width histogram + ANALYZE-style per-column
+    // stats — the optimizer/drift-monitoring surface, fully hash-gated
+    "profile_histogram"        -> q(ProfileOps.priceHistogram),
+    "analyze_column_stats"     -> q(ProfileOps.analyzeOrders),
     "events_sessions"          -> q(EventOps.userSessions),
     "events_click_to_purchase" -> q(EventOps.clickToPurchase),
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
@@ -1060,6 +1067,74 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // funnel: the oracle derives each step via correlated min-joins (a
+    // third formulation vs the engine's single-exchange array expressions)
+    // — strictly-after semantics at every hop
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT 'step1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 'step2_click', count(*) FROM c
+        |  UNION ALL SELECT 'step3_purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    // equi-width histogram: bucket arithmetic is pure IEEE ops on exact
+    // inputs, bit-identical across engines; last bucket right-closed
+    "profile_histogram" ->
+      """WITH s AS (
+        |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10)), 9) AS INT) AS bucket,
+        |       count(*) AS n_rows,
+        |       min(o_totalprice) AS bucket_min,
+        |       max(o_totalprice) AS bucket_max
+        |FROM orders, s
+        |WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ANALYZE-style column stats: one wide aggregate restated per column,
+    // typed min/max pairs (the zone-map convention)
+    "analyze_column_stats" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(DISTINCT o_orderkey) AS ndv1,
+        |         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+        |         CAST(min(o_orderkey) AS BIGINT) AS mn1,
+        |         CAST(max(o_orderkey) AS BIGINT) AS mx1,
+        |         count(DISTINCT o_custkey) AS ndv2,
+        |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+        |         CAST(min(o_custkey) AS BIGINT) AS mn2,
+        |         CAST(max(o_custkey) AS BIGINT) AS mx2,
+        |         count(DISTINCT o_orderstatus) AS ndv3,
+        |         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+        |         count(DISTINCT o_orderpriority) AS ndv4,
+        |         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+        |         count(DISTINCT o_totalprice) AS ndv5,
+        |         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn5,
+        |         min(o_totalprice) AS mnd5, max(o_totalprice) AS mxd5
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", n_rows, ndv1 AS n_distinct, nn1 AS n_nulls,
+        |         mn1 AS min_long, mx1 AS max_long,
+        |         CAST(NULL AS DOUBLE) AS min_double, CAST(NULL AS DOUBLE) AS max_double FROM w
+        |  UNION ALL SELECT 'o_custkey', n_rows, ndv2, nn2, mn2, mx2,
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM w
+        |  UNION ALL SELECT 'o_orderstatus', n_rows, ndv3, nn3,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM w
+        |  UNION ALL SELECT 'o_orderpriority', n_rows, ndv4, nn4,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM w
+        |  UNION ALL SELECT 'o_totalprice', n_rows, ndv5, nn5,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mnd5, mxd5 FROM w)
+        |ORDER BY 1""".stripMargin,
     // events_file_sink's engine side lands the stream in exactly-once
     // parquet files and reads them back through _spark_metadata; the
     // oracle aggregates the source directly — a hash match proves no row

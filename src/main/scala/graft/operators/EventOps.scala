@@ -331,4 +331,51 @@ object EventOps {
       .select("event_id", "user_id", "ts", "prev_purchase_ts")
       .withColumnRenamed("ts", "click_ts")
   }
+
+  /** Ordered funnel analysis — view → click → purchase, each step STRICTLY
+    * after the previous step's earliest completion (the product-analytics
+    * "conversion funnel" query). The naive formulation is one self-join
+    * per step (3 shuffles of the full event log, each keyed differently);
+    * this one is the single-exchange shape: filter to the funnel's event
+    * types, ONE groupBy(user) collecting that user's funnel events, then
+    * the per-user step timestamps fall out of array expressions — no
+    * second pass over the log, no join. Per-user funnel-event cardinality
+    * is the only memory bound (bounded in any real product corpus; a
+    * pathological user would be salted or capped upstream).
+    */
+  def funnelSteps(t: Tables,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size == 3, "funnelSteps is specialized to 3 steps")
+    val ev = t.events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts"), col("event_type"))).as("evs"))
+    ev
+      .withColumn("t1", expr(
+        s"array_min(transform(filter(evs, e -> e.event_type = '${steps(0)}'), e -> e.ts))"))
+      .withColumn("t2", expr(
+        s"array_min(transform(filter(evs, e -> e.event_type = '${steps(1)}' AND e.ts > t1), e -> e.ts))"))
+      .withColumn("t3", expr(
+        s"array_min(transform(filter(evs, e -> e.event_type = '${steps(2)}' AND e.ts > t2), e -> e.ts))"))
+      .select("user_id", "t1", "t2", "t3")
+  }
+
+  /** Gate query: users reaching each funnel stage. Fully hash-gated — the
+    * oracle derives the same strictly-ordered step times via correlated
+    * min-joins (a THIRD formulation), so agreement proves the ordered
+    * semantics, not just event counts.
+    */
+  def funnelCounts(t: Tables): DataFrame =
+    funnelSteps(t).agg(
+      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("u1"),
+      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("u2"),
+      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("u3"))
+      .select(expr(
+        """stack(3,
+          |  'step1_view',     u1,
+          |  'step2_click',    u2,
+          |  'step3_purchase', u3
+          |) AS (stage, n_users)""".stripMargin))
+      .orderBy("stage")
 }

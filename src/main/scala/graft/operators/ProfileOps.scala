@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column- and distribution-profiling operators — the ANALYZE TABLE /
+  * data-profiling layer that feeds optimizer statistics, manifest
+  * pruning, and data drift monitoring.
+  *
+  * Scale shape: every profile here is aggregation-only — constant-size
+  * state per partition, one low-cardinality exchange, no row-level
+  * output. The histogram is the standard two-pass form (extent pass →
+  * bucket pass); both passes are full scans but each shuffles only
+  * #buckets (or 1) rows.
+  */
+object ProfileOps {
+
+  /** Equi-width histogram of a numeric column: 10 buckets spanning
+    * [min, max], the last bucket right-closed (the `least(…, 9)` clamp
+    * puts x = max in bucket 9 instead of a phantom bucket 10). Bucket
+    * arithmetic is pure IEEE ops on exact inputs — (x−mn)/((mx−mn)/10)
+    * then floor — so DuckDB computes bit-identical buckets.
+    */
+  def histogram(df: DataFrame, column: String, buckets: Int = 10): DataFrame = {
+    val extent = df.agg(
+      min(col(column).cast("double")).as("mn"),
+      max(col(column).cast("double")).as("mx"))
+    df.filter(col(column).isNotNull)
+      .crossJoin(broadcast(extent))
+      .withColumn("bucket",
+        least(floor((col(column).cast("double") - col("mn")) /
+          ((col("mx") - col("mn")) / buckets)), lit(buckets - 1L)).cast("int"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(column).cast("double")).as("bucket_min"),
+        max(col(column).cast("double")).as("bucket_max"))
+      .orderBy("bucket")
+  }
+
+  /** Gate query: order-price histogram. */
+  def priceHistogram(t: Tables): DataFrame = histogram(t.orders, "o_totalprice")
+
+  /** ANALYZE-style per-column statistics for the orders table: row count,
+    * null count, exact NDV, and typed min/max (long columns fill the
+    * _long pair, double columns the _double pair, others neither — the
+    * typed-zone-map convention from [[graft.sources.ParquetStats]]).
+    * ONE pass over the table: the five NDVs ride one aggregate (Catalyst
+    * plans a single Expand), so adding a column to the profile never adds
+    * a scan.
+    */
+  def analyzeOrders(t: Tables): DataFrame = {
+    val o = t.orders
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val wide = o.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("ndv_orderkey"),
+      countDistinct(col("o_custkey")).as("ndv_custkey"),
+      countDistinct(col("o_orderstatus")).as("ndv_status"),
+      countDistinct(col("o_orderpriority")).as("ndv_priority"),
+      countDistinct(col("o_totalprice")).as("ndv_price"),
+      nulls("o_orderkey").as("nn_orderkey"),
+      nulls("o_custkey").as("nn_custkey"),
+      nulls("o_orderstatus").as("nn_status"),
+      nulls("o_orderpriority").as("nn_priority"),
+      nulls("o_totalprice").as("nn_price"),
+      min(col("o_orderkey").cast("long")).as("mn_orderkey"),
+      max(col("o_orderkey").cast("long")).as("mx_orderkey"),
+      min(col("o_custkey").cast("long")).as("mn_custkey"),
+      max(col("o_custkey").cast("long")).as("mx_custkey"),
+      min(col("o_totalprice").cast("double")).as("mnd_price"),
+      max(col("o_totalprice").cast("double")).as("mxd_price"))
+    wide.select(col("n_rows"), expr(
+      """stack(5,
+        |  'o_orderkey',      ndv_orderkey, nn_orderkey, mn_orderkey, mx_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_custkey',       ndv_custkey,  nn_custkey,  mn_custkey,  mx_custkey,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_orderstatus',   ndv_status,   nn_status,   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_orderpriority', ndv_priority, nn_priority, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_totalprice',    ndv_price,    nn_price,    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mnd_price, mxd_price
+        |) AS (column, n_distinct, n_nulls, min_long, max_long, min_double, max_double)""".stripMargin))
+      .select("column", "n_rows", "n_distinct", "n_nulls",
+        "min_long", "max_long", "min_double", "max_double")
+      .orderBy("column")
+  }
+}

@@ -59,7 +59,21 @@ class PlanLintSpec extends SparkTestBase {
     // broadcast 1-row vocabulary size feeding the smoothing denominator
     "text_bigram_perplexity",
     // broadcast 1-row merged-shard estimate joined onto the direct sketch
-    "sketch_kmv_merge", "sketch_hll_merge")
+    "sketch_kmv_merge", "sketch_hll_merge",
+    // broadcast 1-row [min,max] extent feeding the bucket arithmetic
+    "profile_histogram",
+    // broadcast 1-row corpus stats (N, Σdl) feeding the BM25 formula
+    "text_bm25_topk")
+
+  /** Gates whose plan holds SEVERAL broadcast-1-row nested loops (a
+    * report assembled from independent 1-row aggregates). Value = exact
+    * expected BNLJ count; every one must carry a declared build side.
+    */
+  private val scalarProbeMulti = Map(
+    // orders-local × docs-local × lineitem-local × 2 FK-orphan counts
+    "dq_constraint_report" -> 4,
+    // stored-table union estimate × live union estimate
+    "sketch_hll_persisted" -> 2)
 
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
@@ -85,6 +99,16 @@ class PlanLintSpec extends SparkTestBase {
             s"$name scalar probe: no identity-mode broadcast exchange " +
               "feeding the nested loop")
         }
+      } else if (scalarProbeMulti.contains(name)) {
+        val expect = scalarProbeMulti(name)
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+        assert(bnlj == expect,
+          s"$name report probe: expected $expect BroadcastNestedLoopJoins, found $bnlj")
+        val built = "BroadcastNestedLoopJoin Build(Left|Right)".r.findAllIn(p).size
+        assert(built == bnlj,
+          s"$name report probe: ${bnlj - built} BNLJs lack a broadcast build side")
+        assert(p.contains("BroadcastExchange IdentityBroadcastMode"),
+          s"$name report probe: no identity-mode broadcast exchange")
       } else
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin outside the scalar-probe allowlist")

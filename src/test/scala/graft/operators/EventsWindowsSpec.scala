@@ -455,4 +455,64 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(row.getAs[Long]("rows_in_sink") == direct)
     assert(row.getAs[Boolean]("ledger_balanced"))
   }
+
+  test("funnel: per-user step times match a brute-force ordered walk") {
+    import spark.implicits._
+    val evs = t.events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    def expect(uid: Long): (Option[Long], Option[Long], Option[Long]) = {
+      val mine = evs.filter(_._1 == uid)
+      val t1 = mine.filter(_._3 == "view").map(_._2).minOption
+      val t2 = t1.flatMap(a =>
+        mine.filter(e => e._3 == "click" && e._2 > a).map(_._2).minOption)
+      val t3 = t2.flatMap(a =>
+        mine.filter(e => e._3 == "purchase" && e._2 > a).map(_._2).minOption)
+      (t1, t2, t3)
+    }
+    val got = EventOps.funnelSteps(t)
+      .select(col("user_id"),
+        unix_micros(col("t1").cast("timestamp")),
+        unix_micros(col("t2").cast("timestamp")),
+        unix_micros(col("t3").cast("timestamp")))
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got.keySet == evs.map(_._1).toSet)
+    got.keys.foreach(uid => assert(got(uid) == expect(uid), s"user $uid"))
+    // stage counts weakly decrease (a funnel, not a sieve with leaks)
+    val counts = EventOps.funnelCounts(t).collect().map(_.getLong(1))
+    assert(counts.length == 3 && counts(0) >= counts(1) && counts(1) >= counts(2))
+    assert(counts(2) > 0, "fixture should convert at least one user")
+  }
+
+  test("funnel: a click BEFORE the first view never counts as step 2") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // u1: click at t=1, view at t=2, click at t=3, purchase at t=4 — full
+    // funnel via the SECOND click; u2: purchase first, never converts past
+    // view; u3: view only
+    val rows = Seq(
+      (1L, 1L, "click"), (1L, 2L, "view"), (1L, 3L, "click"), (1L, 4L, "purchase"),
+      (2L, 1L, "purchase"), (2L, 2L, "view"), (2L, 3L, "click"),
+      (3L, 5L, "view"))
+      .map { case (u, s, ty) => (u, new Timestamp(s * 1000), ty) }
+      .toDF("user_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    rows.withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val steps = EventOps.funnelSteps(graft.core.Tables(spark, dir))
+      .select(col("user_id"), col("t1").isNotNull, col("t2").isNotNull,
+        col("t3").isNotNull)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map { case (u, a, b, c) => u -> ((a, b, c)) }.toMap
+    assert(steps(1L) == ((true, true, true)))
+    assert(steps(2L) == ((true, true, false)))
+    assert(steps(3L) == ((true, false, false)))
+  }
 }

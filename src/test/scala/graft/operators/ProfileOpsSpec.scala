@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ProfileOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("histogram matches a driver-side bucketing of the same rows") {
+    val prices = t.orders.select(col("o_totalprice").cast("double"))
+      .as[Double].collect()
+    val (mn, mx) = (prices.min, prices.max)
+    val width = (mx - mn) / 10
+    val expect = prices.groupBy(p =>
+      math.min(math.floor((p - mn) / width), 9.0).toInt)
+      .map { case (b, vs) => b -> (vs.length.toLong, vs.min, vs.max) }
+    val got = ProfileOps.priceHistogram(t).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (b, (n, lo, hi)) =>
+      assert(got(b) == ((n, lo, hi)), s"bucket $b: ${got(b)} vs ($n,$lo,$hi)")
+    }
+    assert(got.values.map(_._1).sum == prices.length)
+    // bucket extents nest inside the global extent and ascend
+    val sorted = got.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, (_, _, hi1)), (_, (_, lo2, _))) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("histogram on a constant column degenerates to one bucket holding everything") {
+    val const = Seq.fill(40)(7.5).toDF("v")
+    val rows = ProfileOps.histogram(const, "v").collect()
+    // (x-mn)/((mx-mn)/10) is 0/0 = NaN; floor(NaN) stays NaN and least
+    // propagates it — the degenerate-extent case must still count all rows
+    assert(rows.map(_.getLong(1)).sum == 40)
+    assert(rows.length == 1)
+  }
+
+  test("analyze stats equal direct per-column recomputes") {
+    val rows = ProfileOps.analyzeOrders(t).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(rows.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice"))
+    val n = t.orders.count()
+    rows.values.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_totalprice").foreach { c =>
+      assert(rows(c).getAs[Long]("n_distinct") ==
+        t.orders.select(c).na.drop().distinct().count(), s"$c ndv")
+      assert(rows(c).getAs[Long]("n_nulls") ==
+        t.orders.filter(col(c).isNull).count(), s"$c nulls")
+    }
+    val d = t.orders.agg(min("o_orderkey").cast("long"),
+      max("o_orderkey").cast("long"),
+      min("o_totalprice").cast("double"), max("o_totalprice").cast("double"))
+      .head()
+    assert(rows("o_orderkey").getAs[Long]("min_long") == d.getLong(0))
+    assert(rows("o_orderkey").getAs[Long]("max_long") == d.getLong(1))
+    assert(rows("o_totalprice").getAs[Double]("min_double") == d.getDouble(2))
+    assert(rows("o_totalprice").getAs[Double]("max_double") == d.getDouble(3))
+    // typed pairs stay null off their type
+    assert(rows("o_orderstatus").isNullAt(
+      rows("o_orderstatus").fieldIndex("min_long")))
+    assert(rows("o_orderkey").isNullAt(
+      rows("o_orderkey").fieldIndex("min_double")))
+  }
+
+  test("analyze runs as ONE scan of orders") {
+    val plan = ProfileOps.analyzeOrders(t).queryExecution.executedPlan.toString
+    val scans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 orders scan, got $scans")
+  }
+}
