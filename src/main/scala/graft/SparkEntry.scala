@@ -138,6 +138,9 @@ object SparkEntry {
     // stats — the optimizer/drift-monitoring surface, fully hash-gated
     "profile_histogram"        -> q(ProfileOps.priceHistogram),
     "analyze_column_stats"     -> q(ProfileOps.analyzeOrders),
+    // join-size estimation from count-min sketches (round-12): the
+    // join-planning primitive — verdict gate, GateInvariants-recomputed
+    "profile_join_size_cms"    -> q(t => ProfileOps.cmsJoinSizeGate(t)),
     "events_sessions"          -> q(EventOps.userSessions),
     "events_click_to_purchase" -> q(EventOps.clickToPurchase),
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
@@ -1099,6 +1102,16 @@ object SparkEntry {
         |FROM orders, s
         |WHERE o_totalprice IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // join-size estimate: exact terms restated (frequency dot product ==
+    // join count); the sketch verdicts are oracle-stated TRUE and
+    // independently recomputed at verify time
+    "profile_join_size_cms" ->
+      """SELECT (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL) AS n_left,
+        |       (SELECT count(*) FROM part WHERE p_partkey IS NOT NULL) AS n_right,
+        |       (SELECT count(*) FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |         AS exact_size,
+        |       TRUE AS never_under,
+        |       TRUE AS within_bound""".stripMargin,
     // ANALYZE-style column stats: one wide aggregate restated per column,
     // typed min/max pairs (the zone-map convention)
     "analyze_column_stats" ->

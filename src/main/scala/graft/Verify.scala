@@ -793,6 +793,29 @@ object GateInvariants {
           s"disagrees with recomputation $indepDirect ($directEst vs $nExact)")
       require(indepMerged && indepDirect,
         s"invariant: HLL contract violated (merged=$mergedEst, direct=$directEst, exact=$nExact)")
+    case "profile_join_size_cms" =>
+      // recompute both verdicts from the raw estimate frame — a doctored
+      // boolean, a broken sketch, or a wrong exact term all fail here
+      val tt = core.Tables(spark, sfDir)
+      val raw = operators.ProfileOps.cmsJoinSizeEstimates(tt).head()
+      val nL = raw.getAs[Long]("n_left")
+      val nR = raw.getAs[Long]("n_right")
+      val exact = raw.getAs[Long]("exact_size")
+      val est = raw.getAs[Long]("est_size")
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getAs[Long]("n_left") == nL &&
+        row.getAs[Long]("n_right") == nR &&
+        row.getAs[Long]("exact_size") == exact,
+        "invariant: gate terms disagree with recomputation")
+      val indepUnder = est >= exact
+      val indepBound = est.toDouble <= exact.toDouble + 5.0 * nL * nR / 65536.0
+      require(row.getAs[Boolean]("never_under") == indepUnder,
+        s"invariant: never_under disagrees ($est vs $exact)")
+      require(row.getAs[Boolean]("within_bound") == indepBound,
+        s"invariant: within_bound disagrees ($est vs $exact)")
+      require(indepUnder && indepBound,
+        s"invariant: CMS join-size contract violated (est=$est, exact=$exact)")
     case "sketch_hll_persisted" =>
       // recompute all three verdicts from the raw persisted/live
       // estimates so the gate can't self-certify — a doctored boolean,

@@ -83,4 +83,85 @@ object ProfileOps {
         "min_long", "max_long", "min_double", "max_double")
       .orderBy("column")
   }
+
+  // ---------------------------------------------------------------------
+  // Join-cardinality estimation — count-min inner product.
+  // ---------------------------------------------------------------------
+
+  /** One count-min sketch as a DATAFRAME: (row i, bucket, count) for
+    * depth hash rows of `width` buckets. Built in one pass over the
+    * table; the exchange carries at most depth×width partial counts per
+    * input partition (map-side combine makes the sketch state, not the
+    * data, cross the wire) — this is how a sketch is built when one
+    * executor can't see all rows.
+    */
+  private[operators] def cmsTable(df: DataFrame, key: String,
+                                  depth: Int, width: Int): DataFrame =
+    df.filter(col(key).isNotNull)
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("i"),
+          pmod(xxhash64(col(key), lit(i)), lit(width.toLong)).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.i").as("i"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Join-size estimate WITHOUT running the join: the count-min inner
+    * product — Σ_b cntA(i,b)·cntB(i,b) per hash row, min over rows
+    * (Cormode–Muthukrishnan). The estimate never under-counts (every
+    * true matching pair lands in the same bucket on every row; collisions
+    * only add), and E[overshoot] ≤ |A|·|B|/width per row. At 100 TB this
+    * is the join-planning primitive: both sketches are depth×width
+    * aggregates a planner keeps per column, and the estimate costs a
+    * (i,bucket)-keyed join of two tiny tables — not a pass over either
+    * input.
+    */
+  private[operators] def cmsJoinSizeRaw(a: DataFrame, aKey: String,
+                                        b: DataFrame, bKey: String,
+                                        depth: Int, width: Int): DataFrame = {
+    val sa = cmsTable(a, aKey, depth, width)
+    val sb = cmsTable(b, bKey, depth, width)
+      .withColumnRenamed("cnt", "cnt_b")
+    sa.join(sb, Seq("i", "bucket"))
+      .groupBy("i")
+      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est_size"))
+  }
+
+  /** Raw one-row estimate frame — the recompute seam for
+    * `GateInvariants` and the spec: (n_left, n_right, exact_size,
+    * est_size). `exact_size` comes from the frequency-vector dot product
+    * (Σ_k fA(k)·fB(k)), never a materialized join.
+    */
+  def cmsJoinSizeEstimates(t: Tables, depth: Int = 5,
+                           width: Int = 65536): DataFrame = {
+    val a = t.lineitem.select(col("l_partkey").as("k"))
+    val b = t.part.select(col("p_partkey").as("k"))
+    val fa = a.groupBy("k").agg(count(lit(1)).as("fa"))
+    val fb = b.groupBy("k").agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, "k")
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).cast("long")
+        .as("exact_size"))
+    val counts = a.agg(count(lit(1)).as("n_left"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_right"))))
+    counts
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(cmsJoinSizeRaw(a, "k", b, "k", depth, width)))
+  }
+
+  /** Gate query: lineitem⋈part cardinality estimated from sketches vs
+    * the exact size. The oracle states the exact terms and TRUE for the
+    * two verdicts; GateInvariants recomputes both from
+    * [[cmsJoinSizeEstimates]]:
+    *  - `never_under`: est ≥ exact (hard CMS guarantee);
+    *  - `within_bound`: est ≤ exact + 5·|A|·|B|/width (Markov slack on
+    *    the per-row expectation, taken at the min over depth rows).
+    */
+  def cmsJoinSizeGate(t: Tables, depth: Int = 5,
+                      width: Int = 65536): DataFrame =
+    cmsJoinSizeEstimates(t, depth, width).select(
+      col("n_left"), col("n_right"), col("exact_size"),
+      (col("est_size") >= col("exact_size")).as("never_under"),
+      (col("est_size").cast("double") <= col("exact_size").cast("double") +
+        lit(5.0) * col("n_left").cast("double") * col("n_right").cast("double") /
+          lit(width.toDouble)).as("within_bound"))
 }

@@ -73,7 +73,9 @@ class PlanLintSpec extends SparkTestBase {
     // orders-local × docs-local × lineitem-local × 2 FK-orphan counts
     "dq_constraint_report" -> 4,
     // stored-table union estimate × live union estimate
-    "sketch_hll_persisted" -> 2)
+    "sketch_hll_persisted" -> 2,
+    // left/right counts × exact dot product × sketch inner product
+    "profile_join_size_cms" -> 3)
 
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

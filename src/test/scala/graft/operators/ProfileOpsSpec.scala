@@ -68,6 +68,46 @@ class ProfileOpsSpec extends SparkTestBase {
       rows("o_orderkey").fieldIndex("min_double")))
   }
 
+  test("cms join-size: never under, within bound, and exact term equals the real join") {
+    val raw = ProfileOps.cmsJoinSizeEstimates(t).head()
+    val exact = raw.getAs[Long]("exact_size")
+    val est = raw.getAs[Long]("est_size")
+    val realJoin = t.lineitem.join(t.part,
+      col("l_partkey") === col("p_partkey")).count()
+    assert(exact == realJoin, s"frequency dot product $exact != join $realJoin")
+    assert(est >= exact, s"CMS under-counted: $est < $exact")
+    val slack = 5.0 * raw.getAs[Long]("n_left") * raw.getAs[Long]("n_right") / 65536.0
+    assert(est <= exact + slack, s"est $est above exact $exact + slack $slack")
+    info(s"exact=$exact est=$est (overshoot ${est - exact}, slack bound ${slack.toLong})")
+  }
+
+  test("cms join-size: disjoint keys estimate ~0; a hot key dominates the estimate") {
+    import spark.implicits._
+    val a = (1L to 2000L).map(i => Tuple1(i)).toDF("k")
+    val b = (100001L to 102000L).map(i => Tuple1(i)).toDF("k")
+    val disjoint = ProfileOps.cmsJoinSizeRaw(a, "k", b, "k", 5, 65536)
+      .head().getLong(0)
+    // collisions can add a little, but 2000×2000 keys over 65536 buckets
+    // across 5 independent rows leaves the min near zero
+    assert(disjoint <= 1000L, s"disjoint-key estimate $disjoint too high")
+    // one key appearing 500× on the left and 40× on the right ⇒ join
+    // size 20000 dwarfs everything else; the estimate must see it
+    val hotA = a.union(Seq.fill(500)(7L).map(Tuple1(_)).toDF("k"))
+    val hotB = b.union(Seq.fill(40)(7L).map(Tuple1(_)).toDF("k"))
+    val est = ProfileOps.cmsJoinSizeRaw(hotA, "k", hotB, "k", 5, 65536)
+      .head().getLong(0)
+    assert(est >= 20000L && est <= 25000L,
+      s"hot-key join estimate $est far from true 20000")
+  }
+
+  test("cms sketch table: counts sum to depth × rows, buckets in range") {
+    val sk = ProfileOps.cmsTable(t.part, "p_partkey", 5, 1024)
+    val total = sk.agg(sum("cnt")).head().getLong(0)
+    assert(total == 5L * t.part.count())
+    val bad = sk.filter(col("bucket") < 0 || col("bucket") >= 1024).count()
+    assert(bad == 0L)
+  }
+
   test("analyze runs as ONE scan of orders") {
     val plan = ProfileOps.analyzeOrders(t).queryExecution.executedPlan.toString
     val scans = "orders\\.parquet".r.findAllIn(plan).length
