@@ -141,6 +141,15 @@ object SparkEntry {
     // join-size estimation from count-min sketches (round-12): the
     // join-planning primitive — verdict gate, GateInvariants-recomputed
     "profile_join_size_cms"    -> q(t => ProfileOps.cmsJoinSizeGate(t)),
+    // join-skew report (round-12): top keys by self-join contribution
+    // f(k)^2 — what AQE skew-split / salting decide on; fully hash-gated
+    "profile_join_skew"        -> q(t => ProfileOps.joinSkewTopK(t)),
+    // per-source distribution drift between snapshots (round-12): the
+    // accept/reject check before publishing an ingest — fully hash-gated
+    "drift_source_distribution" -> q(SnapshotOps.sourceDriftGate),
+    // inverted-index build + stored lookup (round-12): keyword queries
+    // answered from the persisted index vs the oracle's full scan
+    "index_inverted_lookup"    -> q(IndexOps.indexLookupGate),
     "events_sessions"          -> q(EventOps.userSessions),
     "events_click_to_purchase" -> q(EventOps.clickToPurchase),
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
@@ -1102,6 +1111,47 @@ object SparkEntry {
         |FROM orders, s
         |WHERE o_totalprice IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // join-skew: exact per-key frequencies and contributions restated;
+    // same (contribution desc, key asc) deterministic top-k both sides
+    "profile_join_skew" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       count(*) * count(*) AS contribution
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY contribution DESC, user_id LIMIT 10""".stripMargin,
+    // drift: the oracle re-derives snapshot B and restates every count,
+    // delta and 5% verdict (exact integer arithmetic end to end)
+    "drift_source_distribution" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |ca AS (SELECT source, count(*) AS n_a FROM documents GROUP BY source),
+        |cb AS (SELECT source, count(*) AS n_b FROM b GROUP BY source)
+        |SELECT coalesce(ca.source, cb.source) AS source,
+        |       coalesce(n_a, 0) AS n_a,
+        |       coalesce(n_b, 0) AS n_b,
+        |       coalesce(n_b, 0) - coalesce(n_a, 0) AS delta,
+        |       abs(coalesce(n_b, 0) - coalesce(n_a, 0)) * 20 > coalesce(n_a, 0)
+        |         AS drifted
+        |FROM ca FULL OUTER JOIN cb ON ca.source = cb.source
+        |ORDER BY 1""".stripMargin,
+    // inverted index: the oracle answers the same keyword queries by
+    // SCANNING (tokenize + membership per doc) — a hash match proves the
+    // stored index is complete and exact
+    "index_inverted_lookup" ->
+      """SELECT token, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |         unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents WHERE text IS NOT NULL)
+        |WHERE token IN ('spark', 'stream', 'join')
+        |GROUP BY token ORDER BY token""".stripMargin,
     // join-size estimate: exact terms restated (frequency dot product ==
     // join count); the sketch verdicts are oracle-stated TRUE and
     // independently recomputed at verify time

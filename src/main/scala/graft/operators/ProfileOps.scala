@@ -148,6 +148,22 @@ object ProfileOps {
       .crossJoin(broadcast(cmsJoinSizeRaw(a, "k", b, "k", depth, width)))
   }
 
+  /** Join-skew report — "which keys will dominate this join's output":
+    * top-k keys of the events×events self-join on user_id ranked by
+    * their output contribution f(k)² (the quantity AQE's skew-join
+    * split and manual salting decide on). Aggregation + top-k only —
+    * the join itself never runs; the report costs one groupBy and a
+    * TakeOrderedAndProject.
+    */
+  def joinSkewTopK(t: Tables, k: Int = 10): DataFrame =
+    t.events.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("contribution", col("n_events") * col("n_events"))
+      .orderBy(col("contribution").desc, col("user_id").asc)
+      .limit(k)
+      .select("user_id", "n_events", "contribution")
+
   /** Gate query: lineitem⋈part cardinality estimated from sketches vs
     * the exact size. The oracle states the exact terms and TRUE for the
     * two verdicts; GateInvariants recomputes both from

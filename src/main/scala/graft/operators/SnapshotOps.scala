@@ -458,6 +458,34 @@ object SnapshotOps {
     }
   }
 
+  /** Distribution-drift monitor — the check a recurring ingest runs
+    * before accepting a new snapshot: per-source document counts of the
+    * incoming snapshot vs the current one, flagged when a source moved
+    * more than 5% (|Δ|·20 > old — exact integer arithmetic, no float in
+    * the verdict). Sources appearing/disappearing count from/to zero via
+    * the full-outer join. Aggregation-only: both sides reduce to
+    * #sources rows before the one tiny join.
+    */
+  def sourceDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.groupBy("source").agg(count(lit(1)).as(as))
+    counts(a, "n_a").join(counts(b, "n_b"), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("delta", col("n_b") - col("n_a"))
+      .withColumn("drifted", abs(col("delta")) * 20 > col("n_a"))
+      .orderBy("source")
+  }
+
+  /** Gate query: drift of the synthetic next snapshot (B) against the
+    * base corpus — fully hash-gated (the oracle re-derives B and
+    * restates every count, delta, and verdict).
+    */
+  def sourceDriftGate(t: Tables): DataFrame =
+    sourceDrift(t.documents.select("doc_id", "source", "text"),
+      syntheticSnapshotB(t))
+
   /** Gate query: the table-history surface (DESCRIBE HISTORY shape) —
     * one row per version with its global doc count, char total, and
     * mod-2^48 digest sum. The oracle restates all three versions from

@@ -108,6 +108,20 @@ class ProfileOpsSpec extends SparkTestBase {
     assert(bad == 0L)
   }
 
+  test("join-skew report: contributions equal the true self-join group sizes") {
+    val got = ProfileOps.joinSkewTopK(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val freq = t.events.filter(col("user_id").isNotNull)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val expect = freq.toSeq.map { case (u, n) => (u, n, n * n) }
+      .sortBy { case (u, _, c) => (-c, u) }.take(10)
+    assert(got.toSeq == expect)
+    // each contribution IS that key's self-join output size
+    val hot = got.head._1
+    val selfJoin = t.events.filter(col("user_id") === hot).count()
+    assert(got.head._3 == selfJoin * selfJoin)
+  }
+
   test("analyze runs as ONE scan of orders") {
     val plan = ProfileOps.analyzeOrders(t).queryExecution.executedPlan.toString
     val scans = "orders\\.parquet".r.findAllIn(plan).length

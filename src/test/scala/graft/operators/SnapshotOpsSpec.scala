@@ -238,6 +238,27 @@ class SnapshotOpsSpec extends SparkTestBase {
     assert(hist(1).getAs[Long]("digest_sum") != hist(2).getAs[Long]("digest_sum"))
   }
 
+  test("sourceDrift: appear/disappear/stable/shifted sources each report correctly") {
+    import spark.implicits._
+    val a = (Seq.fill(100)("stable") ++ Seq.fill(100)("shrinks") ++
+      Seq.fill(40)("vanishes") ++ Seq.fill(100)("nudged"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, "t") }
+      .toDF("doc_id", "source", "text")
+    val b = (Seq.fill(100)("stable") ++ Seq.fill(80)("shrinks") ++
+      Seq.fill(30)("appears") ++ Seq.fill(104)("nudged"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, "t") }
+      .toDF("doc_id", "source", "text")
+    val got = SnapshotOps.sourceDrift(a, b).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("stable") == ((100L, 100L, 0L, false)))
+    assert(got("shrinks") == ((100L, 80L, -20L, true)))
+    assert(got("vanishes") == ((40L, 0L, -40L, true)))
+    assert(got("appears") == ((0L, 30L, 30L, true)))
+    // 4% move stays under the 5% fence: 4*20 = 80 <= 100
+    assert(got("nudged") == ((100L, 104L, 4L, false)))
+  }
+
   test("the full-outer exchange carries digests, never text") {
     val inputs = exchangeInputs(SnapshotOps.snapshotDiffStats(t))
     assert(inputs.nonEmpty)
