@@ -257,6 +257,12 @@ object SparkEntry {
     // the reproducible, insertion-stable split a 100 TB corpus needs;
     // the oracle replays every doc's assignment
     "split_hash_counts" -> q(CoreQueries.hashSplitGate),
+    // deterministic stratified sample (round-12): smallest-digest top-k
+    // per source — exactly k per stratum, row-by-row hash-gated
+    "sample_hash_stratified" -> q(t => CoreQueries.hashStratifiedSample(t)),
+    // column storage audit (round-12): per-column byte totals from
+    // footers vs DuckDB parquet_metadata() — zero data pages
+    "stats_column_sizes" -> q(t => sources.ParquetStats.columnSizesGate(t)),
     // KMV shard-sketch mergeability (round-11): per-source bottom-k
     // sketches merged (≤ #sources×k digests) must estimate EXACTLY what
     // one direct corpus-wide graft_kmv_distinct estimates — the theorem
@@ -2767,6 +2773,26 @@ object SparkEntry {
         |       TRUE AS storage_lossless,
         |       TRUE AS merged_in_band
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // column storage audit: byte totals per column chunk — DuckDB reads
+    // the same footers via parquet_metadata(); floor of the ×10 ratio is
+    // exact-integer on both sides (dir literal rewritten per SF)
+    "stats_column_sizes" ->
+      """SELECT path_in_schema AS "column",
+        |       CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+        |       CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
+        |       CAST(floor(sum(total_uncompressed_size) * 10 /
+        |                  sum(total_compressed_size)) AS BIGINT) AS compression_x10
+        |FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // deterministic stratified sample: the oracle replays the digest
+    // order row by row — exactly k per stratum on both engines
+    "sample_hash_stratified" ->
+      """SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     // two independent parquet implementations reading the same footers:
     // the engine aggregates row-group stats via parquet-hadoop, DuckDB
     // via parquet_metadata() — the dir literal is the verify scale and

@@ -503,6 +503,22 @@ object CoreQueries {
         max("bucket").as("max_bucket"))
       .orderBy("split")
 
+  /** Deterministic stratified sampling — per source, the k docs with the
+    * smallest key digests. The hash IS the random order (uniform,
+    * engine-independent), so unlike `sampleBy` the sample is exactly k
+    * per stratum, reproducible anywhere, and hash-gateable row by row.
+    * Plans as partial per-partition top-k (WindowGroupLimit) before the
+    * per-source exchange — ≤ k×partitions rows shuffle, never the corpus.
+    */
+  def hashStratifiedSample(t: Tables, k: Int = 5): DataFrame =
+    t.documents
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select("source", "doc_id", "n_chars", "rk")
+      .orderBy("source", "rk")
+
   /** F10: monotonically_increasing_id — unique but partition-dependent
     * (SURVEY §2.8 quirk: ids are not stable between runs/layouts); the spec
     * checks uniqueness, the hash gate is [[rowIdsGate]].

@@ -704,6 +704,75 @@ object ParquetStats {
   }
 
   // ---------------------------------------------------------------------
+  // Column storage audit — compressed/uncompressed bytes per column from
+  // footers alone (the "what is this table's storage actually spent on"
+  // report behind encoding and retention decisions; at 100 TB the answer
+  // decides which columns get dictionary/ZSTD attention).
+  // ---------------------------------------------------------------------
+
+  /** Per-column byte totals across every file under `dir`, summed over
+    * row-group column chunks from footer metadata only — same
+    * distributed footer sweep as [[footerStats]] (executors read
+    * footers, never data pages). `compression_x10` is the ratio
+    * uncompressed/compressed ×10 floored to an exact integer, so the
+    * gate carries no floats.
+    */
+  def columnSizes(t: Tables, dir: String): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = {
+      val it = fs.listFiles(dirPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          buf += s.getPath.toString
+      }
+      buf.toSeq.sorted
+    }
+    val confEntries: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap
+    }
+    spark.createDataset(paths)
+      .repartition(math.min(paths.size, 32).max(1))
+      .flatMap { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala.map { c =>
+              (c.getPath.toDotString, c.getTotalSize,
+                c.getTotalUncompressedSize)
+            }
+          }
+        } finally reader.close()
+      }
+      .toDF("column", "compressed", "uncompressed")
+      .groupBy("column")
+      .agg(
+        sum("compressed").cast("long").as("compressed_bytes"),
+        sum("uncompressed").cast("long").as("uncompressed_bytes"))
+      .withColumn("compression_x10",
+        floor(col("uncompressed_bytes") * 10 / col("compressed_bytes"))
+          .cast("long"))
+      .orderBy("column")
+  }
+
+  /** Gate query: the documents table's storage audit, vs DuckDB's
+    * `parquet_metadata()` reading the same footers independently.
+    */
+  def columnSizesGate(t: Tables): DataFrame =
+    columnSizes(t, s"${t.dir}/documents.parquet")
+
+  // ---------------------------------------------------------------------
   // Metadata-only aggregation — COUNT/MIN/MAX answered from footers
   // alone, ZERO data pages read (the scan a 100 TB `SELECT count(*),
   // min(k), max(k)` should never need; Spark's own

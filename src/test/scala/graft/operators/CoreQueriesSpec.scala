@@ -334,6 +334,25 @@ class CoreQueriesSpec extends SparkTestBase {
     assert(inBand(rows("test").getAs[Long]("n_docs"), 26.0 / 256))
   }
 
+  test("hash-stratified sample: exactly k per stratum, deterministic, partial top-k plan") {
+    val k = 5
+    val rows = CoreQueries.hashStratifiedSample(t, k).collect()
+    val perSource = rows.groupBy(_.getString(0))
+    val nSources = t.documents.select("source").distinct().count()
+    assert(perSource.size == nSources)
+    perSource.values.foreach { g =>
+      assert(g.length == k)
+      assert(g.map(_.getInt(3)).sorted.toSeq == (1 to k))
+    }
+    // rerun: identical rows (no RNG state anywhere)
+    val again = CoreQueries.hashStratifiedSample(t, k).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // rank filter pushed below the exchange: partial per-partition top-k
+    val plan = CoreQueries.hashStratifiedSample(t, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("hash split is deterministic and insertion-stable (a doc's split never changes)") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")

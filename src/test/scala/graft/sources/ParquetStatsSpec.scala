@@ -309,6 +309,31 @@ class ParquetStatsSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_value") == 2L)
   }
 
+  test("column sizes: every schema column audited, byte totals consistent") {
+    val rows = ParquetStats.columnSizesGate(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == t.documents.columns.toSet)
+    rows.values.foreach { r =>
+      val c = r.getAs[Long]("compressed_bytes")
+      val u = r.getAs[Long]("uncompressed_bytes")
+      assert(c > 0 && u > 0)
+      assert(r.getAs[Long]("compression_x10") ==
+        math.floor(u.toDouble * 10 / c).toLong)
+    }
+    // the audit totals cover the file: sum of compressed column bytes is
+    // within the physical file size (footer/header overhead on top)
+    val root = new java.io.File(s"${t.dir}/documents.parquet")
+    val fileBytes =
+      if (root.isFile) root.length
+      else root.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    val sumCompressed = rows.values.map(_.getAs[Long]("compressed_bytes")).sum
+    assert(sumCompressed <= fileBytes,
+      s"column bytes $sumCompressed exceed file bytes $fileBytes")
+    assert(sumCompressed * 10 >= fileBytes * 8,
+      "column chunks should account for the bulk of the file")
+  }
+
   test("null counts surface in the stats table") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stats_nulls").toString
