@@ -70,7 +70,17 @@ object Plans {
       "agg_incremental_rollup (delta-only refresh: no exchange carries corpus text)" ->
         operators.SnapshotOps.incrementalRollupGate(t),
       "sketch_kmv_merge (per-shard WindowGroupLimit + 1-row merged-estimate broadcast)" ->
-        operators.CoreQueries.sketchKmvMerge(t))
+        operators.CoreQueries.sketchKmvMerge(t),
+      "text_bm25_topk (query-filtered explode, broadcast df/stats, TakeOrderedAndProject)" ->
+        operators.TextOps.bm25TopK(t),
+      "events_funnel (single user exchange, array-expression step times, no per-step self-joins)" ->
+        operators.EventOps.funnelCounts(t),
+      "dq_constraint_report (one agg pass per table + anti-join orphan counts, 1-row broadcasts)" ->
+        operators.DataQualityOps.constraintReport(t),
+      "profile_join_size_cms (two sketch aggs joined on (row,bucket), the join never runs)" ->
+        operators.ProfileOps.cmsJoinSizeGate(t),
+      "sample_hash_stratified (WindowGroupLimit partial top-k per stratum)" ->
+        operators.CoreQueries.hashStratifiedSample(t))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
