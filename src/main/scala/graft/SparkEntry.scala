@@ -150,6 +150,9 @@ object SparkEntry {
     // inverted-index build + stored lookup (round-12): keyword queries
     // answered from the persisted index vs the oracle's full scan
     "index_inverted_lookup"    -> q(IndexOps.indexLookupGate),
+    // incremental index maintenance (round-12): postings refreshed from
+    // the CDC batch — proven equal to a full rebuild of snapshot B
+    "index_incremental_lookup" -> q(IndexOps.incrementalIndexLookupGate),
     "events_sessions"          -> q(EventOps.userSessions),
     "events_click_to_purchase" -> q(EventOps.clickToPurchase),
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
@@ -1156,6 +1159,26 @@ object SparkEntry {
         |  SELECT doc_id, n_chars,
         |         unnest(list_distinct(string_split(text, ' '))) AS token
         |  FROM documents WHERE text IS NOT NULL)
+        |WHERE token IN ('spark', 'stream', 'join')
+        |GROUP BY token ORDER BY token""".stripMargin,
+    // maintained index: the oracle derives snapshot B and answers the
+    // same keyword queries by tokenizing scan — n_chars from length(text)
+    // on both sides
+    "index_incremental_lookup" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT token, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM b WHERE text IS NOT NULL)
         |WHERE token IN ('spark', 'stream', 'join')
         |GROUP BY token ORDER BY token""".stripMargin,
     // join-size estimate: exact terms restated (frequency dot product ==

@@ -36,6 +36,21 @@ class IndexOpsSpec extends SparkTestBase {
     assert(stored.select("token", "doc_id").distinct().count() == expected)
   }
 
+  test("incremental index refresh equals a full rebuild of the next snapshot") {
+    val base = IndexOps.postings(t.documents.select("doc_id", "text"))
+    val refreshed = IndexOps.incrementalIndexUpdate(
+      base, SnapshotOps.syntheticChanges(t))
+    val rebuild = IndexOps.postings(
+      SnapshotOps.syntheticSnapshotB(t).select("doc_id", "text"))
+    assert(refreshed.exceptAll(rebuild).isEmpty &&
+      rebuild.exceptAll(refreshed).isEmpty,
+      "maintained postings diverge from a full rebuild")
+    // deleted docs leave no orphan postings
+    val deleted = SnapshotOps.syntheticChanges(t)
+      .filter(col("op") === "delete").select("doc_id")
+    assert(refreshed.join(deleted, "doc_id").count() == 0)
+  }
+
   test("lookups never scan the corpus: the plan reads the index dir only") {
     val plan = IndexOps.indexLookupGate(t).queryExecution.executedPlan.toString
     assert(!plan.contains("documents.parquet"),
