@@ -134,6 +134,9 @@ object SparkEntry {
     // ordered conversion funnel (round-12): one exchange, array-expression
     // step times; the oracle derives the steps via correlated min-joins
     "events_funnel"            -> q(EventOps.funnelCounts),
+    // hourly volume anomalies (round-12): trailing-24h fence via exact
+    // integer cross-multiplication — fully hash-gated
+    "events_hourly_anomaly"    -> q(EventOps.hourlyAnomalies),
     // profiling (round-12): equi-width histogram + ANALYZE-style per-column
     // stats — the optimizer/drift-monitoring surface, fully hash-gated
     "profile_histogram"        -> q(ProfileOps.priceHistogram),
@@ -1088,6 +1091,25 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // anomalies: same hourly pre-agg + trailing ROWS window restated; the
+    // verdict is integer cross-multiplication on both sides
+    "events_hourly_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tw AS (
+        |  SELECT event_type, hour_start, n,
+        |         coalesce(sum(n) OVER w, 0) AS trailing_sum,
+        |         count(n) OVER w AS trailing_n
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_start, n,
+        |       CAST(trailing_sum AS BIGINT) AS trailing_sum,
+        |       n * trailing_n > trailing_sum * 2 AS anomalous
+        |FROM tw WHERE trailing_n = 24
+        |ORDER BY event_type, hour_start""".stripMargin,
     // funnel: the oracle derives each step via correlated min-joins (a
     // third formulation vs the engine's single-exchange array expressions)
     // — strictly-after semantics at every hop

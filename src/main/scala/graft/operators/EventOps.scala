@@ -332,6 +332,33 @@ object EventOps {
       .withColumnRenamed("ts", "click_ts")
   }
 
+  /** Hourly volume-anomaly detection — per (event_type, hour), flag hours
+    * whose count exceeds 2× the trailing-24h average (the
+    * monitoring-alert query over an event firehose). The verdict is
+    * exact-integer cross-multiplication (`n·w > 2·Σ` — no division, no
+    * float), so the whole report hash-gates. One exchange: the hourly
+    * pre-aggregation; the trailing window then runs over #types×#hours
+    * rows, never raw events.
+    */
+  def hourlyAnomalies(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_start")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("trailing_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trailing_n", count(col("n")).over(w))
+      // a verdict needs a full window: the first 24 hours per type warm up
+      .filter(col("trailing_n") === 24)
+      .withColumn("anomalous",
+        col("n") * col("trailing_n") > col("trailing_sum") * 2)
+      .select("event_type", "hour_start", "n", "trailing_sum", "anomalous")
+      .orderBy("event_type", "hour_start")
+  }
+
   /** Ordered funnel analysis — view → click → purchase, each step STRICTLY
     * after the previous step's earliest completion (the product-analytics
     * "conversion funnel" query). The naive formulation is one self-join

@@ -490,6 +490,33 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(counts(2) > 0, "fixture should convert at least one user")
   }
 
+  test("hourly anomalies: verdicts match a brute-force trailing-window recompute; a planted spike fires") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // hand-built: 30 quiet hours at n=4, then one hour with n=20 (5x)
+    val rows = (0 until 30).flatMap { h =>
+      val per = if (h == 28) 20 else 4
+      (0 until per).map(i =>
+        (new Timestamp((h * 3600L + i * 60L + 1) * 1000), "click"))
+    }.toDF("ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    rows.withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.hourlyAnomalies(graft.core.Tables(spark, dir))
+      .select(unix_seconds(col("hour_start").cast("timestamp")),
+        col("n"), col("anomalous"))
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (hs, n, a) => hs -> ((n, a)) }.toMap
+    // warm-up: first 24 hours absent; hours 24..29 present
+    assert(got.size == 6)
+    assert(got(28 * 3600L) == ((20L, true)), "the planted spike must fire")
+    (Seq(24, 25, 26, 27, 29)).foreach { h =>
+      assert(!got(h * 3600L)._2, s"quiet hour $h flagged")
+    }
+  }
+
   test("funnel: a click BEFORE the first view never counts as step 2") {
     import spark.implicits._
     import java.sql.Timestamp
