@@ -251,6 +251,9 @@ object SparkEntry {
     "merge_apply_multibatch" -> q(SnapshotOps.multibatchApplyRoundtrip),
     "merge_apply_compacted" -> q(SnapshotOps.compactedApplyRoundtrip),
     "agg_incremental_rollup_multi" -> q(SnapshotOps.incrementalRollupMultiGate),
+    // retention purge (round-12): right-to-be-forgotten through the
+    // changelog chain — purge-commutes-with-apply, oracle filters after
+    "retention_purge" -> q(SnapshotOps.retentionPurgeRoundtrip),
     // time travel (round-12): versioned reads over the base+changelog
     // chain — DESCRIBE HISTORY shape, one row per version, every version
     // proven to reconstruct exactly against the oracle's own derivations
@@ -2615,6 +2618,29 @@ object SparkEntry {
          |            % 281474976710656 AS BIGINT) AS digest_sum
          |FROM h GROUP BY source""".stripMargin
     },
+    // purge: the oracle derives C and filters AFTER the fact — a hash
+    // match proves purging base+changelog commutes with reconstruction
+    "retention_purge" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM b WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552 AS doc_id, source, text
+        |  FROM b WHERE doc_id % 21 = 0)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+        |       min(md5(text)) AS min_digest,
+        |       max(md5(text)) AS max_digest
+        |FROM c WHERE doc_id % 17 <> 3
+        |GROUP BY source""".stripMargin,
     // time travel: the oracle restates every version's global rollup from
     // its own A/B/C derivations — same nibble digest arithmetic as the
     // maintained-rollup oracles, mod-2^48 BIGINT digest sums

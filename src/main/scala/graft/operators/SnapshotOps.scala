@@ -436,6 +436,38 @@ object SnapshotOps {
   }
 
   // ---------------------------------------------------------------------
+  // Retention purge — right-to-be-forgotten through the changelog chain.
+  // ---------------------------------------------------------------------
+
+  /** Remove a set of doc ids from a snapshot or a CDC feed — the
+    * compliance primitive: purging a key from the BASE and from every
+    * STORED changelog batch (not just the latest materialization)
+    * guarantees no future apply or time-travel read resurrects it.
+    * Anti-join against the id list; at 100 TB the purge list is a small
+    * table and broadcasts.
+    */
+  def purgeIds(df: DataFrame, ids: DataFrame): DataFrame =
+    df.join(broadcast(ids), Seq("doc_id"), "left_anti")
+
+  /** Gate query: purge-commutes-with-apply — the theorem that makes
+    * changelog purging SOUND: merge is per-key, so purging a key from
+    * base and feed equals filtering the reconstructed snapshot. The
+    * engine reconstructs the second-hop snapshot from PURGED inputs
+    * (purged base, purged compacted feed); the oracle states the rollup
+    * of its C derivation filtered AFTER the fact — a hash match proves
+    * no purged key survives any lineage path (update chains, re-inserts,
+    * deletes) and no innocent key is lost.
+    */
+  def retentionPurgeRoundtrip(t: Tables): DataFrame = {
+    val a = t.documents.select("doc_id", "source", "text")
+    val feed = compactChanges(syntheticChanges(t), syntheticChanges2(t))
+    // the purge list: every id (base or feed-introduced) ≡ 3 mod 17 (coprime with the chain's own mod-5/7/9 filters, so the purge provably bites)
+    val ids = a.select("doc_id").unionByName(feed.select("doc_id"))
+      .distinct().filter(col("doc_id") % 17 === 3)
+    contentRollup(mergeApply(purgeIds(a, ids), purgeIds(feed, ids)))
+  }
+
+  // ---------------------------------------------------------------------
   // Time travel — versioned reads over the base-plus-changelog chain.
   // ---------------------------------------------------------------------
 

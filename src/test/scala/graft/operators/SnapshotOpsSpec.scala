@@ -210,6 +210,25 @@ class SnapshotOpsSpec extends SparkTestBase {
       "refresh probe still scans the corpus")
   }
 
+  test("retention purge: purge-before-apply equals filter-after-apply, and no purged id survives") {
+    val a = t.documents.select("doc_id", "source", "text")
+    val feed = SnapshotOps.compactChanges(
+      SnapshotOps.syntheticChanges(t), SnapshotOps.syntheticChanges2(t))
+    val ids = a.select("doc_id").unionByName(feed.select("doc_id"))
+      .distinct().filter(col("doc_id") % 17 === 3)
+    val purged = SnapshotOps.mergeApply(
+      SnapshotOps.purgeIds(a, ids), SnapshotOps.purgeIds(feed, ids))
+    val filtered = SnapshotOps.syntheticSnapshotC(t)
+      .filter(col("doc_id") % 17 =!= 3)
+    assert(purged.exceptAll(filtered).isEmpty &&
+      filtered.exceptAll(purged).isEmpty,
+      "purge does not commute with apply")
+    assert(purged.filter(col("doc_id") % 17 === 3).count() == 0)
+    // the purge genuinely removed something
+    assert(purged.count() <
+      SnapshotOps.syntheticSnapshotC(t).count())
+  }
+
   test("time travel: each version reconstructs its snapshot exactly") {
     val a = t.documents.select("doc_id", "source", "text")
     val b = SnapshotOps.syntheticSnapshotB(t)
