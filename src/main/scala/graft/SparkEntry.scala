@@ -1094,24 +1094,27 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
-    // anomalies: same hourly pre-agg + trailing ROWS window restated; the
-    // verdict is integer cross-multiplication on both sides
+    // anomalies: same hourly pre-agg + trailing RANGE window over the
+    // epoch-hour index (true calendar window, gap-safe); the verdict is
+    // integer cross-multiplication on both sides
     "events_hourly_anomaly" ->
       """WITH h AS (
-        |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        |         count(*) AS n
-        |  FROM events GROUP BY 1, 2),
+        |  SELECT date_trunc('hour', ts) AS hour_start,
+        |         epoch(date_trunc('hour', ts)) // 3600 AS epoch_hour,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
         |tw AS (
         |  SELECT event_type, hour_start, n,
-        |         coalesce(sum(n) OVER w, 0) AS trailing_sum,
+        |         sum(n) OVER w AS trailing_sum,
         |         count(n) OVER w AS trailing_n
         |  FROM h
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
-        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_hour
+        |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, hour_start, n,
         |       CAST(trailing_sum AS BIGINT) AS trailing_sum,
+        |       CAST(trailing_n AS BIGINT) AS trailing_n,
         |       n * trailing_n > trailing_sum * 2 AS anomalous
-        |FROM tw WHERE trailing_n = 24
+        |FROM tw WHERE trailing_n >= 12
         |ORDER BY event_type, hour_start""".stripMargin,
     // funnel: the oracle derives each step via correlated min-joins (a
     // third formulation vs the engine's single-exchange array expressions)
@@ -2465,8 +2468,12 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     // BM25 restated end-to-end: same Lucene formula, same 6-decimal
     // floor-rounding per term score, same DECIMAL accumulation per doc,
-    // same (score desc, doc_id) tie-break — every float op is either
-    // exact-integer-derived or identically ordered on both engines
+    // same (score desc, doc_id) tie-break. Every numeric literal is
+    // e-notation so DuckDB parses DOUBLE, not DECIMAL — a DECIMAL
+    // intermediate (e.g. exact tf·(1.2+1)) converts to double ONCE where
+    // Spark's all-double pipeline rounds at each op, a 1-ulp divergence
+    // on ~19% of inputs (measured) that a floor edge would turn into a
+    // hash mismatch — the round-11 agg_incremental_rollup failure class
     "text_bm25_topk" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks
@@ -2481,11 +2488,11 @@ object SparkEntry {
         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
         |ts AS (
         |  SELECT tf.doc_id,
-        |         floor(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-        |               (tf.tf * (1.2 + 1)) /
-        |               (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl /
+        |         floor(ln(1e0 + (s.n_docs - df.df + 5e-1) / (df.df + 5e-1)) *
+        |               (tf.tf * (1.2e0 + 1e0)) /
+        |               (tf.tf + 1.2e0 * ((1e0 - 7.5e-1) + 7.5e-1 * dl.dl /
         |                 (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-        |               * 1000000 + 0.5) / 1000000 AS term_score
+        |               * 1e6 + 5e-1) / 1e6 AS term_score
         |  FROM tf
         |  JOIN df USING (w)
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -2545,9 +2552,8 @@ object SparkEntry {
     // engines), % 21 re-added under +2^41 — and states rollup(C)
     // directly. Sequential-apply and compacted-apply are two independent
     // engine paths against this ONE oracle.
-    "merge_apply_multibatch" -> {
-      val cRollup =
-        """WITH b AS (
+    "merge_apply_multibatch" ->
+      """WITH b AS (
           |  SELECT doc_id, source,
           |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
           |  FROM documents WHERE doc_id % 7 <> 0
@@ -2565,12 +2571,9 @@ object SparkEntry {
           |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
           |       min(md5(text)) AS min_digest,
           |       max(md5(text)) AS max_digest
-          |FROM c GROUP BY source""".stripMargin
-      cRollup
-    },
-    "merge_apply_compacted" -> {
-      val cRollup =
-        """WITH b AS (
+          |FROM c GROUP BY source""".stripMargin,
+    "merge_apply_compacted" ->
+      """WITH b AS (
           |  SELECT doc_id, source,
           |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
           |  FROM documents WHERE doc_id % 7 <> 0
@@ -2588,9 +2591,7 @@ object SparkEntry {
           |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
           |       min(md5(text)) AS min_digest,
           |       max(md5(text)) AS max_digest
-          |FROM c GROUP BY source""".stripMargin
-      cRollup
-    },
+          |FROM c GROUP BY source""".stripMargin,
     // maintained rollup through BOTH batches — same C derivation, stated
     // in the rollupStats shape (mod-2^48 BIGINT digest sums)
     "agg_incremental_rollup_multi" -> {

@@ -36,9 +36,16 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        GateInvariants.checkMagnitudes(name, df)
-        GateInvariants.check(name, df, fn, spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // ONE execution of the gate plan: collect, then run the magnitude
+        // check driver-side and replay the invariants + parquet write
+        // from a local frame over the collected rows (gate outputs are
+        // small by design; the expensive DAG used to run 2-3×)
+        val rows = df.collect()
+        GateInvariants.checkMagnitudesRows(name, df.schema, rows)
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+        GateInvariants.check(name, local, fn, spark, sfDir)
+        local.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -148,40 +155,45 @@ object GateInvariants {
     * future gate can reintroduce a value a float-canonicalizing hasher
     * would mangle. One aggregate pass per gate at verify time.
     */
-  def checkMagnitudes(name: String, df: DataFrame): Unit = {
+  def checkMagnitudes(name: String, df: DataFrame): Unit =
+    checkMagnitudesRows(name, df.schema, df.collect())
+
+  /** Driver-side twin over already-collected rows — what Verify's main
+    * loop calls so the gate plan executes exactly once (collect), not
+    * once per check plus once for the write.
+    */
+  def checkMagnitudesRows(name: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          rows: Array[org.apache.spark.sql.Row]): Unit = {
     import org.apache.spark.sql.types._
     val bound = 9007199254740992.0 // 2^53
-    def numericAbs(c: org.apache.spark.sql.Column, dt: DataType)
-        : Option[org.apache.spark.sql.Column] = dt match {
-      case FloatType | DoubleType =>
-        Some(max(when(!isnan(c), abs(c.cast("double")))))
-      case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
-        Some(max(abs(c.cast("double"))))
-      case _ => None
+    def chk(column: String, v: Double): Unit =
+      require(v.isNaN || math.abs(v) < bound, // NaN canonicalizes symbolically
+        s"invariant: gate '$name' column '$column' emits " +
+          f"|value| = $v%.0f >= 2^53 — not exactly float-representable; " +
+          "bound the gate's arithmetic (mod-2^48 digests, hex strings)")
+    def chkAny(column: String, v: Any): Unit = v match {
+      case null => ()
+      case d: java.math.BigDecimal => chk(column, d.doubleValue)
+      case d: scala.math.BigDecimal => chk(column, d.doubleValue)
+      case n: java.lang.Number => chk(column, n.doubleValue)
+      case _ => ()
     }
-    val checks = df.schema.fields.toSeq.flatMap { f =>
+    val numericIdx = schema.fields.zipWithIndex.filter { case (f, _) =>
       f.dataType match {
-        case ArrayType(FloatType | DoubleType, _) =>
-          Some(max(array_max(filter(
-            transform(col(s"`${f.name}`"), x => abs(x.cast("double"))),
-            v => !isnan(v)))).as(f.name))
-        case ArrayType(ByteType | ShortType | IntegerType | LongType |
-            _: DecimalType, _) =>
-          Some(max(array_max(
-            transform(col(s"`${f.name}`"), x => abs(x.cast("double")))))
-            .as(f.name))
-        case dt => numericAbs(col(s"`${f.name}`"), dt).map(_.as(f.name))
+        case FloatType | DoubleType | ByteType | ShortType | IntegerType |
+            LongType | _: DecimalType => true
+        case ArrayType(FloatType | DoubleType | ByteType | ShortType |
+            IntegerType | LongType | _: DecimalType, _) => true
+        case _ => false
       }
     }
-    if (checks.nonEmpty) {
-      val row = df.agg(checks.head, checks.tail: _*).head()
-      checks.indices.foreach { i =>
-        if (!row.isNullAt(i)) {
-          val v = row.getDouble(i)
-          require(v < bound,
-            s"invariant: gate '$name' column '${row.schema(i).name}' emits " +
-              f"|value| = $v%.0f >= 2^53 — not exactly float-representable; " +
-              "bound the gate's arithmetic (mod-2^48 digests, hex strings)")
+    if (numericIdx.nonEmpty) rows.foreach { r =>
+      numericIdx.foreach { case (f, i) =>
+        if (!r.isNullAt(i)) f.dataType match {
+          case _: ArrayType =>
+            r.getSeq[Any](i).foreach(chkAny(f.name, _))
+          case _ => chkAny(f.name, r.get(i))
         }
       }
     }
@@ -809,7 +821,8 @@ object GateInvariants {
         row.getAs[Long]("exact_size") == exact,
         "invariant: gate terms disagree with recomputation")
       val indepUnder = est >= exact
-      val indepBound = est.toDouble <= exact.toDouble + 5.0 * nL * nR / 65536.0
+      val indepBound = est.toDouble <= exact.toDouble +
+        operators.ProfileOps.cmsJoinSlack(nL, nR, operators.ProfileOps.cmsJoinWidth)
       require(row.getAs[Boolean]("never_under") == indepUnder,
         s"invariant: never_under disagrees ($est vs $exact)")
       require(row.getAs[Boolean]("within_bound") == indepBound,

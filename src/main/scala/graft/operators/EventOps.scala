@@ -334,28 +334,35 @@ object EventOps {
 
   /** Hourly volume-anomaly detection — per (event_type, hour), flag hours
     * whose count exceeds 2× the trailing-24h average (the
-    * monitoring-alert query over an event firehose). The verdict is
-    * exact-integer cross-multiplication (`n·w > 2·Σ` — no division, no
-    * float), so the whole report hash-gates. One exchange: the hourly
-    * pre-aggregation; the trailing window then runs over #types×#hours
-    * rows, never raw events.
+    * monitoring-alert query over an event firehose). The trailing frame
+    * is a RANGE window over the epoch-hour index — a true 24-CALENDAR-hour
+    * baseline, so hour gaps shrink the observed sample instead of
+    * silently stretching the window back in time (the ROWS-frame bug
+    * class); a verdict is emitted once at least half the baseline window
+    * (≥12 observed hours) exists. The verdict itself is exact-integer
+    * cross-multiplication (`n·w > 2·Σ` — no division, no float), so the
+    * whole report hash-gates. One exchange: the hourly pre-aggregation;
+    * the window then runs over #types×#hours rows, never raw events.
     */
   def hourlyAnomalies(t: Tables): DataFrame = {
     val hourly = t.events
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("epoch_hour",
+        (unix_micros(col("hour_start").cast("timestamp")) / 3600000000L)
+          .cast("long"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("hour_start")
-      .rowsBetween(-24, -1)
+      .partitionBy("event_type").orderBy("epoch_hour")
+      .rangeBetween(-24, -1)
     hourly
-      .withColumn("trailing_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trailing_sum", sum(col("n")).over(w))
       .withColumn("trailing_n", count(col("n")).over(w))
-      // a verdict needs a full window: the first 24 hours per type warm up
-      .filter(col("trailing_n") === 24)
+      .filter(col("trailing_n") >= 12)
       .withColumn("anomalous",
         col("n") * col("trailing_n") > col("trailing_sum") * 2)
-      .select("event_type", "hour_start", "n", "trailing_sum", "anomalous")
+      .select("event_type", "hour_start", "n", "trailing_sum",
+        "trailing_n", "anomalous")
       .orderBy("event_type", "hour_start")
   }
 
@@ -394,10 +401,12 @@ object EventOps {
     * semantics, not just event counts.
     */
   def funnelCounts(t: Tables): DataFrame =
+    // count(col), not sum(when): a corpus with zero funnel events must
+    // report 0 per stage like the oracle's count(*), never a NULL row
     funnelSteps(t).agg(
-      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("u1"),
-      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("u2"),
-      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("u3"))
+      count(col("t1")).as("u1"),
+      count(col("t2")).as("u2"),
+      count(col("t3")).as("u3"))
       .select(expr(
         """stack(3,
           |  'step1_view',     u1,

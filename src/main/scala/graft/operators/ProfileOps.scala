@@ -127,13 +127,25 @@ object ProfileOps {
       .agg(min(col("ip")).cast("long").as("est_size"))
   }
 
+  /** The gate's default sketch width — shared with `GateInvariants` so
+    * the emitted `within_bound` and the independent recomputation use
+    * definitionally the same slack.
+    */
+  val cmsJoinWidth: Int = 65536
+
+  /** The Markov overshoot slack at the min over depth rows:
+    * 5·|A|·|B|/width. One definition for the gate AND the invariant.
+    */
+  def cmsJoinSlack(nLeft: Long, nRight: Long, width: Int): Double =
+    5.0 * nLeft * nRight / width
+
   /** Raw one-row estimate frame — the recompute seam for
     * `GateInvariants` and the spec: (n_left, n_right, exact_size,
     * est_size). `exact_size` comes from the frequency-vector dot product
     * (Σ_k fA(k)·fB(k)), never a materialized join.
     */
   def cmsJoinSizeEstimates(t: Tables, depth: Int = 5,
-                           width: Int = 65536): DataFrame = {
+                           width: Int = cmsJoinWidth): DataFrame = {
     val a = t.lineitem.select(col("l_partkey").as("k"))
     val b = t.part.select(col("p_partkey").as("k"))
     val fa = a.groupBy("k").agg(count(lit(1)).as("fa"))
@@ -173,7 +185,7 @@ object ProfileOps {
     *    the per-row expectation, taken at the min over depth rows).
     */
   def cmsJoinSizeGate(t: Tables, depth: Int = 5,
-                      width: Int = 65536): DataFrame =
+                      width: Int = cmsJoinWidth): DataFrame =
     cmsJoinSizeEstimates(t, depth, width).select(
       col("n_left"), col("n_right"), col("exact_size"),
       (col("est_size") >= col("exact_size")).as("never_under"),

@@ -21,6 +21,47 @@ import org.apache.spark.sql.functions._
   */
 object ParquetStats {
 
+  /** Recursive parquet listing through the Hadoop FS interface (what an
+    * object store exposes), not java.io — the same posture as
+    * LayoutOps.parquetBytes. Recursion covers hive-partitioned layouts
+    * (bucket=N/ subdirs) with the same sweep as flat dirs; non-parquet
+    * markers (_SUCCESS) filter out. Shared by every footer sweep in this
+    * file so a listing fix can never drift between them.
+    */
+  private[sources] def listParquetFiles(t: Tables, dir: String): Seq[String] = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(dirPath, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        buf += s.getPath.toString
+    }
+    buf.toSeq.sorted
+  }
+
+  /** The session's Hadoop conf as plain entries, shippable to executors
+    * (object-store credentials/endpoints live there; Configuration
+    * itself is not serializable and Spark's wrapper is private).
+    */
+  private[sources] def hadoopConfEntries(t: Tables): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    t.spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+  }
+
+  /** Executor-side footer open from a shipped conf-entry map. */
+  private[sources] def openFooterReader(
+      p: String, confEntries: Map[String, String])
+      : org.apache.parquet.hadoop.ParquetFileReader = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf))
+  }
+
   /** One row per (file, INT64 column): total rows, null count, min, max
     * — aggregated across the file's row groups from footer statistics
     * only, skipping stats-less groups the way a SQL min/max over the
@@ -32,40 +73,13 @@ object ParquetStats {
                   cols: Seq[String]): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    // list through the Hadoop FS interface (what an object store exposes),
-    // not java.io — the same posture as LayoutOps.parquetBytes. The
-    // listing is RECURSIVE so hive-partitioned layouts (bucket=N/
-    // subdirs, as [[bucketLayoutsDir]] writes) are covered by the same
-    // stats sweep as flat dirs; non-parquet markers (_SUCCESS) filter out
-    val dirPath = new org.apache.hadoop.fs.Path(fileGlobDir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = {
-      val it = fs.listFiles(dirPath, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-          buf += s.getPath.toString
-      }
-      buf.toSeq.sorted
-    }
+    val paths = listParquetFiles(t, fileGlobDir)
     val wanted = cols.toSet
-    // ship the session's Hadoop conf to executors as plain entries
-    // (object-store credentials/endpoints live there; Configuration
-    // itself is not serializable and Spark's wrapper is private)
-    val confEntries: Map[String, String] = {
-      import scala.jdk.CollectionConverters._
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap
-    }
+    val confEntries = hadoopConfEntries(t)
     spark.createDataset(paths)
       .repartition(math.min(paths.size, 32).max(1))
       .flatMap { p =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p), conf))
+        val reader = openFooterReader(p, confEntries)
         try {
           import scala.jdk.CollectionConverters._
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -294,32 +308,13 @@ object ParquetStats {
                                            cols: Seq[String]): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val dirPath = new org.apache.hadoop.fs.Path(fileGlobDir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = {
-      val it = fs.listFiles(dirPath, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-          buf += s.getPath.toString
-      }
-      buf.toSeq.sorted
-    }
+    val paths = listParquetFiles(t, fileGlobDir)
     val wanted = cols.toSet
-    val confEntries: Map[String, String] = {
-      import scala.jdk.CollectionConverters._
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap
-    }
+    val confEntries = hadoopConfEntries(t)
     spark.createDataset(paths)
       .repartition(math.min(paths.size, 32).max(1))
       .flatMap { p =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p), conf))
+        val reader = openFooterReader(p, confEntries)
         try {
           import scala.jdk.CollectionConverters._
           import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -580,31 +575,12 @@ object ParquetStats {
                         key: Long): (DataFrame, Int, Int) = {
     val spark = t.spark
     import spark.implicits._
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = {
-      val it = fs.listFiles(dirPath, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-          buf += s.getPath.toString
-      }
-      buf.toSeq.sorted
-    }
-    val confEntries: Map[String, String] = {
-      import scala.jdk.CollectionConverters._
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap
-    }
+    val paths = listParquetFiles(t, dir)
+    val confEntries = hadoopConfEntries(t)
     val flags = spark.createDataset(paths)
       .repartition(math.min(paths.size, 32).max(1))
       .map { p =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p), conf))
+        val reader = openFooterReader(p, confEntries)
         try {
           import scala.jdk.CollectionConverters._
           val mightContain = reader.getFooter.getBlocks.asScala.exists { b =>
@@ -720,31 +696,12 @@ object ParquetStats {
   def columnSizes(t: Tables, dir: String): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = {
-      val it = fs.listFiles(dirPath, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-          buf += s.getPath.toString
-      }
-      buf.toSeq.sorted
-    }
-    val confEntries: Map[String, String] = {
-      import scala.jdk.CollectionConverters._
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap
-    }
+    val paths = listParquetFiles(t, dir)
+    val confEntries = hadoopConfEntries(t)
     spark.createDataset(paths)
       .repartition(math.min(paths.size, 32).max(1))
       .flatMap { p =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p), conf))
+        val reader = openFooterReader(p, confEntries)
         try {
           import scala.jdk.CollectionConverters._
           reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>

@@ -304,4 +304,42 @@ class VerifyInvariantsSpec extends SparkTestBase {
         Seq(Seq(1.0, (1L << 53).toDouble)).toDF("v"))
     }
   }
+
+  test("the shared A→B / B→C oracle derivations are byte-identical across every CDC-family gate") {
+    // the B (and where used, C) snapshot CTE is embedded in several
+    // oracles; a residue change applied to one copy but not the others
+    // would silently turn a self-proving family inconsistent. Pin the
+    // canonical text (whitespace-normalized) in every embedding gate.
+    def norm(sql: String) = sql.replaceAll("\\s+", " ").trim
+    val canonB = norm(
+      """SELECT doc_id, source,
+        |CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1099511627776 AS doc_id, source, text
+        |FROM documents WHERE doc_id % 13 = 0""".stripMargin)
+    val canonC = norm(
+      """SELECT doc_id, source,
+        |CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM b WHERE doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT doc_id + 2199023255552 AS doc_id, source, text
+        |FROM b WHERE doc_id % 21 = 0""".stripMargin)
+    val bGates = Seq("merge_apply_roundtrip", "merge_apply_multibatch",
+      "merge_apply_compacted", "agg_incremental_rollup",
+      "agg_incremental_rollup_multi", "retention_purge",
+      "time_travel_history", "drift_source_distribution",
+      "index_incremental_lookup")
+    val cGates = Seq("merge_apply_multibatch", "merge_apply_compacted",
+      "agg_incremental_rollup_multi", "retention_purge",
+      "time_travel_history")
+    bGates.foreach { g =>
+      assert(norm(SparkEntry.oracleSql(g)).contains(canonB),
+        s"$g's oracle drifted from the canonical B derivation")
+    }
+    cGates.foreach { g =>
+      assert(norm(SparkEntry.oracleSql(g)).contains(canonC),
+        s"$g's oracle drifted from the canonical C derivation")
+    }
+  }
 }

@@ -509,12 +509,36 @@ class EventsWindowsSpec extends SparkTestBase {
         col("n"), col("anomalous"))
       .as[(Long, Long, Boolean)].collect()
       .map { case (hs, n, a) => hs -> ((n, a)) }.toMap
-    // warm-up: first 24 hours absent; hours 24..29 present
-    assert(got.size == 6)
+    // verdicts start once ≥12 trailing calendar hours exist: hours 12..29
+    assert(got.size == 18)
     assert(got(28 * 3600L) == ((20L, true)), "the planted spike must fire")
-    (Seq(24, 25, 26, 27, 29)).foreach { h =>
+    ((12 to 27) ++ Seq(29)).foreach { h =>
       assert(!got(h * 3600L)._2, s"quiet hour $h flagged")
     }
+  }
+
+  test("hourly anomalies: a calendar gap shrinks the baseline instead of stretching it") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // hours 0..11 active, silence until hour 30: a ROWS frame would see
+    // 12 stale rows and emit a (wrong-window) verdict at hour 30; the
+    // RANGE frame sees only hours 6..11 inside [6, 29] — 6 observed
+    // hours < 12 — and must withhold the verdict
+    val rows = ((0 until 12).flatMap(h =>
+      (0 until 4).map(i => (new Timestamp((h * 3600L + i * 60 + 1) * 1000), "view"))) ++
+      (0 until 4).map(i => (new Timestamp((30 * 3600L + i * 60 + 1) * 1000), "view")))
+      .toDF("ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_gap").toString
+    rows.withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.hourlyAnomalies(graft.core.Tables(spark, dir))
+      .select((unix_seconds(col("hour_start").cast("timestamp")) / 3600)
+        .cast("long"))
+      .as[Long].collect().toSet
+    assert(!got.contains(30L),
+      "hour 30 has only 6 observed hours in its 24h window — no verdict")
   }
 
   test("funnel: a click BEFORE the first view never counts as step 2") {

@@ -76,7 +76,8 @@ class ProfileOpsSpec extends SparkTestBase {
       col("l_partkey") === col("p_partkey")).count()
     assert(exact == realJoin, s"frequency dot product $exact != join $realJoin")
     assert(est >= exact, s"CMS under-counted: $est < $exact")
-    val slack = 5.0 * raw.getAs[Long]("n_left") * raw.getAs[Long]("n_right") / 65536.0
+    val slack = ProfileOps.cmsJoinSlack(raw.getAs[Long]("n_left"),
+      raw.getAs[Long]("n_right"), ProfileOps.cmsJoinWidth)
     assert(est <= exact + slack, s"est $est above exact $exact + slack $slack")
     info(s"exact=$exact est=$est (overshoot ${est - exact}, slack bound ${slack.toLong})")
   }
