@@ -344,6 +344,8 @@ object SparkEntry {
     // model the maxBand sub-split
     "dedup_minhash_hotband" -> q(t => DedupOps.minhashHotBandStats(t)),
     "dedup_clusters"      -> q(t => DedupOps.dupClusters(t, 0.5)),
+    // cluster-size distribution (round-12): the dedup dashboard headline
+    "dedup_cluster_histogram" -> q(t => DedupOps.clusterSizeHistogram(t)),
     "dedup_cluster_resolve" -> q(t => DedupOps.resolveClusters(t, 0.5)),
     "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
     "dedup_decontaminate" -> q(t => DedupOps.decontaminate(t, "src15")),
@@ -2124,6 +2126,24 @@ object SparkEntry {
          |SELECT id AS doc_id, rep AS cluster_rep,
          |       count(*) OVER (PARTITION BY rep) AS cluster_size
          |FROM reps""".stripMargin,
+    // cluster-size distribution over the same recursive closure
+    "dedup_cluster_histogram" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |jp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |walk(id, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src),
+         |reps AS (
+         |  SELECT id, least(id, min(r)) AS rep FROM walk GROUP BY id),
+         |sizes AS (SELECT rep, count(*) AS cluster_size FROM reps GROUP BY rep)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |       cluster_size * count(*) AS n_docs
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // Semantic-dedup resolution over the same clusters: the longest doc
     // (ties to min doc_id) is kept per cluster, singletons keep
     // themselves. Same recursive closure, then an argmax row_number.

@@ -469,6 +469,21 @@ object DedupOps {
   def dupClusters(t: Tables, minJaccard: Double = 0.5): DataFrame =
     GraphOps.clusters(pairGraph(t, minJaccard))
 
+  /** Duplicate-cluster size distribution — the dedup dashboard's
+    * headline: how much of the duplication is pairs vs boilerplate
+    * blobs (a corpus dominated by one giant cluster needs the hot-band
+    * guards; a corpus of pairs doesn't). One aggregate over the cluster
+    * labels — (rep, size) rows, orders of magnitude smaller than the
+    * corpus.
+    */
+  def clusterSizeHistogram(t: Tables, minJaccard: Double = 0.5): DataFrame =
+    dupClusters(t, minJaccard)
+      .select("cluster_rep", "cluster_size").distinct()
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Semantic-dedup resolution — the step AFTER [[dupClusters]]: every
     * document is labelled keep/drop so that exactly one representative
     * survives per near-dup cluster (the longest text, ties to the

@@ -52,4 +52,17 @@ class GraphOpsSpec extends SparkTestBase {
     // self-loop-only node 5 drops out of the edge list entirely (no pairs)
     assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("cluster-size histogram: sizes×counts conserve the labelled docs and match a driver recompute") {
+    val labels = DedupOps.dupClusters(t, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expect = labels.groupBy(_._2).values.map(_.length)
+      .groupBy(identity).map { case (sz, cs) => sz.toLong -> cs.size.toLong }
+    val got = DedupOps.clusterSizeHistogram(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    val docs = DedupOps.clusterSizeHistogram(t)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(docs == labels.length, "histogram must conserve the labelled docs")
+  }
 }
