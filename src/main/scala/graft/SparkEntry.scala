@@ -156,6 +156,9 @@ object SparkEntry {
     // incremental index maintenance (round-12): postings refreshed from
     // the CDC batch — proven equal to a full rebuild of snapshot B
     "index_incremental_lookup" -> q(IndexOps.incrementalIndexLookupGate),
+    // token-clustered index + zone-map pruning (round-12): the lookup
+    // opens only files whose token extent can contain the probe
+    "index_pruned_lookup"      -> q(t => IndexOps.prunedIndexLookupGate(t)),
     "events_sessions"          -> q(EventOps.userSessions),
     "events_click_to_purchase" -> q(EventOps.clickToPurchase),
     "events_asof_purchase"     -> q(EventOps.nextPurchaseAsof),
@@ -1190,6 +1193,19 @@ object SparkEntry {
         |         unnest(list_distinct(string_split(text, ' '))) AS token
         |  FROM documents WHERE text IS NOT NULL)
         |WHERE token IN ('spark', 'stream', 'join')
+        |GROUP BY token ORDER BY token""".stripMargin,
+    // pruned index lookup: the oracle tokenize-scans for the one probe;
+    // skipped_some stated TRUE and GateInvariants-recomputed
+    "index_pruned_lookup" ->
+      """SELECT token, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |       TRUE AS skipped_some
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |         unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents WHERE text IS NOT NULL)
+        |WHERE token = 'spark'
         |GROUP BY token ORDER BY token""".stripMargin,
     // maintained index: the oracle derives snapshot B and answers the
     // same keyword queries by tokenizing scan — n_chars from length(text)

@@ -805,6 +805,17 @@ object GateInvariants {
           s"disagrees with recomputation $indepDirect ($directEst vs $nExact)")
       require(indepMerged && indepDirect,
         s"invariant: HLL contract violated (merged=$mergedEst, direct=$directEst, exact=$nExact)")
+    case "index_pruned_lookup" =>
+      // skipped_some is oracle-stated TRUE; re-run the pruned lookup and
+      // require genuine pruning plus agreement with the emitted flag
+      val tt = core.Tables(spark, sfDir)
+      val (_, kept, total) = operators.IndexOps.prunedIndexLookupRaw(tt, "spark")
+      df.collect().foreach { row =>
+        require(row.getAs[Boolean]("skipped_some") == (kept < total),
+          s"invariant: skipped_some disagrees with recomputation ($kept/$total)")
+      }
+      require(kept < total,
+        s"invariant: token zone maps pruned nothing ($kept of $total files)")
     case "profile_join_size_cms" =>
       // recompute both verdicts from the raw estimate frame — a doctored
       // boolean, a broken sketch, or a wrong exact term all fail here

@@ -62,6 +62,60 @@ object IndexOps {
     indexLookup(t, Seq("spark", "stream", "join"))
 
   // ---------------------------------------------------------------------
+  // Token-clustered index layout — zone-map pruning on the postings
+  // themselves (the composition that makes an inverted index work at
+  // 100 TB: the index is ALSO a table, so the same manifest machinery
+  // that prunes fact scans prunes index lookups).
+  // ---------------------------------------------------------------------
+
+  private val clusteredDirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** The inverted index rewritten range-clustered by token (8 files,
+    * sorted within files), once per fixture generation — per-file token
+    * [min,max] zone maps become disjoint-ish, so a keyword lookup opens
+    * only the file(s) whose extent can contain the probe.
+    */
+  def clusteredIndexDir(t: Tables): String =
+    Tables.cachedPathPerGeneration(clusteredDirCache, t.dir, "documents.parquet") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_index_clustered").toString
+      t.spark.read.parquet(invertedIndexDir(t))
+        .repartitionByRange(8, col("token"))
+        .sortWithinPartitions("token")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  /** Gate query: one keyword lookup answered by pruning the clustered
+    * index with its own string zone maps ([[graft.sources.ParquetStats
+    * .prunedScanString]] — files skipped before being OPENED), then
+    * aggregating the kept postings. The rollup hash-matches the oracle's
+    * tokenizing scan (pruning must be invisible in the result);
+    * `skipped_some` is oracle-stated TRUE and GateInvariants-recomputed,
+    * so a layout that stopped pruning fails loudly.
+    */
+  def prunedIndexLookupGate(t: Tables, probe: String = "spark"): DataFrame = {
+    val (kept, n, total) = prunedIndexLookupRaw(t, probe)
+    kept.groupBy("token")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .withColumn("skipped_some", lit(n < total))
+      .orderBy("token")
+  }
+
+  /** Recompute seam: (pruned postings, files kept, files total). */
+  private[graft] def prunedIndexLookupRaw(t: Tables, probe: String)
+      : (DataFrame, Int, Int) = {
+    val (df, kept, total) = graft.sources.ParquetStats
+      .prunedScanString(t, clusteredIndexDir(t), "token", probe)
+    (df, kept, total)
+  }
+
+  // ---------------------------------------------------------------------
   // Incremental index maintenance — postings refreshed from a CDC batch,
   // never a corpus rebuild.
   // ---------------------------------------------------------------------

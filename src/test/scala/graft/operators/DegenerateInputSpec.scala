@@ -150,6 +150,44 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(LayoutOps.compactRoundtrip(et).count() == 0)
   }
 
+  test("round-12 gates on an empty corpus: funnel zeros, empty BM25/search/drift/histograms") {
+    // funnel: ZERO per stage (the count(col) contract), never NULLs
+    val funnel = EventOps.funnelCounts(et).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel == Map("step1_view" -> 0L, "step2_click" -> 0L,
+      "step3_purchase" -> 0L))
+    // BM25 / inverted index / hash split / stratified sample: empty
+    assert(TextOps.bm25TopK(et).count() == 0)
+    assert(IndexOps.indexLookupGate(et).count() == 0)
+    assert(CoreQueries.hashSplitGate(et).count() == 0)
+    assert(CoreQueries.hashStratifiedSample(et).count() == 0)
+    // drift of two empty snapshots: no sources, no rows
+    assert(SnapshotOps.sourceDrift(
+      et.documents.select("doc_id", "source", "text"),
+      et.documents.select("doc_id", "source", "text")).count() == 0)
+    // anomalies and cluster histogram: empty, not a throw
+    assert(EventOps.hourlyAnomalies(et).count() == 0)
+    assert(DedupOps.clusterSizeHistogram(et).count() == 0)
+  }
+
+  test("bm25 on a corpus without the query terms returns no rows, not zeros") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_miss").toString
+    Seq((1L, "wholly unrelated words", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(TextOps.bm25TopK(Tables(spark, dir)).count() == 0)
+  }
+
+  test("drift of a snapshot against itself reports zero deltas and no drift") {
+    val a = t.documents.select("doc_id", "source", "text")
+    val rows = SnapshotOps.sourceDrift(a, a).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta") == 0L && !r.getAs[Boolean]("drifted"))
+    }
+  }
+
   test("repetition stats on a single-token document") {
     import spark.implicits._
     val one = Seq((1L, "hello", "en", "srcX", 5L))
