@@ -254,6 +254,11 @@ object SparkEntry {
     "merge_apply_multibatch" -> q(SnapshotOps.multibatchApplyRoundtrip),
     "merge_apply_compacted" -> q(SnapshotOps.compactedApplyRoundtrip),
     "agg_incremental_rollup_multi" -> q(SnapshotOps.incrementalRollupMultiGate),
+    // checkpoint / snapshot expiry (round-12): snapshot B materialized
+    // as the new base, Δ₂ applied to the STORED checkpoint — proves
+    // expiring history before a checkpoint is safe (same rollup(C)
+    // oracle as the multibatch gate, two more independent engine paths)
+    "merge_apply_checkpointed" -> q(SnapshotOps.checkpointedApplyRoundtrip),
     // retention purge (round-12): right-to-be-forgotten through the
     // changelog chain — purge-commutes-with-apply, oracle filters after
     "retention_purge" -> q(SnapshotOps.retentionPurgeRoundtrip),
@@ -330,6 +335,17 @@ object SparkEntry {
     // metadata-only aggregation (round-12): count/min/max answered from
     // footers alone, zero data pages — vs the oracle's full-scan answers
     "stats_metadata_agg" -> q(t => sources.ParquetStats.metadataAggGate(t)),
+    // vacuum (round-12): orphan files = storage listing minus manifest;
+    // the rollup of the rows INSIDE the detected orphans hash-proves the
+    // partition exact in both directions (a false positive would delete
+    // live data); found_orphans recomputed by GateInvariants
+    "vacuum_orphan_scan" -> q(t => sources.ParquetStats.vacuumOrphanGate(t)),
+    // mergeable quantile sketch (round-12): deterministic hash sample
+    // persisted per shard, corpus quantiles answered from the STORED
+    // sample — fully hash-gated (the oracle restates predicate,
+    // interpolation, and the in-band verdict from its own values)
+    "sketch_quantile_sample" -> q(t => QuantileOps.quantileSketchGate(t)),
+    "sketch_quantile_by_source" -> q(t => QuantileOps.quantileBySourceGate(t)),
     // CCNet-style bigram-LM perplexity scoring (round-11): exact-count
     // probabilities, 6-decimal ln terms, DECIMAL sums — fully hash-gated
     "text_bigram_perplexity" -> q(t => TextOps.bigramPerplexity(t)),
@@ -2628,6 +2644,28 @@ object SparkEntry {
           |       min(md5(text)) AS min_digest,
           |       max(md5(text)) AS max_digest
           |FROM c GROUP BY source""".stripMargin,
+    // checkpointed apply — the THIRD independent engine path to snapshot
+    // C (stored checkpoint of B + Δ₂), against the same rollup(C) oracle
+    "merge_apply_checkpointed" ->
+      """WITH b AS (
+          |  SELECT doc_id, source,
+          |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+          |  FROM documents WHERE doc_id % 7 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |c AS (
+          |  SELECT doc_id, source,
+          |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+          |  FROM b WHERE doc_id % 5 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 2199023255552 AS doc_id, source, text
+          |  FROM b WHERE doc_id % 21 = 0)
+          |SELECT source, count(*) AS n_docs,
+          |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+          |       min(md5(text)) AS min_digest,
+          |       max(md5(text)) AS max_digest
+          |FROM c GROUP BY source""".stripMargin,
     // maintained rollup through BOTH batches — same C derivation, stated
     // in the rollupStats shape (mod-2^48 BIGINT digest sums)
     "agg_incremental_rollup_multi" -> {
@@ -3077,6 +3115,52 @@ object SparkEntry {
         |       min(o_orderkey), max(o_orderkey), TRUE
         |FROM orders
         |ORDER BY 1""".stripMargin,
+    // vacuum: orphans = the two uncommitted buckets of the deterministic
+    // range layout; the oracle restates the bucket arithmetic (≥ 6) over
+    // the source table — the rollup of the rows INSIDE the detected
+    // orphans must match exactly in both directions (a false positive
+    // would vacuum live data); found_orphans recomputed by GateInvariants
+    "vacuum_orphan_scan" ->
+      """WITH bounds AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |                FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |             * 100 + 0.5) / 100 AS total_price,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |       TRUE AS found_orphans
+        |FROM orders, bounds
+        |WHERE (o_orderkey - lo) * 8 // (hi - lo + 1) >= 6
+        |GROUP BY o_orderstatus""".stripMargin,
+    // mergeable quantile sketch: the oracle restates the hash-sample
+    // predicate, the interpolated quantiles (shared floor-rounding), and
+    // derives the in-band verdict from its OWN restated values — the
+    // whole row hash-gates, estimate included (unlike HLL's
+    // implementation-defined estimates)
+    "sketch_quantile_sample" ->
+      """WITH s AS (SELECT n_chars FROM documents
+        |           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'),
+        |sq AS (SELECT count(*) AS n_sample,
+        |       floor(quantile_cont(n_chars, 0.25) * 10000 + 0.5) / 10000 AS s_p25,
+        |       floor(quantile_cont(n_chars, 0.5) * 10000 + 0.5) / 10000 AS s_p50,
+        |       floor(quantile_cont(n_chars, 0.75) * 10000 + 0.5) / 10000 AS s_p75
+        |       FROM s),
+        |eq AS (SELECT count(*) AS n_total,
+        |       floor(quantile_cont(n_chars, 0.25) * 10000 + 0.5) / 10000 AS e_p25,
+        |       floor(quantile_cont(n_chars, 0.5) * 10000 + 0.5) / 10000 AS e_p50,
+        |       floor(quantile_cont(n_chars, 0.75) * 10000 + 0.5) / 10000 AS e_p75
+        |       FROM documents)
+        |SELECT n_total, n_sample, s_p25, s_p50, s_p75, e_p25, e_p50, e_p75,
+        |       abs(s_p50 - e_p50) <= e_p50 * 0.2 AS p50_in_band
+        |FROM eq, sq""".stripMargin,
+    "sketch_quantile_by_source" ->
+      """SELECT source, count(*) AS n_sample,
+        |       floor(quantile_cont(n_chars, 0.5) * 10000 + 0.5) / 10000 AS s_p50,
+        |       CAST(min(n_chars) AS BIGINT) AS s_min,
+        |       CAST(max(n_chars) AS BIGINT) AS s_max
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
+        |GROUP BY source ORDER BY source""".stripMargin,
     // type-widening: the narrow generation's int32/float casts are
     // lossless by construction (n_chars < 2^31, score = n_chars*0.5 is
     // exact in float), so the oracle restates the widened values from

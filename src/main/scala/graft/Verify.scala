@@ -704,6 +704,27 @@ object GateInvariants {
       }
       require(indepSkipped,
         s"invariant: zone maps pruned nothing ($kept of $total files read)")
+    case "vacuum_orphan_scan" =>
+      // found_orphans is oracle-stated `true`; recompute the vacuum
+      // partition independently and require it EXACT: manifest and
+      // orphans disjoint, their union the whole listing, orphans
+      // non-empty, and the emitted boolean equal to the recomputation —
+      // a detector that accuses a committed file (the direction that
+      // deletes live data) fails here before the hash even runs
+      val tt = core.Tables(spark, sfDir)
+      val (manifest, orphans) = sources.ParquetStats.vacuumPartition(tt)
+      def bucketOf(p: String): Int =
+        "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(-1)
+      require(manifest.toSet.intersect(orphans.toSet).isEmpty,
+        "invariant: vacuum accused a manifest-committed file")
+      require(orphans.nonEmpty && orphans.forall(bucketOf(_) >= 6),
+        "invariant: orphan set wrong (empty, or contains a committed bucket)")
+      require(manifest.nonEmpty && manifest.forall(bucketOf(_) < 6),
+        "invariant: manifest set wrong (empty, or contains an orphan bucket)")
+      df.collect().foreach { row =>
+        require(row.getAs[Boolean]("found_orphans"),
+          "invariant: found_orphans disagrees with recomputation (non-empty)")
+      }
     case "stats_pruned_scan_date" =>
       // same contract as stats_pruned_scan for the TIMESTAMP zone maps:
       // recompute the prune with the gate's own window arithmetic;

@@ -435,6 +435,42 @@ object SnapshotOps {
       .orderBy("source")
   }
 
+  private val checkpointDirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** Snapshot B (= apply(A, Δ₁)) MATERIALIZED to parquet once per fixture
+    * generation — the checkpoint a version chain writes so history before
+    * it can expire: after checkpointing, v0 and Δ₁ are deletable and
+    * every later version reconstructs from the checkpoint plus the
+    * remaining changelog suffix. At 100 TB this is snapshot expiry /
+    * changelog truncation — the operation that keeps
+    * [[asOfVersion]]-style reconstruction cost bounded as batches
+    * accumulate (reconstruction reads base + suffix, and the checkpoint
+    * resets "base" forward).
+    */
+  def checkpointDir(t: Tables): String =
+    Tables.cachedPathPerGeneration(checkpointDirCache, t.dir,
+      "documents.parquet") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_checkpoint").toString
+      mergeApply(t.documents.select("doc_id", "source", "text"),
+        syntheticChanges(t))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  /** Gate query: apply Δ₂ to the STORED checkpoint — the post-expiry
+    * read path, which never touches snapshot A or Δ₁ — rolled up against
+    * the same rollup(C) oracle as [[multibatchApplyRoundtrip]]. The hash
+    * proves the checkpoint round-trip is lossless (write B, read B back,
+    * continue the chain) and reconstruction through a checkpoint equals
+    * reconstruction through the full changelog — the theorem that makes
+    * expiring history SAFE.
+    */
+  def checkpointedApplyRoundtrip(t: Tables): DataFrame =
+    contentRollup(
+      mergeApply(t.spark.read.parquet(checkpointDir(t)), syntheticChanges2(t)))
+
   // ---------------------------------------------------------------------
   // Retention purge — right-to-be-forgotten through the changelog chain.
   // ---------------------------------------------------------------------

@@ -680,6 +680,68 @@ object ParquetStats {
   }
 
   // ---------------------------------------------------------------------
+  // Vacuum — orphan-file detection against a manifest (the cleanup half
+  // of the manifest story: a failed or abandoned write leaves data files
+  // on storage that no manifest references; VACUUM finds and removes
+  // them. Getting this WRONG deletes live data, so the gate proves the
+  // detector's partition of the listing is exact.)
+  // ---------------------------------------------------------------------
+
+  /** Files present on storage but absent from the manifest — the vacuum
+    * candidate set. Listing is the same O(#files) driver sweep every
+    * manifest consumer here uses; membership is a set probe. At 100 TB
+    * the manifest is a table and this is an anti-join of two file
+    * listings — never a data read: orphan DETECTION touches no data
+    * pages (deletion, the destructive half, is deliberately left to the
+    * caller).
+    */
+  def orphanFiles(t: Tables, dir: String,
+                  manifest: Set[String]): Seq[String] =
+    listParquetFiles(t, dir).filterNot(manifest.contains)
+
+  /** The deterministic vacuum fixture: the 8-bucket range layout of
+    * orders ([[bucketLayoutsDir]]) with a manifest that commits only
+    * buckets 0–5 — buckets 6 and 7 play the failed write's leftovers.
+    * Returns (committed manifest, detected orphans).
+    */
+  private[graft] def vacuumPartition(t: Tables): (Seq[String], Seq[String]) = {
+    val dir = s"${bucketLayoutsDir(t)}/range"
+    val all = listParquetFiles(t, dir)
+    def bucketOf(p: String): Int =
+      "bucket=(\\d+)".r.findFirstMatchIn(p)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"no bucket component in $p"))
+    val manifest = all.filter(bucketOf(_) < 6)
+    (manifest, orphanFiles(t, dir, manifest.toSet))
+  }
+
+  /** Gate query: rollup of the rows inside the DETECTED orphan files.
+    * The oracle restates the bucket arithmetic ((key − lo)·8 div span ≥
+    * 6) over the source table — a hash match proves the detector's
+    * listing partition is exact: every unreferenced file found (a miss
+    * loses rows from the rollup), no referenced file accused (a false
+    * positive adds rows — the catastrophic direction, since vacuum
+    * DELETES its candidates). `found_orphans` is oracle-stated TRUE and
+    * [[graft.GateInvariants]] recomputes the partition independently.
+    */
+  def vacuumOrphanGate(t: Tables): DataFrame = {
+    val (_, orphans) = vacuumPartition(t)
+    val df =
+      if (orphans.isEmpty)
+        t.spark.read.parquet(s"${bucketLayoutsDir(t)}/range").filter(lit(false))
+      else t.spark.read.parquet(orphans: _*)
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.NumericFunctions.roundN(
+          graft.functions.NumericFunctions.decSum(col("o_totalprice")), 2)
+          .as("total_price"),
+        min("o_orderkey").cast("long").as("min_key"),
+        max("o_orderkey").cast("long").as("max_key"))
+      .withColumn("found_orphans", lit(orphans.nonEmpty))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------------
   // Column storage audit — compressed/uncompressed bytes per column from
   // footers alone (the "what is this table's storage actually spent on"
   // report behind encoding and retention decisions; at 100 TB the answer

@@ -117,6 +117,26 @@ class SnapshotOpsSpec extends SparkTestBase {
       direct.exceptAll(maintained).isEmpty)
   }
 
+  test("checkpoint: the stored base equals snapshot B, and the post-expiry chain reconstructs C") {
+    // the materialized checkpoint IS snapshot B, row for row — the
+    // lossless-write half of the expiry theorem
+    val b = SnapshotOps.syntheticSnapshotB(t)
+    val stored = spark.read.parquet(SnapshotOps.checkpointDir(t))
+      .select("doc_id", "source", "text")
+    assert(stored.exceptAll(b).isEmpty && b.exceptAll(stored).isEmpty)
+    // applying Δ₂ to the stored checkpoint reconstructs C exactly — the
+    // read path after v0 and Δ₁ have been expired
+    val c = SnapshotOps.syntheticSnapshotC(t)
+    val viaCheckpoint = SnapshotOps.mergeApply(
+      stored, SnapshotOps.syntheticChanges2(t))
+    assert(viaCheckpoint.exceptAll(c).isEmpty &&
+      c.exceptAll(viaCheckpoint).isEmpty)
+    // and the gate's rollup equals the multibatch gate's (same oracle)
+    val g1 = SnapshotOps.checkpointedApplyRoundtrip(t)
+    val g2 = SnapshotOps.multibatchApplyRoundtrip(t)
+    assert(g1.exceptAll(g2).isEmpty && g2.exceptAll(g1).isEmpty)
+  }
+
   test("incrementalRollup: every CDC op contributes its signed deltas, including cross-source moves") {
     val a = Seq(
       (1L, "s1", "alpha"), (2L, "s1", "beta"), (3L, "s2", "gamma"),

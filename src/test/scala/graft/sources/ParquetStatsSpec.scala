@@ -268,6 +268,34 @@ class ParquetStatsSpec extends SparkTestBase {
       "complete stats over every file must prove the answer scan-free")
   }
 
+  test("vacuum: orphan detection partitions the listing exactly, and the orphan rows equal the bucket filter") {
+    val (manifest, orphans) = ParquetStats.vacuumPartition(t)
+    def bucketOf(p: String): Int =
+      "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(-1)
+    // both directions of the partition: no committed file accused (a
+    // false positive would vacuum live data), no leftover missed
+    assert(manifest.nonEmpty && manifest.forall(bucketOf(_) < 6))
+    assert(orphans.nonEmpty && orphans.forall(bucketOf(_) >= 6))
+    assert(manifest.toSet.intersect(orphans.toSet).isEmpty)
+    // the rows INSIDE the detected orphans are exactly the two
+    // uncommitted buckets' rows
+    val got = spark.read.parquet(orphans: _*)
+      .select("o_orderkey").as[Long].collect().toSet
+    val bounds = t.orders.agg(
+      min("o_orderkey").cast("long"), max("o_orderkey").cast("long")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val expected = t.orders.select(col("o_orderkey").cast("long")).as[Long]
+      .collect().filter(k => (k - lo) * 8 / (hi - lo + 1) >= 6).toSet
+    assert(got == expected)
+  }
+
+  test("vacuum: a fully committed manifest yields zero orphans") {
+    val dir = s"${ParquetStats.bucketLayoutsDir(t)}/range"
+    val all = ParquetStats.footerStats(t, dir, Seq("o_orderkey"))
+      .select("file_path").as[String].collect().toSet
+    assert(ParquetStats.orphanFiles(t, dir, all).isEmpty)
+  }
+
   test("metadata-only aggregation: nulls excluded from min/max, counted exactly") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_meta_nulls").toString
