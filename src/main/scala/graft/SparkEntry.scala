@@ -235,6 +235,10 @@ object SparkEntry {
     // listing-sized compacted rewrite → probe; the oracle states the probe
     // from the source table, so the hash proves the cycle is lossless
     "layout_compact_roundtrip" -> q(LayoutOps.compactRoundtrip),
+    // dynamic partition overwrite (round-12): a backfill batch replaces
+    // exactly the partitions it carries — appended duplicates or a
+    // static-mode truncation of the other 7 buckets both break the hash
+    "layout_dynamic_overwrite" -> q(LayoutOps.dynamicOverwriteRoundtrip),
     // --- deduplication (training-data extensions) ---
     // snapshot reconciliation (round-11): digests-only full-outer diff →
     // the added/changed slice is what incremental stages re-process
@@ -254,6 +258,11 @@ object SparkEntry {
     "merge_apply_multibatch" -> q(SnapshotOps.multibatchApplyRoundtrip),
     "merge_apply_compacted" -> q(SnapshotOps.compactedApplyRoundtrip),
     "agg_incremental_rollup_multi" -> q(SnapshotOps.incrementalRollupMultiGate),
+    // the maintained rollup driven by the STREAMING plane (round-12):
+    // CDC batches arrive as files, foreachBatch folds signed deltas into
+    // a versioned parquet view — third independent path to rollup(C)
+    "agg_incremental_rollup_streamed" -> ((s, dir) =>
+      streaming.CdcStream.streamedRollupGate(s, dir)),
     // checkpoint / snapshot expiry (round-12): snapshot B materialized
     // as the new base, Δ₂ applied to the STORED checkpoint — proves
     // expiring history before a checkpoint is safe (same rollup(C)
@@ -1948,6 +1957,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // dynamic partition overwrite: the oracle states the END state from
+    // the source table — bucket 3's prices +1 (the replaced partition),
+    // every other bucket untouched (a static-mode truncation or an
+    // append-instead-of-replace both diverge from this statement)
+    "layout_dynamic_overwrite" ->
+      """SELECT CAST(o_orderkey % 8 AS INT) AS bucket, count(*) AS n_orders,
+        |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)) +
+        |                      CASE WHEN o_orderkey % 8 = 3 THEN 1 ELSE 0 END)
+        |             AS DOUBLE) * 100 + 0.5) / 100 AS total_price,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Zipf slope: ln terms rounded to 6 decimals, regression sums in exact
     // DECIMAL — the slope is one IEEE expression over identical operands
     "text_zipf_slope" ->
@@ -2669,6 +2690,34 @@ object SparkEntry {
     // maintained rollup through BOTH batches — same C derivation, stated
     // in the rollupStats shape (mod-2^48 BIGINT digest sums)
     "agg_incremental_rollup_multi" -> {
+      val nibbles = (0 until 12)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |c AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM b WHERE doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 2199023255552 AS doc_id, source, text
+         |  FROM b WHERE doc_id % 21 = 0),
+         |h AS (SELECT source, text, md5(text) AS hx FROM c)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+         |       CAST(coalesce(sum(CAST(($nibbles) AS DECIMAL(38,0))), 0)
+         |            % 281474976710656 AS BIGINT) AS digest_sum
+         |FROM h GROUP BY source""".stripMargin
+    },
+    // the STREAMED maintenance path lands on the same truth: rollup(C)
+    // in the rollupStats shape (identical oracle to the batch multi-hop
+    // gate — three independent engine paths, one stated answer)
+    "agg_incremental_rollup_streamed" -> {
       val nibbles = (0 until 12)
         .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
         .mkString(" + ")

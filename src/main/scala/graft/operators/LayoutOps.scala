@@ -259,6 +259,54 @@ object LayoutOps {
     dir
   }
 
+  /** Dynamic partition overwrite — the daily-reprocess primitive: a
+    * batch that recomputes SOME partitions replaces exactly those,
+    * leaving every other partition's files untouched (Spark's
+    * `partitionOverwriteMode=dynamic`; static mode would truncate the
+    * whole table first — the classic data-loss foot-gun this gate exists
+    * to fence). At 100 TB this is how a backfill lands: rewrite the
+    * affected date partitions, never the corpus.
+    */
+  def dynamicOverwrite(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, batch: DataFrame,
+                       partitionCol: String): Unit =
+    batch.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(dir)
+
+  /** Gate query: orders partitioned by `o_orderkey mod 8`; the batch
+    * recomputes partition 3 ONLY, with every price raised by 1. After
+    * the overwrite, the per-partition rollup must show partition 3 fully
+    * replaced (prices +1, same row count — an append instead of a
+    * replace would double it) and the other 7 partitions byte-identical
+    * (static mode would have erased them — losing their rows breaks the
+    * hash). The oracle restates the end state from the source table with
+    * a CASE on the bucket.
+    */
+  def dynamicOverwriteRoundtrip(t: Tables): DataFrame = {
+    import graft.functions.NumericFunctions.{decSum, roundN}
+    val dir = freshLayoutDir()
+    val src = t.orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("bucket", (col("o_orderkey") % 8).cast("int"))
+    src.write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val batch = src.filter(col("bucket") === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+    dynamicOverwrite(t.spark, dir, batch, "bucket")
+    t.spark.read.parquet(dir)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        roundN(decSum(col("o_totalprice")), 2).as("total_price"),
+        min("o_orderkey").cast("long").as("min_key"),
+        max("o_orderkey").cast("long").as("max_key"))
+      .withColumn("bucket", col("bucket").cast("int"))
+      .select("bucket", "n_orders", "total_price", "min_key", "max_key")
+      .orderBy("bucket")
+  }
+
   /** Gate query: lineitem → 64-file fragmented dir → compacted (sorted
     * variant, clustered by l_orderkey) → read back → rollup probe. The
     * oracle states the same rollup straight from the source table, so the

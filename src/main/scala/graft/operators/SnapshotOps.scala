@@ -253,7 +253,7 @@ object SnapshotOps {
     * [[incrementalRollup]] consumes. Derivation-only (fixture → feed); a
     * production feed ships the images from the change-capture layer.
     */
-  private[operators] def syntheticChangesWithImages(t: Tables): DataFrame = {
+  private[graft] def syntheticChangesWithImages(t: Tables): DataFrame = {
     val a = t.documents.select("doc_id", "source", "text")
     syntheticChanges(t)
       .join(a.withColumnsRenamed(
@@ -416,6 +416,17 @@ object SnapshotOps {
       mergeApply(a, compactChanges(syntheticChanges(t), syntheticChanges2(t))))
   }
 
+  /** The B→C feed with before-images — the second CDC envelope, consumed
+    * by [[incrementalRollupMultiGate]] and the streaming maintenance
+    * twin ([[graft.streaming.CdcStream]]). */
+  private[graft] def syntheticChangesWithImages2(t: Tables): DataFrame = {
+    val b = syntheticSnapshotB(t)
+    changesBetween(b, syntheticSnapshotC(t))
+      .join(b.withColumnsRenamed(
+          Map("source" -> "prev_source", "text" -> "prev_text")),
+        Seq("doc_id"), "left")
+  }
+
   /** Gate query: the maintained rollup refreshed through BOTH batches —
     * refresh(refresh(rollup(A), Δ₁), Δ₂) — against an oracle stating
     * rollup(C) directly. Proves the subtractable-aggregate maintenance
@@ -425,13 +436,9 @@ object SnapshotOps {
     */
   def incrementalRollupMultiGate(t: Tables): DataFrame = {
     val a = t.documents.select("doc_id", "source", "text")
-    val b = syntheticSnapshotB(t)
-    val feed1 = syntheticChangesWithImages(t)
-    val feed2 = changesBetween(b, syntheticSnapshotC(t))
-      .join(b.withColumnsRenamed(
-          Map("source" -> "prev_source", "text" -> "prev_text")),
-        Seq("doc_id"), "left")
-    incrementalRollup(incrementalRollup(rollupStats(a), feed1), feed2)
+    incrementalRollup(
+      incrementalRollup(rollupStats(a), syntheticChangesWithImages(t)),
+      syntheticChangesWithImages2(t))
       .orderBy("source")
   }
 

@@ -57,6 +57,29 @@ class CompactionSpec extends SparkTestBase {
     }
   }
 
+  test("dynamic overwrite replaces exactly the batch's partition: bucket 3 swapped, the other 7 byte-identical") {
+    import org.apache.spark.sql.functions._
+    val row3 = LayoutOps.dynamicOverwriteRoundtrip(t)
+      .filter(col("bucket") === 3).head()
+    val src3 = t.orders.filter(col("o_orderkey") % 8 === 3)
+    // replaced, not appended: same count, every price +1
+    assert(row3.getAs[Long]("n_orders") == src3.count())
+    val wantSum = src3.agg(
+      graft.functions.NumericFunctions.roundN(
+        graft.functions.NumericFunctions.decSum(col("o_totalprice") + 1), 2))
+      .head().getDouble(0)
+    assert(row3.getAs[Double]("total_price") == wantSum)
+    // and an untouched bucket matches the source exactly
+    val row0 = LayoutOps.dynamicOverwriteRoundtrip(t)
+      .filter(col("bucket") === 0).head()
+    val src0 = t.orders.filter(col("o_orderkey") % 8 === 0)
+    assert(row0.getAs[Long]("n_orders") == src0.count())
+    assert(row0.getAs[Double]("total_price") == src0.agg(
+      graft.functions.NumericFunctions.roundN(
+        graft.functions.NumericFunctions.decSum(col("o_totalprice")), 2))
+      .head().getDouble(0))
+  }
+
   test("gate probe equals the same probe over the source table") {
     val compacted = LayoutOps.compactRoundtrip(t).collect()
     val source = t.lineitem
