@@ -275,6 +275,11 @@ object SparkEntry {
     // chain — DESCRIBE HISTORY shape, one row per version, every version
     // proven to reconstruct exactly against the oracle's own derivations
     "time_travel_history" -> q(SnapshotOps.versionHistory),
+    // write-audit-publish (round-12): batches stage unlisted, the audit
+    // runs over the STAGED files, and only a passing batch's files join
+    // the published manifest — the aborted double-write's rows are
+    // proven invisible to manifest readers (n_rows_published = 0)
+    "pipeline_wap_commit" -> q(PublishOps.wapGate),
     // data-quality constraint suite (round-12): Deequ-shaped report —
     // uniqueness / completeness / domains / ranges in ONE pass per table,
     // referential integrity via anti joins; fully hash-gated
@@ -2806,6 +2811,37 @@ object SparkEntry {
          |FROM h2
          |ORDER BY 1""".stripMargin
     },
+    // write-audit-publish: the oracle restates both batches (b2 is the
+    // ≡1 mod 3 slice twice — the double-write), the audit arithmetic,
+    // the verdicts, and each batch's published row count (aborted ⇒ 0) —
+    // a protocol that leaked the bad batch would fail on the last column
+    "pipeline_wap_commit" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |       UNION ALL
+        |       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |a1 AS (SELECT count(*) AS n_rows,
+        |              count(*) - count(DISTINCT doc_id) AS v_pk,
+        |              CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS v_text
+        |       FROM b1),
+        |a2 AS (SELECT count(*) AS n_rows,
+        |              count(*) - count(DISTINCT doc_id) AS v_pk,
+        |              CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS v_text
+        |       FROM b2)
+        |SELECT 'b1' AS batch, n_rows, v_pk, v_text,
+        |       v_pk = 0 AND v_text * 20 <= n_rows AS published,
+        |       CASE WHEN v_pk = 0 AND v_text * 20 <= n_rows
+        |            THEN n_rows ELSE 0 END AS n_rows_published
+        |FROM a1
+        |UNION ALL
+        |SELECT 'b2', n_rows, v_pk, v_text,
+        |       v_pk = 0 AND v_text * 20 <= n_rows,
+        |       CASE WHEN v_pk = 0 AND v_text * 20 <= n_rows
+        |            THEN n_rows ELSE 0 END
+        |FROM a2
+        |ORDER BY 1""".stripMargin,
     // data-quality constraint report: every count restated independently
     // (aggregates + NOT EXISTS anti-joins); `passed` derived from the
     // counts on both sides, never engine-stated
