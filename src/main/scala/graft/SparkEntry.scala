@@ -261,8 +261,8 @@ object SparkEntry {
     // the maintained rollup driven by the STREAMING plane (round-12):
     // CDC batches arrive as files, foreachBatch folds signed deltas into
     // a versioned parquet view — third independent path to rollup(C)
-    "agg_incremental_rollup_streamed" -> ((s, dir) =>
-      streaming.CdcStream.streamedRollupGate(s, dir)),
+    "agg_incremental_rollup_streamed" ->
+      q(t => streaming.CdcStream.streamedRollupGate(t)),
     // checkpoint / snapshot expiry (round-12): snapshot B materialized
     // as the new base, Δ₂ applied to the STORED checkpoint — proves
     // expiring history before a checkpoint is safe (same rollup(C)
@@ -608,6 +608,37 @@ object SparkEntry {
     // .py:202), linear at every measured scale
     "q2_approx_median"    -> q(CoreQueries.q2ApproxMedianDefault),
     "q2_approx_median_default" -> q(CoreQueries.q2ApproxMedianDefault))
+
+  /** rollup(C) stated in the rollupStats shape (mod-2^48 BIGINT digest
+    * sums) — ONE statement of the maintained view's truth, shared by the
+    * batch multi-hop and streamed maintenance oracles so the two gates
+    * can never silently assert different answers.
+    */
+  private lazy val rollupOfCMaintainedSql: String = {
+    val nibbles = (0 until 12)
+      .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+       |  FROM documents WHERE doc_id % 13 = 0),
+       |c AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
+       |  FROM b WHERE doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 2199023255552 AS doc_id, source, text
+       |  FROM b WHERE doc_id % 21 = 0),
+       |h AS (SELECT source, text, md5(text) AS hx FROM c)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+       |       CAST(coalesce(sum(CAST(($nibbles) AS DECIMAL(38,0))), 0)
+       |            % 281474976710656 AS BIGINT) AS digest_sum
+       |FROM h GROUP BY source""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = oracleSqlBase +
     // the sparse-scored variant shares the dense oracle verbatim: same
@@ -2694,59 +2725,11 @@ object SparkEntry {
           |FROM c GROUP BY source""".stripMargin,
     // maintained rollup through BOTH batches — same C derivation, stated
     // in the rollupStats shape (mod-2^48 BIGINT digest sums)
-    "agg_incremental_rollup_multi" -> {
-      val nibbles = (0 until 12)
-        .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
-        .mkString(" + ")
-      s"""WITH b AS (
-         |  SELECT doc_id, source,
-         |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
-         |  FROM documents WHERE doc_id % 7 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 1099511627776 AS doc_id, source, text
-         |  FROM documents WHERE doc_id % 13 = 0),
-         |c AS (
-         |  SELECT doc_id, source,
-         |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
-         |  FROM b WHERE doc_id % 5 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 2199023255552 AS doc_id, source, text
-         |  FROM b WHERE doc_id % 21 = 0),
-         |h AS (SELECT source, text, md5(text) AS hx FROM c)
-         |SELECT source, count(*) AS n_docs,
-         |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
-         |       CAST(coalesce(sum(CAST(($nibbles) AS DECIMAL(38,0))), 0)
-         |            % 281474976710656 AS BIGINT) AS digest_sum
-         |FROM h GROUP BY source""".stripMargin
-    },
+    "agg_incremental_rollup_multi" -> rollupOfCMaintainedSql,
     // the STREAMED maintenance path lands on the same truth: rollup(C)
     // in the rollupStats shape (identical oracle to the batch multi-hop
     // gate — three independent engine paths, one stated answer)
-    "agg_incremental_rollup_streamed" -> {
-      val nibbles = (0 until 12)
-        .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
-        .mkString(" + ")
-      s"""WITH b AS (
-         |  SELECT doc_id, source,
-         |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
-         |  FROM documents WHERE doc_id % 7 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 1099511627776 AS doc_id, source, text
-         |  FROM documents WHERE doc_id % 13 = 0),
-         |c AS (
-         |  SELECT doc_id, source,
-         |         CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END AS text
-         |  FROM b WHERE doc_id % 5 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 2199023255552 AS doc_id, source, text
-         |  FROM b WHERE doc_id % 21 = 0),
-         |h AS (SELECT source, text, md5(text) AS hx FROM c)
-         |SELECT source, count(*) AS n_docs,
-         |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
-         |       CAST(coalesce(sum(CAST(($nibbles) AS DECIMAL(38,0))), 0)
-         |            % 281474976710656 AS BIGINT) AS digest_sum
-         |FROM h GROUP BY source""".stripMargin
-    },
+    "agg_incremental_rollup_streamed" -> rollupOfCMaintainedSql,
     // purge: the oracle derives C and filters AFTER the fact — a hash
     // match proves purging base+changelog commutes with reconstruction
     "retention_purge" ->

@@ -93,6 +93,23 @@ object Tables {
     * swallowed — a leaked dir is the pre-fix status quo, never an error
     * — but fatal VM errors and interrupts propagate.
     */
+  /** Sorted non-recursive listing of a LOCAL directory's parquet data
+    * files — the shared helper for staging/feed temp dirs the engine
+    * itself just wrote (WAP staging, CDC feed publication), so the
+    * listing rule can't drift between them. Remote/object-store listings
+    * go through the Hadoop FS interface instead
+    * ([[graft.sources.ParquetStats.listParquetFiles]]).
+    */
+  def listLocalParquetFiles(dir: String): Seq[String] = {
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toVector.sorted
+    } finally stream.close()
+  }
+
   def deleteRecursively(path: String): Unit =
     try {
       val root = java.nio.file.Paths.get(path)

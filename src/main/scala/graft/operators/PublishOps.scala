@@ -54,47 +54,36 @@ object PublishOps {
 
     val work = java.nio.file.Files
       .createTempDirectory("graft_wap").toString
-    var manifest = Vector.empty[String]
-    def stageAuditPublish(tag: String, batch: DataFrame): (Long, Long, Long, Boolean) = {
-      val dir = s"$work/$tag"
-      batch.write.mode("overwrite").parquet(dir)
-      val a = auditDocs(spark.read.parquet(dir)).head()
-      val passed = a.getAs[Boolean]("passed")
-      if (passed) manifest ++= listParquet(dir)
-      (a.getAs[Long]("n_rows"), a.getAs[Long]("v_pk"),
-        a.getAs[Long]("v_text"), passed)
-    }
-    val r1 = stageAuditPublish("b1", b1)
-    val r2 = stageAuditPublish("b2", b2)
+    val (r1, r2, pub1, pub2) = try {
+      var manifest = Vector.empty[String]
+      def stageAuditPublish(tag: String, batch: DataFrame): (Long, Long, Long, Boolean) = {
+        val dir = s"$work/$tag"
+        batch.write.mode("overwrite").parquet(dir)
+        val a = auditDocs(spark.read.parquet(dir)).head()
+        val passed = a.getAs[Boolean]("passed")
+        if (passed) manifest ++= Tables.listLocalParquetFiles(dir)
+        (a.getAs[Long]("n_rows"), a.getAs[Long]("v_pk"),
+          a.getAs[Long]("v_text"), passed)
+      }
+      val a1 = stageAuditPublish("b1", b1)
+      val a2 = stageAuditPublish("b2", b2)
 
-    // the reader's view: resolve the manifest, never the staging tree
-    val published =
-      if (manifest.isEmpty) docs.filter(lit(false))
-      else spark.read.parquet(manifest: _*)
-    val pub1 = published.filter(col("doc_id") % 3 === 0).count()
-    val pub2 = published.filter(col("doc_id") % 3 === 1).count()
+      // the reader's view: resolve the manifest, never the staging tree
+      val published =
+        if (manifest.isEmpty) docs.filter(lit(false))
+        else spark.read.parquet(manifest: _*)
+      (a1, a2,
+        published.filter(col("doc_id") % 3 === 0).count(),
+        published.filter(col("doc_id") % 3 === 1).count())
+    } finally Tables.deleteRecursively(work)
 
-    // pub1/pub2 are already driver-side longs, so the temp tree can be
-    // reclaimed before the (local) result frame is built
-    Tables.deleteRecursively(work)
+    // every term is already a driver-side scalar — the result frame is
+    // local, so reclaiming the staging tree above was safe
     Seq(
       ("b1", r1._1, r1._2, r1._3, r1._4, pub1),
       ("b2", r2._1, r2._2, r2._3, r2._4, pub2))
       .toDF("batch", "n_rows", "v_pk", "v_text", "published",
         "n_rows_published")
       .orderBy("batch")
-  }
-
-  /** Local parquet listing for the staged batch (the staging tree is
-    * always a fresh local temp dir; the published-side listing posture
-    * lives in [[graft.sources.ParquetStats.listParquetFiles]]). */
-  private def listParquet(dir: String): Seq[String] = {
-    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      stream.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toVector
-    } finally stream.close()
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.core.Tables
 import graft.operators.SnapshotOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,83 +43,74 @@ object CdcStream {
     * third independent path to the maintained view's truth: batch
     * two-hop, compacted one-hop, and now streamed.
     */
-  def streamedRollupGate(spark: SparkSession, dir: String): DataFrame = {
+  def streamedRollupGate(t: Tables): DataFrame = {
+    val spark = t.spark
     import spark.implicits._
-    val t = Tables(spark, dir)
     val work = java.nio.file.Files
       .createTempDirectory("graft_cdc_stream").toString
-    val feedDir = s"$work/feed"
-    val stateRoot = s"$work/rollup_v"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
+    val rows = try {
+      val feedDir = s"$work/feed"
+      val stateRoot = s"$work/rollup_v"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
 
-    // the two CDC batches, materialized where the "topic" will serve them
-    val staged1 = s"$work/staged1"
-    val staged2 = s"$work/staged2"
-    SnapshotOps.syntheticChangesWithImages(t)
-      .write.mode("overwrite").parquet(staged1)
-    SnapshotOps.syntheticChangesWithImages2(t)
-      .write.mode("overwrite").parquet(staged2)
+      // the two CDC batches, materialized where the "topic" will serve them
+      val staged1 = s"$work/staged1"
+      val staged2 = s"$work/staged2"
+      SnapshotOps.syntheticChangesWithImages(t)
+        .write.mode("overwrite").parquet(staged1)
+      SnapshotOps.syntheticChangesWithImages2(t)
+        .write.mode("overwrite").parquet(staged2)
 
-    // v0 = rollup(A): the view's initial full build (the ONLY corpus scan)
-    val v0 = s"${stateRoot}0"
-    SnapshotOps.rollupStats(t.documents.select("doc_id", "source", "text"))
-      .write.mode("overwrite").parquet(v0)
+      // v0 = rollup(A): the view's initial full build (the ONLY corpus scan)
+      val v0 = s"${stateRoot}0"
+      SnapshotOps.rollupStats(t.documents.select("doc_id", "source", "text"))
+        .write.mode("overwrite").parquet(v0)
 
-    // pointer to the current version; foreachBatch runs on the driver,
-    // and batches are serialized per query, so a plain var is safe here
-    var current = v0
-    var version = 0
-    val q = spark.readStream
-      .schema(changeSchema)
-      .parquet(feedDir)
-      .writeStream
-      .option("checkpointLocation", s"$work/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val next = s"$stateRoot${version + 1}"
-          SnapshotOps.incrementalRollup(spark.read.parquet(current), batch)
-            .write.mode("overwrite").parquet(next)
-          version += 1
-          current = next
-        }
-      }
-      .start()
-
-    // "publish a batch to the topic": move the staged batch's data files
-    // into the watched dir under a batch-tagged name (atomic per file —
-    // the file-stream source only sees complete files)
-    def publish(staged: String, tag: String): Unit = {
-      val src = java.nio.file.Paths.get(staged)
-      val stream = java.nio.file.Files.list(src)
-      try {
-        val it = stream.iterator()
-        var i = 0
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet")) {
-            java.nio.file.Files.move(f,
-              java.nio.file.Paths.get(feedDir, s"${tag}_part$i.parquet"))
-            i += 1
+      // pointer to the current version; foreachBatch runs on the driver,
+      // and batches are serialized per query, so a plain var is safe here
+      var current = v0
+      var version = 0
+      val q = spark.readStream
+        .schema(changeSchema)
+        .parquet(feedDir)
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val next = s"$stateRoot${version + 1}"
+            SnapshotOps.incrementalRollup(spark.read.parquet(current), batch)
+              .write.mode("overwrite").parquet(next)
+            version += 1
+            current = next
           }
         }
-      } finally stream.close()
-    }
+        .start()
 
-    try {
-      publish(staged1, "b1")
-      q.processAllAvailable()
-      publish(staged2, "b2")
-      q.processAllAvailable()
-    } finally q.stop()
+      // "publish a batch to the topic": move the staged batch's data
+      // files into the watched dir under a batch-tagged name (atomic per
+      // file — the file-stream source only sees complete files)
+      def publish(staged: String, tag: String): Unit =
+        Tables.listLocalParquetFiles(staged).zipWithIndex.foreach {
+          case (f, i) =>
+            java.nio.file.Files.move(java.nio.file.Paths.get(f),
+              java.nio.file.Paths.get(feedDir, s"${tag}_part$i.parquet"))
+        }
 
-    // the gate's output is the FINAL stored version — localized (the
-    // rollup is #sources rows) so the temp state can be reclaimed
-    val rows = spark.read.parquet(current)
-      .select(col("source"), col("n_docs").cast("long"),
-        col("total_chars").cast("long"), col("digest_sum").cast("long"))
-      .as[(String, Long, Long, Long)]
-      .collect().sortBy(_._1).toSeq
-    Tables.deleteRecursively(work)
+      try {
+        publish(staged1, "b1")
+        q.processAllAvailable()
+        publish(staged2, "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // the gate's output is the FINAL stored version — localized (the
+      // rollup is #sources rows) so the temp state can be reclaimed
+      spark.read.parquet(current)
+        .select(col("source"), col("n_docs").cast("long"),
+          col("total_chars").cast("long"), col("digest_sum").cast("long"))
+        .as[(String, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    } finally Tables.deleteRecursively(work)
     rows.toDF("source", "n_docs", "total_chars", "digest_sum")
   }
 }

@@ -63,7 +63,9 @@ class PlanLintSpec extends SparkTestBase {
     // broadcast 1-row [min,max] extent feeding the bucket arithmetic
     "profile_histogram",
     // broadcast 1-row corpus stats (N, Σdl) feeding the BM25 formula
-    "text_bm25_topk")
+    "text_bm25_topk",
+    // broadcast 1-row stored-sample quantiles joined onto the exact row
+    "sketch_quantile_sample")
 
   /** Gates whose plan holds SEVERAL broadcast-1-row nested loops (a
     * report assembled from independent 1-row aggregates). Value = exact

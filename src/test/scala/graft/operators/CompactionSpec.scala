@@ -59,8 +59,10 @@ class CompactionSpec extends SparkTestBase {
 
   test("dynamic overwrite replaces exactly the batch's partition: bucket 3 swapped, the other 7 byte-identical") {
     import org.apache.spark.sql.functions._
-    val row3 = LayoutOps.dynamicOverwriteRoundtrip(t)
-      .filter(col("bucket") === 3).head()
+    // ONE write/overwrite/rollup cycle; pick buckets from the collected rows
+    val byBucket = LayoutOps.dynamicOverwriteRoundtrip(t).collect()
+      .map(r => r.getAs[Int]("bucket") -> r).toMap
+    val row3 = byBucket(3)
     val src3 = t.orders.filter(col("o_orderkey") % 8 === 3)
     // replaced, not appended: same count, every price +1
     assert(row3.getAs[Long]("n_orders") == src3.count())
@@ -70,8 +72,7 @@ class CompactionSpec extends SparkTestBase {
       .head().getDouble(0)
     assert(row3.getAs[Double]("total_price") == wantSum)
     // and an untouched bucket matches the source exactly
-    val row0 = LayoutOps.dynamicOverwriteRoundtrip(t)
-      .filter(col("bucket") === 0).head()
+    val row0 = byBucket(0)
     val src0 = t.orders.filter(col("o_orderkey") % 8 === 0)
     assert(row0.getAs[Long]("n_orders") == src0.count())
     assert(row0.getAs[Double]("total_price") == src0.agg(

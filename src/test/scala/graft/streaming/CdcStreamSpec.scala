@@ -13,7 +13,7 @@ class CdcStreamSpec extends SparkTestBase {
     // the batch gate is itself proven equal to a direct rollup of the
     // second-hop snapshot in SnapshotOpsSpec, so transitively the
     // streamed view lands on the stated truth
-    val streamed = CdcStream.streamedRollupGate(spark, t.dir)
+    val streamed = CdcStream.streamedRollupGate(t)
     val batch = SnapshotOps.incrementalRollupMultiGate(t)
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
