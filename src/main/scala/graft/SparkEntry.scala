@@ -81,6 +81,11 @@ object SparkEntry {
     "row_ids_stable"        -> q(CoreQueries.rowIdsStable),
     "sql_top_unshipped"     -> q(CoreQueries.sqlTopUnshippedOrders),
     "partitioned_roundtrip" -> q(graft.sources.PartitionedParquet.partitionedRoundtrip),
+    // partition-spec evolution (round-12): year= then year=/month= trees,
+    // per-spec listings unioned by name — Iceberg's spec evolution,
+    // Spark-native; cross-boundary pruned read gated alongside
+    "partition_spec_rollup" -> q(graft.sources.PartitionedParquet.specEvolutionRollup),
+    "partition_spec_pruned" -> q(graft.sources.PartitionedParquet.specPrunedCounts),
     "json_roundtrip"        -> q(graft.sources.JsonIO.jsonRoundtrip),
     "orc_roundtrip"         -> q(graft.sources.OrcIO.orcRoundtrip),
     "csv_column_roundtrip"  -> q(graft.sources.CsvIO.csvColumnRoundtrip),
@@ -239,6 +244,9 @@ object SparkEntry {
     // exactly the partitions it carries — appended duplicates or a
     // static-mode truncation of the other 7 buckets both break the hash
     "layout_dynamic_overwrite" -> q(LayoutOps.dynamicOverwriteRoundtrip),
+    // range-clustered write judged from footers alone (round-12); every
+    // verdict recomputed from the data by GateInvariants
+    "layout_range_write"     -> q(t => LayoutOps.rangeWriteStats(t)),
     // --- deduplication (training-data extensions) ---
     // snapshot reconciliation (round-11): digests-only full-outer diff →
     // the added/changed slice is what incremental stages re-process
@@ -256,6 +264,10 @@ object SparkEntry {
     // the maintained rollup — all three against oracles stating the
     // second-hop snapshot C directly (self-proving composition)
     "merge_apply_multibatch" -> q(SnapshotOps.multibatchApplyRoundtrip),
+    // anti-entropy replica reconciliation (round-12): Merkle-style
+    // per-bucket digest compare + bucket-scoped repair, both hash-gated
+    "replica_antientropy_diff" -> q(SnapshotOps.antiEntropyGate),
+    "replica_repair_roundtrip" -> q(t => SnapshotOps.antiEntropyRepairRoundtrip(t)),
     "merge_apply_compacted" -> q(SnapshotOps.compactedApplyRoundtrip),
     "agg_incremental_rollup_multi" -> q(SnapshotOps.incrementalRollupMultiGate),
     // the maintained rollup driven by the STREAMING plane (round-12):
@@ -380,6 +392,11 @@ object SparkEntry {
     // cluster-size distribution (round-12): the dedup dashboard headline
     "dedup_cluster_histogram" -> q(t => DedupOps.clusterSizeHistogram(t)),
     "dedup_cluster_resolve" -> q(t => DedupOps.resolveClusters(t, 0.5)),
+    // graph analytics (round-12): degree-oriented triangle census +
+    // exact-integer PageRank over the capped co-activity graph — both
+    // fully hash-gated (fixed-point arithmetic, no float accumulation)
+    "graph_triangle_stats" -> q(t => GraphOps.triangleStats(t)),
+    "graph_pagerank"       -> q(t => GraphOps.pagerankTop(t)),
     "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
     "dedup_decontaminate" -> q(t => DedupOps.decontaminate(t, "src15")),
     "dedup_substring_spans" -> q(t => DedupOps.duplicateSpans(t.documents)),
@@ -473,6 +490,48 @@ object SparkEntry {
     * rows). Ends with relation `j(doc_a, doc_b, jaccard)`; callers append
     * their threshold filter.
     */
+  /** Shared DuckDB CTE: the capped co-activity edge list — replays
+    * GraphOps.coActivityEdges (cap 10, hour × event_type buckets, per-
+    * bucket lowest-10 user ids, unordered distinct pairs u < v).
+    */
+  private val coActivityEdgesCte: String =
+    """bkt AS (
+      |  SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et,
+      |         user_id AS uid
+      |  FROM events),
+      |capped AS (
+      |  SELECT h, et, uid FROM (
+      |    SELECT h, et, uid,
+      |           row_number() OVER (PARTITION BY h, et ORDER BY uid) AS rn
+      |    FROM bkt)
+      |  WHERE rn <= 10),
+      |e AS (
+      |  SELECT DISTINCT a.uid AS u, b.uid AS v
+      |  FROM capped a JOIN capped b
+      |    ON a.h = b.h AND a.et = b.et AND a.uid < b.uid)""".stripMargin
+
+  /** DuckDB replay of GraphOps.pagerankTop: `iters` unrolled power
+    * iterations in the same exact fixed-point integer arithmetic (units of
+    * 10⁻⁹; per-node share `pr // deg`, damping (Σ·85) // 100, teleport
+    * 150 000 000) — hash-equality is only possible because both sides stay
+    * closed over BIGINT.
+    */
+  private def pagerankSql(iters: Int, k: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT s.v AS id,
+         |         CAST(150000000 + (sum(r.pr // d.deg) * 85) // 100 AS BIGINT) AS pr
+         |  FROM sym s JOIN r${i - 1} r ON s.u = r.id JOIN deg d ON s.u = d.id
+         |  GROUP BY s.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coActivityEdgesCte,
+       |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |deg AS (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+       |$iterCtes
+       |SELECT id, pr FROM r$iters ORDER BY pr DESC, id LIMIT $k""".stripMargin
+  }
+
   private val minhashPairsCte: String =
     """toks AS (
       |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
@@ -823,6 +882,21 @@ object SparkEntry {
         |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY o_orderstatus""".stripMargin,
+    // partition-SPEC evolution: the oracle states both rollups from the
+    // source table — the hash proves the two-spec layout (year= then
+    // year=/month=) lost/invented nothing across the boundary
+    "partition_spec_rollup" ->
+      """SELECT year(o_orderdate) AS order_year, count(*) AS n_orders,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_price,
+        |       count(DISTINCT month(o_orderdate)) AS n_months
+        |FROM orders GROUP BY 1""".stripMargin,
+    "partition_spec_pruned" ->
+      """SELECT year(o_orderdate) AS order_year,
+        |       month(o_orderdate) AS order_month, count(*) AS n
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1997 AND 1998
+        |  AND month(o_orderdate) IN (1, 2, 3)
+        |GROUP BY 1, 2""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
@@ -2005,6 +2079,15 @@ object SparkEntry {
         |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // range-clustered write: boundaries are sample-dependent, so the gate
+    // emits the layout CONTRACT (file count, footer row conservation,
+    // disjoint ranges, balance) — the oracle states it as constants +
+    // count(*); GateInvariants recomputes every verdict from the data
+    "layout_range_write" ->
+      """SELECT 8 AS n_files, count(*) AS n_rows,
+        |       true AS ranges_disjoint, true AS files_balanced,
+        |       true AS stats_complete_all
+        |FROM orders""".stripMargin,
     // Zipf slope: ln terms rounded to 6 decimals, regression sums in exact
     // DECIMAL — the slope is one IEEE expression over identical operands
     "text_zipf_slope" ->
@@ -2233,6 +2316,40 @@ object SparkEntry {
          |SELECT cluster_size, count(*) AS n_clusters,
          |       cluster_size * count(*) AS n_docs
          |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // degree-oriented triangle census: orientation by (degree, id) gives
+    // each triangle a unique lowest-order apex, and the closing edge is
+    // oriented low→high in the same total order — identical derivation on
+    // both sides, all-integer output
+    "graph_triangle_stats" ->
+      s"""WITH $coActivityEdgesCte,
+         |deg AS (
+         |  SELECT id, count(*) AS deg
+         |  FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+         |  GROUP BY id),
+         |wk AS (
+         |  SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+         |  FROM e JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id),
+         |o AS (
+         |  SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS s,
+         |         CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS d,
+         |         CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dd
+         |  FROM wk),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM o o1
+         |  JOIN o o2 ON o1.s = o2.s AND (o1.dd, o1.d) < (o2.dd, o2.d)
+         |  JOIN o o3 ON o3.s = o1.d AND o3.d = o2.d),
+         |nn AS (
+         |  SELECT count(*) AS n_nodes,
+         |         CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg),
+         |ne AS (SELECT count(*) AS n_edges FROM e)
+         |SELECT nn.n_nodes, ne.n_edges, nn.n_wedges, tri.n_triangles,
+         |       CAST(CASE WHEN nn.n_wedges > 0
+         |                 THEN (3 * tri.n_triangles * 1000000) // nn.n_wedges
+         |                 ELSE 0 END AS BIGINT) AS transitivity_ppm
+         |FROM nn, ne, tri""".stripMargin,
+    "graph_pagerank" -> pagerankSql(3, 20),
     // Semantic-dedup resolution over the same clusters: the longest doc
     // (ties to min doc_id) is kept per cluster, singletons keep
     // themselves. Same recursive closure, then an argmax row_number.
@@ -2655,6 +2772,53 @@ object SparkEntry {
         |       min(md5(text)) AS min_digest,
         |       max(md5(text)) AS max_digest
         |FROM b GROUP BY source""".stripMargin,
+    // anti-entropy: the oracle re-derives replica B and replays the same
+    // three per-bucket accumulators (count, mod-2^48 id sum, mod-2^48
+    // content-digest sum), then states the diverged buckets
+    "replica_antientropy_diff" -> {
+      val nibbles = (0 until 12)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
+        .mkString(" +\n           ")
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1099511627776 AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |ha AS (
+         |  SELECT CAST(doc_id % 32 AS INT) AS bucket, doc_id,
+         |         md5(coalesce(source, '') || '|' || coalesce(text, '')) AS hx
+         |  FROM documents),
+         |hb AS (
+         |  SELECT CAST(doc_id % 32 AS INT) AS bucket, doc_id,
+         |         md5(coalesce(source, '') || '|' || coalesce(text, '')) AS hx
+         |  FROM b),
+         |sa AS (
+         |  SELECT bucket, count(*) AS n_rows_a,
+         |         CAST(sum(CAST(doc_id AS DECIMAL(38,0))) % 281474976710656 AS BIGINT) AS id_sum_a,
+         |         CAST(sum(CAST(($nibbles) AS DECIMAL(38,0))) % 281474976710656 AS BIGINT) AS digest_a
+         |  FROM ha GROUP BY bucket),
+         |sb AS (
+         |  SELECT bucket, count(*) AS n_rows_b,
+         |         CAST(sum(CAST(doc_id AS DECIMAL(38,0))) % 281474976710656 AS BIGINT) AS id_sum_b,
+         |         CAST(sum(CAST(($nibbles) AS DECIMAL(38,0))) % 281474976710656 AS BIGINT) AS digest_b
+         |  FROM hb GROUP BY bucket)
+         |SELECT coalesce(sa.bucket, sb.bucket) AS bucket,
+         |       n_rows_a, n_rows_b, digest_a, digest_b
+         |FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+         |WHERE NOT (n_rows_a IS NOT DISTINCT FROM n_rows_b
+         |       AND id_sum_a IS NOT DISTINCT FROM id_sum_b
+         |       AND digest_a IS NOT DISTINCT FROM digest_b)""".stripMargin
+    },
+    // bucket-scoped repair restores replica A exactly — the oracle states
+    // rollup(A) straight from the source table
+    "replica_repair_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       min(md5(text)) AS min_digest,
+        |       max(md5(text)) AS max_digest
+        |FROM documents GROUP BY source""".stripMargin,
     // multi-batch CDC gates: the oracle derives snapshot C (the second
     // hop) as a nested CTE over the same B derivation — doc_id % 5
     // dropped, ' v2' appended where % 9 (null text stays null on both

@@ -887,6 +887,43 @@ object GateInvariants {
       require(storedRows == nSources && storedEst == liveEst && indepBand,
         s"invariant: persisted-HLL contract violated (rows=$storedRows/" +
           s"$nSources, stored=$storedEst, live=$liveEst, exact=$nExact)")
+    case "layout_range_write" =>
+      // the gate judged the layout from FOOTERS; recompute every verdict
+      // from the DATA (per-file min/max/count via input_file_name) so a
+      // wrong footer, a doctored boolean, or a lossy write all fail here
+      val tt = core.Tables(spark, sfDir)
+      val dir = operators.LayoutOps.rangeLayoutDir(tt)
+      val per = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+        .collect()
+        .map(r => (r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+        .sortBy(_._2)
+      val nFiles = per.length.toLong
+      val nRows = per.map(_._1).sum
+      val disjoint = per.sliding(2).forall {
+        case Array((_, _, pmx), (_, mn, _)) => pmx < mn
+        case _ => true
+      }
+      val balanced = per.forall { case (n, _, _) =>
+        n * nFiles <= nRows * 3 && n * nFiles * 3 >= nRows }
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getAs[Long]("n_files") == nFiles &&
+        row.getAs[Long]("n_rows") == nRows,
+        s"invariant: footer counts (${row.getAs[Long]("n_files")} files, " +
+          s"${row.getAs[Long]("n_rows")} rows) disagree with the data " +
+          s"($nFiles files, $nRows rows)")
+      require(row.getAs[Boolean]("ranges_disjoint") == disjoint,
+        s"invariant: ranges_disjoint disagrees with the data recompute $disjoint")
+      require(row.getAs[Boolean]("files_balanced") == balanced,
+        s"invariant: files_balanced disagrees with the data recompute $balanced")
+      require(row.getAs[Boolean]("stats_complete_all"),
+        "invariant: range layout wrote a file with incomplete footer stats")
+      require(disjoint && balanced && nRows == tt.orders.count(),
+        s"invariant: range-layout contract violated (disjoint=$disjoint, " +
+          s"balanced=$balanced, rows=$nRows)")
     case _ => ()
   }
 }

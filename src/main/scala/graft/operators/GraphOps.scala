@@ -171,4 +171,131 @@ object GraphOps {
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------------
+  // Graph analytics over a derived co-activity graph (round 12).
+  // ---------------------------------------------------------------------
+
+  /** Undirected co-activity edge list over `events`: two users are linked
+    * when both acted in the same (hour, event_type) bucket — the co-click /
+    * co-visitation graph every behavioural pipeline derives. The raw
+    * construction is quadratic in bucket occupancy, which is exactly the
+    * blow-up that kills it at 100 TB (one hot bucket with 10⁶ users →
+    * 10¹² pairs), so occupancy is CAPPED first: per bucket, only the
+    * `cap` lowest user ids pair up (deterministic, so the oracle replays
+    * it with the same `row_number` window), bounding output at
+    * C(cap,2) × #buckets regardless of skew — the standard co-occurrence
+    * cap production co-click graphs apply per item. One exchange buckets
+    * the events; the pair join re-uses that (h, et) partitioning; the
+    * final distinct shuffles only (u, v) int pairs.
+    */
+  def coActivityEdges(t: graft.core.Tables, cap: Int = 10): DataFrame = {
+    val byBucket = t.events.select(
+        date_trunc("hour", col("ts")).as("h"),
+        col("event_type").as("et"),
+        col("user_id").as("uid"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h", "et").orderBy("uid")
+    val capped = byBucket
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.et") === col("b.et") &&
+          col("a.uid") < col("b.uid"))
+      .select(col("a.uid").as("u"), col("b.uid").as("v"))
+      .distinct()
+  }
+
+  /** Global triangle census over [[coActivityEdges]]: one row —
+    * (n_nodes, n_edges, n_wedges, n_triangles, transitivity_ppm).
+    *
+    * Counting is DEGREE-ORIENTED (Chiba–Nishizeki / "compact-forward"):
+    * every undirected edge is directed from its lower-(degree, id)
+    * endpoint to the higher, turning the graph into a DAG whose
+    * out-degrees are bounded by O(√m) for any graph — so the wedge join
+    * (o1 ⋈ o2 on source) materializes O(m^1.5) candidates worst-case
+    * instead of Σ deg² of the naive id-orientation, the difference
+    * between feasible and not on a skewed 100 TB co-click graph. Each
+    * triangle {a,b,c} is counted exactly once: it has a unique
+    * lowest-order apex, and the closing edge between the two higher
+    * endpoints is oriented low→high in the same total order, so the
+    * closure join needs no direction guessing. `transitivity_ppm` =
+    * ⌊3·triangles·10⁶ / wedges⌋ keeps the clustering coefficient in
+    * exact integer arithmetic on both engine and oracle sides.
+    */
+  def triangleStats(t: graft.core.Tables, cap: Int = 10): DataFrame = {
+    val edges = coActivityEdges(t, cap).localCheckpoint(true)
+    val deg = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val withDeg = edges
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDeg.select(
+        when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("d"),
+        when(fwd, col("dv")).otherwise(col("du")).as("dd"))
+      .localCheckpoint(true)
+    val o1 = oriented.as("o1")
+    val o2 = oriented.as("o2")
+    val o3 = oriented.as("o3")
+    val triangles = o1
+      .join(o2, col("o1.s") === col("o2.s") &&
+        struct(col("o1.dd"), col("o1.d")) < struct(col("o2.dd"), col("o2.d")))
+      .join(o3, col("o3.s") === col("o1.d") && col("o3.d") === col("o2.d"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes  = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(nEdges).crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_wedges").cast("long").as("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("(3 * n_triangles * 1000000) div n_wedges"))
+          .otherwise(lit(0L)).cast("long").as("transitivity_ppm"))
+  }
+
+  /** PageRank over the symmetrised [[coActivityEdges]] graph in EXACT
+    * integer arithmetic — top `k` users by rank after `iters` power
+    * iterations (damping 0.85, teleport mass (1−d)·10⁹ per node).
+    *
+    * Floating-point PageRank is order-of-accumulation dependent, so its
+    * ranks can never hash-match an independent oracle; instead ranks live
+    * in fixed-point units of 10⁻⁹: per-node share = `pr div deg` (exact
+    * integer division), new rank = 150 000 000 + (Σ shares × 85) div 100
+    * — every step closed over BIGINT, associative and commutative, so the
+    * result is identical under any partitioning and any engine. Rank mass
+    * is bounded by nodes × 10⁹ (floor losses only shrink it), far inside
+    * the 2⁵³ gate-invariant ceiling until ~9 × 10⁶ nodes. Each iteration
+    * is one join of the edge list to the per-node share table plus one
+    * grouped sum — the classic message-passing round, hash-partitioned on
+    * the node id end to end; `localCheckpoint` truncates lineage so round
+    * N's plan does not replay rounds 1..N−1. Dangling nodes cannot occur:
+    * every node of the symmetrised list has out-degree ≥ 1 by
+    * construction.
+    */
+  def pagerankTop(t: graft.core.Tables, iters: Int = 3, k: Int = 20,
+                  cap: Int = 10): DataFrame = {
+    val e = coActivityEdges(t, cap)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("id"), col("deg"))
+      .localCheckpoint(true)
+    var ranks = deg.select(col("id"), lit(1000000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val shares = ranks.join(deg, "id")
+        .select(col("id").as("cid"), expr("pr div deg").as("share"))
+      ranks = sym.join(shares, col("u") === col("cid"))
+        .groupBy(col("v"))
+        .agg(expr("150000000L + (sum(share) * 85) div 100").as("pr"))
+        .select(col("v").as("id"), col("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.orderBy(col("pr").desc, col("id")).limit(k)
+  }
 }

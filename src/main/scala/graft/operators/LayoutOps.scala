@@ -328,4 +328,70 @@ object LayoutOps {
         roundN(decSum(col("l_extendedprice")), 2).as("revenue"))
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  // ---------------------------------------------------------------------
+  // Range-partitioned write (round 12): the single-column clustered
+  // layout — `repartitionByRange` + `sortWithinPartitions` — proven
+  // non-overlapping from the FOOTERS of the files it wrote.
+  // ---------------------------------------------------------------------
+
+  private val rangeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** Orders written range-clustered by `o_orderkey`: one balanced range
+    * per output file, rows sorted inside each. This is THE layout a
+    * key-probed 100 TB fact table wants — every point/range predicate on
+    * the cluster key prunes to the one file whose footer range can match.
+    * `repartitionByRange` samples boundaries (reservoir per input split),
+    * so the exact split points are run-dependent — which is why
+    * [[rangeWriteStats]] gates the layout's CONTRACT (disjoint ranges,
+    * balanced files, exact row conservation), not the boundary values.
+    * Derived once per fixture generation and reused.
+    */
+  def rangeLayoutDir(t: Tables, buckets: Int = 8): String =
+    Tables.cachedPathPerGeneration(rangeCache, t.dir, "orders.parquet") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_rangelay").toString
+      t.orders.repartitionByRange(buckets, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  /** Gate query: write the range-clustered layout, then judge it from
+    * parquet FOOTERS alone — one row: (n_files, n_rows,
+    * ranges_disjoint, files_balanced, stats_complete_all).
+    *
+    *  - `n_rows` comes from footer row counts, never a data scan — the
+    *    metadata-count a catalog serves; the oracle's `count(*)` over the
+    *    source table makes the hash prove write+footers conserved every
+    *    row.
+    *  - `ranges_disjoint`: files ordered by footer min; every file's min
+    *    must exceed its predecessor's max — the zone-map property that
+    *    makes a point lookup touch exactly one file.
+    *  - `files_balanced`: every file within [⅓×, 3×] of the mean row
+    *    count — range sampling error never concentrates the table into
+    *    few files.
+    * [[graft.GateInvariants]] recomputes all of it INDEPENDENTLY from the
+    * data (per-file min/max/count via `input_file_name`), so the footer
+    * claims are cross-checked against the rows, not self-certified.
+    */
+  def rangeWriteStats(t: Tables, buckets: Int = 8): DataFrame = {
+    val dir = rangeLayoutDir(t, buckets)
+    val fs = graft.sources.ParquetStats.footerStats(t, dir, Seq("o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("min_value")
+    fs.withColumn("prev_max", lag(col("max_value"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_rows")).cast("long").as("n_rows"),
+        (min(when(col("prev_max").isNull ||
+          col("prev_max") < col("min_value"), 1).otherwise(0)) === 1)
+          .as("ranges_disjoint"),
+        // max ≤ 3·mean and min ≥ mean/3, cross-multiplied to stay in
+        // exact integer arithmetic (mean = sum/n never materialized)
+        (max(col("n_rows")) * count(lit(1)) <= sum(col("n_rows")) * lit(3) &&
+          min(col("n_rows")) * count(lit(1)) * lit(3) >= sum(col("n_rows")))
+          .as("files_balanced"),
+        (min(col("stats_complete").cast("int")) === 1).as("stats_complete_all"))
+  }
 }

@@ -578,4 +578,90 @@ object SnapshotOps {
         .select(lit(v).as("version"), col("n_docs"), col("total_chars"),
           col("digest_sum"))
     }.reduce(_.unionByName(_)).orderBy("version")
+
+  // ---------------------------------------------------------------------
+  // Anti-entropy — Merkle-style replica reconciliation (round 12): two
+  // copies of a table compared by PER-BUCKET DIGESTS, so finding what
+  // diverged costs one digest-sized exchange per replica (buckets × ~40
+  // bytes over the wire), never a row-by-row compare; repair then moves
+  // only the diverged buckets' rows. The Cassandra/Dynamo repair shape,
+  // Spark-native.
+  // ---------------------------------------------------------------------
+
+  /** First 48 bits of md5(source || '|' || text) — the full-row content
+    * term of a replica bucket digest. Covers the payload columns (not
+    * just text), so a source-only divergence is detected; nulls take a
+    *  sentinel (no fixture text contains control chars, pinned in
+    * the spec) so null-vs-empty cannot alias. doc_id membership is
+    * covered separately by the bucket's id_sum.
+    */
+  private def contentDigest48(source: org.apache.spark.sql.Column,
+                              text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(
+      coalesce(source, lit("")), lit("|"),
+      coalesce(text, lit("")))), 1, 12), 16, 10).cast("decimal(38,0)")
+
+  /** Per-bucket replica summary: bucket = doc_id mod `buckets`, carrying
+    * row count, mod-2^48 id sum, and mod-2^48 content-digest sum — three
+    * independent, order-insensitive accumulators, each exactly
+    * restatable by the oracle. A divergence in membership, identity, or
+    * payload moves at least one of them.
+    */
+  private def replicaBucketSummary(df: DataFrame, buckets: Int): DataFrame =
+    df.select(
+        pmod(col("doc_id"), lit(buckets.toLong)).cast("int").as("bucket"),
+        col("doc_id"),
+        contentDigest48(col("source"), col("text")).as("d"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        modDigest(sum(col("doc_id").cast("decimal(38,0)"))).as("id_sum"),
+        modDigest(sum(col("d"))).as("digest"))
+
+  /** Diverged buckets between replicas `a` and `b`: the full-outer join
+    * of the two O(buckets)-row summaries, null-safe compared (a bucket
+    * present on one side only IS a divergence). This is the whole
+    * anti-entropy read cost — at 100 TB each replica is reduced
+    * map-side to `buckets` rows before anything crosses the wire.
+    */
+  def antiEntropyDiff(a: DataFrame, b: DataFrame, buckets: Int = 32): DataFrame = {
+    val sa = replicaBucketSummary(a, buckets).withColumnsRenamed(
+      Map("n_rows" -> "n_rows_a", "id_sum" -> "id_sum_a", "digest" -> "digest_a"))
+    val sb = replicaBucketSummary(b, buckets).withColumnsRenamed(
+      Map("n_rows" -> "n_rows_b", "id_sum" -> "id_sum_b", "digest" -> "digest_b"))
+    sa.join(sb, Seq("bucket"), "full_outer")
+      .filter(!(col("n_rows_a") <=> col("n_rows_b") &&
+        col("id_sum_a") <=> col("id_sum_b") &&
+        col("digest_a") <=> col("digest_b")))
+      .select("bucket", "n_rows_a", "n_rows_b", "digest_a", "digest_b")
+      .orderBy("bucket")
+  }
+
+  /** Gate query: diverged buckets between the base corpus and the
+    * synthetic replica B — fully hash-gated; the oracle re-derives B and
+    * replays the same three accumulators per bucket.
+    */
+  def antiEntropyGate(t: Tables): DataFrame =
+    antiEntropyDiff(t.documents.select("doc_id", "source", "text"),
+      syntheticSnapshotB(t))
+
+  /** Gate query: REPAIR replica B from replica A — drop B's rows in the
+    * diverged buckets, pull A's rows for those buckets, touch nothing
+    * else — then roll up the repaired replica per source. The oracle
+    * states the same rollup over A directly, so the hash proves the
+    * bucket-scoped repair restored exact equality: if any clean bucket
+    * actually differed (digest collision) or any diverged bucket were
+    * missed, the rollup would not reconstruct A. Both pruning joins are
+    * against the O(buckets) diverged list (broadcast).
+    */
+  def antiEntropyRepairRoundtrip(t: Tables, buckets: Int = 32): DataFrame = {
+    val a = t.documents.select("doc_id", "source", "text")
+    val b = syntheticSnapshotB(t)
+    val div = antiEntropyDiff(a, b, buckets).select("bucket")
+    def bucketOf(df: DataFrame) =
+      pmod(df("doc_id"), lit(buckets.toLong)).cast("int")
+    val kept = b.join(broadcast(div), bucketOf(b) === div("bucket"), "left_anti")
+    val pulled = a.join(broadcast(div), bucketOf(a) === div("bucket"), "left_semi")
+    contentRollup(kept.unionByName(pulled))
+  }
 }

@@ -58,4 +58,86 @@ object PartitionedParquet {
         roundN(decSum(col("o_totalprice")), 2).as("revenue"))
       .orderBy("o_orderstatus")
   }
+
+  // ---------------------------------------------------------------------
+  // Partition-SPEC evolution (round 12): the layout change a years-old
+  // corpus accretes — early data partitioned year=, later data
+  // year=/month= (finer grain as volume grows). Iceberg models this as
+  // partition-spec evolution with one manifest list per spec; the Spark-
+  // native equivalent is one directory tree per spec, each read with its
+  // own listing, unioned by name. A single mixed listing CANNOT serve
+  // this corpus — Spark's partition discovery refuses inconsistent
+  // directory depths under one root (pinned in the spec) — which is
+  // exactly why per-spec roots, not mergeSchema-style unification, is
+  // the production read.
+  // ---------------------------------------------------------------------
+
+  private val specCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** Two-spec layout derived once per fixture generation: years ≤ 1997
+    * under `spec1/order_year=Y/…`, years ≥ 1998 under
+    * `spec2/order_year=Y/order_month=M/…`.
+    */
+  def evolvedSpecLayout(t: Tables): String = Tables.cachedPathPerGeneration(
+    specCache, t.dir, "orders.parquet") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pspec").toString
+    val o = t.orders
+      .withColumn("order_year", year(col("o_orderdate")))
+      .withColumn("order_month", month(col("o_orderdate")))
+    o.filter(col("order_year") <= 1997).drop("order_month")
+      .write.mode("overwrite").partitionBy("order_year")
+      .parquet(s"$base/spec1")
+    o.filter(col("order_year") >= 1998)
+      .write.mode("overwrite").partitionBy("order_year", "order_month")
+      .parquet(s"$base/spec2")
+    base
+  }
+
+  /** Per-spec reads unioned by name. The old spec's missing grain is
+    * DERIVED from the data column it was elided from (`o_orderdate`), so
+    * both specs present the same logical schema — the reader-side shim
+    * every spec evolution needs for the files written before the new
+    * partition column existed.
+    */
+  def specUnionRead(t: Tables): DataFrame = {
+    val base = evolvedSpecLayout(t)
+    val g1 = t.spark.read.parquet(s"$base/spec1")
+      .withColumn("order_month", month(col("o_orderdate")))
+    val g2 = t.spark.read.parquet(s"$base/spec2")
+    g1.unionByName(g2)
+  }
+
+  /** Gate query: per-year rollup over the two-spec union. The oracle
+    * states the same aggregate straight from the source table, so the
+    * hash proves the write→per-spec-read→union path preserved every row
+    * and value across the spec boundary (and that the derived
+    * `order_month` shim agrees with the stored partition values —
+    * `n_months` covers both specs).
+    */
+  def specEvolutionRollup(t: Tables): DataFrame =
+    specUnionRead(t)
+      .groupBy(col("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        roundN(decSum(col("o_totalprice")), 2).as("total_price"),
+        countDistinct(col("order_month")).as("n_months"))
+      .orderBy("order_year")
+
+  /** Gate query: a filter spanning the spec boundary — year ∈ {1997,
+    * 1998}, month ∈ {1,2,3}. Against spec2 BOTH predicates prune
+    * directories at planning time; against spec1 only the year does (the
+    * month lives in the data there — its filter runs post-scan), the
+    * asymmetry that motivates evolving the spec in the first place. The
+    * spec asserts the pruning via `inputFiles`; here the hash proves the
+    * pruned union returns exactly the rows the unpruned oracle states.
+    */
+  def specPrunedCounts(t: Tables): DataFrame =
+    specUnionRead(t)
+      .filter(col("order_year").between(1997, 1998) &&
+        col("order_month").isin(1, 2, 3))
+      .groupBy("order_year", "order_month")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("order_year", "order_month")
 }

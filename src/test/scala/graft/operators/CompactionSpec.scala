@@ -93,4 +93,29 @@ class CompactionSpec extends SparkTestBase {
       .collect()
     assert(compacted.toSeq == source.toSeq)
   }
+
+  // --- range-partitioned write (round 12) ---
+
+  test("range layout: footer verdicts hold, and a point lookup prunes to exactly one file") {
+    val row = LayoutOps.rangeWriteStats(t).head()
+    assert(row.getAs[Long]("n_files") == 8L)
+    assert(row.getAs[Long]("n_rows") == t.orders.count())
+    assert(row.getAs[Boolean]("ranges_disjoint"))
+    assert(row.getAs[Boolean]("files_balanced"))
+    assert(row.getAs[Boolean]("stats_complete_all"))
+
+    // disjoint footer ranges make a key probe touch exactly one file —
+    // the property the layout exists for
+    val dir = LayoutOps.rangeLayoutDir(t)
+    val someKey = t.orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    val touched = spark.read.parquet(dir)
+      .filter(col("o_orderkey") === someKey)
+      .select(input_file_name()).distinct().count()
+    assert(touched == 1L)
+    val eligible = graft.sources.ParquetStats
+      .footerStats(t, dir, Seq("o_orderkey"))
+      .filter(col("min_value") <= someKey && col("max_value") >= someKey)
+      .count()
+    assert(eligible == 1L, "footer zone maps must rule out all but one file")
+  }
 }

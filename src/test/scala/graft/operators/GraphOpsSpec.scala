@@ -65,4 +65,55 @@ class GraphOpsSpec extends SparkTestBase {
       .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
     assert(docs == labels.length, "histogram must conserve the labelled docs")
   }
+
+  // --- graph analytics over the capped co-activity graph (round 12) ---
+
+  test("triangle census matches a brute-force driver recompute on the fixture graph") {
+    val edges = GraphOps.coActivityEdges(t)
+      .as[(Long, Long)].collect().map { case (u, v) => (u.min(v), u.max(v)) }.toSet
+    // each triangle a<b<y counted once at its lexicographically first edge
+    val bruteTriangles = edges.toSeq.map { case (a, b) =>
+      edges.count { case (x, y) => x == a && y > b && edges.contains((b, y)) }
+    }.sum
+    val deg = edges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val row = GraphOps.triangleStats(t).head()
+    assert(row.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(row.getAs[Long]("n_wedges") == wedges)
+    assert(row.getAs[Long]("n_triangles") == bruteTriangles.toLong)
+    if (wedges > 0)
+      assert(row.getAs[Long]("transitivity_ppm") ==
+        3L * bruteTriangles * 1000000L / wedges)
+  }
+
+  test("co-activity cap is a subset relation: cap-3 edges are contained in cap-10 edges") {
+    val small = GraphOps.coActivityEdges(t, cap = 3).as[(Long, Long)].collect().toSet
+    val big   = GraphOps.coActivityEdges(t, cap = 10).as[(Long, Long)].collect().toSet
+    assert(small.nonEmpty && small.subsetOf(big),
+      "the first-3 users per bucket are a subset of the first-10, so their pairs must be too")
+  }
+
+  test("integer pagerank: deterministic top-k, positive ranks, mass bounded by n×10^9") {
+    val e0 = GraphOps.coActivityEdges(t)
+    val nNodes = e0.select(col("u")).union(e0.select(col("v"))).distinct().count()
+    val top = GraphOps.pagerankTop(t, iters = 3, k = 20)
+      .as[(Long, Long)].collect()
+    assert(top.length == math.min(20L, nNodes))
+    assert(top.forall(_._2 >= 150000000L), "every node keeps at least the teleport mass")
+    val again = GraphOps.pagerankTop(t, iters = 3, k = 20).as[(Long, Long)].collect()
+    assert(top.toSeq == again.toSeq, "exact integer arithmetic: reruns are bit-identical")
+    assert(top.forall(_._2 < nNodes * 1000000000L),
+      "no rank can exceed the total mass (floor losses only shrink it)")
+  }
+
+  test("pagerank concentrates on the capped hubs: more iterations never resurrect a dropped node") {
+    // every iteration's output covers exactly the node set (no node gains
+    // or loses rows) — the maintenance invariant the gate relies on
+    val e = GraphOps.coActivityEdges(t)
+    val n = e.select(col("u")).union(e.select(col("v"))).distinct().count()
+    val full = GraphOps.pagerankTop(t, iters = 2, k = Int.MaxValue)
+    assert(full.count() == n, "one rank row per node after every iteration")
+  }
 }

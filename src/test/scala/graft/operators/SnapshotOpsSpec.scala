@@ -307,4 +307,49 @@ class SnapshotOpsSpec extends SparkTestBase {
     assert(inputs.exists(in => in.contains("dig_a#") || in.contains("dig_b#")),
       s"no exchange carries the digests:\n${inputs.mkString("\n")}")
   }
+
+  // --- anti-entropy (round 12) ---
+
+  test("anti-entropy flags exactly the buckets that diverge, by kind: payload, membership, identity") {
+    import spark.implicits._
+    // 4 buckets; ids chosen so bucket = id % 4 is obvious
+    val a = Seq(
+      (0L, "s", "clean"),   (4L, "s", "clean2"),   // bucket 0: identical
+      (1L, "s", "payload"),                        // bucket 1: text changes
+      (2L, "s", "member"),  (6L, "s", "member2"),  // bucket 2: a row is lost
+      (3L, "s", "ident")                           // bucket 3: id changes, text same
+    ).toDF("doc_id", "source", "text")
+    val b = Seq(
+      (0L, "s", "clean"),   (4L, "s", "clean2"),
+      (1L, "s", "PAYLOAD"),
+      (2L, "s", "member"),
+      (7L, "s", "ident")                           // 3 → 7: same bucket, same count, same text
+    ).toDF("doc_id", "source", "text")
+    val diverged = SnapshotOps.antiEntropyDiff(a, b, buckets = 4)
+      .select("bucket").as[Int].collect().toSet
+    assert(diverged == Set(1, 2, 3),
+      "payload moves the digest, membership the count, identity the id_sum — bucket 0 stays clean")
+  }
+
+  test("anti-entropy repair restores replica A exactly while touching only diverged buckets") {
+    val a = t.documents.select("doc_id", "source", "text")
+    val repaired = SnapshotOps.antiEntropyRepairRoundtrip(t)
+    // the gate's rollup must equal rollup(A) — row-for-row
+    val direct = a.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text"))).cast("long"), lit(0L)).as("total_chars"),
+        min(md5(col("text"))).as("min_digest"),
+        max(md5(col("text"))).as("max_digest"))
+      .orderBy("source")
+    assert(repaired.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(repaired).count() == 0)
+  }
+
+  test("anti-entropy summaries shuffle O(buckets) digest rows, never text") {
+    val inputs = exchangeInputs(SnapshotOps.antiEntropyGate(t))
+    assert(inputs.nonEmpty)
+    inputs.foreach { in =>
+      assert(!in.contains("text#"), s"an exchange still carries text: $in")
+    }
+  }
 }

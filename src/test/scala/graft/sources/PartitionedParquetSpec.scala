@@ -28,4 +28,56 @@ class PartitionedParquetSpec extends SparkTestBase {
     assert(roundtrip.count() == direct.count())
     assert(roundtrip.exceptAll(direct).count() == 0)
   }
+
+  // --- partition-spec evolution (round 12) ---
+
+  test("spec evolution: union read conserves the corpus exactly") {
+    val union = PartitionedParquet.specUnionRead(t)
+    assert(union.count() == t.orders.count())
+    val direct = t.orders.select("o_orderkey", "o_totalprice")
+    assert(union.select("o_orderkey", "o_totalprice")
+      .exceptAll(direct).count() == 0)
+  }
+
+  test("spec evolution: cross-boundary filter prunes dirs in BOTH specs, month only in spec2") {
+    val pruned = PartitionedParquet.specUnionRead(t)
+      .filter(col("order_year").between(1997, 1998) &&
+        col("order_month").isin(1, 2, 3))
+    // the files each scan ACTUALLY selects after planning-time pruning
+    // (df.inputFiles ignores partition pruning — it lists the relation)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, "one scan per spec root")
+    val files = scans.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString))
+    assert(files.nonEmpty)
+    // year pruning holds in both scans
+    assert(files.forall(f => f.contains("order_year=1997") || f.contains("order_year=1998")),
+      s"year pruning leaked: ${files.filterNot(f => f.contains("order_year=1997") || f.contains("order_year=1998")).take(3).mkString(", ")}")
+    // month pruning holds in spec2 (where month is a partition column)
+    val spec2 = files.filter(_.contains("/spec2/"))
+    assert(spec2.nonEmpty, "the 1998 side must come from spec2")
+    assert(spec2.forall(f => (1 to 3).exists(m => f.contains(s"order_month=$m"))),
+      "spec2 files outside months 1-3 must be pruned at planning time")
+    // spec1 files carry no month dirs at all — the filter runs post-scan there
+    val spec1 = files.filter(_.contains("/spec1/"))
+    assert(spec1.nonEmpty && spec1.forall(!_.contains("order_month=")))
+    // and the pruned read returns exactly the directly-computed rows
+    val direct = t.orders
+      .filter(year(col("o_orderdate")).between(1997, 1998) &&
+        month(col("o_orderdate")).isin(1, 2, 3)).count()
+    assert(pruned.count() == direct)
+  }
+
+  test("spec evolution: one mixed-depth listing is refused — per-spec roots are mandatory") {
+    val base = PartitionedParquet.evolvedSpecLayout(t)
+    // reading both trees through ONE recursive listing must fail: Spark's
+    // partition discovery detects conflicting directory depths. This is
+    // the behavior that motivates the per-spec-read union.
+    val mixed = scala.util.Try(
+      spark.read.parquet(s"$base/spec1", s"$base/spec2").count())
+    assert(mixed.isFailure,
+      "a single listing over two partition specs must not silently succeed")
+  }
 }
