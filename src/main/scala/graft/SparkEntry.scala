@@ -210,6 +210,12 @@ object SparkEntry {
     "text_redact_ids"       -> q(TextOps.redactIds),
     "text_repetition_stats" -> q(t => TextOps.repetitionStats(t)),
     "text_doc_chunks"       -> q(t => TextOps.docChunks(t)),
+    // length-curriculum staging (round-12): equal-population ntile stages
+    // over the (n_chars, doc_id) total order — fully hash-gated
+    "text_length_curriculum" -> q(t => TextOps.lengthCurriculum(t)),
+    // weak-label quality-classifier distillation (round-12): exact label
+    // counts hash-gated; distillation verdicts recomputed by GateInvariants
+    "ml_quality_classifier" -> q(graft.ml.QualityClassifier.classifierGate),
     "sample_hash_per_group" -> q(t => TextOps.hashSamplePerLang(t)),
     "text_zipf_slope"       -> q(t => TextOps.zipfSlope(t)),
     // --- corpus packing / budget sampling (training-data extensions) ---
@@ -1845,6 +1851,36 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // curriculum stages: ntile over the identical (n_chars, doc_id) total
+    // order — both engines fill earlier tiles first on remainders
+    "text_length_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |         ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage
+        |  FROM documents)
+        |SELECT stage, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM s GROUP BY stage""".stripMargin,
+    // weak-label distillation: the oracle replays the rule band for the
+    // exact counts and states the tree verdicts as constants (re-fit +
+    // recomputed independently by GateInvariants)
+    "ml_quality_classifier" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |         CASE WHEN len(tk)=0 THEN 0.0
+        |              ELSE len(list_filter(tk, t -> list_contains(
+        |                ['the','a','an','of','and','to','in','is','it','for'], t)))::DOUBLE
+        |                / len(tk) END AS sw
+        |  FROM s)
+        |SELECT count(*) AS n_docs,
+        |       count(*) FILTER (WHERE n_tokens >= 20 AND n_tokens <= 100
+        |                          AND sw >= 0.05) AS n_weak_pos,
+        |       true AS tree_accuracy_high, true AS labels_nondegenerate
+        |FROM m""".stripMargin,
     // overlapping chunking: starts 0, 48, 96, … while start < n_tokens;
     // chunk_idx = start // stride; 1-based list indexing on both sides
     "text_doc_chunks" ->

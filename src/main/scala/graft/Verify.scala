@@ -887,6 +887,22 @@ object GateInvariants {
       require(storedRows == nSources && storedEst == liveEst && indepBand,
         s"invariant: persisted-HLL contract violated (rows=$storedRows/" +
           s"$nSources, stored=$storedEst, live=$liveEst, exact=$nExact)")
+    case "ml_quality_classifier" =>
+      // re-fit the tree and recompute both verdicts independently — a
+      // doctored boolean, a drifted fit, or an inverted comparison fail
+      val (n, pos, acc) = ml.QualityClassifier.stats(core.Tables(spark, sfDir))
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getAs[Long]("n_docs") == n &&
+        row.getAs[Long]("n_weak_pos") == pos,
+        s"invariant: gate counts (${row.getAs[Long]("n_docs")}, " +
+          s"${row.getAs[Long]("n_weak_pos")}) != recomputed ($n, $pos)")
+      require(row.getAs[Boolean]("tree_accuracy_high") == (acc >= 0.98),
+        s"invariant: tree_accuracy_high disagrees with re-fit accuracy $acc")
+      require(row.getAs[Boolean]("labels_nondegenerate") == (pos > 0 && pos < n),
+        s"invariant: labels_nondegenerate disagrees ($pos of $n)")
+      require(acc >= 0.98 && pos > 0 && pos < n,
+        s"invariant: distillation contract violated (acc=$acc, pos=$pos, n=$n)")
     case "layout_range_write" =>
       // the gate judged the layout from FOOTERS; recompute every verdict
       // from the DATA (per-file min/max/count via input_file_name) so a

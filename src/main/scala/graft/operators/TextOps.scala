@@ -351,4 +351,34 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Length-curriculum staging (round 12): assign every document to one
+    * of `stages` equal-population curriculum stages by length — the
+    * shortest quartile trains first, the longest last (curriculum /
+    * sequence-length warmup, the standard LLM training schedule). Stage
+    * assignment is `ntile` over the (n_chars, doc_id) total order —
+    * deterministic and engine-portable (both Spark and the oracle fill
+    * earlier tiles first on a non-divisible count). The fixture has no
+    * null n_chars (the gate would otherwise hit the engines' opposite
+    * NULLS FIRST/LAST defaults).
+    *
+    * Scale shape: the gate's single global window is the verification
+    * device; at 100 TB the same assignment is a `repartitionByRange` on
+    * n_chars + per-partition offsets (the [[CoreQueries.rowIdsStable]]
+    * two-pass shape) — boundaries land identically because ntile is a
+    * pure function of the total order.
+    */
+  def lengthCurriculum(t: Tables, stages: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    t.documents.select(col("doc_id"), col("n_chars"))
+      .withColumn("stage", ntile(stages).over(w))
+      .groupBy("stage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("stage")
+  }
 }

@@ -12,6 +12,30 @@ class TextMlMultimodalSpec extends SparkTestBase {
     assert(got == t.documents.count())
   }
 
+  test("length curriculum: stages partition the corpus, sizes differ by <= 1, lengths are monotone") {
+    val stages = TextOps.lengthCurriculum(t).collect()
+    assert(stages.map(_.getAs[Int]("stage")).toSeq == Seq(1, 2, 3, 4))
+    val counts = stages.map(_.getAs[Long]("n_docs"))
+    assert(counts.sum == t.documents.count())
+    assert(counts.max - counts.min <= 1, "ntile stages must be equal-population within 1")
+    // stage boundaries never interleave: each stage's max <= next stage's min
+    stages.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_chars") <= b.getAs[Long]("min_chars"),
+          s"stage ${a.getAs[Int]("stage")} overlaps ${b.getAs[Int]("stage")}")
+      case _ => ()
+    }
+  }
+
+  test("quality classifier: tree reproduces the rule band and the fit is deterministic") {
+    val (n, pos, acc) = graft.ml.QualityClassifier.stats(t)
+    assert(n == t.documents.count())
+    assert(pos > 0 && pos < n, "fixture must carry both classes")
+    assert(acc >= 0.98, s"depth-5 tree must reproduce its axis-aligned teacher, got $acc")
+    val (n2, pos2, acc2) = graft.ml.QualityClassifier.stats(t)
+    assert((n, pos, acc) == ((n2, pos2, acc2)), "seeded fit must be deterministic in-session")
+  }
+
   test("quality filter output is a subset with band-limited token counts") {
     val rows = TextOps.qualityFilter(t).collect()
     rows.foreach { r =>
