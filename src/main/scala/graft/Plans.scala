@@ -80,7 +80,13 @@ object Plans {
       "profile_join_size_cms (two sketch aggs joined on (row,bucket), the join never runs)" ->
         operators.ProfileOps.cmsJoinSizeGate(t),
       "sample_hash_stratified (WindowGroupLimit partial top-k per stratum)" ->
-        operators.CoreQueries.hashStratifiedSample(t))
+        operators.CoreQueries.hashStratifiedSample(t),
+      "graph_triangle_stats (checkpointed capped edges, degree-oriented wedge join)" ->
+        operators.GraphOps.triangleStats(t),
+      "replica_antientropy_diff (partial+final digest aggs, O(buckets)-row full outer)" ->
+        operators.SnapshotOps.antiEntropyGate(t),
+      "partition_spec_pruned (per-spec scans: year dirs pruned in both, month dirs in spec2)" ->
+        sources.PartitionedParquet.specPrunedCounts(t))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -86,6 +86,9 @@ object SparkEntry {
     // Spark-native; cross-boundary pruned read gated alongside
     "partition_spec_rollup" -> q(graft.sources.PartitionedParquet.specEvolutionRollup),
     "partition_spec_pruned" -> q(graft.sources.PartitionedParquet.specPrunedCounts),
+    // dynamic partition pruning (round-12): the dim-side runtime filter
+    // prunes fact directories the planner cannot see statically
+    "join_dpp_pruned"       -> q(graft.sources.PartitionedParquet.dppPrunedJoin),
     "json_roundtrip"        -> q(graft.sources.JsonIO.jsonRoundtrip),
     "orc_roundtrip"         -> q(graft.sources.OrcIO.orcRoundtrip),
     "csv_column_roundtrip"  -> q(graft.sources.CsvIO.csvColumnRoundtrip),
@@ -902,6 +905,15 @@ object SparkEntry {
         |FROM orders
         |WHERE year(o_orderdate) BETWEEN 1997 AND 1998
         |  AND month(o_orderdate) IN (1, 2, 3)
+        |GROUP BY 1, 2""".stripMargin,
+    // DPP: the kept-years join is semantically a year filter — the
+    // oracle states it directly; the runtime pruning is the spec's plan
+    // assertion
+    "join_dpp_pruned" ->
+      """SELECT year(o_orderdate) AS order_year, o_orderstatus,
+        |       count(*) AS n,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+        |FROM orders WHERE year(o_orderdate) IN (1996, 1997)
         |GROUP BY 1, 2""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -197,10 +197,14 @@ object GraphOps {
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("h", "et").orderBy("uid")
+    // materialize the capped frame ONCE before the self-join — without
+    // this both join sides replay the scan + distinct + window pipeline
+    // (the connectedComponents posture; 2× corpus scans at 100 TB)
     val capped = byBucket
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
       .drop("rn")
+      .localCheckpoint(true)
     capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.et") === col("b.et") &&
           col("a.uid") < col("b.uid"))

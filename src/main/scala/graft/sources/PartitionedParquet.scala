@@ -140,4 +140,60 @@ object PartitionedParquet {
       .groupBy("order_year", "order_month")
       .agg(count(lit(1)).as("n"))
       .orderBy("order_year", "order_month")
+
+  // ---------------------------------------------------------------------
+  // Dynamic partition pruning (round 12): the star-join scan killer —
+  // the fact table's partition filter is not known until the DIM side is
+  // filtered at runtime, so static pruning cannot help; Spark's DPP
+  // plants the broadcast dim's key set as a runtime partition filter on
+  // the fact scan. At 100 TB this is the difference between scanning two
+  // year directories and scanning seven.
+  // ---------------------------------------------------------------------
+
+  private val dppCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** Star fixture derived once per fixture generation: `fact/` = orders
+    * partitioned by order_year; `dim/` = one row per year with a keep
+    * flag (1 for 1996/1997, else 0) — the filter lives on a
+    * NON-partition dim column, so only DPP (not static pruning) can skip
+    * fact directories. The flag is an INT compared `= 1`, not a boolean:
+    * `keep = true` gets boolean-simplified to a bare attribute before
+    * the PartitionPruning rule runs, and a bare attribute fails Spark's
+    * `isLikelySelective` test — the EqualTo comparison is what keeps the
+    * dim filter DPP-eligible.
+    */
+  def dppLayout(t: Tables): String = Tables.cachedPathPerGeneration(
+    dppCache, t.dir, "orders.parquet") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dpp").toString
+    val o = t.orders.withColumn("order_year", year(col("o_orderdate")))
+    o.write.mode("overwrite").partitionBy("order_year")
+      .parquet(s"$base/fact")
+    o.select("order_year").distinct()
+      .withColumn("keep_flag",
+        when(col("order_year").isin(1996, 1997), 1).otherwise(0))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    base
+  }
+
+  /** Gate query: fact ⋈ (dim WHERE keep) rolled up per (year, status).
+    * The oracle states the join's semantics straight from the source
+    * table, so the hash proves the runtime-pruned scan returned exactly
+    * the kept years' rows; the spec asserts the fact scan carries a
+    * `dynamicpruning` partition filter and reads only the two kept
+    * directories.
+    */
+  def dppPrunedJoin(t: Tables): DataFrame = {
+    val base = dppLayout(t)
+    val fact = t.spark.read.parquet(s"$base/fact")
+    val dim = t.spark.read.parquet(s"$base/dim")
+      .filter(col("keep_flag") === 1)
+    fact.join(dim.select("order_year"), Seq("order_year"))
+      .groupBy("order_year", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        roundN(decSum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("order_year", "o_orderstatus")
+  }
 }

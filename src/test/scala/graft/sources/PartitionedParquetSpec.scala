@@ -70,6 +70,39 @@ class PartitionedParquetSpec extends SparkTestBase {
     assert(pruned.count() == direct)
   }
 
+  test("dynamic partition pruning: the fact scan carries a runtime filter and reads only kept years") {
+    val joined = PartitionedParquet.dppPrunedJoin(t)
+    joined.collect() // finalize the adaptive plan so DPP has executed
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("dynamicpruning"),
+      s"fact scan lost its DPP filter:\n${finalPlan.toString.take(2000)}")
+    // AQE query stages are leaf nodes to collect(); recurse into them
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(scans) ++ p.subqueries.flatMap(scans)
+    }
+    val factScans = scans(finalPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("fact")))
+    assert(factScans.nonEmpty, "no fact-side parquet scan in the final plan")
+    // the scan's own metric: partitions actually read after the runtime
+    // filter — 2 kept years out of the 7 the fixture spans
+    val partitionsRead = factScans.map(_.metrics("numPartitions").value).sum
+    assert(partitionsRead == 2,
+      s"DPP should read exactly the 2 kept year dirs, read $partitionsRead")
+  }
+
   test("spec evolution: one mixed-depth listing is refused — per-spec roots are mandatory") {
     val base = PartitionedParquet.evolvedSpecLayout(t)
     // reading both trees through ONE recursive listing must fail: Spark's
