@@ -401,6 +401,9 @@ object SparkEntry {
     // cluster-size distribution (round-12): the dedup dashboard headline
     "dedup_cluster_histogram" -> q(t => DedupOps.clusterSizeHistogram(t)),
     "dedup_cluster_resolve" -> q(t => DedupOps.resolveClusters(t, 0.5)),
+    // leakage-safe eval split (round-12): split key = md5 of the near-dup
+    // cluster representative, so no cluster spans train and holdout
+    "split_cluster_holdout" -> q(t => DedupOps.clusterHoldoutCounts(t, 0.5)),
     // graph analytics (round-12): degree-oriented triangle census +
     // exact-integer PageRank over the capped co-activity graph — both
     // fully hash-gated (fixed-point arithmetic, no float accumulation)
@@ -2364,6 +2367,37 @@ object SparkEntry {
          |SELECT cluster_size, count(*) AS n_clusters,
          |       cluster_size * count(*) AS n_docs
          |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // leakage-safe holdout: same recursive closure for the reps, then the
+    // md5-mod-5 split replayed digit by digit
+    "split_cluster_holdout" -> {
+      val nibbles = (0 until 12)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}.0")
+        .mkString(" +\n           ")
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |jp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |walk(id, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src),
+         |reps AS (
+         |  SELECT id, least(id, min(r)) AS rep FROM walk GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN reps r ON d.doc_id = r.id),
+         |h AS (SELECT doc_id, rep, md5(CAST(rep AS VARCHAR)) AS hx FROM lab),
+         |s AS (
+         |  SELECT doc_id, rep,
+         |         CASE WHEN CAST(($nibbles) AS DECIMAL(38,0)) % 5 < 4
+         |              THEN 'train' ELSE 'holdout' END AS split
+         |  FROM h)
+         |SELECT split, count(*) AS n_docs,
+         |       count(DISTINCT rep) AS n_clusters
+         |FROM s GROUP BY split""".stripMargin
+    },
     // degree-oriented triangle census: orientation by (degree, id) gives
     // each triangle a unique lowest-order apex, and the closing edge is
     // oriented low→high in the same total order — identical derivation on

@@ -521,6 +521,48 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Cluster-aware train/holdout assignment (round 12): an eval split cut
+    * by DOCUMENT hash leaks — a near-duplicate of a training document
+    * lands in the holdout and the model is graded on memorized text (the
+    * leakage Lee et al. 2021 §6.2 measure). The split key here is the
+    * md5 of the near-dup CLUSTER representative, so an entire cluster
+    * lands on one side by construction; singletons are their own rep.
+    * 48 bits of the digest mod 5 < 4 → train (≈80/20), the same
+    * hash-split determinism contract as [[graft.operators.PipelineOps]]'
+    * plain hash split — this is that operator made leakage-safe.
+    *
+    * Scale: the cluster labels are (long, long) rows joined to a
+    * doc_id-projected corpus — ids shuffle, text never does; the split
+    * itself is a codegen'd projection.
+    */
+  def clusterHoldoutAssignments(t: Tables, minJaccard: Double = 0.5): DataFrame = {
+    val clusters = dupClusters(t, minJaccard)
+    val bucket = pmod(
+      conv(substring(md5(col("rep").cast("string")), 1, 12), 16, 10)
+        .cast("decimal(38,0)"),
+      lit(5).cast("decimal(38,0)"))
+    t.documents.select(col("doc_id"))
+      .join(clusters.select("doc_id", "cluster_rep"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+      .withColumn("split", when(bucket < 4, "train").otherwise("holdout"))
+  }
+
+  /** Gate query: per-split doc and cluster counts of the leakage-safe
+    * holdout. The oracle re-derives the clusters via its recursive
+    * closure and replays the md5-mod-5 split, so the hash proves both
+    * the assignment and that no cluster was torn apart (a torn cluster
+    * changes `n_clusters` — the split is a function of rep, so the
+    * per-split distinct-rep counts must be disjoint partitions of the
+    * cluster set).
+    */
+  def clusterHoldoutCounts(t: Tables, minJaccard: Double = 0.5): DataFrame =
+    clusterHoldoutAssignments(t, minJaccard)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"))
+      .orderBy("split")
+
   /** MinHash+LSH via the MLlib built-ins (SURVEY §4.2: prefer
     * `MinHashLSH` over custom code when its semantics fit): shingles →
     * HashingTF presence vectors → MinHashLSH(seed) →

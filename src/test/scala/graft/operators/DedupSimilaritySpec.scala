@@ -548,4 +548,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     val got = rows.filter(_._1 == probe).sortBy(_._4).map(_._2).toSeq
     assert(got == want, s"vec $probe: got $got want $want")
   }
+
+  test("cluster holdout: no near-dup cluster spans train and holdout; counts conserve the corpus") {
+    val assigned = DedupOps.clusterHoldoutAssignments(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(assigned.length == t.documents.count())
+    // the leakage guarantee: every rep maps to exactly one split
+    val splitsPerRep = assigned.groupBy(_._2).values.map(_.map(_._3).distinct.size)
+    assert(splitsPerRep.forall(_ == 1), "a cluster was torn across the split boundary")
+    // duplicate PAIRS (the thing document-hash splits leak) stay together
+    val pairs = DedupOps.minhashDupPairs(t, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val splitOf = assigned.map(a => a._1 -> a._3).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"near-dups $a/$b split apart") }
+    // both splits populated at the fixture scale
+    val bySplit = assigned.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "holdout") && bySplit.values.forall(_ > 0))
+  }
 }
