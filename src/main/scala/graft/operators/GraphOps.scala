@@ -189,8 +189,14 @@ object GraphOps {
     * the events; the pair join re-uses that (h, et) partitioning; the
     * final distinct shuffles only (u, v) int pairs.
     */
-  def coActivityEdges(t: graft.core.Tables, cap: Int = 10): DataFrame = {
-    val byBucket = t.events.select(
+  def coActivityEdges(t: graft.core.Tables, cap: Int = 10): DataFrame =
+    coActivityEdgesOf(t.events, cap)
+
+  /** [[coActivityEdges]] over an explicit events frame — the seam the
+    * scaling spec replicates users through to measure the cap's ceiling.
+    */
+  private[graft] def coActivityEdgesOf(events: DataFrame, cap: Int): DataFrame = {
+    val byBucket = events.select(
         date_trunc("hour", col("ts")).as("h"),
         col("event_type").as("et"),
         col("user_id").as("uid"))

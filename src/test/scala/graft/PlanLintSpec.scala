@@ -77,7 +77,10 @@ class PlanLintSpec extends SparkTestBase {
     // stored-table union estimate × live union estimate
     "sketch_hll_persisted" -> 2,
     // left/right counts × exact dot product × sketch inner product
-    "profile_join_size_cms" -> 3)
+    "profile_join_size_cms" -> 3,
+    // (nodes, wedges) agg × edge count × triangle count — the census row
+    // assembled from three independent 1-row aggregates
+    "graph_triangle_stats" -> 2)
 
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -178,4 +178,30 @@ class ScalingSpec extends SparkTestBase {
       s"negative control broken: fixed-bits knn grew only ${ratio(adaptive1, fixed3)}× " +
         s"($adaptive1 -> $fixed3) — the spec would not catch a frozen bucket count")
   }
+
+  test("co-activity cap holds its absolute pair ceiling at 6× users; uncapped goes quadratic") {
+    import graft.operators.GraphOps
+    val ev1 = t1.events
+    val uk = ev1.agg(max(col("user_id"))).head().getLong(0) + 1
+    // 6 user-shifted copies in the SAME time buckets — the hot-bucket
+    // skew shape (one popular hour × event_type drawing ever more users)
+    val ev6 = (0 until 6).map(i =>
+      ev1.withColumn("user_id", col("user_id") + i * uk))
+      .reduce(_.unionByName(_))
+    val capped1 = GraphOps.coActivityEdgesOf(ev1, 10).count()
+    val capped6 = GraphOps.coActivityEdgesOf(ev6, 10).count()
+    val un1 = GraphOps.coActivityEdgesOf(ev1, Int.MaxValue).count()
+    val un6 = GraphOps.coActivityEdgesOf(ev6, Int.MaxValue).count()
+    val buckets = ev6.select(
+      date_trunc("hour", col("ts")), col("event_type")).distinct().count()
+    // the guarantee the operator ships: C(cap,2)·buckets, regardless of skew
+    assert(capped6 <= buckets * 45,
+      s"capped edges $capped6 exceed the C(10,2)×$buckets ceiling")
+    // the cap genuinely binds at this occupancy, and the uncapped join is
+    // the quadratic blow-up the ceiling exists to prevent
+    assert(un6 > capped6 * 2,
+      s"cap never engaged: uncapped $un6 vs capped $capped6")
+    assert(ratio(un1, un6) > ratio(capped1, capped6),
+      s"uncapped growth ${ratio(un1, un6)}× should outpace capped ${ratio(capped1, capped6)}×")
+  }
 }
