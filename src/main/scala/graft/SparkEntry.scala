@@ -216,6 +216,10 @@ object SparkEntry {
     // length-curriculum staging (round-12): equal-population ntile stages
     // over the (n_chars, doc_id) total order — fully hash-gated
     "text_length_curriculum" -> q(t => TextOps.lengthCurriculum(t)),
+    // BPE merge training (round-12): the first 5 tokenizer merges learned
+    // from the word-frequency dict — fully hash-gated, the oracle unrolls
+    // the same 5 argmax+replace rounds
+    "text_bpe_merges"       -> q(t => TextOps.bpeMerges(t)),
     // weak-label quality-classifier distillation (round-12): exact label
     // counts hash-gated; distillation verdicts recomputed by GateInvariants
     "ml_quality_classifier" -> q(graft.ml.QualityClassifier.classifierGate),
@@ -542,6 +546,42 @@ object SparkEntry {
        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM deg),
        |$iterCtes
        |SELECT id, pr FROM r$iters ORDER BY pr DESC, id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB replay of TextOps.bpeMerges: the word-frequency dict built
+    * once, then `n` unrolled merge rounds — each round's argmax pair as a
+    * 1-row CTE consumed by scalar subqueries in the next round's literal
+    * replace. Leftmost-non-overlapping `replace` scan order matches
+    * Spark's, which is what makes the whole derivation hash-gateable.
+    */
+  private def bpeMergesSql(n: Int): String = {
+    val iters = (1 to n).map { r =>
+      val src = if (r == 1) "w" else s"d${r - 1}"
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |           unnest(list_transform(generate_series(1, len(syms) - 1),
+         |             i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(seq, ' ') AS syms FROM $src)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY pair),
+         |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |d$r AS (
+         |  SELECT replace(seq, (SELECT pair FROM b$r),
+         |                 replace((SELECT pair FROM b$r), ' ', '')) AS seq, freq
+         |  FROM $src)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to n).map(r =>
+      s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (
+       |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+       |           i -> substr(w, i, 1)), ' ') AS seq,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |$iters
+       |$rows""".stripMargin
   }
 
   private val minhashPairsCte: String =
@@ -1866,6 +1906,7 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "text_bpe_merges" -> bpeMergesSql(5),
     // curriculum stages: ntile over the identical (n_chars, doc_id) total
     // order — both engines fill earlier tiles first on remainders
     "text_length_curriculum" ->

@@ -352,6 +352,55 @@ object TextOps {
       .limit(k)
   }
 
+  /** BPE merge training (round 12): the first `nMerges` byte-pair-encoding
+    * merges learned from the corpus — the tokenizer-training step of an
+    * LLM data pipeline, run where the data lives. Classic Sennrich-style
+    * training over the WORD-FREQUENCY dictionary: the corpus is touched
+    * exactly once (whitespace words → counts); every merge round then
+    * works on the |vocab|-bounded dict — adjacent-symbol pairs weighted
+    * by word frequency, one groupBy per round, argmax pair (ties to the
+    * lexicographically smallest — binary collation on both engines), and
+    * a literal leftmost-non-overlapping `replace` of `"a b"` with `"ab"`
+    * over the space-separated symbol sequences (Spark's `replace` and
+    * DuckDB's agree on the scan order, which makes the whole derivation
+    * hash-gateable). The driver reads ONE (pair, count) row per round —
+    * the merge table IS driver-sized by definition (a 50k-merge
+    * production vocabulary is 50k tiny rows); the dict stays distributed
+    * and is checkpointed per round so round N never replays rounds 1..N−1.
+    *
+    * Output: one row per learned merge — (rank, pair, merged, cnt).
+    */
+  def bpeMerges(t: Tables, nMerges: Int = 5): DataFrame = {
+    var dict = t.documents
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat_ws(" ", split(col("w"), "")).as("seq"), col("freq"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      val best = dict
+        .select(col("freq"), split(col("seq"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).head()
+      val p = best.getString(0)
+      val merged = p.replace(" ", "")
+      learned += ((r, p, merged, best.getLong(1)))
+      dict = dict
+        .select(replace(col("seq"), lit(p), lit(merged)).as("seq"), col("freq"))
+        .localCheckpoint(true)
+    }
+    val spark = t.spark
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "pair", "merged", "cnt")
+  }
+
   /** Length-curriculum staging (round 12): assign every document to one
     * of `stages` equal-population curriculum stages by length — the
     * shortest quartile trains first, the longest last (curriculum /

@@ -27,6 +27,33 @@ class TextMlMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("bpe merges: match a driver-side reference trainer on the fixture corpus") {
+    val got = TextOps.bpeMerges(t, nMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // reference trainer over the collected word-frequency dict
+    var dict: Map[String, Long] = t.documents.select("text").collect()
+      .flatMap(r => Option(r.getString(0)).toSeq)
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.toCharArray.mkString(" ") -> ws.length.toLong }
+    val want = (1 to 4).map { r =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      dict.foreach { case (seq, freq) =>
+        val syms = seq.split(" ")
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          val k = p.mkString(" ")
+          counts(k) = counts.getOrElse(k, 0L) + freq
+        }
+      }
+      val (pair, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val merged = pair.replace(" ", "")
+      dict = dict.groupBy { case (seq, _) => seq.replace(pair, merged) }
+        .map { case (seq, entries) => seq -> entries.values.sum }
+      (r, pair, merged, cnt)
+    }
+    assert(got.toSeq == want)
+  }
+
   test("quality classifier: tree reproduces the rule band and the fit is deterministic") {
     val (n, pos, acc) = graft.ml.QualityClassifier.stats(t)
     assert(n == t.documents.count())
