@@ -413,6 +413,7 @@ object SparkEntry {
     // fully hash-gated (fixed-point arithmetic, no float accumulation)
     "graph_triangle_stats" -> q(t => GraphOps.triangleStats(t)),
     "graph_pagerank"       -> q(t => GraphOps.pagerankTop(t)),
+    "graph_community_leaders" -> q(t => GraphOps.communityLeaders(t)),
     "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
     "dedup_decontaminate" -> q(t => DedupOps.decontaminate(t, "src15")),
     "dedup_substring_spans" -> q(t => DedupOps.duplicateSpans(t.documents)),
@@ -532,21 +533,51 @@ object SparkEntry {
     * 150 000 000) — hash-equality is only possible because both sides stay
     * closed over BIGINT.
     */
-  private def pagerankSql(iters: Int, k: Int): String = {
-    val iterCtes = (1 to iters).map { i =>
-      s"""r$i AS (
-         |  SELECT s.v AS id,
-         |         CAST(150000000 + (sum(r.pr // d.deg) * 85) // 100 AS BIGINT) AS pr
-         |  FROM sym s JOIN r${i - 1} r ON s.u = r.id JOIN deg d ON s.u = d.id
-         |  GROUP BY s.v)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $coActivityEdgesCte,
-       |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+  private def pagerankIterCtes(iters: Int): String = (1 to iters).map { i =>
+    s"""r$i AS (
+       |  SELECT s.v AS id,
+       |         CAST(150000000 + (sum(r.pr // d.deg) * 85) // 100 AS BIGINT) AS pr
+       |  FROM sym s JOIN r${i - 1} r ON s.u = r.id JOIN deg d ON s.u = d.id
+       |  GROUP BY s.v)""".stripMargin
+  }.mkString(",\n")
+
+  private val pagerankBaseCtes: String =
+    s"""sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
        |deg AS (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u),
-       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM deg),
-       |$iterCtes
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM deg)""".stripMargin
+
+  private def pagerankSql(iters: Int, k: Int): String =
+    s"""WITH $coActivityEdgesCte,
+       |$pagerankBaseCtes,
+       |${pagerankIterCtes(iters)}
        |SELECT id, pr FROM r$iters ORDER BY pr DESC, id LIMIT $k""".stripMargin
-  }
+
+  /** DuckDB replay of GraphOps.communityLeaders: the recursive closure
+    * gives each node its component (min reachable id, self included —
+    * identical to min-label propagation's output), the unrolled integer
+    * iterations its rank; the leader is the per-community rank argmax.
+    */
+  private def communityLeadersSql(iters: Int): String =
+    s"""WITH RECURSIVE $coActivityEdgesCte,
+       |$pagerankBaseCtes,
+       |${pagerankIterCtes(iters)},
+       |walk(id, rr) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT w.id, s.v FROM walk w JOIN sym s ON w.rr = s.u),
+       |reps AS (
+       |  SELECT id, least(id, min(rr)) AS community FROM walk GROUP BY id),
+       |m AS (
+       |  SELECT reps.id, reps.community, r$iters.pr
+       |  FROM reps JOIN r$iters ON reps.id = r$iters.id),
+       |ranked AS (
+       |  SELECT community, id, pr,
+       |         row_number() OVER (PARTITION BY community
+       |                            ORDER BY pr DESC, id) AS rn,
+       |         count(*) OVER (PARTITION BY community) AS n_members
+       |  FROM m)
+       |SELECT community, n_members, id AS leader_id, pr AS leader_pr
+       |FROM ranked WHERE rn = 1""".stripMargin
 
   /** DuckDB replay of TextOps.bpeMerges: the word-frequency dict built
     * once, then `n` unrolled merge rounds — each round's argmax pair as a
@@ -2473,6 +2504,7 @@ object SparkEntry {
          |                 ELSE 0 END AS BIGINT) AS transitivity_ppm
          |FROM nn, ne, tri""".stripMargin,
     "graph_pagerank" -> pagerankSql(3, 20),
+    "graph_community_leaders" -> communityLeadersSql(3),
     // Semantic-dedup resolution over the same clusters: the longest doc
     // (ties to min doc_id) is kept per cluster, singletons keep
     // themselves. Same recursive closure, then an argmax row_number.

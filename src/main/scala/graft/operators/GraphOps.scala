@@ -289,8 +289,15 @@ object GraphOps {
     * construction.
     */
   def pagerankTop(t: graft.core.Tables, iters: Int = 3, k: Int = 20,
-                  cap: Int = 10): DataFrame = {
-    val e = coActivityEdges(t, cap)
+                  cap: Int = 10): DataFrame =
+    pagerankOf(coActivityEdges(t, cap), iters)
+      .orderBy(col("pr").desc, col("id")).limit(k)
+
+  /** The power iterations over an explicit undirected (u, v) edge list —
+    * one rank row per node. Shared by [[pagerankTop]] and
+    * [[communityLeaders]] so composed queries derive the edge list once.
+    */
+  private[graft] def pagerankOf(e: DataFrame, iters: Int): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -306,6 +313,38 @@ object GraphOps {
         .select(col("v").as("id"), col("pr"))
         .localCheckpoint(true)
     }
-    ranks.orderBy(col("pr").desc, col("id")).limit(k)
+    ranks
+  }
+
+  /** Community detection + influencer ranking in one gated query:
+    * connected components over the capped co-activity graph give the
+    * communities; exact-integer PageRank over the SAME edge list (derived
+    * once, checkpointed) gives per-node influence; the leader is each
+    * community's rank argmax (ties to the smallest id). One row per
+    * community — (community, n_members, leader_id, leader_pr) — every
+    * column exactly restatable, so the composition hash-gates end to end:
+    * the oracle re-derives the components via its recursive closure and
+    * the ranks via the unrolled integer iterations.
+    *
+    * Scale: components and pagerank are both id-keyed message passing
+    * over the shared cached edges; the final window partitions by
+    * community (reusing the join's hash partitioning), bounded by
+    * community width.
+    */
+  def communityLeaders(t: graft.core.Tables, iters: Int = 3,
+                       cap: Int = 10): DataFrame = {
+    val edges = coActivityEdges(t, cap).localCheckpoint(true)
+    val labels = connectedComponents(edges)
+      .select(col("id"), col("label").as("community"))
+    val ranks = pagerankOf(edges, iters)
+    val part = org.apache.spark.sql.expressions.Window.partitionBy("community")
+    labels.join(ranks, "id")
+      .withColumn("n_members", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(
+        part.orderBy(col("pr").desc, col("id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("community"), col("n_members"),
+        col("id").as("leader_id"), col("pr").as("leader_pr"))
+      .orderBy("community")
   }
 }

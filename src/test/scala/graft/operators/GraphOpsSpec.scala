@@ -108,6 +108,26 @@ class GraphOpsSpec extends SparkTestBase {
       "no rank can exceed the total mass (floor losses only shrink it)")
   }
 
+  test("community leaders: one row per component, members conserved, leader is the in-community rank argmax") {
+    val leaders = GraphOps.communityLeaders(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val edges = GraphOps.coActivityEdges(t)
+    val comps = labelMap(GraphOps.connectedComponents(edges))
+    val ranks = GraphOps.pagerankOf(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(leaders.map(_._1).toSet == comps.values.toSet,
+      "one leader row per component label")
+    assert(leaders.map(_._2).sum == comps.size, "member counts conserve the node set")
+    leaders.foreach { case (community, _, leaderId, leaderPr) =>
+      assert(comps(leaderId) == community, s"leader $leaderId outside its community")
+      assert(ranks(leaderId) == leaderPr)
+      val best = comps.collect { case (id, c) if c == community => (ranks(id), id) }
+        .minBy { case (pr, id) => (-pr, id) }
+      assert((leaderPr, leaderId) == best,
+        s"community $community: leader $leaderId is not the rank argmax $best")
+    }
+  }
+
   test("pagerank concentrates on the capped hubs: more iterations never resurrect a dropped node") {
     // every iteration's output covers exactly the node set (no node gains
     // or loses rows) — the maintenance invariant the gate relies on
