@@ -435,6 +435,9 @@ object SparkEntry {
     "dedup_edit_distance" -> q(t => DedupOps.editDistancePairs(t)),
     // --- similarity search (training-data extensions) ---
     "ann_brute_force"    -> q(t => SimilarityOps.bruteForceTopK(t, 0L, 10)),
+    // matryoshka-style truncated-dimension retrieval (round-12): prefix
+    // cosine top-k + full-dim-membership flag, fully hash-gated
+    "ann_truncated_dims" -> q(t => SimilarityOps.truncatedDimsTopK(t)),
     "ann_lsh"            -> q(t => SimilarityOps.lshTopK(t, 0L, 5, 6)),
     // hash-gated since round 9: the approximate neighbor SET is
     // engine-specific (IVF cells / random projections), so the gates emit
@@ -3603,6 +3606,23 @@ object SparkEntry {
         |                                    CAST(qe AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // truncated-dimension retrieval: prefix slice + the same cosine
+    // idiom; the membership flag restated as a full-dim top-k subquery
+    "ann_truncated_dims" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |tr AS (
+        |  SELECT vec_id, label,
+        |         floor(list_cosine_similarity(CAST(embedding AS DOUBLE[])[1:8], qe[1:8]) * 1000000 + 0.5) / 1000000 AS cos_trunc
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |  ORDER BY cos_trunc DESC, vec_id ASC LIMIT 10),
+        |f AS (
+        |  SELECT vec_id,
+        |         floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 1000000 + 0.5) / 1000000 AS cos_sim
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 10)
+        |SELECT tr.vec_id, tr.label, tr.cos_trunc,
+        |       tr.vec_id IN (SELECT vec_id FROM f) AS in_full_topk
+        |FROM tr""".stripMargin,
     // int8 quantization restated verbatim (Q8Pack's contract): q_i =
     // floor(x*127.0/ma + 0.5) is one IEEE op per step in a fixed order, so
     // the integer codes match the engine's packed bytes bit-for-bit and

@@ -41,6 +41,33 @@ object SimilarityOps {
       .limit(k)
       .select("vec_id", "label", "cos_sim")
 
+  /** Matryoshka-style truncated-dimension retrieval (round 12): top-k by
+    * cosine over only the FIRST `dims` of the `dim`-wide embeddings —
+    * the MRL serving trick (Kusupati et al. 2022): a prefix of a
+    * matryoshka-trained embedding is itself a usable embedding, so the
+    * first-stage scan reads `dims/dim` of the vector bytes (8/64 here =
+    * 8× less I/O and dot-product work per candidate) and the full vector
+    * is touched only for rerank. Each hit also reports whether it
+    * appears in the FULL-dimension top-k — the recall-vs-cost readout a
+    * deployment tunes `dims` by. Fully hash-gated: truncation is a
+    * `slice`, the cosine/rounding idiom is [[bruteForceTopK]]'s, and the
+    * membership flag is a subquery the oracle restates.
+    */
+  def truncatedDimsTopK(t: Tables, queryId: Long = 0L, k: Int = 10,
+                        dims: Int = 8): DataFrame = {
+    val full = bruteForceTopK(t, queryId, k)
+      .select(col("vec_id"), lit(true).as("in_full"))
+    withQuery(t, queryId)
+      .withColumn("cos_trunc", roundN(
+        cosine(slice(col("emb"), 1, dims), slice(col("q_emb"), 1, dims)), 6))
+      .orderBy(desc("cos_trunc"), asc("vec_id"))
+      .limit(k)
+      .join(broadcast(full), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cos_trunc"),
+        coalesce(col("in_full"), lit(false)).as("in_full_topk"))
+      .orderBy(desc("cos_trunc"), asc("vec_id"))
+  }
+
   /** ANN via sign-bit LSH: probe the query's bucket only, exact cosine
     * rerank inside it.
     */

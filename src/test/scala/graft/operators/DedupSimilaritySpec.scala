@@ -549,6 +549,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got == want, s"vec $probe: got $got want $want")
   }
 
+  test("truncated-dims retrieval: prefix cosine matches a driver recompute; flags mark full-dim members") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    val raw = t.embeddings.collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val q = raw(0L)
+    val others = raw.toSeq.filter(_._1 != 0L)
+    val wantTrunc = others.map { case (id, e) => (r6(cos(e.take(8), q.take(8))), id) }
+      .sortBy { case (c, id) => (-c, id) }.take(10)
+    val fullTop = others.map { case (id, e) => (r6(cos(e, q)), id) }
+      .sortBy { case (c, id) => (-c, id) }.take(10).map(_._2).toSet
+    val got = SimilarityOps.truncatedDimsTopK(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(got.map(x => (x._2, x._1)).toSeq == wantTrunc.toSeq)
+    got.foreach { case (id, _, flag) => assert(flag == fullTop.contains(id)) }
+  }
+
   test("cluster holdout: no near-dup cluster spans train and holdout; counts conserve the corpus") {
     val assigned = DedupOps.clusterHoldoutAssignments(t).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
