@@ -149,6 +149,9 @@ object SparkEntry {
     // stats — the optimizer/drift-monitoring surface, fully hash-gated
     "profile_histogram"        -> q(ProfileOps.priceHistogram),
     "analyze_column_stats"     -> q(ProfileOps.analyzeOrders),
+    // incremental ANALYZE (round-12): stats maintained through the
+    // insert-only CDC slice — self-proving vs the oracle's direct stats
+    "analyze_incremental_stats" -> q(ProfileOps.incrementalColumnStats),
     // join-size estimation from count-min sketches (round-12): the
     // join-planning primitive — verdict gate, GateInvariants-recomputed
     "profile_join_size_cms"    -> q(t => ProfileOps.cmsJoinSizeGate(t)),
@@ -1469,6 +1472,22 @@ object SparkEntry {
         |       TRUE AS within_bound""".stripMargin,
     // ANALYZE-style column stats: one wide aggregate restated per column,
     // typed min/max pairs (the zone-map convention)
+    // incremental ANALYZE: the oracle recomputes the stats DIRECTLY over
+    // base ∪ inserts (the %13 re-adds), proving the engine's maintained
+    // add/least/greatest combination exact
+    "analyze_incremental_stats" ->
+      """WITH ins AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |u AS (
+        |  SELECT source, n_chars FROM documents
+        |  UNION ALL SELECT source, n_chars FROM ins)
+        |SELECT count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls_source,
+        |       min(source) AS min_source, max(source) AS max_source
+        |FROM u""".stripMargin,
     "analyze_column_stats" ->
       """WITH w AS (
         |  SELECT count(*) AS n_rows,

@@ -192,4 +192,61 @@ object ProfileOps {
       (col("est_size").cast("double") <= col("exact_size").cast("double") +
         lit(5.0) * col("n_left").cast("double") * col("n_right").cast("double") /
           lit(width.toDouble)).as("within_bound"))
+
+  // ---------------------------------------------------------------------
+  // Incremental statistics maintenance (round 12): ANALYZE without the
+  // rescan. count / null-count / sum maintain under ANY CDC feed (signed
+  // deltas — the agg_incremental_rollup machinery); min / max maintain
+  // under INSERT-ONLY feeds (they only ever tighten monotonically — a
+  // delete may retract the current extremum, forcing a rescan or a
+  // sketch); exact NDV never maintains (the KMV/HLL sketch routes,
+  // sketch_kmv_merge / sketch_hll_merge, are the mergeable substitute).
+  // This gate exercises exactly the insert-monotone class.
+  // ---------------------------------------------------------------------
+
+  /** One stats row (count, per-column null counts, typed min/max) — the
+    * per-column ANALYZE payload for a (source, n_chars) projection.
+    */
+  private[operators] def statsRow(df: DataFrame): DataFrame = df.agg(
+    count(lit(1)).as("n_rows"),
+    // coalesce: an EMPTY batch must contribute zero null-counts, not a
+    // null that poisons the maintained sum (count is already 0; min/max
+    // stay null and least/greatest skip nulls on both engines)
+    coalesce(sum(when(col("n_chars").isNull, 1L).otherwise(0L)), lit(0L))
+      .as("n_nulls_chars"),
+    min(col("n_chars")).as("min_chars"),
+    max(col("n_chars")).as("max_chars"),
+    coalesce(sum(when(col("source").isNull, 1L).otherwise(0L)), lit(0L))
+      .as("n_nulls_source"),
+    min(col("source")).as("min_source"),
+    max(col("source")).as("max_source"))
+
+  /** Gate query: maintain the base corpus' column stats through the
+    * INSERT-ONLY slice of the CDC feed — base stats + insert-batch stats
+    * combined with add / least / greatest, the corpus never rescanned
+    * (the insert batch is |changes|-bound; both stats frames are one
+    * row). SELF-PROVING: the oracle states the same stats DIRECTLY over
+    * base ∪ inserts, so the hash proves maintained == recomputed for
+    * every column.
+    */
+  def incrementalColumnStats(t: Tables): DataFrame = {
+    val base = t.documents.select(col("source"), col("n_chars"))
+    val ins = SnapshotOps.syntheticChanges(t)
+      .filter(col("op") === "insert")
+      .select(col("source"), length(col("text")).cast("long").as("n_chars"))
+    val b = statsRow(base)
+    val i = statsRow(ins).withColumnsRenamed(
+      Map("n_rows" -> "i_n_rows", "n_nulls_chars" -> "i_n_nulls_chars",
+        "min_chars" -> "i_min_chars", "max_chars" -> "i_max_chars",
+        "n_nulls_source" -> "i_n_nulls_source",
+        "min_source" -> "i_min_source", "max_source" -> "i_max_source"))
+    b.crossJoin(broadcast(i)).select(
+      (col("n_rows") + col("i_n_rows")).as("n_rows"),
+      (col("n_nulls_chars") + col("i_n_nulls_chars")).as("n_nulls_chars"),
+      least(col("min_chars"), col("i_min_chars")).as("min_chars"),
+      greatest(col("max_chars"), col("i_max_chars")).as("max_chars"),
+      (col("n_nulls_source") + col("i_n_nulls_source")).as("n_nulls_source"),
+      least(col("min_source"), col("i_min_source")).as("min_source"),
+      greatest(col("max_source"), col("i_max_source")).as("max_source"))
+  }
 }

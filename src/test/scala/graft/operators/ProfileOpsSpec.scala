@@ -128,4 +128,41 @@ class ProfileOpsSpec extends SparkTestBase {
     val scans = "orders\\.parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected 1 orders scan, got $scans")
   }
+
+  test("incremental stats: maintained == direct over base ∪ inserts, and the base is never rescanned twice") {
+    val row = ProfileOps.incrementalColumnStats(t).head()
+    val direct = {
+      val base = t.documents.select(col("source"), col("n_chars"))
+      val ins = t.documents.filter(col("doc_id") % 13 === 0)
+        .select(col("source"), length(col("text")).cast("long").as("n_chars"))
+      base.unionByName(ins).agg(
+        count(lit(1)), min(col("n_chars")), max(col("n_chars")),
+        min(col("source")), max(col("source"))).head()
+    }
+    assert(row.getAs[Long]("n_rows") == direct.getLong(0))
+    assert(row.getAs[Long]("min_chars") == direct.getLong(1))
+    assert(row.getAs[Long]("max_chars") == direct.getLong(2))
+    assert(row.getAs[String]("min_source") == direct.getString(3))
+    assert(row.getAs[String]("max_source") == direct.getString(4))
+    assert(row.getAs[Long]("n_nulls_chars") == 0L &&
+      row.getAs[Long]("n_nulls_source") == 0L)
+  }
+
+  test("incremental stats: an EMPTY insert batch leaves every stat unchanged (not nulled)") {
+    import org.apache.spark.sql.types._
+    // hand-built: base with a null n_chars; empty insert side exercised
+    // through the same statsRow+combine path via a filtered empty feed
+    val base = Seq(("a", Some(5L)), ("b", None: Option[Long]), ("c", Some(9L)))
+      .toDF("source", "n_chars")
+    val schema = StructType(Seq(StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // replicate the gate's combine over hand-built frames
+    val b = ProfileOps.statsRow(base).head()
+    val e = ProfileOps.statsRow(empty).head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2) && e.isNullAt(3))
+    assert(b.getLong(0) + e.getLong(0) == 3L)
+    assert(b.getLong(1) + e.getLong(1) == 1L, "null count must add 0, not null")
+  }
 }
