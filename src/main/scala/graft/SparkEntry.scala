@@ -142,6 +142,12 @@ object SparkEntry {
     // ordered conversion funnel (round-12): one exchange, array-expression
     // step times; the oracle derives the steps via correlated min-joins
     "events_funnel"            -> q(EventOps.funnelCounts),
+    // retention cohort matrix (round-12): first-active-day cohorts ×
+    // day offsets, distinct users per cell — fully hash-gated
+    "events_retention_cohorts" -> q(t => EventOps.retentionCohorts(t)),
+    // per-language calibrated quality cutoffs (round-12): P10-of-score
+    // per lang, keep counts — fully hash-gated
+    "text_quality_calibrated"  -> q(t => TextOps.calibratedQualityCutoffs(t)),
     // hourly volume anomalies (round-12): trailing-24h fence via exact
     // integer cross-multiplication — fully hash-gated
     "events_hourly_anomaly"    -> q(EventOps.hourlyAnomalies),
@@ -1960,6 +1966,48 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(5),
+    // retention cohorts: exact (user, day) distinct → per-user min →
+    // offset matrix, every count restated
+    "events_retention_cohorts" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |       date_diff('day', f.cohort_day, days.d) AS day_offset,
+        |       count(DISTINCT days.user_id) AS n_users
+        |FROM days JOIN f ON days.user_id = f.user_id
+        |WHERE date_diff('day', f.cohort_day, days.d) <= 7
+        |GROUP BY 1, 2""".stripMargin,
+    // calibrated quality: the per-doc 4-decimal score and the P10 cutoff
+    // replayed (quantile_cont ↔ percentile — the agg_exact_percentiles
+    // parity), keep = score >= rounded cutoff on both sides
+    "text_quality_calibrated" ->
+      """WITH s AS (
+        |  SELECT lang, string_split_regex(text, '\s+') AS tk,
+        |         length(text)::DOUBLE AS nchars
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, len(tk)::DOUBLE AS nt, nchars,
+        |         CASE WHEN len(tk)=0 THEN 0.0
+        |              ELSE len(list_filter(tk, t -> list_contains(
+        |                ['the','a','an','of','and','to','in','is','it','for'], t)))::DOUBLE
+        |                / len(tk) END AS sw
+        |  FROM s),
+        |qs AS (
+        |  SELECT lang,
+        |         floor(((least(nt/50.0, 1.0) + least(sw*5.0, 1.0) +
+        |                 (CASE WHEN (CASE WHEN nt=0 THEN 0.0 ELSE nchars/nt END) >= 3
+        |                        AND (CASE WHEN nt=0 THEN 0.0 ELSE nchars/nt END) <= 10
+        |                       THEN 1.0 ELSE 0.5 END)) / 3.0) * 10000 + 0.5) / 10000 AS q
+        |  FROM m),
+        |c AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         floor(quantile_cont(q, 0.1) * 10000 + 0.5) / 10000 AS p10
+        |  FROM qs GROUP BY lang)
+        |SELECT qs.lang, c.n_docs, c.p10,
+        |       CAST(sum(CASE WHEN qs.q >= c.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM qs JOIN c ON qs.lang = c.lang
+        |GROUP BY qs.lang, c.n_docs, c.p10""".stripMargin,
     // curriculum stages: ntile over the identical (n_chars, doc_id) total
     // order — both engines fill earlier tiles first on remainders
     "text_length_curriculum" ->

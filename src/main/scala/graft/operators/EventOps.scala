@@ -414,4 +414,28 @@ object EventOps {
           |  'step3_purchase', u3
           |) AS (stage, n_users)""".stripMargin))
       .orderBy("stage")
+
+  /** Retention cohort matrix (round 12): users grouped by their
+    * first-active day (the cohort), each later active day counted at its
+    * day offset — the (cohort_day, day_offset) → distinct-users matrix
+    * every engagement dashboard draws. Offsets capped at `maxOffset`
+    * (the matrix a dashboard renders is bounded; at 100 TB the cap also
+    * bounds the output to cohorts × maxOffset rows). Shape: one distinct
+    * over (user, day) — event volume collapses to user-days immediately —
+    * one per-user min, one user-keyed join (first-day table is
+    * user-cardinality, co-partitioned with the distinct's exchange), one
+    * count-distinct aggregate. All exact counts: fully hash-gated.
+    */
+  def retentionCohorts(t: Tables, maxOffset: Int = 7): DataFrame = {
+    val days = t.events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    days.join(first, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

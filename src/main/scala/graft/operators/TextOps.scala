@@ -352,6 +352,29 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-language CALIBRATED quality cutoffs (round 12): one global
+    * quality threshold over-filters whatever language the heuristics were
+    * not tuned on — the standard fix calibrates the cutoff per language
+    * as a score percentile (here P10: the worst decile of each language
+    * drops, every language keeps ~90% regardless of its score scale).
+    * Per-lang P10 over the 4-decimal-quantized [[qualityScore]], docs at
+    * or above their language's cutoff kept. Two aggregates over a
+    * lang-partitioned frame — the cutoff table is O(#langs) and
+    * broadcast-joins back; fully hash-gated (the oracle replays score,
+    * quantile, and keep-count).
+    */
+  def calibratedQualityCutoffs(t: Tables): DataFrame = {
+    val scored = t.documents
+      .select(col("lang"), qualityScore(col("text")).as("q"))
+    val cuts = scored.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      roundN(expr("percentile(q, 0.1)"), 4).as("p10"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .groupBy(col("lang"), col("n_docs"), col("p10"))
+      .agg(sum(when(col("q") >= col("p10"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** BPE merge training (round 12): the first `nMerges` byte-pair-encoding
     * merges learned from the corpus — the tokenizer-training step of an
     * LLM data pipeline, run where the data lives. Classic Sennrich-style

@@ -27,6 +27,25 @@ class TextMlMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("calibrated quality: every language keeps ~90%, and keep counts recompute from the scores") {
+    import graft.functions.TextFunctions.qualityScore
+    val rows = TextOps.calibratedQualityCutoffs(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val scored = t.documents
+      .select(col("lang"), qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { case (lang, (nDocs, p10, nKept)) =>
+      val qs = scored.filter(_._1 == lang).map(_._2)
+      assert(nDocs == qs.length.toLong)
+      assert(nKept == qs.count(_ >= p10).toLong, s"$lang keep count")
+      // P10 calibration: at least 85% of every language survives, and the
+      // cutoff sits inside the language's score range
+      assert(nKept * 100 >= nDocs * 85, s"$lang over-filtered: $nKept of $nDocs")
+      assert(p10 >= qs.min && p10 <= qs.max)
+    }
+    assert(rows.values.map(_._1).sum == t.documents.count())
+  }
+
   test("bpe merges: match a driver-side reference trainer on the fixture corpus") {
     val got = TextOps.bpeMerges(t, nMerges = 4).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -566,4 +566,25 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(steps(2L) == ((true, true, false)))
     assert(steps(3L) == ((true, false, false)))
   }
+
+  test("retention cohorts match a brute-force driver recompute; offset 0 covers every user once") {
+    val got = EventOps.retentionCohorts(t).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    val userDays = t.events
+      .select(col("user_id"), to_date(col("ts")).cast("string"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstDay = userDays.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def off(a: String, b: String) =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(a), java.time.LocalDate.parse(b)).toInt
+    val expect = userDays
+      .map { case (u, d) => (firstDay(u), off(firstDay(u), d), u) }
+      .filter(_._2 <= 7)
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).distinct.length.toLong)
+      .toMap
+    assert(got == expect)
+    // the offset-0 diagonal counts each user exactly once across cohorts
+    val diag = got.collect { case ((_, 0), n) => n }.sum
+    assert(diag == firstDay.size.toLong)
+  }
 }
