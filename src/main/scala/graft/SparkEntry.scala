@@ -145,6 +145,12 @@ object SparkEntry {
     // retention cohort matrix (round-12): first-active-day cohorts ×
     // day offsets, distinct users per cell — fully hash-gated
     "events_retention_cohorts" -> q(t => EventOps.retentionCohorts(t)),
+    // tolerance-bounded as-of (round-12): merge_asof(tolerance=2h) — the
+    // attribution-window rule, same no-join plan
+    "events_asof_tolerance"    -> q(t => EventOps.nextPurchaseAsofTolerance(t)),
+    // KS-style split-representativeness (round-12): train-vs-test length
+    // CDFs on an exact integer grid, cross-multiplied ppm gaps
+    "dq_split_distribution"    -> q(CoreQueries.splitDistributionKs),
     // per-language calibrated quality cutoffs (round-12): P10-of-score
     // per lang, keep counts — fully hash-gated
     "text_quality_calibrated"  -> q(t => TextOps.calibratedQualityCutoffs(t)),
@@ -1930,6 +1936,24 @@ object SparkEntry {
         |       (SELECT min(p.ts) FROM p
         |        WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS next_purchase_ts
         |FROM c""".stripMargin,
+    // tolerance-bounded as-of: the same correlated-min formulation, the
+    // match kept only within the 120-minute attribution window
+    "events_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |         (SELECT min(p.ts) FROM p
+        |          WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS np
+        |  FROM c)
+        |SELECT event_id, user_id, click_ts,
+        |       CASE WHEN np <= click_ts + INTERVAL 120 MINUTE THEN np END AS next_purchase_ts,
+        |       coalesce(np <= click_ts + INTERVAL 120 MINUTE, false) AS matched
+        |FROM m""".stripMargin,
     // backward as-of: last purchase at-or-before each click
     "events_asof_prev" ->
       """WITH e AS (
@@ -3279,6 +3303,36 @@ object SparkEntry {
         |       CAST(min(bucket) AS INT) AS min_bucket,
         |       CAST(max(bucket) AS INT) AS max_bucket
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // KS-style split-representativeness: same bucketing, equal-width
+    // integer grid, cross-multiplied integer ppm gaps — all replayed
+    "dq_split_distribution" ->
+      """WITH h AS (
+        |  SELECT n_chars,
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN bucket < 205 THEN 'train'
+        |              WHEN bucket < 230 THEN 'val'
+        |              ELSE 'test' END AS split, n_chars
+        |  FROM h),
+        |a AS (SELECT split, n_chars FROM s WHERE split IN ('train', 'test')),
+        |x AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM a),
+        |g AS (SELECT k, mn + ((mx - mn) * k) // 10 AS grid_value
+        |      FROM x, unnest(generate_series(1, 9)) AS t(k)),
+        |c AS (
+        |  SELECT g.k, g.grid_value,
+        |         CAST(sum(CASE WHEN a.split = 'train' AND a.n_chars <= g.grid_value
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_train_le,
+        |         CAST(sum(CASE WHEN a.split = 'test' AND a.n_chars <= g.grid_value
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_test_le,
+        |         CAST(sum(CASE WHEN a.split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+        |         CAST(sum(CASE WHEN a.split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_te
+        |  FROM a, g GROUP BY g.k, g.grid_value)
+        |SELECT CAST(k AS INT) AS k, grid_value, n_train_le, n_test_le,
+        |       CAST(abs(n_train_le * n_te - n_test_le * n_tr) * 1000000
+        |            // (n_tr * n_te) AS BIGINT) AS gap_ppm
+        |FROM c""".stripMargin,
     // incremental rollup maintenance: the oracle states rollup(B) from its
     // own derivation of B (the engine path only ever reads rollup(A) + the
     // delta feed) — per-row digest terms are the first 12 md5 nibbles

@@ -503,6 +503,53 @@ object CoreQueries {
         max("bucket").as("max_bucket"))
       .orderBy("split")
 
+  /** Split-representativeness check (round 12): a Kolmogorov–Smirnov-style
+    * distance between the TRAIN and TEST length distributions of the
+    * hash split — the QA gate that catches a holdout whose documents
+    * don't look like training (a broken split, a skewed key, a sorted
+    * corpus split by range). The empirical CDFs are compared on a fixed
+    * 9-point equal-width grid over [min, max] computed in EXACT integer
+    * arithmetic (gₖ = mn + ((mx−mn)·k) div 10), and each gap is the
+    * cross-multiplied integer ppm ⌊|c_tr·n_te − c_te·n_tr|·10⁶ /
+    * (n_tr·n_te)⌋ — no division until the final floor, no float anywhere,
+    * so the whole report hash-gates. Two aggregation passes (extent, then
+    * one conditional-sum pass computing all 9×2 CDF counts — the grid
+    * rides a broadcast 1-row frame); at 100 TB this costs two scans and
+    * one 1-row exchange.
+    */
+  def splitDistributionKs(t: Tables): DataFrame = {
+    val assigned = hashSplitAssign(t.documents, "doc_id")
+      .filter(col("split").isin("train", "test"))
+      .select(col("split"), col("n_chars"))
+    val extent = assigned.agg(
+      min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val k = (1 to 9)
+    val withGrid = assigned.crossJoin(broadcast(extent))
+    val aggs =
+      Seq(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test")) ++
+      k.flatMap { i =>
+        val g = expr(s"mn + ((mx - mn) * $i) div 10")
+        Seq(
+          sum(when(col("split") === "train" && col("n_chars") <= g, 1L)
+            .otherwise(0L)).as(s"tr_$i"),
+          sum(when(col("split") === "test" && col("n_chars") <= g, 1L)
+            .otherwise(0L)).as(s"te_$i"),
+          max(g).as(s"g_$i"))
+      }
+    val wide = withGrid.agg(aggs.head, aggs.tail: _*)
+    val stacked = k.map(i =>
+      s"$i, g_$i, tr_$i, te_$i, " +
+        s"CAST(abs(tr_$i * n_test - te_$i * n_train) * 1000000 " +
+        s"div (n_train * n_test) AS BIGINT)").mkString(",\n")
+    wide.select(expr(
+      s"""stack(9,
+         |$stacked
+         |) AS (k, grid_value, n_train_le, n_test_le, gap_ppm)""".stripMargin))
+      .orderBy("k")
+  }
+
   /** Deterministic stratified sampling — per source, the k docs with the
     * smallest key digests. The hash IS the random order (uniform,
     * engine-independent), so unlike `sampleBy` the sample is exactly k

@@ -304,6 +304,25 @@ object EventOps {
       .withColumnRenamed("ts", "click_ts")
   }
 
+  /** AS-OF join with TOLERANCE (round 12) — [[nextPurchaseAsof]] with a
+    * max-staleness bound (pandas `merge_asof(tolerance=…)`): a match
+    * further than `tolMinutes` ahead is nulled out, the "a purchase two
+    * weeks later doesn't attribute to this click" rule every attribution
+    * window enforces. Same single-shuffle no-join plan — the bound is a
+    * post-window projection on exact epoch-second arithmetic, so the
+    * variant costs nothing over the unbounded as-of.
+    */
+  def nextPurchaseAsofTolerance(t: Tables, tolMinutes: Int = 120): DataFrame =
+    nextPurchaseAsof(t)
+      .withColumn("next_purchase_ts",
+        // direct timestamp comparison (exact to the microsecond on both
+        // engines) — an epoch-seconds cast would truncate sub-second
+        // parts and disagree at the boundary
+        when(col("next_purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $tolMinutes MINUTE"),
+          col("next_purchase_ts")))
+      .withColumn("matched", col("next_purchase_ts").isNotNull)
+
   /** AS-OF join (backward) — [[nextPurchaseAsof]]'s mirror, completing the
     * as-of pair: every click matched to the LAST purchase of the same user
     * at-or-before the click (the classic "most recent state as of event

@@ -370,4 +370,31 @@ class CoreQueriesSpec extends SparkTestBase {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     half.foreach { case (id, s) => assert(full(id) == s) }
   }
+
+  test("split-distribution KS: gaps recompute from the raw assignments; hash split stays representative") {
+    import spark.implicits._
+    val rows = CoreQueries.splitDistributionKs(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to 9))
+    val assigned = CoreQueries.hashSplitAssign(t.documents, "doc_id")
+      .filter(col("split").isin("train", "test"))
+      .select("split", "n_chars").as[(String, Long)].collect()
+    val tr = assigned.filter(_._1 == "train").map(_._2)
+    val te = assigned.filter(_._1 == "test").map(_._2)
+    val (mn, mx) = {
+      val all = tr ++ te; (all.min, all.max)
+    }
+    rows.foreach { case (k, g, cTr, cTe, ppm) =>
+      assert(g == mn + (mx - mn) * k / 10)
+      assert(cTr == tr.count(_ <= g).toLong && cTe == te.count(_ <= g).toLong)
+      val expectPpm = math.abs(cTr * te.length - cTe * tr.length) * 1000000L /
+        (tr.length.toLong * te.length)
+      assert(ppm == expectPpm)
+      assert(ppm <= 1000000L)
+    }
+    // a hash split of an unordered corpus is representative: the max gap
+    // stays far under the ~sqrt(1/n) KS scale blowing up
+    assert(rows.map(_._5).max < 250000L,
+      s"train/test length distributions diverge: ${rows.map(_._5).max} ppm")
+  }
 }

@@ -567,6 +567,36 @@ class EventsWindowsSpec extends SparkTestBase {
     assert(steps(3L) == ((true, false, false)))
   }
 
+  test("tolerance as-of: in-window matches kept, stale matches nulled, infinite tolerance equals plain as-of") {
+    import java.time.LocalDateTime
+    import java.time.temporal.ChronoUnit.MILLIS
+    def ldt(r: org.apache.spark.sql.Row, i: Int): Option[LocalDateTime] =
+      if (r.isNullAt(i)) None else Some(r.getAs[LocalDateTime](i))
+    val base = EventOps.nextPurchaseAsof(t).collect()
+      .map(r => r.getLong(0) -> ldt(r, 3)).toMap
+    val tol = EventOps.nextPurchaseAsofTolerance(t, tolMinutes = 120).collect()
+      .map(r => (r.getLong(0), ldt(r, 3), r.getAs[LocalDateTime](2), r.getBoolean(4)))
+    tol.foreach { case (id, np, click, matched) =>
+      assert(matched == np.nonEmpty)
+      (base(id), np) match {
+        case (Some(b), Some(n)) =>
+          assert(b == n, "a kept match must be the plain as-of match")
+          assert(MILLIS.between(click, n) <= 120L * 60 * 1000)
+        case (Some(b), None) =>
+          assert(MILLIS.between(click, b) > 120L * 60 * 1000,
+            s"click $id: match nulled though inside the window")
+        case (None, None) => ()
+        case (None, Some(_)) => fail(s"click $id: tolerance invented a match")
+      }
+    }
+    assert(tol.exists(_._2.nonEmpty) && tol.exists(_._2.isEmpty),
+      "fixture must exercise both kept and dropped matches")
+    // an effectively infinite tolerance reduces to the plain as-of
+    val inf = EventOps.nextPurchaseAsofTolerance(t, tolMinutes = Int.MaxValue / 60)
+      .collect().map(r => r.getLong(0) -> ldt(r, 3)).toMap
+    assert(inf == base)
+  }
+
   test("retention cohorts match a brute-force driver recompute; offset 0 covers every user once") {
     val got = EventOps.retentionCohorts(t).collect()
       .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
