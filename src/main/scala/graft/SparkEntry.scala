@@ -518,7 +518,11 @@ object SparkEntry {
     // sums), so they hash-gate with zero rounding — the oracle replays
     // the resized grid / sampled frames from the closed-form pattern
     "multimodal_resize"       -> q(MultimodalOps.resizedAssetStats),
-    "multimodal_frame_sample" -> q(MultimodalOps.frameSampleStats))
+    "multimodal_frame_sample" -> q(MultimodalOps.frameSampleStats),
+    // frame-level dedup (round-12): duplicated frames found by content
+    // digest of the encoded bytes — no codec; duplication histogram
+    // restated closed-form by the oracle
+    "multimodal_frame_dedup"  -> q(MultimodalOps.frameDedupStats))
 
   /** Shared oracle CTE: the md5-minhash candidate pairs with verified
     * Jaccard (mirrors DedupOps.minhashDupPairs with k=16, 8 bands × 2
@@ -3917,6 +3921,19 @@ object SparkEntry {
         |       CAST(p.sg AS BIGINT) AS sum_g,
         |       CAST(p.sb AS BIGINT) AS sum_b
         |FROM s JOIN p USING (id)""".stripMargin,
+    // frame dedup: byte-identical frames ⇔ shared closed-form pattern key
+    // (doc_id mod 7)·100 + f — the oracle states the duplication
+    // histogram from the keys alone, no bytes
+    "multimodal_frame_dedup" ->
+      """WITH d AS (SELECT doc_id AS id, 4 + doc_id % 5 AS nf FROM documents),
+        |fr AS (
+        |  SELECT d.id, fs.i AS f FROM d
+        |  JOIN range(0, 8) fs(i) ON fs.i < d.nf),
+        |k AS (SELECT (id % 7) * 100 + f AS pk FROM fr),
+        |sz AS (SELECT pk, count(*) AS dup_count FROM k GROUP BY pk)
+        |SELECT dup_count, count(*) AS n_patterns,
+        |       CAST(dup_count * count(*) AS BIGINT) AS n_frames
+        |FROM sz GROUP BY dup_count""".stripMargin,
     // RegexTokenizer(\W, lowercase) = split on [^a-z0-9_] after lower()
     // (Java \w is ASCII); StopWordsRemover = NOT IN the default english
     // list above; CountVectorizer = per-doc term counts (vocab order is

@@ -440,4 +440,77 @@ object MultimodalOps {
   def frameSampleStats(t: Tables): DataFrame =
     sampleFrames(t.spark, syntheticVideos(t), 2).toDF()
       .orderBy("asset_id")
+
+  // ---------------------------------------------------------------------
+  // Frame-level dedup across assets (round 12): find duplicated frames
+  // (intro cards, thumbnails, black frames) across a video corpus by
+  // CONTENT DIGEST of the encoded frame bytes — the codec never runs.
+  // ---------------------------------------------------------------------
+
+  /** Containers with deliberate cross-asset frame REUSE: frame f of video
+    * id renders pattern (id % 7)·100 + f, so videos sharing id mod 7
+    * carry byte-identical frames (PNG encoding is deterministic for
+    * identical pixels) — the shared-intro/thumbnail duplication a real
+    * corpus has, derived closed-form so the oracle can restate the whole
+    * duplication structure without touching a byte.
+    */
+  def syntheticVideosShared(t: Tables): Dataset[VideoAsset] = {
+    import t.spark.implicits._
+    t.documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nf = videoFrameCount(id)
+        val bos = new ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(bos)
+        out.writeInt(nf)
+        var f = 0
+        while (f < nf) {
+          val png = renderPng((id % 7) * 100 + f, frameW, frameH)
+          out.writeInt(png.length)
+          out.write(png)
+          f += 1
+        }
+        VideoAsset(id, nf, bos.toByteArray)
+      }
+    }
+  }
+
+  case class FrameDigest(asset_id: Long, f: Int, digest: String)
+
+  /** Per-frame md5 digests from the container walk alone — each frame's
+    * bytes are hashed and DROPPED, never decoded; the exchange downstream
+    * carries (asset_id, f, 32-char digest), not image bytes. This is the
+    * exact-dedup rule applied at the frame grain: byte-identical frames
+    * collapse regardless of which asset carries them.
+    */
+  def frameDigests(spark: SparkSession,
+                   videos: Dataset[VideoAsset]): Dataset[FrameDigest] = {
+    import spark.implicits._
+    videos.mapPartitions { it =>
+      it.flatMap { v =>
+        val in = new java.io.DataInputStream(new ByteArrayInputStream(v.payload))
+        val nf = in.readInt()
+        (0 until nf).map { f =>
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          FrameDigest(v.asset_id, f, d.map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Gate query: duplication histogram of the frame corpus — how many
+    * distinct frame contents occur once, twice, … (dup_count, n_patterns,
+    * n_frames). The oracle restates it from the closed form (two frames
+    * are byte-identical iff they share (doc_id mod 7)·100 + f), so the
+    * hash proves deterministic encoding, the digest walk, and the dedup
+    * arithmetic all at once.
+    */
+  def frameDedupStats(t: Tables): DataFrame =
+    frameDigests(t.spark, syntheticVideosShared(t)).toDF()
+      .groupBy("digest").agg(count(lit(1)).as("dup_count"))
+      .groupBy("dup_count").agg(count(lit(1)).as("n_patterns"))
+      .withColumn("n_frames", col("dup_count") * col("n_patterns"))
+      .orderBy("dup_count")
 }

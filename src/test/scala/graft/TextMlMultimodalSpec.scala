@@ -426,6 +426,25 @@ class TextMlMultimodalSpec extends SparkTestBase {
     vids.unpersist()
   }
 
+  test("frame dedup: digests collapse exactly the shared closed-form patterns, no decode in the path") {
+    val digests = MultimodalOps.frameDigests(
+      spark, MultimodalOps.syntheticVideosShared(t)).collect()
+    // two frames share a digest IFF they share the pattern key
+    val byKey = digests.groupBy(d => (d.asset_id % 7) * 100 + d.f)
+    byKey.values.foreach { frames =>
+      assert(frames.map(_.digest).distinct.length == 1,
+        "same pattern must encode to byte-identical frames")
+    }
+    assert(byKey.keySet.size == digests.map(_.digest).distinct.length,
+      "distinct patterns must not collide")
+    // histogram conserves the frame population
+    val hist = MultimodalOps.frameDedupStats(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(_._3).sum == digests.length.toLong)
+    assert(hist.exists(_._1 > 1), "the mod-7 reuse must produce real duplicates")
+    hist.foreach { case (dup, pats, frames) => assert(frames == dup * pats) }
+  }
+
   test("recommender returns k results excluding the query doc") {
     val got = Recommender.similarDocs(t, 0L, 5).collect()
     assert(got.length == 5)
