@@ -65,7 +65,11 @@ class PlanLintSpec extends SparkTestBase {
     // broadcast 1-row corpus stats (N, Σdl) feeding the BM25 formula
     "text_bm25_topk",
     // broadcast 1-row stored-sample quantiles joined onto the exact row
-    "sketch_quantile_sample")
+    "sketch_quantile_sample",
+    // broadcast 1-row insert-batch stats combined onto the base stats row
+    "analyze_incremental_stats",
+    // broadcast 1-row [min,max] extent feeding the integer CDF grid
+    "dq_split_distribution")
 
   /** Gates whose plan holds SEVERAL broadcast-1-row nested loops (a
     * report assembled from independent 1-row aggregates). Value = exact
@@ -80,7 +84,10 @@ class PlanLintSpec extends SparkTestBase {
     "profile_join_size_cms" -> 3,
     // (nodes, wedges) agg × edge count × triangle count — the census row
     // assembled from three independent 1-row aggregates
-    "graph_triangle_stats" -> 2)
+    "graph_triangle_stats" -> 2,
+    // the truncated probe and its full-dim membership reference each
+    // broadcast the same 1-row query vector
+    "ann_truncated_dims" -> 2)
 
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
