@@ -457,6 +457,12 @@ object MultimodalOps {
   def syntheticVideosShared(t: Tables): Dataset[VideoAsset] = {
     import t.spark.implicits._
     t.documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // only 7×8 distinct patterns exist BY CONSTRUCTION — render each
+      // once per partition instead of once per frame (PNG encoding was
+      // 98% of the synthesis wall at the sf10 decade leg; the fixture is
+      // a stand-in for an object-store fetch, so its cost shouldn't
+      // dominate the measured operator)
+      val rendered = scala.collection.mutable.LongMap.empty[Array[Byte]]
       it.map { id =>
         val nf = videoFrameCount(id)
         val bos = new ByteArrayOutputStream()
@@ -464,7 +470,8 @@ object MultimodalOps {
         out.writeInt(nf)
         var f = 0
         while (f < nf) {
-          val png = renderPng((id % 7) * 100 + f, frameW, frameH)
+          val key = (id % 7) * 100 + f
+          val png = rendered.getOrElseUpdate(key, renderPng(key, frameW, frameH))
           out.writeInt(png.length)
           out.write(png)
           f += 1
