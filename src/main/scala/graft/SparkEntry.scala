@@ -3041,11 +3041,11 @@ object SparkEntry {
          |  FROM documents WHERE doc_id % 13 = 0),
          |ha AS (
          |  SELECT CAST(doc_id % 32 AS INT) AS bucket, doc_id,
-         |         md5(coalesce(source, '') || '|' || coalesce(text, '')) AS hx
+         |         md5(coalesce(source, chr(1)) || '|' || coalesce(text, chr(1))) AS hx
          |  FROM documents),
          |hb AS (
          |  SELECT CAST(doc_id % 32 AS INT) AS bucket, doc_id,
-         |         md5(coalesce(source, '') || '|' || coalesce(text, '')) AS hx
+         |         md5(coalesce(source, chr(1)) || '|' || coalesce(text, chr(1))) AS hx
          |  FROM b),
          |sa AS (
          |  SELECT bucket, count(*) AS n_rows_a,

@@ -591,8 +591,8 @@ object SnapshotOps {
   /** First 48 bits of md5(source || '|' || text) — the full-row content
     * term of a replica bucket digest. Covers the payload columns (not
     * just text), so a source-only divergence is detected; nulls take a
-    *  sentinel (no fixture text contains control chars, pinned in
-    * the spec) so null-vs-empty cannot alias. doc_id membership is
+    *  sentinel — chr(1) on the oracle side, the same byte
+    * on the engine side — so null-vs-empty cannot alias. doc_id membership is
     * covered separately by the bucket's id_sum.
     */
   private def contentDigest48(source: org.apache.spark.sql.Column,

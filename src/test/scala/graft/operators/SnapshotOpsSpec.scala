@@ -331,6 +331,18 @@ class SnapshotOpsSpec extends SparkTestBase {
       "payload moves the digest, membership the count, identity the id_sum — bucket 0 stays clean")
   }
 
+  test("anti-entropy: a null↔empty-string payload flip diverges (the sentinel is not '')") {
+    import spark.implicits._
+    val a = Seq((0L, Option("s"), "t"), (1L, None: Option[String], "t"))
+      .toDF("doc_id", "source", "text")
+    val b = Seq((0L, Option("s"), "t"), (1L, Option(""), "t"))
+      .toDF("doc_id", "source", "text")
+    val diverged = SnapshotOps.antiEntropyDiff(a, b, buckets = 2)
+      .select("bucket").as[Int].collect().toSet
+    assert(diverged == Set(1),
+      "null source and empty-string source must carry different digests")
+  }
+
   test("anti-entropy repair restores replica A exactly while touching only diverged buckets") {
     val a = t.documents.select("doc_id", "source", "text")
     val repaired = SnapshotOps.antiEntropyRepairRoundtrip(t)
