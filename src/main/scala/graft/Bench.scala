@@ -29,6 +29,18 @@ import org.apache.spark.sql.SparkSession
   * pass is reported; both JSON lines always carry `calibration_ratio`,
   * `host_degraded` and `suite_rerun` so a contended capture can never
   * again be read at face value.
+  *
+  * Round-13 (r12 `dedup_minhash` sf1 reconciliation — the driver leg read
+  * 17.3 s vs 5.3–6.6 s quiet archives with green SUITE probes): the sf1
+  * leg now (a) warms the replica's tables untimed before timing, so a
+  * mid-round `local/sf1` regeneration can't land a cold ~1 GB read on a
+  * timed row, (b) is bracketed by its OWN calibration probes
+  * (`calibration_ratio_sf1_pre/post` — contention arriving during the
+  * leg was invisible to probes ~175 s away), and (c) reports both raw
+  * runs per row (`queries_sf1_runs`) so cold-vs-contended is readable
+  * from the artifact. A `streaming_overhead` row also meters micro-batch
+  * engine init over a 1-row input, separating init from data cost for
+  * the 14 streaming rows.
   */
 object Bench {
 
@@ -39,6 +51,9 @@ object Bench {
   private final case class SuiteRun(
       results: Seq[(String, Double)],
       sf1Results: Seq[(String, Double)],
+      sf1Runs: Seq[(String, (Double, Double))],
+      sf1CalibPre: Double,
+      sf1CalibPost: Double,
       failed: Seq[String],
       queryCpu: Seq[(String, Double)],
       cpuPct: Double)
@@ -66,7 +81,11 @@ object Bench {
     // scheduling-bound query reads low, a parallel scan reads high.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val queryCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def timed(name: String)(body: => Unit): Double = {
+    // timedBoth exposes both raw wall times alongside the min — the sf1
+    // leg records them so a cold-cache first run (r12's 17.3 s driver row
+    // vs 5.3-6.6 s quiet archives) is attributable IN the artifact: two
+    // slow runs reads as contention/data, one slow + one fast as cold init.
+    def timedBoth(name: String)(body: => Unit): (Double, Double, Double) = {
       def once(): (Double, Double) = {
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
@@ -81,13 +100,14 @@ object Bench {
         (wall, 100.0 * cpu / (wall * Runtime.getRuntime.availableProcessors()))
       }
       val (a, b) = (once(), once())
-      if (a._1 < 0 || b._1 < 0) { queryCpu(name) = -1.0; -1.0 }
+      if (a._1 < 0 || b._1 < 0) { queryCpu(name) = -1.0; (-1.0, a._1, b._1) }
       else {
         val best = if (a._1 <= b._1) a else b
         queryCpu(name) = math.round(best._2 * 10) / 10.0
-        best._1
+        (best._1, a._1, b._1)
       }
     }
+    def timed(name: String)(body: => Unit): Double = timedBoth(name)(body)._1
 
     // Verdict gates whose query path embeds heavy verification (ANN
     // brute-force sweeps, ML re-fits) are benched via their RAW production
@@ -135,6 +155,41 @@ object Bench {
         } catch { case _: Throwable => () }
       }
 
+    // --- Streaming-engine overhead probe (round-13) ---
+    // Each of the 14 streaming rows pays micro-batch engine init (query
+    // start, offset log, state store setup, memory-sink registration) on
+    // top of its data cost — ~2-5 s/row at sf1, ~40 s of the suite. This
+    // row times the SAME machinery over a 1-row input, so a cross-round
+    // delta on a streaming row can be read net of init: data cost ≈
+    // row − streaming_overhead. (A shared warm session can't remove the
+    // per-query start cost — every writeStream.start() plans its own
+    // micro-batch execution — so the honest fix is to meter it.)
+    val streamingOverheadResults =
+      if (only.exists(!_("streaming_overhead"))) Seq.empty
+      else try {
+        val oneRowDir = java.nio.file.Files
+          .createTempDirectory("graft_bench_stream1").toString
+        spark.range(1).toDF("id").write.mode("overwrite").parquet(oneRowDir)
+        Seq("streaming_overhead" -> timed("streaming_overhead") {
+          val name = s"bench_overhead_${System.nanoTime()}"
+          val q = spark.readStream
+            .schema(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType))))
+            .parquet(oneRowDir)
+            .groupBy().count()
+            .writeStream.outputMode("complete")
+            .queryName(name).format("memory").start()
+          q.processAllAvailable()
+          q.stop()
+          spark.catalog.dropTempView(name)
+          ()
+        })
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming_overhead setup failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // --- ML fits (reference model rows) ---
     // One cached feature frame, per-model fit+eval timed — matches the
     // reference, which featurizes once and times each model's fit+metrics.
@@ -168,23 +223,52 @@ object Bench {
     // overhead-bound (cpu_percent ~13); the sf1 rows are data-bound and
     // the fairer 2×-gate comparison, so the driver artifact carries both.
     val sf1Dir = "local/sf1"
+    val sf1Runs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    var sf1CalibPre = -1.0
+    var sf1CalibPost = -1.0
     val sf1Results =
       if (only.isEmpty && sfDir.contains("sf0.1") &&
-          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir)))
-        headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) {
+        // Warm the replica untimed (round-13, r12 reconciliation): the
+        // driver regenerates local/sf1 from the current fixtures
+        // mid-round, so without this pass the leg's first timed row
+        // absorbs a cold ~1 GB parquet read + per-table footer probes.
+        // The timed rows then measure steady-state operator cost, which
+        // is what the 2×-gate compares.
+        try {
+          val tt = Tables(spark, sf1Dir)
+          Seq(tt.lineitem, tt.orders, tt.documents, tt.embeddings)
+            .foreach(_.write.format("noop").mode("overwrite").save())
+        } catch { case _: Throwable => () }
+        // Leg-level calibration (round-13): the suite-level probes bracket
+        // ~175 s of sf0.1 rows; contention arriving DURING this leg was
+        // invisible to them (r12's dedup_minhash sf1 row read 17.3 s vs
+        // 5.3-6.6 s quiet archives with green suite probes). These two
+        // ratios bracket the leg alone.
+        sf1CalibPre = BenchCalibration.ratio(BenchCalibration.measure())
+        val rows = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
           .map { case (n, fn) =>
             val benched = SparkEntry.benchProbes.getOrElse(n, fn)
-            n -> timed(s"sf1:$n") {
+            val (best, r1, r2) = timedBoth(s"sf1:$n") {
               benched(spark, sf1Dir).write.format("noop").mode("overwrite").save()
             }
+            sf1Runs(n) = (math.round(r1 * 1000) / 1000.0,
+              math.round(r2 * 1000) / 1000.0)
+            n -> best
           }
-      else Seq.empty
+        sf1CalibPost = BenchCalibration.ratio(BenchCalibration.measure())
+        rows
+      } else Seq.empty
 
-    val results = queryResults ++ loadingResults ++ mlResults
+    val results = queryResults ++ loadingResults ++
+      streamingOverheadResults ++ mlResults
     val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
     val cpuPct = 100.0 * cpuSec /
       ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
-    SuiteRun(results, sf1Results, failed.toSeq, queryCpu.toSeq, cpuPct)
+    SuiteRun(results, sf1Results, sf1Runs.toSeq,
+      math.round(sf1CalibPre * 100) / 100.0,
+      math.round(sf1CalibPost * 100) / 100.0,
+      failed.toSeq, queryCpu.toSeq, cpuPct)
   }
 
   private val headline = Seq(
@@ -283,6 +367,12 @@ object Bench {
       .mkString("{", ",", "}")
     val sf1Json = run.sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // leg-level evidence for the sf1 rows: both raw runs per row + the
+    // leg-bracketing calibration ratios (-1.0 when the leg didn't run)
+    val sf1RunsJson = run.sf1Runs.map { case (k, (r1, r2)) =>
+      "\"" + k + "\":[" + r1 + "," + r2 + "]" }.mkString("{", ",", "}")
+    val sf1CalibJson = s""""calibration_ratio_sf1_pre":${run.sf1CalibPre},""" +
+      s""""calibration_ratio_sf1_post":${run.sf1CalibPost}"""
     // Two JSON lines. The driver keeps only a fixed-size (~2 KB) tail of
     // stdout: round 6 lost the wall times to the CPU map, and round 7's
     // reorder still overflowed the window once the query map passed 150
@@ -293,14 +383,14 @@ object Bench {
     //  - line 2 (FINAL, driver-parsed): a compact record — suite total plus
     //    the headline queries graded against BASELINE.md — guaranteed to
     //    fit the tail window whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries_sf1_runs":$sf1RunsJson,"queries":$qs}""")
     val resultMap = results.toMap
     val headQs = headline.flatMap(k => resultMap.get(k).map(v =>
         "\"" + k + "\":" + math.round(v * 1000) / 1000.0))
       .mkString("{", ",", "}")
     val headSf1 = run.sf1Results.map { case (k, v) =>
       "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,"n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries":$headQs}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries_sf1_runs":$sf1RunsJson,"queries":$headQs}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured

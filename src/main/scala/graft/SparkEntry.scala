@@ -2300,12 +2300,14 @@ object SparkEntry {
         |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-    // range-clustered write: boundaries are sample-dependent, so the gate
-    // emits the layout CONTRACT (file count, footer row conservation,
-    // disjoint ranges, balance) — the oracle states it as constants +
-    // count(*); GateInvariants recomputes every verdict from the data
+    // range-clustered write: boundaries are sample-dependent AND the
+    // non-empty partition count can be < buckets on duplicate-heavy keys,
+    // so the gate emits the layout CONTRACT (file count within bound,
+    // footer row conservation, disjoint ranges, balance) — the oracle
+    // states the verdicts + count(*); GateInvariants recomputes every
+    // verdict from the data
     "layout_range_write" ->
-      """SELECT 8 AS n_files, count(*) AS n_rows,
+      """SELECT true AS n_files_in_bound, count(*) AS n_rows,
         |       true AS ranges_disjoint, true AS files_balanced,
         |       true AS stats_complete_all
         |FROM orders""".stripMargin,
@@ -3334,8 +3336,9 @@ object SparkEntry {
         |         CAST(sum(CASE WHEN a.split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_te
         |  FROM a, g GROUP BY g.k, g.grid_value)
         |SELECT CAST(k AS INT) AS k, grid_value, n_train_le, n_test_le,
-        |       CAST(abs(n_train_le * n_te - n_test_le * n_tr) * 1000000
-        |            // (n_tr * n_te) AS BIGINT) AS gap_ppm
+        |       CAST(abs(CAST(n_train_le AS HUGEINT) * n_te -
+        |                CAST(n_test_le AS HUGEINT) * n_tr) * 1000000
+        |            // (CAST(n_tr AS HUGEINT) * n_te) AS BIGINT) AS gap_ppm
         |FROM c""".stripMargin,
     // incremental rollup maintenance: the oracle states rollup(B) from its
     // own derivation of B (the engine path only ever reads rollup(A) + the

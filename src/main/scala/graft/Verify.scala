@@ -926,11 +926,13 @@ object GateInvariants {
         n * nFiles <= nRows * 3 && n * nFiles * 3 >= nRows }
       require(df.count() == 1, "invariant: verdict gate must emit one row")
       val row = df.head()
-      require(row.getAs[Long]("n_files") == nFiles &&
-        row.getAs[Long]("n_rows") == nRows,
-        s"invariant: footer counts (${row.getAs[Long]("n_files")} files, " +
-          s"${row.getAs[Long]("n_rows")} rows) disagree with the data " +
-          s"($nFiles files, $nRows rows)")
+      require(row.getAs[Boolean]("n_files_in_bound") == (nFiles >= 1 && nFiles <= 8),
+        s"invariant: n_files_in_bound disagrees with the data ($nFiles files)")
+      require(nFiles >= 1 && nFiles <= 8,
+        s"invariant: range layout emitted $nFiles files, outside [1, 8]")
+      require(row.getAs[Long]("n_rows") == nRows,
+        s"invariant: footer row count (${row.getAs[Long]("n_rows")}) " +
+          s"disagrees with the data ($nRows rows)")
       require(row.getAs[Boolean]("ranges_disjoint") == disjoint,
         s"invariant: ranges_disjoint disagrees with the data recompute $disjoint")
       require(row.getAs[Boolean]("files_balanced") == balanced,

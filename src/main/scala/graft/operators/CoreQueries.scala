@@ -539,10 +539,15 @@ object CoreQueries {
           max(g).as(s"g_$i"))
       }
     val wide = withGrid.agg(aggs.head, aggs.tail: _*)
+    // Cross-multiplied numerator in DECIMAL(38,0) (the digest-sum idiom):
+    // at 100 TB splits (~10^13 rows/side) c·n·10^6 crosses Long range and
+    // Spark (non-ANSI) would wrap silently while DuckDB raises — the
+    // decimal hop keeps engine and oracle exact and identical.
     val stacked = k.map(i =>
       s"$i, g_$i, tr_$i, te_$i, " +
-        s"CAST(abs(tr_$i * n_test - te_$i * n_train) * 1000000 " +
-        s"div (n_train * n_test) AS BIGINT)").mkString(",\n")
+        s"CAST(abs(CAST(tr_$i AS DECIMAL(38,0)) * n_test - " +
+        s"CAST(te_$i AS DECIMAL(38,0)) * n_train) * 1000000 " +
+        s"div (CAST(n_train AS DECIMAL(38,0)) * n_test) AS BIGINT)").mkString(",\n")
     wide.select(expr(
       s"""stack(9,
          |$stacked

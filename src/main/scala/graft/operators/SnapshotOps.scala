@@ -591,15 +591,15 @@ object SnapshotOps {
   /** First 48 bits of md5(source || '|' || text) — the full-row content
     * term of a replica bucket digest. Covers the payload columns (not
     * just text), so a source-only divergence is detected; nulls take a
-    *  sentinel — chr(1) on the oracle side, the same byte
+    * \u0001 sentinel — chr(1) on the oracle side, the same byte
     * on the engine side — so null-vs-empty cannot alias. doc_id membership is
     * covered separately by the bucket's id_sum.
     */
   private def contentDigest48(source: org.apache.spark.sql.Column,
                               text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(concat(
-      coalesce(source, lit("")), lit("|"),
-      coalesce(text, lit("")))), 1, 12), 16, 10).cast("decimal(38,0)")
+      coalesce(source, lit("\u0001")), lit("|"),
+      coalesce(text, lit("\u0001")))), 1, 12), 16, 10).cast("decimal(38,0)")
 
   /** Per-bucket replica summary: bucket = doc_id mod `buckets`, carrying
     * row count, mod-2^48 id sum, and mod-2^48 content-digest sum — three
