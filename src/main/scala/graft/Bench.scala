@@ -201,10 +201,9 @@ object Bench {
     val mlResults = if (mlModels.isEmpty) Seq.empty
     else {
       val t = Tables(spark, sfDir)
-      val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism / 4, 8))
-      val feat = graft.ml.PricePipeline.featurize(t).repartition(parts).cache()
+      // cached + materialized outside the timings, size-aware partitioning
+      val feat = graft.ml.PricePipeline.featurizedCached(t)
       try {
-        feat.count() // materialize outside the timings
         val Array(train, test) = feat.randomSplit(Array(0.8, 0.2), seed = 42)
         mlModels.map { m =>
           val reg = graft.ml.PricePipeline.regressors.toMap.apply(m)

@@ -29,13 +29,15 @@ object PricePipeline {
 
   val labelCol = "o_totalprice"
 
-  /** Feature engineering: date parts + categorical index columns. */
-  def featurize(t: Tables): DataFrame = {
-    val base = t.orders
+  /** Raw feature base: date parts + label/categorical null drop. */
+  private def baseFrame(t: Tables): DataFrame =
+    t.orders
       .withColumn("order_year", year(col("o_orderdate")).cast("double"))
       .withColumn("order_month", month(col("o_orderdate")).cast("double"))
       .na.drop(Seq(labelCol, "o_orderpriority", "o_orderstatus"))
 
+  /** The reference's indexer loop + assembler over a given base frame. */
+  private def indexAndAssemble(base: DataFrame): DataFrame = {
     val stringCols = Seq("o_orderpriority", "o_orderstatus")
     val indexed = stringCols.foldLeft(base) { (df, c) =>
       new StringIndexer()
@@ -51,6 +53,39 @@ object PricePipeline {
       .setHandleInvalid("skip")
       .transform(indexed)
       .select(col("features"), col(labelCol).as("label"))
+  }
+
+  /** Feature engineering, reference shape (uncached): each StringIndexer
+    * fit re-executes the lazy base chain, as the reference does.
+    */
+  def featurize(t: Tables): DataFrame = indexAndAssemble(baseFrame(t))
+
+  /** Featurized frame CACHED for a fit loop — the SURVEY §3.2.3 cache
+    * knob, measured round-13. The base frame is cached for the two
+    * StringIndexer fits and released once the assembled frame is
+    * materialized, so the raw table is scanned ONCE per pipeline run
+    * instead of three times (two indexer fits + the downstream
+    * materialization; 8.7 s → ~3 s at sf1).
+    *
+    * Partitioning scales with the frame (~32k rows/task, clamped to the
+    * session parallelism, min 2) instead of the old fixed cap of 8:
+    * iteration-bound L-BFGS fits pay per-task scheduling and favor few
+    * partitions, but the minibatch-GD FMRegressor is COMPUTE-bound and
+    * dominated the 9-model table at cap 8 — measured at sf1: FM 48 s @8
+    * parts → 24.6 s @32, while the L-BFGS penalty was +0.9 s on
+    * LinearRegression. The wide grain wins from ~1M rows; tiny frames
+    * still get few partitions. Caller must unpersist the returned frame.
+    */
+  def featurizedCached(t: Tables): DataFrame = {
+    val base = baseFrame(t).persist()
+    try {
+      val rows = base.count() // materializes the cache before the fits
+      val parts = math.max(2L, math.min(
+        t.spark.sparkContext.defaultParallelism.toLong, rows >> 15)).toInt
+      val out = indexAndAssemble(base).repartition(parts).persist()
+      out.count() // materialize while the base cache is still hot
+      out
+    } finally { base.unpersist(); () }
   }
 
   /** The reference's nine regressor configurations (M3–M11). */
@@ -98,16 +133,8 @@ object PricePipeline {
   def metricsTable(t: Tables, modelNames: Seq[String]): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    // Iterative fits run one treeAggregate job per L-BFGS/boosting
-    // iteration; with the default 32 partitions that is 32 tasks × ~100
-    // iterations of pure scheduling overhead for a frame this small. A few
-    // thousand rows per partition is the right grain — cap partitions low
-    // for the cached training frame (at real scale rows/2^17 keeps ~100k
-    // rows per task).
-    val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism / 4, 8))
-    val data = featurize(t).repartition(parts).cache()
+    val data = featurizedCached(t) // size-aware partitioning; see its doc
     try {
-      data.count() // materialize the cache once, before the concurrent fits race for it
       val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
       // Independent estimators over one cached frame are embarrassingly
       // JOB-parallel — the same scheme CrossValidator exposes as its
@@ -115,18 +142,32 @@ object PricePipeline {
       // treeAggregate jobs whose scheduling latency dominates on a small
       // frame, and interleaving 3 fits hides it (measured ~2× on the
       // 9-model table). Results are unaffected: every fit is seeded and
-      // self-contained, and the await below preserves the row order.
+      // self-contained, and the output is re-ordered back to the
+      // reference's model order below.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // Longest-job-first submission: the pool's makespan is bound by the
+      // FMRegressor whale (24.6 s vs ≤8.5 s for every other model at sf1
+      // — see featurizedCached's doc); submitted mid-list it only STARTS
+      // after a slot frees, adding its predecessors' wall to the table.
+      // The rank is a static cost order from the round-13 measurement.
+      val costRank = Map(
+        "FMRegressor" -> 0, "GradientBoosting" -> 1, "LinearRegression" -> 2,
+        "DecisionTree" -> 3, "RandomForest" -> 4, "IsotonicRegression" -> 5,
+        "Lasso" -> 6, "Ridge" -> 7, "GeneralizedLinear" -> 8)
+      val selected = regressors.filter { case (n, _) => modelNames.contains(n) }
       val rows =
         try {
-          val futs = regressors
-            .filter { case (n, _) => modelNames.contains(n) }
+          val futs = selected
+            .sortBy { case (n, _) => costRank.getOrElse(n, Int.MaxValue) }
             .map { case (n, r) =>
               scala.concurrent.Future(fitEval(n, r, train, test))
             }
-          futs.map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+          val byModel = futs
+            .map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+            .map(row => row._1 -> row).toMap
+          selected.map { case (n, _) => byModel(n) } // reference order
         } finally pool.shutdown()
       rows.toDF("model", "r2", "r2adj", "mse", "rmse", "mae")
         .select(
@@ -168,8 +209,7 @@ object PricePipeline {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     val spark = t.spark
     import spark.implicits._
-    val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism / 4, 8))
-    val data = featurize(t).repartition(parts).cache()
+    val data = featurizedCached(t)
     try {
       val lr = new LinearRegression().setMaxIter(50).setElasticNetParam(0.5)
       val grid = new ParamGridBuilder()
