@@ -420,6 +420,10 @@ object SparkEntry {
     // cluster-size distribution (round-12): the dedup dashboard headline
     "dedup_cluster_histogram" -> q(t => DedupOps.clusterSizeHistogram(t)),
     "dedup_cluster_resolve" -> q(t => DedupOps.resolveClusters(t, 0.5)),
+    // drifting-revision chain clusters (round-13): per-source chain graph
+    // with diameter > the propagation round budget — the gate that
+    // exercises connectedComponents' O(log n) star-contraction fallback
+    "dedup_revision_chains" -> q(GraphOps.revisionChainClusters),
     // leakage-safe eval split (round-12): split key = md5 of the near-dup
     // cluster representative, so no cluster spans train and holdout
     "split_cluster_holdout" -> q(t => DedupOps.clusterHoldoutCounts(t, 0.5)),
@@ -460,6 +464,9 @@ object SparkEntry {
     // recall floor vs brute force — independently recomputed at verify
     // time; the raw row-level probes stay spec-gated
     "ann_ivf"            -> q(t => SimilarityOps.ivfVerdictGate(t)),
+    // recall-vs-nprobe tuning curve (round-13): one row per probe width,
+    // closing at exact recall when nprobe = nlist
+    "ann_ivf_recall_curve" -> q(t => SimilarityOps.ivfRecallCurveGate(t)),
     "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshVerdictGate(t)),
     // int8-quantized scoring (round-11): exact IEEE quantization rule ⇒
     // the quantized cosine AND its approximation error hash-gate, unlike
@@ -743,6 +750,9 @@ object SparkEntry {
     */
   def benchProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf"             -> q(t => SimilarityOps.ivfTopK(t, 0L, 10)),
+    // curve gate embeds 5 probes + exhaustive ground truth; the production
+    // cost it meters is one wide probe
+    "ann_ivf_recall_curve" -> q(t => SimilarityOps.ivfTopK(t, 0L, 10, 16, 8)),
     "ann_brp_lsh"         -> q(t => SimilarityOps.brpLshTopK(t, 0L, 10)),
     "dedup_minhash_mllib" -> q(t => DedupOps.minhashDupPairsMllib(t, 0.7)),
     "ml_price_metrics"    -> q(t => PricePipeline.metricsTable(t,
@@ -2402,6 +2412,16 @@ object SparkEntry {
     "ann_brp_lsh" ->
       """SELECT CAST(10 AS BIGINT) AS n_neighbors, TRUE AS scores_exact,
         |       TRUE AS scores_descending, TRUE AS recall_floor_met""".stripMargin,
+    // the nprobe tuning curve's statable contract per probe width:
+    // exact scores, monotone recall (nested candidate sets), floors met
+    // (2 hits from nprobe=4 per the ann_ivf precedent, exact recall at
+    // nprobe = nlist = 16)
+    "ann_ivf_recall_curve" ->
+      """SELECT CAST(nprobe AS INT) AS nprobe, CAST(10 AS BIGINT) AS n_neighbors,
+        |       TRUE AS scores_exact, TRUE AS recall_monotone,
+        |       TRUE AS recall_floor_met
+        |FROM (VALUES (1),(2),(4),(8),(16)) AS t(nprobe)
+        |ORDER BY nprobe""".stripMargin,
     // verdict gate for MLlib's OR-amplified minhash join: the exact-dup
     // pair count is genuinely recomputed (same shingle + maxDf pipeline
     // as the ngram family, pairs at rounded Jaccard 1.0); the LSH
@@ -2634,6 +2654,18 @@ object SparkEntry {
          |  FROM alldocs)
          |SELECT doc_id, cluster_rep, cluster_size, text_len, rn = 1 AS keep
          |FROM sized""".stripMargin,
+    // revision-chain components: per-source chains make the component =
+    // the source, so the oracle needs NO recursive closure — cluster_rep
+    // and cluster_size are window functions over documents. Sources with
+    // a single doc contribute no edge and are absent (n > 1 filter).
+    "dedup_revision_chains" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         count(*)  OVER (PARTITION BY source) AS n,
+        |         min(doc_id) OVER (PARTITION BY source) AS rep
+        |  FROM documents)
+        |SELECT doc_id, rep AS cluster_rep, CAST(n AS BIGINT) AS cluster_size
+        |FROM s WHERE n > 1 ORDER BY doc_id""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |       list_reduce(string_split_regex(text, '\s+'),

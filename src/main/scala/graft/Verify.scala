@@ -401,6 +401,20 @@ object GateInvariants {
       annVerdictChecks(df,
         operators.SimilarityOps.ivfTopK(core.Tables(spark, sfDir), 0L, 10, 16, 4),
         spark, sfDir, k = 10, scoreTol = 0.0, minHits = 2)
+    case "ann_ivf_recall_curve" =>
+      // recompute the whole curve from fresh probes and require row-level
+      // agreement, plus the contract itself (monotone, floors, exact
+      // close at nprobe = nlist)
+      val fresh = operators.SimilarityOps
+        .ivfRecallCurveRows(core.Tables(spark, sfDir), 10, 16, Seq(1, 2, 4, 8, 16))
+      val gateRows = df.orderBy("nprobe").collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4)))
+      require(gateRows.toSeq == fresh,
+        s"invariant: gate curve ${gateRows.toSeq} != fresh recompute $fresh")
+      require(fresh.forall { case (_, n, se, mono, floor) =>
+        n == 10L && se && mono && floor },
+        s"invariant: IVF curve contract violated: $fresh")
     case "ann_brp_lsh" =>
       // cos is reconstructed as 1 − d²/2 on unit vectors: 1e-6-rounded twice
       annVerdictChecks(df,
@@ -903,6 +917,17 @@ object GateInvariants {
         s"invariant: labels_nondegenerate disagrees ($pos of $n)")
       require(acc >= 0.98 && pos > 0 && pos < n,
         s"invariant: distillation contract violated (acc=$acc, pos=$pos, n=$n)")
+    case "dedup_revision_chains" =>
+      // the gate exists to exercise the star-contraction fallback: it
+      // only does so while the longest chain's diameter exceeds the
+      // propagation round budget (20). If a fixture reshape shrinks the
+      // chains below that, fail loudly instead of silently regressing to
+      // a gate the propagation loop could satisfy alone.
+      val maxSize = df.agg(max(col("cluster_size"))).head().getLong(0)
+      require(maxSize > 21,
+        s"invariant: longest revision chain has $maxSize docs (diameter " +
+          s"${maxSize - 1}) — must exceed the 20-round propagation budget " +
+          "for this gate to exercise the star-contraction fallback")
     case "layout_range_write" =>
       // the gate judged the layout from FOOTERS; recompute every verdict
       // from the DATA (per-file min/max/count via input_file_name) so a

@@ -172,6 +172,34 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Cluster resolution over a DRIFTING-REVISION chain graph (round 13):
+    * within each source, consecutive documents (doc_id order) are linked
+    * as revision edges a→b→c→…, modelling a document that drifts one
+    * small edit at a time — each adjacent pair is a near-dup, the chain's
+    * ends share nothing. This is the adversarial shape for min-label
+    * propagation (rounds = component diameter = chain length − 1, 24+
+    * even at the smallest fixture), so THIS gate is what exercises
+    * [[connectedComponents]]'s O(log n) [[starContractionComponents]]
+    * fallback on the gated surface — the path the 100 TB story depends
+    * on, where a revision chain can be millions long. The components are
+    * still exactly oracle-restatable without any recursive closure: a
+    * per-source chain's component is the source itself, so cluster_rep =
+    * min(doc_id) over the source and cluster_size = the source's doc
+    * count (sources with a single document have no edge and don't
+    * appear). Verify.GateInvariants requires the longest chain to exceed
+    * the propagation round budget, so the gate can never silently stop
+    * exercising the fallback if the fixture shape changes.
+    */
+  def revisionChainClusters(t: graft.core.Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val edges = t.documents.select(col("source"), col("doc_id"))
+      .withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("a"), col("doc_id").as("b"))
+    clusters(edges)
+  }
+
   // ---------------------------------------------------------------------
   // Graph analytics over a derived co-activity graph (round 12).
   // ---------------------------------------------------------------------

@@ -313,6 +313,57 @@ object SimilarityOps {
       .toDF("n_neighbors", "scores_exact", "scores_descending", "recall_floor_met")
   }
 
+  /** The IVF recall-vs-nprobe tuning curve (round 13) — the readout a
+    * deployment tunes the probe width by: recall@k against
+    * [[bruteForceTopK]] for each nprobe. The recall VALUES are
+    * engine-specific (KMeans cell assignment), so the gate emits the
+    * curve's exactly-statable CONTRACT per nprobe:
+    *
+    *  - `scores_exact`: every reported score equals the exact cosine for
+    *    that vec_id (IVF may miss neighbors, never misscore them);
+    *  - `recall_monotone`: recall never decreases as nprobe grows. This
+    *    is a theorem, not an observation: probed cell sets are NESTED
+    *    (same centroids, same distance order), and for candidate sets
+    *    A ⊆ B any vector displacing a true top-k member from topk(B)
+    *    scores above it and is therefore a true top-k member itself, so
+    *    |topk(B) ∩ truth| ≥ |topk(A) ∩ truth|;
+    *  - `recall_floor_met`: hits ≥ the per-nprobe floor — 2 at
+    *    nprobe ∈ {4, 8} (the ann_ivf gate's floor) and k at
+    *    nprobe = nlist, where the probe scans every cell and the curve
+    *    must close at exact recall 1.0.
+    *
+    * Verify.GateInvariants recomputes the whole curve from fresh probes.
+    * The collects are verdict derivation (ground truth is inherently
+    * exhaustive); each probed row count stays k.
+    */
+  private[graft] def ivfRecallCurveRows(t: Tables, k: Int, nlist: Int,
+                                        probes: Seq[Int])
+      : Seq[(Int, Long, Boolean, Boolean, Boolean)] = {
+    val truth = bruteForceTopK(t, 0L, k).collect().map(_.getLong(0)).toSet
+    val exact = bruteForceTopK(t, 0L, Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    var prevHits = Int.MinValue
+    probes.sorted.map { np =>
+      val rows = ivfTopK(t, 0L, k, nlist, np).collect()
+      val hits = rows.map(_.getLong(0)).count(truth.contains)
+      val scoresExact = rows.forall(r => exact(r.getLong(0)) == r.getDouble(2))
+      val monotone = hits >= prevHits
+      prevHits = hits
+      val floor = if (np >= nlist) k else if (np >= 4) 2 else 0
+      (np, rows.length.toLong, scoresExact, monotone, hits >= floor)
+    }
+  }
+
+  /** Hash-gated face of the [[ivfRecallCurveRows]] curve. */
+  def ivfRecallCurveGate(t: Tables, k: Int = 10, nlist: Int = 16,
+                         probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    ivfRecallCurveRows(t, k, nlist, probes)
+      .toDF("nprobe", "n_neighbors", "scores_exact", "recall_monotone",
+        "recall_floor_met")
+  }
+
   /** Hash-gated face of [[brpLshTopK]] (round-9, was rows-only). The
     * score tolerance covers the 1 − d²/2 reconstruction on unit vectors:
     * two 1e-6 roundings.

@@ -46,6 +46,25 @@ class GraphOpsSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("revision-chain clusters: components match the per-source window derivation and exceed the round budget") {
+    val got = GraphOps.revisionChainClusters(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent derivation: component = source (chains link consecutive
+    // doc_ids within a source), rep = min doc_id, size = source doc count
+    val expect = t.documents.select(col("source"), col("doc_id").cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).values
+      .filter(_.length > 1)
+      .flatMap { docs =>
+        val ids = docs.map(_._2)
+        ids.map(id => (id, ids.min, ids.length.toLong))
+      }.toSet
+    assert(got.toSet == expect)
+    // the gate's reason to exist: diameter must exceed the 20-round
+    // propagation budget so the star-contraction fallback actually fires
+    assert(got.map(_._3).max > 21)
+  }
+
   test("star contraction handles self-loops, duplicate and reversed edges") {
     val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
     val star = labelMap(GraphOps.starContractionComponents(edges))
