@@ -29,7 +29,7 @@ object Plans {
         operators.DedupOps.minhashDupPairs(t, 0.3),
       "ann_brute_force (codegen'd graft_dot/graft_l2norm)" ->
         operators.SimilarityOps.bruteForceTopK(t, 0L, 10),
-      "dedup_simhash (32 lane-packed bit-count aggs, shared band exchange)" ->
+      "dedup_simhash (64 sign-sum aggs, shared band exchange)" ->
         operators.DedupOps.simhashDupPairs(t, 6),
       "text_top_tokens (word count: partial agg + TakeOrderedAndProject)" ->
         operators.TextOps.topTokens(t),

@@ -67,21 +67,31 @@ object PricePipeline {
     * instead of three times (two indexer fits + the downstream
     * materialization; 8.7 s → ~3 s at sf1).
     *
-    * Partitioning scales with the frame (~32k rows/task, clamped to the
-    * session parallelism, min 2) instead of the old fixed cap of 8:
-    * iteration-bound L-BFGS fits pay per-task scheduling and favor few
-    * partitions, but the minibatch-GD FMRegressor is COMPUTE-bound and
-    * dominated the 9-model table at cap 8 — measured at sf1: FM 48 s @8
-    * parts → 24.6 s @32, while the L-BFGS penalty was +0.9 s on
-    * LinearRegression. The wide grain wins from ~1M rows; tiny frames
-    * still get few partitions. Caller must unpersist the returned frame.
+    * Partitioning is workload-keyed (`wide`):
+    *
+    *  - `wide = true` (the 9-model table, the bench fits): ~32k rows/task
+    *    clamped to the session parallelism. Iteration-bound L-BFGS fits
+    *    pay per-task scheduling and favor few partitions, but the
+    *    minibatch-GD FMRegressor is COMPUTE-bound and dominated the
+    *    9-model table at the old fixed cap of 8 — measured at sf1: FM
+    *    48 s @8 parts → 24.6 s @32, while the L-BFGS penalty was +0.9 s
+    *    on LinearRegression.
+    *  - `wide = false` (the CV sweep — LinearRegression only): the
+    *    scheduling-bound grain, max 8 partitions. Round 13 measured the
+    *    wide grain tripling `ml_cv_linear` at sf1 (4.0 → 10.4 s): six
+    *    sequential 50-iteration L-BFGS fits are pure per-task scheduling
+    *    with no compute-bound whale to amortize it.
+    *
+    * Caller must unpersist the returned frame.
     */
-  def featurizedCached(t: Tables): DataFrame = {
+  def featurizedCached(t: Tables, wide: Boolean = true): DataFrame = {
     val base = baseFrame(t).persist()
     try {
       val rows = base.count() // materializes the cache before the fits
-      val parts = math.max(2L, math.min(
-        t.spark.sparkContext.defaultParallelism.toLong, rows >> 15)).toInt
+      val par = t.spark.sparkContext.defaultParallelism
+      val parts =
+        if (wide) math.max(2L, math.min(par.toLong, rows >> 15)).toInt
+        else math.max(2, math.min(par / 4, 8))
       val out = indexAndAssemble(base).repartition(parts).persist()
       out.count() // materialize while the base cache is still hot
       out
@@ -209,7 +219,7 @@ object PricePipeline {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     val spark = t.spark
     import spark.implicits._
-    val data = featurizedCached(t)
+    val data = featurizedCached(t, wide = false) // L-BFGS-only: narrow grain
     try {
       val lr = new LinearRegression().setMaxIter(50).setElasticNetParam(0.5)
       val grid = new ParamGridBuilder()

@@ -639,41 +639,39 @@ object DedupOps {
     * the band exchange — still constant-size per doc).
     */
   def simhashDupPairs(t: Tables, maxHamming: Int = 3): DataFrame = {
-    // The sketch is computed as 32 codegen'd LANE-PACKED sums over the
-    // exploded token hashes (same bit rule as TextFunctions.simhashBits —
-    // identical output, proven equal in the spec) instead of 64 per-bit
-    // sign-sum aggregates. Each aggregate sums two bit-counters packed
-    // into one long at offsets 0 and 31 (bit b of a token contributes
-    // 0/1, so a lane holds the COUNT of set bits; 31-bit lanes can't
-    // collide below 2^31 tokens per document — ~10 GB of text, beyond any
-    // real document). The 64 sign-sums are then derived arithmetically:
-    // sign-sum_i > 0  ⟺  2·count_i > n_tokens. Halving the aggregate
-    // width (and dropping the 16-column nibble projection — the nibble
-    // decode folds into the aggregate input) measured 5.1 s → 2.1 s on
-    // the sf1 bitSums stage, output bit-identical across the corpus.
-    // Each hex nibble is decoded via ascii arithmetic ('0'..'9' = 48..,
-    // 'a'..'f' = 97..; a per-bit conv(substring) would re-decode every
-    // nibble 4×, measured ~3× slower at sf0.1).
+    // The sketch is computed as 64 codegen'd sign-sums over the exploded
+    // token hashes (same bit rule as TextFunctions.simhashBits — identical
+    // output, proven equal in the spec) instead of the interpreted
+    // per-token/per-bit higher-order fold. Each hex nibble is decoded ONCE
+    // per token (ascii arithmetic — '0'..'9' = 48.., 'a'..'f' = 97..; a
+    // per-bit conv(substring) would re-decode every nibble 4×, measured
+    // ~3× slower at sf0.1), then the 64 bits are cheap shifts.
+    //
+    // Aggregate-width A/B (round 13, the widest hash-aggregate in the
+    // suite): lane-packing the 64 sign-sums into 32 longs (two 31-bit
+    // set-bit counters per aggregate, sign derived as 2·count > n_tok)
+    // looked 2× faster on the isolated sketch stage but that read was a
+    // page-cache ordering artifact; on the FULL gate, 3 warm runs each at
+    // sf1 measured old 10.8 s vs packed 10.6–11.5 s vs a
+    // project-nibbles-then-pack hybrid 11.6–12.0 s. The 64-sum shape
+    // stays — the narrower buffer doesn't pay for the extra pack/unpack
+    // expressions end-to-end.
     def nib(p: Int): Column = {
       val a = ascii(substring(col("h"), p + 1, 1))
       when(a >= 97, a - 87).otherwise(a - 48)
     }
-    // bit index i reads nibble i/4 at bit position 3 - i%4 (MSB-first)
-    def bitOf(i: Int): Column =
-      shiftright(nib(i / 4), 3 - i % 4).bitwiseAND(lit(1)).cast("long")
     val bitSums = t.documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
       .select(col("doc_id"), md5(col("tk")).as("h"))
+      .select(col("doc_id") +: (0 until 16).map(p => nib(p).as(s"n$p")): _*)
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tok"),
-        (0 until 32).map(k =>
-          sum(bitOf(k * 2) + shiftleft(bitOf(k * 2 + 1), 31)).as(s"s$k")): _*)
-    val simBits = concat((0 until 64).map { i =>
-      val cnt = shiftright(col(s"s${i / 2}"), 31 * (i % 2))
-        .bitwiseAND(lit(0x7FFFFFFFL))
-      when(cnt * 2 > col("n_tok"), "1").otherwise("0")
-    }: _*)
+        sum(shiftright(col("n0"), 3).bitwiseAND(lit(1)) * 2 - 1).as("b0"),
+        (1 until 64).map(i =>
+          sum(shiftright(col(s"n${i / 4}"), 3 - i % 4).bitwiseAND(lit(1)) * 2 - 1)
+            .as(s"b$i")): _*)
+    val simBits = concat((0 until 64)
+      .map(i => when(col(s"b$i") > 0, "1").otherwise("0")): _*)
 
     // one band-partitioned exchange shared by both self-join sides
     val sh = bitSums
