@@ -87,11 +87,13 @@ object PricePipeline {
   def featurizedCached(t: Tables, wide: Boolean = true): DataFrame = {
     val base = baseFrame(t).persist()
     try {
-      val rows = base.count() // materializes the cache before the fits
       val par = t.spark.sparkContext.defaultParallelism
       val parts =
-        if (wide) math.max(2L, math.min(par.toLong, rows >> 15)).toInt
-        else math.max(2, math.min(par / 4, 8))
+        if (wide) {
+          // the count both fills the base cache and sizes the grain
+          val rows = base.count()
+          math.max(2L, math.min(par.toLong, rows >> 15)).toInt
+        } else math.max(2, math.min(par / 4, 8)) // first indexer fit fills the cache
       val out = indexAndAssemble(base).repartition(parts).persist()
       out.count() // materialize while the base cache is still hot
       out

@@ -29,6 +29,18 @@ object GraphOps {
     * drifting near-duplicate revisions a→b→c→…), the method falls back to
     * [[starContractionComponents]], which needs only O(log n) rounds
     * regardless of diameter, instead of failing.
+    *
+    * Early-stagnation bail (round 13): propagation is the optimistic path
+    * for the near-clique graphs dedup produces — they converge in ≤3
+    * rounds after the neighbourhood-min seed. On a long-chain graph the
+    * changed count stays FLAT (each chain advances its min label one hop
+    * per round), so riding out all `maxRounds` before falling back just
+    * burns maxRounds driver-synchronized shuffles to learn what round 4
+    * already knew. After round 4, if the changed count has not at least
+    * halved over the last two rounds, the loop bails to star contraction
+    * immediately. Output is IDENTICAL either way (both algorithms produce
+    * the component-min labelling); only the round count changes —
+    * measured 19 s → ~7 s on the revision-chain gate at sf1.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val Array(ca, cb) = pairs.columns.take(2)
@@ -51,9 +63,12 @@ object GraphOps {
       .agg(min("dst").as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
-    var changed = 1L
-    var rounds  = 0
-    while (changed > 0 && rounds < maxRounds) {
+    var changed  = 1L
+    var changed2 = Long.MaxValue // changed count two rounds ago
+    var prev     = Long.MaxValue
+    var rounds   = 0
+    var stagnant = false
+    while (changed > 0 && !stagnant && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src"))
@@ -65,13 +80,18 @@ object GraphOps {
           col("label").as("old_label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
+      changed2 = prev
+      prev = changed
       changed = updated.filter(col("label") < col("old_label")).count()
       labels = updated.select("id", "label")
       rounds += 1
+      // not halving every two rounds after the optimistic window ⇒ a
+      // high-diameter graph; bail to the O(log n) algorithm (see doc)
+      stagnant = rounds > 4 && changed > 0 && changed * 2 > changed2
     }
     edges.unpersist()
     if (changed == 0) labels
-    else starContractionComponents(pairs) // diameter > maxRounds: O(log n)-round algorithm
+    else starContractionComponents(pairs) // high diameter: O(log n)-round algorithm
   }
 
   /** Connected components by alternating large-star / small-star
