@@ -42,7 +42,16 @@ object GraphOps {
     * the component-min labelling); only the round count changes —
     * measured 19 s → ~7 s on the revision-chain gate at sf1.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
+    connectedComponentsWithStats(pairs, maxRounds)._1
+
+  /** [[connectedComponents]] plus (propagation rounds run, fallback
+    * fired) — the observable face of the round budget and the
+    * early-stagnation bail, so the spec can pin WHICH path produced the
+    * labels instead of inferring it from timing.
+    */
+  private[operators] def connectedComponentsWithStats(
+      pairs: DataFrame, maxRounds: Int = 20): (DataFrame, Int, Boolean) = {
     val Array(ca, cb) = pairs.columns.take(2)
     // materialize the (possibly expensive) pair pipeline ONCE before the
     // union doubles it into an edge list — without this the upstream query
@@ -90,8 +99,9 @@ object GraphOps {
       stagnant = rounds > 4 && changed > 0 && changed * 2 > changed2
     }
     edges.unpersist()
-    if (changed == 0) labels
-    else starContractionComponents(pairs) // high diameter: O(log n)-round algorithm
+    if (changed == 0) (labels, rounds, false)
+    // high diameter: O(log n)-round algorithm
+    else (starContractionComponents(pairs), rounds, true)
   }
 
   /** Connected components by alternating large-star / small-star

@@ -30,6 +30,32 @@ class GraphOpsSpec extends SparkTestBase {
     assert(labels.values.toSet == Set(0L))
   }
 
+  test("early-stagnation bail: a chain falls back by round 5, a clique set never falls back") {
+    // diameter-99 chain: the changed count stays flat, so the bail must
+    // fire right after the optimistic window instead of riding out all 20
+    // rounds — and the star-contraction result must still be exact
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+    val (chainLabels, chainRounds, chainFellBack) =
+      GraphOps.connectedComponentsWithStats(chain)
+    assert(chainFellBack, "high-diameter chain must take the fallback")
+    assert(chainRounds <= 6,
+      s"stagnation bail should fire right after round 4, ran $chainRounds")
+    assert(labelMap(chainLabels).values.toSet == Set(0L))
+
+    // near-clique components (the shape dedup graphs actually have):
+    // propagation converges inside the optimistic window — no fallback
+    val cliques = (0L until 30L).flatMap(i =>
+      Seq((i * 10, i * 10 + 1), (i * 10, i * 10 + 2), (i * 10 + 1, i * 10 + 2)))
+      .toDF("a", "b")
+    val (cliqueLabels, cliqueRounds, cliqueFellBack) =
+      GraphOps.connectedComponentsWithStats(cliques)
+    assert(!cliqueFellBack, "cliques must converge by propagation alone")
+    assert(cliqueRounds <= 4, s"cliques should converge early, ran $cliqueRounds")
+    assert(labelMap(cliqueLabels) ==
+      (0L until 30L).flatMap(i => Seq(i * 10 -> i * 10, i * 10 + 1 -> i * 10,
+        i * 10 + 2 -> i * 10)).toMap)
+  }
+
   test("star contraction agrees with label propagation on a multi-component graph") {
     // components: {1,2,3,4} (clique-ish), {10,11,12} (chain), {20,21}
     val edges = Seq(
