@@ -467,6 +467,10 @@ object SparkEntry {
     // recall-vs-nprobe tuning curve (round-13): one row per probe width,
     // closing at exact recall when nprobe = nlist
     "ann_ivf_recall_curve" -> q(t => SimilarityOps.ivfRecallCurveGate(t)),
+    // incremental IVF maintenance (round-13): subset-built index +
+    // zero-shuffle nearest-centroid append; conservation, id uniqueness,
+    // full-probe exactness and nearest-assignment verdicts
+    "ann_ivf_append"     -> q(t => SimilarityOps.ivfAppendGate(t)),
     "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshVerdictGate(t)),
     // int8-quantized scoring (round-11): exact IEEE quantization rule ⇒
     // the quantized cosine AND its approximation error hash-gate, unlike
@@ -753,6 +757,9 @@ object SparkEntry {
     // curve gate embeds 5 probes + exhaustive ground truth; the production
     // cost it meters is one wide probe
     "ann_ivf_recall_curve" -> q(t => SimilarityOps.ivfTopK(t, 0L, 10, 16, 8)),
+    // append gate embeds brute-force verification; the production cost is
+    // the assignment projection over the ingest batch
+    "ann_ivf_append" -> q(t => SimilarityOps.ivfAssignProbe(t)),
     "ann_brp_lsh"         -> q(t => SimilarityOps.brpLshTopK(t, 0L, 10)),
     "dedup_minhash_mllib" -> q(t => DedupOps.minhashDupPairsMllib(t, 0.7)),
     "ml_price_metrics"    -> q(t => PricePipeline.metricsTable(t,
@@ -2422,6 +2429,13 @@ object SparkEntry {
         |       TRUE AS recall_floor_met
         |FROM (VALUES (1),(2),(4),(8),(16)) AS t(nprobe)
         |ORDER BY nprobe""".stripMargin,
+    // append-maintenance contract: the oracle's count(*) makes the
+    // subset-build + append conserve every source row; the verdicts land
+    // as constants GateInvariants recomputes from the index directory
+    "ann_ivf_append" ->
+      """SELECT count(*) AS n_vectors, TRUE AS ids_unique,
+        |       TRUE AS full_probe_exact, TRUE AS appended_nearest
+        |FROM embeddings""".stripMargin,
     // verdict gate for MLlib's OR-amplified minhash join: the exact-dup
     // pair count is genuinely recomputed (same shingle + maxDf pipeline
     // as the ngram family, pairs at rounded Jaccard 1.0); the LSH

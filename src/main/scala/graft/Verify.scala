@@ -415,6 +415,23 @@ object GateInvariants {
       require(fresh.forall { case (_, n, se, mono, floor) =>
         n == 10L && se && mono && floor },
         s"invariant: IVF curve contract violated: $fresh")
+    case "ann_ivf_append" =>
+      // recompute conservation, uniqueness, full-probe exactness and
+      // nearest-assignment from the index directory + source table
+      val tt = core.Tables(spark, sfDir)
+      val (n, unique, probeExact, nearest) =
+        operators.SimilarityOps.ivfAppendVerdicts(tt, 10, 16)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getLong(0) == n && n == tt.embeddings.count(),
+        s"invariant: index row count ${row.getLong(0)} / $n does not " +
+          s"conserve the source table (${tt.embeddings.count()})")
+      require(row.getBoolean(1) == unique && row.getBoolean(2) == probeExact &&
+        row.getBoolean(3) == nearest,
+        s"invariant: gate verdicts disagree with recompute " +
+          s"($unique, $probeExact, $nearest)")
+      require(unique && probeExact && nearest,
+        "invariant: IVF append contract violated")
     case "ann_brp_lsh" =>
       // cos is reconstructed as 1 − d²/2 on unit vectors: 1e-6-rounded twice
       annVerdictChecks(df,

@@ -100,14 +100,22 @@ object SimilarityOps {
     * initialization is engine-specific ⇒ rows-only in the oracle gate,
     * recall-tested against brute force in the spec.
     */
-  def buildIvfIndex(t: Tables, path: String, nlist: Int = 16): Unit = {
+  def buildIvfIndex(t: Tables, path: String, nlist: Int = 16): Unit =
+    buildIvfIndexOf(
+      t.embeddings
+        .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb")),
+      t.spark, path, nlist)
+
+  /** [[buildIvfIndex]] over an explicit (vec_id, label, emb) frame — the
+    * seam [[ivfAppendGate]] uses to build on a subset before appending
+    * the remainder.
+    */
+  def buildIvfIndexOf(emb: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                      path: String, nlist: Int = 16): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = t.spark
     import spark.implicits._
-    val e = t.embeddings
-      .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
-      .withColumn("features", array_to_vector(col("emb")))
+    val e = emb.withColumn("features", array_to_vector(col("emb")))
     val model = new KMeans().setK(nlist).setSeed(42)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(e)
@@ -184,6 +192,129 @@ object SimilarityOps {
         .withColumn("cos_sim", lit(0.0))
         .select("vec_id", "label", "cos_sim")
     }
+    probeIvf(t.spark, path, qRows(0).getSeq[Double](0).toArray, k, nprobe, queryId)
+  }
+
+  /** Nearest-centroid cell assignment for a (vec_id, label, emb) batch
+    * against a persisted index's centroids — the compute half of
+    * [[appendToIvfIndex]]. The O(nlist) centroid table is read once on
+    * the driver (the same footprint [[probeIvf]] already accepts) and
+    * inlined as LITERALS into one codegen projection: per vector,
+    * cell = argmin over nlist of (|c|² − 2·v·c) — the squared-L2 argmin
+    * with the |v|² term dropped (constant across cells, so the argmin
+    * and its lowest-cell-id tie-break are unchanged) — via
+    * `array_min` over (distance, cell) structs. ZERO shuffle, zero join:
+    * at 100 TB the ingest batch streams through a single Project.
+    */
+  def ivfAssignCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val scored = cents.map { case (cellId, c) =>
+      val reduced = lit(c.map(x => x * x).sum) -
+        lit(2.0) * dot(col("emb"), typedLit(c.toSeq))
+      struct(reduced.as("d2"), lit(cellId).as("cell"))
+    }
+    batch.select(col("vec_id"), col("label"), col("emb"),
+      array_min(array(scored.toIndexedSeq: _*)).getField("cell").as("cell"))
+  }
+
+  /** Incremental IVF maintenance (round 13): append a batch of vectors
+    * to a persisted index WITHOUT a rebuild — the streaming-ingest path
+    * every deployed ANN index needs. Assignment is [[ivfAssignCells]]'s
+    * zero-shuffle projection; the write APPENDS parquet files into the
+    * existing cell partitions, so probes keep their partition pruning
+    * over old and new files alike. The centroids are FROZEN — the
+    * standard IVF ingest trade-off (cell balance drifts until the next
+    * rebuild), which is why [[ivfAppendGate]] pins conservation,
+    * full-probe exactness and nearest-assignment, not assignment
+    * stability across rebuilds.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       batch: DataFrame): Unit =
+    ivfAssignCells(spark, path, batch)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+
+  /** One subset-built-then-appended index per (embeddings dir,
+    * generation): built over vec_id % 7 ≠ 0, the remainder appended —
+    * same corpus as the full index, different ingest history.
+    */
+  private val ivfAppendDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private def ivfAppendIndexFor(t: Tables, nlist: Int): String =
+    Tables.cachedPathPerGeneration(ivfAppendDirs, t.dir, "embeddings.parquet") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append_").toString
+      val emb = t.embeddings
+        .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
+      buildIvfIndexOf(emb.filter(col("vec_id") % 7 =!= 0), t.spark, dir, nlist)
+      appendToIvfIndex(t.spark, dir, emb.filter(col("vec_id") % 7 === 0))
+      dir
+    }
+
+  /** Hash-gated face of the append path. One row of verdicts over the
+    * subset-built + appended index:
+    *
+    *  - `n_vectors`: count over the index's vector files — the oracle
+    *    states `count(*)` from the source table, so the append must have
+    *    conserved every row (none lost, none doubled);
+    *  - `ids_unique`: no vec_id appears twice (a re-run that appended
+    *    again would double ids before it doubled the count of any gate
+    *    above);
+    *  - `full_probe_exact`: probing ALL cells returns exactly
+    *    [[bruteForceTopK]] — ids and scores — regardless of how the
+    *    frozen-centroid assignment skewed the cells; the exactness
+    *    contract survives ingest;
+    *  - `appended_nearest`: every appended vector landed in its argmin
+    *    cell (recomputed distributed from the index files + centroids).
+    *
+    * Verify.GateInvariants recomputes all four from the index directory.
+    */
+  def ivfAppendGate(t: Tables, k: Int = 10, nlist: Int = 16): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val (n, unique, probeExact, nearest) = ivfAppendVerdicts(t, k, nlist)
+    Seq((n, unique, probeExact, nearest))
+      .toDF("n_vectors", "ids_unique", "full_probe_exact", "appended_nearest")
+  }
+
+  private[graft] def ivfAppendVerdicts(t: Tables, k: Int, nlist: Int)
+      : (Long, Boolean, Boolean, Boolean) = {
+    val spark = t.spark
+    val path = ivfAppendIndexFor(t, nlist)
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val counts = vecs.agg(count(lit(1)), countDistinct(col("vec_id"))).head()
+    val (n, nd) = (counts.getLong(0), counts.getLong(1))
+    val brute = bruteForceTopK(t, 0L, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val probed = ivfProbeOf(t, path, 0L, k, nlist) // nprobe = nlist: all cells
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // every appended row sits in its recomputed argmin cell
+    val appended = vecs.filter(col("vec_id") % 7 === 0)
+    val misassigned = ivfAssignCells(spark, path,
+        appended.select(col("vec_id"), col("label"), col("emb")))
+      .join(appended.select(col("vec_id"), col("cell").as("stored_cell")), "vec_id")
+      .filter(col("cell") =!= col("stored_cell"))
+      .count()
+    (n, n == nd, probed == brute, misassigned == 0L)
+  }
+
+  /** Bench probe for the append path: the production cost is the
+    * zero-shuffle assignment projection over the ingest batch (the
+    * parquet append is a plain partitioned write; the gate's brute-force
+    * compare is verification-only).
+    */
+  def ivfAssignProbe(t: Tables, nlist: Int = 16): DataFrame = {
+    val path = ivfAppendIndexFor(t, nlist)
+    ivfAssignCells(t.spark, path,
+      t.embeddings.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb")))
+  }
+
+  /** [[ivfTopK]]'s probe against an explicit index path. */
+  private def ivfProbeOf(t: Tables, path: String, queryId: Long, k: Int,
+                         nprobe: Int): DataFrame = {
+    val qRows = t.embeddings.filter(col("vec_id") === queryId)
+      .select(toDoubleArr(col("embedding"))).take(1)
     probeIvf(t.spark, path, qRows(0).getSeq[Double](0).toArray, k, nprobe, queryId)
   }
 

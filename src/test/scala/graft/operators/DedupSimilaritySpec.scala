@@ -338,6 +338,21 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"cell read as a data column: $readSchema")
   }
 
+  test("ivf append: conserves rows, keeps full-probe exactness, lands appends in argmin cells") {
+    val (n, unique, probeExact, nearest) =
+      SimilarityOps.ivfAppendVerdicts(t, 10, 16)
+    assert(n == t.embeddings.count(), "append lost or doubled vectors")
+    assert(unique, "vec_id duplicated by the append")
+    assert(probeExact, "all-cell probe drifted from brute force after append")
+    assert(nearest, "an appended vector is not in its argmin cell")
+    // the assignment projection is shuffle-free: ingest must stream
+    // through a single Project, never exchange
+    val assignPlan = SimilarityOps.ivfAssignProbe(t)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"),
+      s"IVF assign plans a shuffle:\n$assignPlan")
+  }
+
   test("decontaminate: flags exactly the train docs sharing 3-grams with the eval source") {
     val rows = DedupOps.decontaminate(t, "src15").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4))))
