@@ -471,6 +471,9 @@ object SparkEntry {
     // zero-shuffle nearest-centroid append; conservation, id uniqueness,
     // full-probe exactness and nearest-assignment verdicts
     "ann_ivf_append"     -> q(t => SimilarityOps.ivfAppendGate(t)),
+    // streaming twin: the same append operator tailing a staged feed via
+    // foreachBatch, ≥2 micro-batches pinned
+    "ann_ivf_ingest_streaming" -> q(t => graft.streaming.AnnIngestStream.ingestGate(t)),
     "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshVerdictGate(t)),
     // int8-quantized scoring (round-11): exact IEEE quantization rule ⇒
     // the quantized cosine AND its approximation error hash-gate, unlike
@@ -2435,6 +2438,11 @@ object SparkEntry {
     "ann_ivf_append" ->
       """SELECT count(*) AS n_vectors, TRUE AS ids_unique,
         |       TRUE AS full_probe_exact, TRUE AS appended_nearest
+        |FROM embeddings""".stripMargin,
+    "ann_ivf_ingest_streaming" ->
+      """SELECT count(*) AS n_vectors, TRUE AS ids_unique,
+        |       TRUE AS full_probe_exact, TRUE AS appended_nearest,
+        |       TRUE AS multi_batch
         |FROM embeddings""".stripMargin,
     // verdict gate for MLlib's OR-amplified minhash join: the exact-dup
     // pair count is genuinely recomputed (same shingle + maxDf pipeline

@@ -415,6 +415,25 @@ object GateInvariants {
       require(fresh.forall { case (_, n, se, mono, floor) =>
         n == 10L && se && mono && floor },
         s"invariant: IVF curve contract violated: $fresh")
+    case "ann_ivf_ingest_streaming" =>
+      // re-derive the four append verdicts from the STREAM-built index
+      // directory (cached per generation, so no re-ingest) + the batch
+      // count from the ingest history file
+      val tt = core.Tables(spark, sfDir)
+      val (path, batches) = streaming.AnnIngestStream.ingestedIndexFor(tt)
+      val (n, unique, probeExact, nearest) =
+        operators.SimilarityOps.ivfAppendVerdictsOf(tt, path, 10, 16)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getLong(0) == n && n == tt.embeddings.count(),
+        s"invariant: streamed index count ${row.getLong(0)} / $n does not " +
+          s"conserve the source table (${tt.embeddings.count()})")
+      require(row.getBoolean(1) == unique && row.getBoolean(2) == probeExact &&
+        row.getBoolean(3) == nearest && row.getBoolean(4) == (batches >= 2),
+        s"invariant: gate verdicts disagree with recompute " +
+          s"($unique, $probeExact, $nearest, batches=$batches)")
+      require(unique && probeExact && nearest && batches >= 2,
+        s"invariant: streamed IVF ingest contract violated (batches=$batches)")
     case "ann_ivf_append" =>
       // recompute conservation, uniqueness, full-probe exactness and
       // nearest-assignment from the index directory + source table

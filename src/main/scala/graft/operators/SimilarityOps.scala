@@ -241,7 +241,7 @@ object SimilarityOps {
     */
   private val ivfAppendDirs =
     scala.collection.concurrent.TrieMap.empty[(String, Long), String]
-  private def ivfAppendIndexFor(t: Tables, nlist: Int): String =
+  private[operators] def ivfAppendIndexFor(t: Tables, nlist: Int): String =
     Tables.cachedPathPerGeneration(ivfAppendDirs, t.dir, "embeddings.parquet") {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append_").toString
       val emb = t.embeddings
@@ -278,9 +278,17 @@ object SimilarityOps {
   }
 
   private[graft] def ivfAppendVerdicts(t: Tables, k: Int, nlist: Int)
+      : (Long, Boolean, Boolean, Boolean) =
+    ivfAppendVerdictsOf(t, ivfAppendIndexFor(t, nlist), k, nlist)
+
+  /** [[ivfAppendVerdicts]] against an explicit index directory — shared
+    * with the streaming-ingest twin, which builds the same index through
+    * micro-batch appends.
+    */
+  private[graft] def ivfAppendVerdictsOf(t: Tables, path: String, k: Int,
+                                         nlist: Int)
       : (Long, Boolean, Boolean, Boolean) = {
     val spark = t.spark
-    val path = ivfAppendIndexFor(t, nlist)
     val vecs = spark.read.parquet(s"$path/vectors")
     val counts = vecs.agg(count(lit(1)), countDistinct(col("vec_id"))).head()
     val (n, nd) = (counts.getLong(0), counts.getLong(1))

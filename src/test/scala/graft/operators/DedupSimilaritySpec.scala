@@ -353,6 +353,29 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"IVF assign plans a shuffle:\n$assignPlan")
   }
 
+  test("streamed IVF ingest: >=2 micro-batches, and the stream-built index equals the batch-built one") {
+    val row = graft.streaming.AnnIngestStream.ingestGate(t).head()
+    assert(row.getBoolean(1) && row.getBoolean(2) && row.getBoolean(3),
+      "streamed index broke an append verdict")
+    assert(row.getBoolean(4), "ingest did not run as multiple micro-batches")
+    assert(row.getLong(0) == t.embeddings.count())
+    // same seeded centroids over the same subset ⇒ the micro-batch
+    // appends must land every vector in exactly the cell the batch
+    // append chose — the unified-model claim, checked row-for-row
+    val (streamPath, _) = graft.streaming.AnnIngestStream.ingestedIndexFor(t)
+    val streamCells = spark.read.parquet(s"$streamPath/vectors")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchPath = SimilarityOps.ivfAppendIndexFor(t, 16)
+    val batchCells = spark.read.parquet(s"$batchPath/vectors")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamCells == batchCells,
+      "stream-built and batch-built indexes disagree on a cell assignment")
+  }
+
   test("decontaminate: flags exactly the train docs sharing 3-grams with the eval source") {
     val rows = DedupOps.decontaminate(t, "src15").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4))))
