@@ -474,6 +474,9 @@ object SparkEntry {
     // streaming twin: the same append operator tailing a staged feed via
     // foreachBatch, ≥2 micro-batches pinned
     "ann_ivf_ingest_streaming" -> q(t => graft.streaming.AnnIngestStream.ingestGate(t)),
+    // rebuild advisor: cell-balance drift meter over the appended index —
+    // metadata-grade aggregation, rebuild trigger + probe-reachability
+    "ann_ivf_drift"      -> q(t => SimilarityOps.ivfDriftGate(t)),
     "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshVerdictGate(t)),
     // int8-quantized scoring (round-11): exact IEEE quantization rule ⇒
     // the quantized cosine AND its approximation error hash-gate, unlike
@@ -2443,6 +2446,10 @@ object SparkEntry {
       """SELECT count(*) AS n_vectors, TRUE AS ids_unique,
         |       TRUE AS full_probe_exact, TRUE AS appended_nearest,
         |       TRUE AS multi_batch
+        |FROM embeddings""".stripMargin,
+    "ann_ivf_drift" ->
+      """SELECT count(*) AS n_vectors, TRUE AS cells_within_nlist,
+        |       TRUE AS no_dominant_cell, TRUE AS all_cells_probe_reachable
         |FROM embeddings""".stripMargin,
     // verdict gate for MLlib's OR-amplified minhash join: the exact-dup
     // pair count is genuinely recomputed (same shingle + maxDf pipeline

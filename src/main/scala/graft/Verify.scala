@@ -415,6 +415,22 @@ object GateInvariants {
       require(fresh.forall { case (_, n, se, mono, floor) =>
         n == 10L && se && mono && floor },
         s"invariant: IVF curve contract violated: $fresh")
+    case "ann_ivf_drift" =>
+      // re-derive the drift verdicts from the appended index directory
+      val tt = core.Tables(spark, sfDir)
+      val (n, within, noDominant, reachable) =
+        operators.SimilarityOps.ivfDriftVerdictsAppended(tt, 16)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getLong(0) == n && n == tt.embeddings.count(),
+        s"invariant: drift meter count ${row.getLong(0)} / $n does not " +
+          s"conserve the source table (${tt.embeddings.count()})")
+      require(row.getBoolean(1) == within && row.getBoolean(2) == noDominant &&
+        row.getBoolean(3) == reachable,
+        s"invariant: gate verdicts disagree with recompute " +
+          s"($within, $noDominant, $reachable)")
+      require(within && noDominant && reachable,
+        "invariant: IVF drift contract violated")
     case "ann_ivf_ingest_streaming" =>
       // re-derive the four append verdicts from the STREAM-built index
       // directory (cached per generation, so no re-ingest) + the batch

@@ -306,6 +306,65 @@ object SimilarityOps {
     (n, n == nd, probed == brute, misassigned == 0L)
   }
 
+  /** Rebuild advisor (round 13): the cell-balance drift meter a deployed
+    * IVF index reads after appends to decide WHEN to re-fit the coarse
+    * quantizer — frozen centroids skew cell occupancy as the ingest
+    * distribution drifts, and a hot cell degrades every probe that
+    * touches it (probe cost ∝ probed-cell sizes). One aggregation over
+    * the index's (cell) partition column — the vectors themselves are
+    * never read (ReadSchema carries only vec_id + the partition value):
+    *
+    *  - `n_vectors`: total rows (the oracle's `count(*)` conserves);
+    *  - `cells_within_nlist`: non-empty cells ≤ nlist — an appended
+    *    vector can never mint a new cell;
+    *  - `no_dominant_cell`: max cell ≤ half the index — the rebuild
+    *    trigger. Stated as the cross-multiplied integer comparison so
+    *    the verdict is exact at any scale;
+    *  - `all_cells_probe_reachable`: every non-empty cell id is one of
+    *    the persisted centroid ids — an orphaned partition would be
+    *    invisible to every probe (silent recall loss, the worst failure).
+    *
+    * All four re-derived from the index directory by GateInvariants.
+    */
+  private[graft] def ivfDriftVerdicts(t: Tables, path: String, nlist: Int)
+      : (Long, Boolean, Boolean, Boolean) = {
+    val spark = t.spark
+    val perCell = spark.read.parquet(s"$path/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).cast("long").as("total"),
+        count(lit(1)).as("n_cells"),
+        max(col("n")).cast("long").as("max_cell"),
+        collect_set(col("cell")).as("cells"))
+      .head()
+    val total = perCell.getLong(0)
+    val nCells = perCell.getLong(1)
+    val maxCell = perCell.getLong(2)
+    val cellIds = perCell.getSeq[Int](3).toSet
+    val centroidIds = spark.read.parquet(s"$path/centroids")
+      .select(col("cell")).collect().map(_.getInt(0)).toSet
+    (total, nCells <= nlist, maxCell * 2 <= total, cellIds.subsetOf(centroidIds))
+  }
+
+  /** [[ivfDriftVerdicts]] over the subset-built + appended index (the
+    * one whose balance actually drifted via ingest) — shared by the gate
+    * and Verify.GateInvariants' recompute.
+    */
+  private[graft] def ivfDriftVerdictsAppended(t: Tables, nlist: Int)
+      : (Long, Boolean, Boolean, Boolean) =
+    ivfDriftVerdicts(t, ivfAppendIndexFor(t, nlist), nlist)
+
+  /** Hash-gated face of [[ivfDriftVerdicts]] over the appended index. */
+  def ivfDriftGate(t: Tables, nlist: Int = 16): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val (n, within, noDominant, reachable) =
+      ivfDriftVerdictsAppended(t, nlist)
+    Seq((n, within, noDominant, reachable))
+      .toDF("n_vectors", "cells_within_nlist", "no_dominant_cell",
+        "all_cells_probe_reachable")
+  }
+
   /** Bench probe for the append path: the production cost is the
     * zero-shuffle assignment projection over the ingest batch (the
     * parquet append is a plain partitioned write; the gate's brute-force

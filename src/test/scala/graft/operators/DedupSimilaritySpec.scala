@@ -376,6 +376,28 @@ class DedupSimilaritySpec extends SparkTestBase {
       "stream-built and batch-built indexes disagree on a cell assignment")
   }
 
+  test("ivf drift meter: appended index healthy; a dominant cell and an orphaned cell both trip it") {
+    val (n, within, noDominant, reachable) =
+      SimilarityOps.ivfDriftVerdictsAppended(t, 16)
+    assert(n == t.embeddings.count() && within && noDominant && reachable)
+
+    // negative control: hand-built index with 9/10 of the vectors in one
+    // cell, plus a cell id that no persisted centroid knows about — the
+    // meter must trip BOTH the rebuild trigger and probe-reachability
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-").toString
+    val skewed = (0L until 9L).map(i => (i, 0, Array(1.0, 0.0), 7)) :+
+      (9L, 0, Array(0.0, 1.0), 99)
+    skewed.toDF("vec_id", "label", "emb", "cell")
+      .write.partitionBy("cell").parquet(s"$dir/vectors")
+    Seq((7, Array(1.0, 0.0))).toDF("cell", "centroid")
+      .write.parquet(s"$dir/centroids")
+    val (n2, within2, noDominant2, reachable2) =
+      SimilarityOps.ivfDriftVerdicts(t, dir, 16)
+    assert(n2 == 10L && within2)
+    assert(!noDominant2, "9-of-10 cell must trip the rebuild trigger")
+    assert(!reachable2, "cell 99 has no centroid: must read probe-unreachable")
+  }
+
   test("decontaminate: flags exactly the train docs sharing 3-grams with the eval source") {
     val rows = DedupOps.decontaminate(t, "src15").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4))))
