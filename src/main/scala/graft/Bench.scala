@@ -54,6 +54,8 @@ object Bench {
       sf1Runs: Seq[(String, (Double, Double))],
       sf1CalibPre: Double,
       sf1CalibPost: Double,
+      sf1LegRerun: Boolean,
+      sf1Probes: Seq[(Double, Double)],
       failed: Seq[String],
       queryCpu: Seq[(String, Double)],
       cpuPct: Double)
@@ -166,8 +168,10 @@ object Bench {
     // micro-batch execution — so the honest fix is to meter it.)
     val streamingOverheadResults =
       if (only.exists(!_("streaming_overhead"))) Seq.empty
-      else try {
-        val oneRowDir = java.nio.file.Files
+      else {
+        var oneRowDir: String = null
+        try {
+        oneRowDir = java.nio.file.Files
           .createTempDirectory("graft_bench_stream1").toString
         spark.range(1).toDF("id").write.mode("overwrite").parquet(oneRowDir)
         Seq("streaming_overhead" -> timed("streaming_overhead") {
@@ -185,9 +189,13 @@ object Bench {
           spark.catalog.dropTempView(name)
           ()
         })
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming_overhead setup failed: ${e.getMessage}")
-        Seq.empty
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming_overhead setup failed: ${e.getMessage}")
+          Seq.empty
+        } finally {
+          // same best-effort cleanup as sample_loading's csvDir
+          if (oneRowDir != null) graft.core.Tables.deleteRecursively(oneRowDir)
+        }
       }
 
     // --- ML fits (reference model rows) ---
@@ -222,51 +230,81 @@ object Bench {
     // overhead-bound (cpu_percent ~13); the sf1 rows are data-bound and
     // the fairer 2×-gate comparison, so the driver artifact carries both.
     val sf1Dir = "local/sf1"
-    val sf1Runs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    var sf1Results = Seq.empty[(String, Double)]
+    var sf1Runs = Seq.empty[(String, (Double, Double))]
     var sf1CalibPre = -1.0
     var sf1CalibPost = -1.0
-    val sf1Results =
-      if (only.isEmpty && sfDir.contains("sf0.1") &&
-          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) {
-        // Warm the replica untimed (round-13, r12 reconciliation): the
-        // driver regenerates local/sf1 from the current fixtures
-        // mid-round, so without this pass the leg's first timed row
-        // absorbs a cold ~1 GB parquet read + per-table footer probes.
-        // The timed rows then measure steady-state operator cost, which
-        // is what the 2×-gate compares.
-        try {
-          val tt = Tables(spark, sf1Dir)
-          Seq(tt.lineitem, tt.orders, tt.documents, tt.embeddings)
-            .foreach(_.write.format("noop").mode("overwrite").save())
-        } catch { case _: Throwable => () }
-        // Leg-level calibration (round-13): the suite-level probes bracket
-        // ~175 s of sf0.1 rows; contention arriving DURING this leg was
-        // invisible to them (r12's dedup_minhash sf1 row read 17.3 s vs
-        // 5.3-6.6 s quiet archives with green suite probes). These two
-        // ratios bracket the leg alone.
-        sf1CalibPre = BenchCalibration.ratio(BenchCalibration.measure())
+    var sf1LegRerun = false
+    var sf1Probes = Seq.empty[(Double, Double)]
+    if (only.isEmpty && sfDir.contains("sf0.1") &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) {
+      // Warm the replica untimed (round-13, r12 reconciliation): the
+      // driver regenerates local/sf1 from the current fixtures
+      // mid-round, so without this pass the leg's first timed row
+      // absorbs a cold ~1 GB parquet read + per-table footer probes.
+      // The timed rows then measure steady-state operator cost, which
+      // is what the 2×-gate compares.
+      try {
+        val tt = Tables(spark, sf1Dir)
+        Seq(tt.lineitem, tt.orders, tt.documents, tt.embeddings)
+          .foreach(_.write.format("noop").mode("overwrite").save())
+      } catch { case _: Throwable => () }
+      // Leg-level calibration (round-13): the suite-level probes bracket
+      // ~175 s of sf0.1 rows; contention arriving DURING this leg was
+      // invisible to them (r12's dedup_minhash sf1 row read 17.3 s vs
+      // 5.3-6.6 s quiet archives with green suite probes). These two
+      // ratios bracket the leg alone.
+      def runLeg(): (Seq[(String, Double)], Seq[(String, (Double, Double))],
+          Double, Double) = {
+        val pre = BenchCalibration.ratio(BenchCalibration.measure())
+        val runs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
         val rows = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
           .map { case (n, fn) =>
             val benched = SparkEntry.benchProbes.getOrElse(n, fn)
             val (best, r1, r2) = timedBoth(s"sf1:$n") {
               benched(spark, sf1Dir).write.format("noop").mode("overwrite").save()
             }
-            sf1Runs(n) = (math.round(r1 * 1000) / 1000.0,
+            runs(n) = (math.round(r1 * 1000) / 1000.0,
               math.round(r2 * 1000) / 1000.0)
             n -> best
           }
-        sf1CalibPost = BenchCalibration.ratio(BenchCalibration.measure())
-        rows
-      } else Seq.empty
+        val post = BenchCalibration.ratio(BenchCalibration.measure())
+        (rows, runs.toSeq, pre, post)
+      }
+      // Leg-level auto-rerun (round-14, verdict item 1): round 13 made
+      // the leg DETECT contention arriving mid-leg (post-probe 1.28) but
+      // gave it no way to react, so the driver artifact carried a 2.9×-
+      // inflated dedup_minhash row two rounds running. Mirror the suite's
+      // `suite_rerun` at leg granularity: if either bracketing probe
+      // exceeds 1.15 (well under the 1.5 host_degraded threshold — the
+      // leg is ~6 rows and a rerun is cheap), run the leg once more and
+      // report the pass with the quieter probes; both probe pairs ship
+      // in `sf1_leg_probes` so the discarded pass stays attributable.
+      var leg = runLeg()
+      sf1Probes = Seq((math.round(leg._3 * 100) / 100.0,
+        math.round(leg._4 * 100) / 100.0))
+      if (math.max(leg._3, leg._4) > 1.15) {
+        sf1LegRerun = true
+        val leg2 = runLeg()
+        sf1Probes = sf1Probes :+ ((math.round(leg2._3 * 100) / 100.0,
+          math.round(leg2._4 * 100) / 100.0))
+        if (math.max(leg2._3, leg2._4) < math.max(leg._3, leg._4)) leg = leg2
+      }
+      sf1Results = leg._1
+      sf1Runs = leg._2
+      sf1CalibPre = leg._3
+      sf1CalibPost = leg._4
+    }
 
     val results = queryResults ++ loadingResults ++
       streamingOverheadResults ++ mlResults
     val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
     val cpuPct = 100.0 * cpuSec /
       ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
-    SuiteRun(results, sf1Results, sf1Runs.toSeq,
+    SuiteRun(results, sf1Results, sf1Runs,
       math.round(sf1CalibPre * 100) / 100.0,
       math.round(sf1CalibPost * 100) / 100.0,
+      sf1LegRerun, sf1Probes,
       failed.toSeq, queryCpu.toSeq, cpuPct)
   }
 
@@ -275,6 +313,26 @@ object Bench {
     "q3_status_share", "sample_loading", "ml_fit_LinearRegression",
     "ml_fit_DecisionTree", "ml_fit_RandomForest",
     "dedup_minhash", "ann_knn_join")
+
+  /** Footer/metadata-only gates: their steady-state wall is (almost) pure
+    * per-row harness overhead — plan + submit + a noop write over O(files)
+    * footer reads, independent of the data volume. The median of their
+    * best walls is reported as `overhead_floor` (round-13 verdict item 6)
+    * so a cross-round total delta can be split into "suite grew / host
+    * drifted" vs real per-query movement: at sf0.1/local[32] 190+ of the
+    * ~250 rows are sub-second and carry mostly this floor.
+    */
+  private val overheadFloorGates = Seq(
+    "stats_metadata_agg", "stats_parquet_footer", "stats_footer_typed",
+    "stats_column_sizes", "time_travel_history", "vacuum_orphan_scan")
+
+  /** Comparison-ceiling rows (round-13 verdict item 7): quarantined
+    * upper-bound twins kept ONLY to measure what the production path
+    * avoids (e.g. MLlib MinHashLSH's OR-amplified candidate blow-up).
+    * Tagged in the artifact so a heavy-leg reader can tell a documented
+    * ceiling from a production-path regression without BENCH.md open.
+    */
+  private val ceilingRows = Set("dedup_minhash_mllib")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -367,11 +425,31 @@ object Bench {
     val sf1Json = run.sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // leg-level evidence for the sf1 rows: both raw runs per row + the
-    // leg-bracketing calibration ratios (-1.0 when the leg didn't run)
+    // leg-bracketing calibration ratios (-1.0 when the leg didn't run) +
+    // the rerun verdict and every leg's probe pair (round-14)
     val sf1RunsJson = run.sf1Runs.map { case (k, (r1, r2)) =>
       "\"" + k + "\":[" + r1 + "," + r2 + "]" }.mkString("{", ",", "}")
     val sf1CalibJson = s""""calibration_ratio_sf1_pre":${run.sf1CalibPre},""" +
-      s""""calibration_ratio_sf1_post":${run.sf1CalibPost}"""
+      s""""calibration_ratio_sf1_post":${run.sf1CalibPost},""" +
+      s""""sf1_leg_rerun":${run.sf1LegRerun},""" +
+      s""""sf1_leg_probes":${run.sf1Probes
+        .map { case (p, q) => s"[$p,$q]" }.mkString("[", ",", "]")}"""
+    // overhead floor (see overheadFloorGates doc) + the total with that
+    // floor subtracted per row — the "how much of the total is per-row
+    // harness cost" readout
+    val resultMapAll = results.toMap
+    val floorWalls = overheadFloorGates.flatMap(resultMapAll.get).filter(_ >= 0).sorted
+    val overheadFloor =
+      if (floorWalls.isEmpty) -1.0
+      else math.round(floorWalls(floorWalls.size / 2) * 1000) / 1000.0
+    val trimmedTotal =
+      if (overheadFloor < 0) -1.0
+      else math.round(results.map(_._2).filter(_ >= 0)
+        .map(w => math.max(0.0, w - overheadFloor)).sum * 1000) / 1000.0
+    val floorJson = s""""overhead_floor":$overheadFloor,""" +
+      s""""trimmed_total":$trimmedTotal"""
+    val ceilingJson = results.map(_._1).filter(ceilingRows)
+      .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Two JSON lines. The driver keeps only a fixed-size (~2 KB) tail of
     // stdout: round 6 lost the wall times to the CPU map, and round 7's
     // reorder still overflowed the window once the query map passed 150
@@ -382,14 +460,14 @@ object Bench {
     //  - line 2 (FINAL, driver-parsed): a compact record — suite total plus
     //    the headline queries graded against BASELINE.md — guaranteed to
     //    fit the tail window whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries_sf1_runs":$sf1RunsJson,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,$floorJson,"ceiling_rows":$ceilingJson,"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries_sf1_runs":$sf1RunsJson,"queries":$qs}""")
     val resultMap = results.toMap
     val headQs = headline.flatMap(k => resultMap.get(k).map(v =>
         "\"" + k + "\":" + math.round(v * 1000) / 1000.0))
       .mkString("{", ",", "}")
     val headSf1 = run.sf1Results.map { case (k, v) =>
       "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries_sf1_runs":$sf1RunsJson,"queries":$headQs}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,$floorJson,"n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries_sf1_runs":$sf1RunsJson,"queries":$headQs}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured

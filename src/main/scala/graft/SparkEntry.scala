@@ -235,6 +235,10 @@ object SparkEntry {
     // from the word-frequency dict — fully hash-gated, the oracle unrolls
     // the same 5 argmax+replace rounds
     "text_bpe_merges"       -> q(t => TextOps.bpeMerges(t)),
+    // BPE corpus ENCODING (round-14): the trained merge table applied to
+    // the corpus — per-language encoded token counts + exact-integer
+    // compression ratio; the oracle replays training AND encoding
+    "text_bpe_encode"       -> q(t => TextOps.bpeEncode(t)),
     // weak-label quality-classifier distillation (round-12): exact label
     // counts hash-gated; distillation verdicts recomputed by GateInvariants
     "ml_quality_classifier" -> q(graft.ml.QualityClassifier.classifierGate),
@@ -625,6 +629,20 @@ object SparkEntry {
     * Spark's, which is what makes the whole derivation hash-gateable.
     */
   private def bpeMergesSql(n: Int): String = {
+    val rows = (1 to n).map(r =>
+      s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeDictCtes(n)}
+       |$rows""".stripMargin
+  }
+
+  /** Shared CTE prefix for the two BPE oracles: the word-frequency dict
+    * (the word itself kept as the encode join key), then `n` unrolled
+    * merge rounds — each round's argmax pair as a 1-row CTE (b$r)
+    * consumed by scalar subqueries in the next round's literal replace.
+    * Ends with relations b1..b$n and d$n (the final encoded dict).
+    */
+  private def bpeDictCtes(n: Int): String = {
     val iters = (1 to n).map { r =>
       val src = if (r == 1) "w" else s"d${r - 1}"
       s"""p$r AS (
@@ -637,22 +655,41 @@ object SparkEntry {
          |  GROUP BY pair),
          |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |d$r AS (
-         |  SELECT replace(seq, (SELECT pair FROM b$r),
-         |                 replace((SELECT pair FROM b$r), ' ', '')) AS seq, freq
+         |  SELECT w, replace(seq, (SELECT pair FROM b$r),
+         |                    replace((SELECT pair FROM b$r), ' ', '')) AS seq, freq
          |  FROM $src)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to n).map(r =>
-      s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH w AS (
-       |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+    s"""w AS (
+       |  SELECT w, array_to_string(list_transform(generate_series(1, length(w)),
        |           i -> substr(w, i, 1)), ' ') AS seq,
        |         CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
-       |$iters
-       |$rows""".stripMargin
+       |$iters""".stripMargin
   }
+
+  /** DuckDB replay of TextOps.bpeEncode: the final dict d$n gives each
+    * word's encoded token count; per-(lang, word) frequencies join to it
+    * and aggregate per language. Compression stays in exact integer
+    * fixed-point — no float division to ulp-drift the hash.
+    */
+  private def bpeEncodeSql(n: Int): String =
+    s"""WITH ${bpeDictCtes(n)},
+       |enc AS (SELECT w, len(string_split(seq, ' ')) AS n_toks FROM d$n),
+       |lw AS (
+       |  SELECT lang, w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0 GROUP BY lang, w)
+       |SELECT lang,
+       |       CAST(sum(freq) AS BIGINT) AS n_words,
+       |       CAST(sum(freq * length(w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(freq * n_toks) AS BIGINT) AS n_tokens,
+       |       CAST((CAST(sum(freq * length(w)) AS BIGINT) * 10000)
+       |            // CAST(sum(freq * n_toks) AS BIGINT) AS BIGINT)
+       |         AS chars_per_token_x10000
+       |FROM lw JOIN enc USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   private val minhashPairsCte: String =
     """toks AS (
@@ -2017,6 +2054,7 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(5),
+    "text_bpe_encode" -> bpeEncodeSql(5),
     // retention cohorts: exact (user, day) distinct → per-user min →
     // offset matrix, every count restated
     "events_retention_cohorts" ->

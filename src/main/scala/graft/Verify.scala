@@ -970,16 +970,19 @@ object GateInvariants {
       require(acc >= 0.98 && pos > 0 && pos < n,
         s"invariant: distillation contract violated (acc=$acc, pos=$pos, n=$n)")
     case "dedup_revision_chains" =>
-      // the gate exists to exercise the star-contraction fallback: it
-      // only does so while the longest chain's diameter exceeds the
-      // propagation round budget (20). If a fixture reshape shrinks the
-      // chains below that, fail loudly instead of silently regressing to
-      // a gate the propagation loop could satisfy alone.
+      // the gate exists to exercise star contraction on a shape that
+      // genuinely NEEDS the O(log n) algorithm (round 14: the operator
+      // now calls it directly — clustersStar — instead of discovering
+      // the shape via the propagation bail every run). The invariant is
+      // unchanged: if a fixture reshape shrinks the chains below the
+      // propagation round budget (20), plain propagation could have
+      // satisfied the gate and the O(log n) path would no longer be
+      // load-bearing — fail loudly instead of silently regressing.
       val maxSize = df.agg(max(col("cluster_size"))).head().getLong(0)
       require(maxSize > 21,
         s"invariant: longest revision chain has $maxSize docs (diameter " +
           s"${maxSize - 1}) — must exceed the 20-round propagation budget " +
-          "for this gate to exercise the star-contraction fallback")
+          "for the star-contraction path to be load-bearing")
     case "layout_range_write" =>
       // the gate judged the layout from FOOTERS; recompute every verdict
       // from the DATA (per-file min/max/count via input_file_name) so a
@@ -1005,8 +1008,16 @@ object GateInvariants {
       val row = df.head()
       require(row.getAs[Boolean]("n_files_in_bound") == (nFiles >= 1 && nFiles <= 8),
         s"invariant: n_files_in_bound disagrees with the data ($nFiles files)")
-      require(nFiles >= 1 && nFiles <= 8,
-        s"invariant: range layout emitted $nFiles files, outside [1, 8]")
+      // STRICTER than the gate's [1, 8] bound (round-13 advice): at the
+      // driver SFs o_orderkey is dense and unique, so a single-file
+      // collapse can only mean the range write regressed — and with
+      // nFiles = 1 the disjoint/balanced/point-lookup checks all pass
+      // trivially. The gate keeps the [1, buckets] lower bound for
+      // sparse/duplicate-heavy inputs; the fixture invariant does not.
+      require(nFiles >= 2 && nFiles <= 8,
+        s"invariant: range layout emitted $nFiles files — a driver-SF " +
+          "fixture must split into at least 2 (single-file collapse " +
+          "makes every other layout check vacuous)")
       require(row.getAs[Long]("n_rows") == nRows,
         s"invariant: footer row count (${row.getAs[Long]("n_rows")}) " +
           s"disagrees with the data ($nRows rows)")

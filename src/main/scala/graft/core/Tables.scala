@@ -110,6 +110,15 @@ object Tables {
     } finally stream.close()
   }
 
+  /** Best-effort recursive delete of `path` at JVM exit — the cleanup
+    * every per-generation temp index/feed dir registers so repeated runs
+    * can't strand directories under /tmp (round-13 advice). Idempotent
+    * with [[cachedPathPerGeneration]]'s evict-with-delete: a dir already
+    * removed by eviction makes the hook a no-op.
+    */
+  def deleteRecursivelyOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(path)))
+
   def deleteRecursively(path: String): Unit =
     try {
       val root = java.nio.file.Paths.get(path)

@@ -52,6 +52,7 @@ object AnnIngestStream {
       val spark = t.spark
       val index = java.nio.file.Files
         .createTempDirectory("graft_ivf_stream_").toString
+      Tables.deleteRecursivelyOnExit(index)
       val emb = t.embeddings
         .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
       SimilarityOps.buildIvfIndexOf(
@@ -78,6 +79,9 @@ object AnnIngestStream {
         .start()
       q.processAllAvailable()
       q.stop()
+      // the staged feed is consumed once the ingest query stops — delete
+      // it now (round-13 advice: it was never cleaned up at all)
+      Tables.deleteRecursively(feed)
       // persist the batch count next to the index so cached re-entry
       // (same generation) reports the real ingest history
       java.nio.file.Files.write(

@@ -73,6 +73,49 @@ class TextMlMultimodalSpec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("bpe encode: per-language stats match a driver-side reference encoder") {
+    val got = TextOps.bpeEncode(t, nMerges = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // reference: train 4 merges on the GLOBAL corpus, then encode each
+    // word (= the final dict state) and aggregate per language
+    val docs = t.documents.select("lang", "text").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+    val allWords = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+    val freqs = allWords.groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    var seqs: Map[String, String] =
+      freqs.keysIterator.map(w => w -> w.toCharArray.mkString(" ")).toMap
+    for (_ <- 1 to 4) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      seqs.foreach { case (w, seq) =>
+        seq.split(" ").sliding(2).filter(_.length == 2).foreach { p =>
+          val k = p.mkString(" ")
+          counts(k) = counts.getOrElse(k, 0L) + freqs(w)
+        }
+      }
+      val (pair, _) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val merged = pair.replace(" ", "")
+      seqs = seqs.map { case (w, seq) => w -> seq.replace(pair, merged) }
+    }
+    val nToks = seqs.map { case (w, seq) => w -> seq.split(" ").length.toLong }
+    val want = docs
+      .flatMap { case (lang, text) =>
+        text.split("\\s+").filter(_.nonEmpty).map(lang -> _) }
+      .groupBy(_._1).map { case (lang, ws) =>
+        val words = ws.map(_._2)
+        val nw = words.length.toLong
+        val nc = words.map(_.length.toLong).sum
+        val nt = words.map(nToks).sum
+        (lang, nw, nc, nt, nc * 10000L / nt)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    // the merges must have bought SOME compression somewhere, and tokens
+    // can never exceed chars (every symbol is >= 1 char)
+    assert(got.forall { case (_, nw, nc, nt, _) => nt <= nc && nt >= nw })
+    assert(got.exists { case (_, _, nc, nt, _) => nt < nc })
+  }
+
   test("quality classifier: tree reproduces the rule band and the fit is deterministic") {
     val (n, pos, acc) = graft.ml.QualityClassifier.stats(t)
     assert(n == t.documents.count())

@@ -105,8 +105,16 @@ class CompactionSpec extends SparkTestBase {
     assert(row.getAs[Boolean]("stats_complete_all"))
 
     // disjoint footer ranges make a key probe touch exactly one file —
-    // the property the layout exists for
+    // the property the layout exists for. First pin that the layout
+    // actually SPLIT (round-13 advice): with a single file, disjointness,
+    // balance and one-file pruning are all trivially true — the unique
+    // dense o_orderkey fixture must land in >1 file for any of the
+    // assertions below to mean anything.
     val dir = LayoutOps.rangeLayoutDir(t)
+    val nFiles = graft.sources.ParquetStats
+      .footerStats(t, dir, Seq("o_orderkey")).count()
+    assert(nFiles >= 2,
+      s"range layout collapsed to $nFiles file(s) on a dense unique-key fixture")
     val someKey = t.orders.agg(min(col("o_orderkey"))).head().getLong(0)
     val touched = spark.read.parquet(dir)
       .filter(col("o_orderkey") === someKey)

@@ -56,6 +56,29 @@ class GraphOpsSpec extends SparkTestBase {
         i * 10 + 2 -> i * 10)).toMap)
   }
 
+  test("slow-decay converging graph: bail fires early, labels stay exact, edges are not recomputed from the raw pairs") {
+    // a mid-diameter chain WOULD converge by propagation alone (~11 more
+    // rounds), but its changed count decays slower than 2x per two
+    // rounds, so the stagnation bail fires — the heuristic's documented
+    // false positive. Pin its cost envelope: the bail hands off early
+    // (<= 6 propagation rounds paid) and the star fallback reuses the
+    // already-checkpointed edge frame (round-13 advice) instead of
+    // re-executing the upstream pair pipeline — counted by an
+    // accumulator on the pair source: exactly ONE full evaluation.
+    val acc = spark.sparkContext.longAccumulator("pairEvals")
+    val tap = udf((x: Long) => { acc.add(1L); x })
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a0", "b")
+      .select(tap(col("a0")).as("a"), col("b"))
+    val (labels, rounds, fellBack) =
+      GraphOps.connectedComponentsWithStats(chain)
+    assert(fellBack, "slow-decay chain must trip the stagnation bail")
+    assert(rounds <= 6, s"bail should fire right after round 4, ran $rounds")
+    assert(labelMap(labels).values.toSet == Set(0L), "fallback labels must be exact")
+    assert(acc.value == 99L,
+      s"pair pipeline evaluated ${acc.value}/99 rows — the fallback must " +
+        "reuse the checkpointed edges, not replay the upstream pipeline")
+  }
+
   test("star contraction agrees with label propagation on a multi-component graph") {
     // components: {1,2,3,4} (clique-ish), {10,11,12} (chain), {20,21}
     val edges = Seq(
