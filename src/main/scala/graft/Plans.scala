@@ -86,7 +86,30 @@ object Plans {
       "replica_antientropy_diff (partial+final digest aggs, O(buckets)-row full outer)" ->
         operators.SnapshotOps.antiEntropyGate(t),
       "partition_spec_pruned (per-spec scans: year dirs pruned in both, month dirs in spec2)" ->
-        sources.PartitionedParquet.specPrunedCounts(t))
+        sources.PartitionedParquet.specPrunedCounts(t),
+      "ivf_assign_cells broadcast regime (nlist 256 > 64: one-row centroid-array broadcast + transform argmin, batch side unshuffled)" ->
+        ivfAssignBroadcastPick(t))
+
+  /** The nlist-above-threshold assignment plan: 256 deterministic
+    * synthetic centroids (KMeans at k=256 needs more vectors than the
+    * plan fixture holds, and the pick documents the ASSIGNMENT plan, not
+    * the quantizer fit) written once per run, then the production
+    * [[operators.SimilarityOps.ivfAssignCells]] call at its default
+    * threshold — 256 > 64 selects the broadcast regime.
+    */
+  private def ivfAssignBroadcastPick(t: Tables): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_plans_ivf_").toString
+    Tables.deleteRecursivelyOnExit(dir)
+    (0 until 256).map(c => (c, (0 until 64).map(j => math.sin(c * 31 + j * 7) * 10.0)))
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    operators.SimilarityOps.ivfAssignCells(spark, dir,
+      t.embeddings.select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.toDoubleArr(col("embedding")).as("emb")))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
