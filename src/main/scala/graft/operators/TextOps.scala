@@ -459,6 +459,26 @@ object TextOps {
     * the per-lang aggregate is the only corpus-wide shuffle; at 100 TB
     * the dict broadcasts and encode is a map-side join.
     */
+  /** Per-document BPE-encoded token counts — the doc-granular face of
+    * [[bpeEncode]], feeding the encoded-budget sampler
+    * ([[PackingOps.sampleTokenBudgetEncoded]]): n_tok(doc) = Σ over its
+    * words of the trained dict's token count. Documents whose text holds
+    * no words keep a 0 count (left join) so the sampler's corpus
+    * conservation is by construction. Same scale shape as the encode
+    * gate: vocab-keyed join, one per-doc aggregate.
+    */
+  def bpeEncodedDocTokens(t: Tables, nMerges: Int = 5): DataFrame = {
+    val (dict, _) = bpeTrain(t, nMerges)
+    val enc = dict.select(col("w"), size(split(col("seq"), " ")).as("n_toks"))
+    val perDoc = t.documents
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(enc, "w")
+      .groupBy("doc_id").agg(sum(col("n_toks")).cast("long").as("n_tok"))
+    t.documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+  }
+
   def bpeEncode(t: Tables, nMerges: Int = 5): DataFrame = {
     val (dict, _) = bpeTrain(t, nMerges)
     val enc = dict.select(col("w"), size(split(col("seq"), " ")).as("n_toks"))

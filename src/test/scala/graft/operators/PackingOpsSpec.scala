@@ -144,6 +144,36 @@ class PackingOpsSpec extends SparkTestBase {
     assert(total >= 8000 - got.map(_._2).max && total < 8000 + got.map(_._2).max)
   }
 
+  test("sampleTokenBudgetEncoded: prefix-closed on ENCODED counts, strict subset, counts match the encoder") {
+    val budget = 40000L
+    val got = PackingOps.sampleTokenBudgetEncoded(t, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent formulation: the per-doc encoded counts through a naive
+    // window cumsum over the md5 order
+    val enc = TextOps.bpeEncodedDocTokens(t)
+    val naive = enc
+      .select(col("doc_id"), col("n_tok"),
+        md5(col("doc_id").cast(StringType)).as("k"))
+      .withColumn("cum0",
+        sum("n_tok").over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok"))
+      .filter(col("cum0") < budget)
+      .select("doc_id", "n_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == naive.toSet)
+    assert(got.nonEmpty && got.length < t.documents.count(),
+      "encoded budget must select a strict, non-empty subset at fixture scale")
+    // the sampler's counts ARE the encoder's (no drift between the two
+    // derivations of the same dict)
+    val encMap = enc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, n) => assert(encMap(id) == n, s"doc $id count") }
+    // encoded counts exceed whitespace counts (5 merges leave most chars
+    // unmerged) — the reason the encoded-budget twin exists
+    val words = PackingOps.sampleTokenBudget(t, Long.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, n) => n >= words(id) })
+  }
+
   test("checkpoint knob: identical totals, lineage truncated at the checkpoint") {
     val tk = t.documents.select(
       col("doc_id"),
