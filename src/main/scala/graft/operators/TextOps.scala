@@ -400,14 +400,31 @@ object TextOps {
   }
 
   /** The shared BPE training loop behind [[bpeMerges]] (gate output: the
-    * merge table) and [[bpeEncode]] (gate output: the ENCODED corpus
-    * stats). Returns the final dict — one row per distinct word with its
+    * merge table), [[bpeEncode]] (gate output: the ENCODED corpus stats)
+    * and [[bpeEncodedDocTokens]] (the encoded-budget sampler's counts).
+    * Returns the final dict — one row per distinct word with its
     * post-merge symbol sequence and corpus frequency — plus the learned
     * merges. The final dict IS the encoder: applying the merge table in
     * rank order to a word is exactly the state the training loop left
     * that word in, so encode needs no second pass over the merges.
+    *
+    * Cached per (documents fixture generation, nMerges): three gates now
+    * consume the training, and the dict is a localCheckpoint'd
+    * |vocab|-bounded frame — re-deriving the 5 driver-synchronized merge
+    * rounds per consumer would triple the only iterative cost in the
+    * text family.
     */
+  private val bpeTrainCache = scala.collection.concurrent.TrieMap.empty[
+    (String, Long),
+    scala.collection.concurrent.TrieMap[Int, (DataFrame, Seq[(Int, String, String, Long)])]]
   private def bpeTrain(t: Tables, nMerges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) =
+    Tables.cachedPerGeneration(bpeTrainCache, t.dir, "documents.parquet")(
+        scala.collection.concurrent.TrieMap
+          .empty[Int, (DataFrame, Seq[(Int, String, String, Long)])])
+      .getOrElseUpdate(nMerges, bpeTrainUncached(t, nMerges))
+
+  private def bpeTrainUncached(t: Tables, nMerges: Int)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     var dict = t.documents
       .select(explode(split(col("text"), "\\s+")).as("w"))
