@@ -246,6 +246,9 @@ object SparkEntry {
     "text_zipf_slope"       -> q(t => TextOps.zipfSlope(t)),
     // --- corpus packing / budget sampling (training-data extensions) ---
     "pack_concat_chunks"    -> q(t => PackingOps.packConcatChunks(t, 1024)),
+    // training-shard manifest (round-14): exact md5-uniform hash sharding
+    // (no global sort), per-shard doc/token/char manifest value-hashed
+    "pack_shard_manifest"   -> q(t => PackingOps.shardManifest(t, 8)),
     "sample_token_budget"   -> q(t => PackingOps.sampleTokenBudget(t, 8000)),
     // the encoded-token twin (round-14): budget spent in BPE tokens (what
     // a trained tokenizer actually emits), same shuffle order + prefix sum
@@ -484,6 +487,10 @@ object SparkEntry {
     // rebuild advisor: cell-balance drift meter over the appended index —
     // metadata-grade aggregation, rebuild trigger + probe-reachability
     "ann_ivf_drift"      -> q(t => SimilarityOps.ivfDriftGate(t)),
+    // two-level coarse-quantized assignment (round-14): O(2·√nlist·dim)
+    // per vector instead of O(nlist·dim); full-sweep identity theorem +
+    // pruned-agreement floor verdicts
+    "ann_ivf_assign_hier" -> q(t => SimilarityOps.ivfAssignHierGate(t)),
     "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshVerdictGate(t)),
     // int8-quantized scoring (round-11): exact IEEE quantization rule ⇒
     // the quantized cosine AND its approximation error hash-gate, unlike
@@ -2224,6 +2231,28 @@ object SparkEntry {
         |       count(*) AS n_docs,
         |       CAST(sum(n_tok) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1""".stripMargin,
+    // hash sharding over the same exact dyadic md5-uniform as
+    // sample_weighted: every term and partial sum is exact in doubles,
+    // the ×8 is an exponent shift, so floor/least replay bit-for-bit
+    "pack_shard_manifest" -> {
+      val terms = (1 to 12).map { p =>
+        val den = math.pow(16.0, p).toLong
+        s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) / $den.0"
+      }.mkString("\n        + ")
+      s"""WITH d AS (
+         |  SELECT len(string_split_regex(text, '\\s+')) AS n_tok, n_chars,
+         |         md5(doc_id::VARCHAR) AS h
+         |  FROM documents),
+         |s AS (
+         |  SELECT n_tok, n_chars,
+         |         CAST(least(floor(($terms
+         |          + ${math.pow(16.0, -12.0)}) * 8), 7) AS INT) AS shard_id
+         |  FROM d)
+         |SELECT shard_id, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "sample_token_budget" ->
       """WITH tk AS (
         |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok,
@@ -2516,6 +2545,13 @@ object SparkEntry {
       """SELECT count(*) AS n_vectors, TRUE AS ids_unique,
         |       TRUE AS full_probe_exact, TRUE AS appended_nearest,
         |       TRUE AS multi_batch
+        |FROM embeddings""".stripMargin,
+    // two-level assignment contract: conservation by count(*), the
+    // full-sweep identity theorem, cell validity, and the pruned-path
+    // agreement floor — all recomputed distributed by the engine
+    "ann_ivf_assign_hier" ->
+      """SELECT count(*) AS n_assigned, TRUE AS cells_valid,
+        |       TRUE AS full_sweep_identical, TRUE AS agreement_floor_met
         |FROM embeddings""".stripMargin,
     "ann_ivf_drift" ->
       """SELECT count(*) AS n_vectors, TRUE AS cells_within_nlist,

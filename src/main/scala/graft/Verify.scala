@@ -450,6 +450,24 @@ object GateInvariants {
           s"($unique, $probeExact, $nearest, batches=$batches)")
       require(unique && probeExact && nearest && batches >= 2,
         s"invariant: streamed IVF ingest contract violated (batches=$batches)")
+    case "ann_ivf_assign_hier" =>
+      // recompute all four two-level-assignment verdicts (conservation,
+      // cell validity, full-sweep identity, pruned-agreement floor) from
+      // the quantizer surrogate + source table
+      val tt = core.Tables(spark, sfDir)
+      val (n, valid, identical, floorMet) =
+        operators.SimilarityOps.ivfAssignHierVerdicts(tt, 64, 4, 0.7)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getLong(0) == n && n == tt.embeddings.count(),
+        s"invariant: hier assignment count ${row.getLong(0)} / $n does " +
+          s"not conserve the source table (${tt.embeddings.count()})")
+      require(row.getBoolean(1) == valid && row.getBoolean(2) == identical &&
+        row.getBoolean(3) == floorMet,
+        s"invariant: gate verdicts disagree with recompute " +
+          s"($valid, $identical, $floorMet)")
+      require(valid && identical && floorMet,
+        "invariant: two-level assignment contract violated")
     case "ann_ivf_append" =>
       // recompute conservation, uniqueness, full-probe exactness and
       // nearest-assignment from the index directory + source table

@@ -240,6 +240,42 @@ object PackingOps {
       .select("doc_id", "source", "n_tok", "budget")
   }
 
+  /** Training-shard manifest (round 14): assign every document to one of
+    * `shards` fixed shards by the exact [[md5Uniform]] hash and emit the
+    * per-shard manifest (docs, whitespace tokens, chars) a training
+    * launcher schedules from — the deterministic "shuffle and shard" step
+    * that runs after packing. Hash sharding instead of ntile-over-a-sort
+    * on purpose: ntile needs a global row numbering (a global sort at
+    * 100 TB), while shard = floor(shards·u) is one md5 + 13 exact IEEE
+    * adds + one exponent-shift multiply per row — embarrassingly
+    * parallel, so the ONLY exchange is the final `shards`-group rollup
+    * (partial-aggregated map-side to `shards` rows per task), and the
+    * assignment replays bit-for-bit on any engine or partitioning.
+    * `shards` must be a power of two so `shards·u` stays exact (u carries
+    * ≤ 48 fractional bits; the multiply only shifts the exponent), making
+    * `floor` deterministic across engines; `least(·, shards−1)` guards
+    * the u = 1.0 all-'f'-digest edge identically on both sides. Shard
+    * balance is binomial-tight by md5 uniformity — and the gate hashes
+    * the manifest VALUES against DuckDB, not a balance boolean.
+    */
+  def shardManifest(t: Tables, shards: Int = 8): DataFrame = {
+    require(shards > 0 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two for exact floor(shards*u), got $shards")
+    t.documents
+      .select(
+        size(tokens(col("text"))).cast(LongType).as("n_tok"),
+        col("n_chars"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .select(col("n_tok"), col("n_chars"),
+        least(floor(md5Uniform(col("h")) * shards), lit(shards - 1))
+          .cast("int").as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("shard_id")
+  }
+
   /** Uniform in (0, 1] from the first 12 hex nibbles of a lowercase md5
     * column: u = Σₚ nib(p) / 16^(p+1), plus 16⁻¹² so an all-zero prefix
     * can't yield u = 0 (a zero priority would outrank every weight).

@@ -252,6 +252,135 @@ object SimilarityOps {
     }
   }
 
+  /** Two-level (coarse-quantized) nearest-centroid assignment — the rung
+    * ABOVE [[ivfAssignCells]] on the nlist axis (round 14; BENCH.md's
+    * round-13 note deferred it as "the next rung at 64k cells"). Flat
+    * assignment is O(nlist·dim) per vector — measured 29 s for a
+    * 200k-vector batch at nlist = 4096 on this host — and a 100 TB corpus
+    * wants nlist in the tens of thousands, where the flat scan dominates
+    * every rebuild and ingest batch. The standard fix (the IMI/two-level
+    * coarse-quantizer family, Jégou et al., "Product quantization for
+    * nearest neighbor search", TPAMI 2011 §V) quantizes the CENTROIDS:
+    * cluster the nlist fine centroids into ncoarse ≈ √nlist groups once
+    * per index — driver-side, over the same O(nlist·dim) centroid table
+    * [[probeIvf]] already reads — then per vector score the ncoarse group
+    * centroids, keep the `pcoarse` nearest groups, and argmin only their
+    * fine members: O((ncoarse + pcoarse·nlist/ncoarse)·dim) ≈
+    * O(2·√nlist·dim) per vector at small pcoarse — a ~32× op cut at
+    * nlist = 4096.
+    *
+    * Execution shape is [[ivfAssignCells]]'s broadcast regime verbatim:
+    * the two-level table folds into ONE broadcast row
+    * (array<struct(gn2, gcent, fines)>), and the whole assignment is a
+    * single Project over a BroadcastNestedLoopJoin — the batch never
+    * shuffles, plan size O(1) in nlist.
+    *
+    * Exactness contract (IvfAssignHierSpec + the ann_ivf_assign_hier
+    * gate):
+    *  - pcoarse ≥ #groups ⇒ BIT-identical to flat [[ivfAssignCells]]:
+    *    every fine cell is scanned, each d2 = |c|² − 2·v·c uses the same
+    *    left-fold |c|² and the same `graft_dot`, and the (d2, cell)
+    *    struct-min is the same total order. A theorem, not a tolerance —
+    *    min over a fixed set is partition-order-invariant.
+    *  - pcoarse < #groups trades exactness for the op cut exactly the way
+    *    an IVF probe does: a vector whose argmin cell hides in an
+    *    unprobed group lands in its best PROBED cell instead. The gate
+    *    floors the observed agreement; the index stays correct either way
+    *    (a probe reranks exactly within whichever cell holds the vector).
+    */
+  def ivfAssignCellsHier(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame,
+                         pcoarse: Int = 2, ncoarse: Int = 0): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val k = if (ncoarse > 0) ncoarse
+            else math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val groups = coarseGroups(cents, k)
+    val p = math.min(math.max(1, pcoarse), groups.length)
+    // |c|² as the same driver-side left fold the literal path uses, so d2
+    // is bit-identical across all three assignment paths
+    val gdf = groups.toSeq
+      .map { case (g, fines) =>
+        (g.map(x => x * x).sum, g.toSeq,
+          fines.map { case (cell, c) => (c.map(x => x * x).sum, cell, c.toSeq) }.toSeq)
+      }
+      .toDF("gn2", "gcent", "fines")
+      .select(struct(
+        col("gn2"), col("gcent"),
+        transform(col("fines"), f => struct(
+          f.getField("_1").as("n2"), f.getField("_2").as("cell"),
+          f.getField("_3").as("centroid"))).as("fines")).as("g"))
+      .agg(collect_list(col("g")).as("groups"))
+    batch.crossJoin(broadcast(gdf))
+      // coarse pass: (d2, group-index) structs, sorted, top-p kept — the
+      // sorted elements carry only a double + int, never the vectors
+      .withColumn("top_groups", slice(
+        array_sort(transform(col("groups"), (g, i) => struct(
+          (g.getField("gn2") - lit(2.0) * dot(col("emb"), g.getField("gcent"))).as("d2"),
+          i.as("gi")))), 1, p))
+      // fine pass: argmin over the probed groups' members only
+      .select(col("vec_id"), col("label"), col("emb"),
+        array_min(flatten(transform(col("top_groups"), s =>
+          transform(get(col("groups"), s.getField("gi")).getField("fines"), c =>
+            struct(
+              (c.getField("n2") - lit(2.0) * dot(col("emb"), c.getField("centroid"))).as("d2"),
+              c.getField("cell").as("cell"))))))
+          .getField("cell").as("cell"))
+  }
+
+  /** Deterministic driver-side Lloyd clustering of the fine centroids
+    * into `ncoarse` groups — the once-per-index coarse quantizer behind
+    * [[ivfAssignCellsHier]]. Deterministic by construction (evenly-spaced
+    * init in cell-id order, fixed iteration count, ties to the lowest
+    * group), so repeated builds over the same centroid table group
+    * identically on any host. Empty groups are dropped; the surviving
+    * groups always PARTITION the cell set, which is what the
+    * pcoarse ≥ #groups identity theorem rests on.
+    */
+  private[operators] def coarseGroups(cents: Array[(Int, Array[Double])],
+                                      ncoarse: Int, iters: Int = 10)
+      : Array[(Array[Double], Array[(Int, Array[Double])])] = {
+    val k = math.min(math.max(1, ncoarse), cents.length)
+    val dim = cents.head._2.length
+    var means = Array.tabulate(k)(i =>
+      cents((i.toLong * cents.length / k).toInt)._2.clone())
+    val assign = new Array[Int](cents.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < cents.length) {
+        var best = 0; var bestD = Double.MaxValue; var g = 0
+        while (g < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) {
+            val t = cents(i)._2(j) - means(g)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = g }
+          g += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Int](k)
+      i = 0
+      while (i < cents.length) {
+        val g = assign(i); cnt(g) += 1
+        var j = 0
+        while (j < dim) { sums(g)(j) += cents(i)._2(j); j += 1 }
+        i += 1
+      }
+      means = Array.tabulate(k)(g =>
+        if (cnt(g) == 0) means(g) else sums(g).map(_ / cnt(g)))
+      it += 1
+    }
+    (0 until k).iterator
+      .map(g => (means(g),
+        cents.indices.filter(assign(_) == g).map(cents(_)).toArray))
+      .filter(_._2.nonEmpty)
+      .toArray
+  }
+
   /** Incremental IVF maintenance (round 13): append a batch of vectors
     * to a persisted index WITHOUT a rebuild — the streaming-ingest path
     * every deployed ANN index needs. Assignment is [[ivfAssignCells]]'s
@@ -338,6 +467,96 @@ object SimilarityOps {
       .filter(col("cell") =!= col("stored_cell"))
       .count()
     (n, n == nd, probed == brute, misassigned == 0L)
+  }
+
+  /** One data-derived quantizer-surrogate centroid table per (embeddings
+    * dir, generation): the `nlist` lowest-vec_id embeddings, cell ids in
+    * vec_id order. Deterministic per generation with NO KMeans fit — the
+    * hier gate tests the two-level ASSIGNMENT operator, not the quantizer
+    * training ([[buildIvfIndex]] owns that), and a data-derived table
+    * gives the coarse grouping real geometry to work with.
+    */
+  private val hierQuantDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private[operators] def hierQuantCentroidsFor(t: Tables, nlist: Int): String =
+    Tables.cachedPathPerGeneration(hierQuantDirs, t.dir, "embeddings.parquet") {
+      val spark = t.spark
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_hier_").toString
+      Tables.deleteRecursivelyOnExit(dir)
+      t.embeddings
+        .select(col("vec_id"), toDoubleArr(col("embedding")).as("emb"))
+        .orderBy("vec_id").limit(nlist)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }
+        .toSeq.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      dir
+    }
+
+  /** Verdicts behind [[ivfAssignHierGate]], all from one distributed pass
+    * over the three assignments joined on vec_id (shared with
+    * Verify.GateInvariants' recompute):
+    *
+    *  - `n_assigned`: batch rows the hier path assigned (oracle states
+    *    `count(*)` over the source, so none may be lost or doubled);
+    *  - `cells_valid`: every hier-assigned cell is a real centroid id;
+    *  - `full_sweep_identical`: pcoarse = ∞ (all groups probed) agrees
+    *    with flat [[ivfAssignCells]] on EVERY vector — the identity
+    *    theorem on live data;
+    *  - `agreement_floor_met`: the pruned path (pcoarse as gated) agrees
+    *    with the flat argmin on ≥ `agreementFloor` of vectors — the
+    *    recall-style bound the op-count cut is traded against.
+    */
+  private[graft] def ivfAssignHierVerdicts(t: Tables, nlist: Int,
+                                           pcoarse: Int,
+                                           agreementFloor: Double)
+      : (Long, Boolean, Boolean, Boolean) = {
+    val spark = t.spark
+    val path = hierQuantCentroidsFor(t, nlist)
+    val batch = t.embeddings
+      .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb"))
+    val flat = ivfAssignCells(spark, path, batch)
+    val hier = ivfAssignCellsHier(spark, path, batch, pcoarse)
+    val full = ivfAssignCellsHier(spark, path, batch, pcoarse = Int.MaxValue)
+    val cids = spark.read.parquet(s"$path/centroids")
+      .select("cell").collect().map(_.getInt(0)).toSet
+    val row = flat.select(col("vec_id"), col("cell").as("flat_cell"))
+      .join(hier.select(col("vec_id"), col("cell").as("hier_cell")), "vec_id")
+      .join(full.select(col("vec_id"), col("cell").as("full_cell")), "vec_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("full_cell") === col("flat_cell"), 0L).otherwise(1L)),
+        sum(when(col("hier_cell") === col("flat_cell"), 1L).otherwise(0L)),
+        sum(when(col("hier_cell").isin(cids.toSeq: _*), 0L).otherwise(1L)))
+      .head()
+    val n = row.getLong(0)
+    (n, row.getLong(3) == 0L, row.getLong(1) == 0L,
+      row.getLong(2).toDouble >= agreementFloor * n)
+  }
+
+  /** Hash-gated face of [[ivfAssignCellsHier]] over the data-derived
+    * quantizer surrogate (nlist = 64 ⇒ ncoarse = 8, pcoarse = 4 — the
+    * shape whose production form is 64k cells / 256 groups). Calibration:
+    * the fixture's embeddings are near-ISOTROPIC — the hard case for
+    * coarse pruning, since the surrogate centroids carry no cluster
+    * structure for the coarse quantizer to exploit — and the measured
+    * agreement band at 4-of-8 groups is 0.85–0.90 across sf0.001–0.1
+    * (p=2 reads 0.63–0.69 here, vs 0.80+ on the spec's structured
+    * synthetic grid; a production kmeans-fit index sits near the latter).
+    * The 0.7 floor leaves ≥ 0.15 regeneration margin under the observed
+    * band; IvfAssignHierSpec pins the tighter windows.
+    */
+  def ivfAssignHierGate(t: Tables, nlist: Int = 64, pcoarse: Int = 4,
+                        agreementFloor: Double = 0.7): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val (n, valid, identical, floorMet) =
+      ivfAssignHierVerdicts(t, nlist, pcoarse, agreementFloor)
+    Seq((n, valid, identical, floorMet))
+      .toDF("n_assigned", "cells_valid", "full_sweep_identical",
+        "agreement_floor_met")
   }
 
   /** Rebuild advisor (round 13): the cell-balance drift meter a deployed

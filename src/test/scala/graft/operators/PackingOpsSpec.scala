@@ -174,6 +174,32 @@ class PackingOpsSpec extends SparkTestBase {
     assert(got.forall { case (id, n) => n >= words(id) })
   }
 
+  test("shardManifest: conserves the corpus, shards within range, balanced, partition-invariant") {
+    val m = PackingOps.shardManifest(t, 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.forall(s => s._1 >= 0 && s._1 < 8), "shard ids in [0, 8)")
+    assert(m.map(_._2).sum == t.documents.count(), "doc counts must conserve")
+    assert(m.map(_._3).sum ==
+      tokenFrame.agg(sum("n_tok")).head().getLong(0), "token totals must conserve")
+    assert(m.map(_._4).sum ==
+      t.documents.agg(sum("n_chars")).head().getLong(0), "char totals must conserve")
+    // md5 uniformity: no shard may hog the corpus (binomial bound is far
+    // tighter; 3x mean is a regression tripwire, not a statistics test)
+    val mean = t.documents.count().toDouble / 8
+    assert(m.forall(_._2 <= mean * 3), s"a shard hogs the corpus: ${m.toSeq}")
+    // assignment is a pure row-local hash: any partitioning, same manifest
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    try {
+      val again = PackingOps.shardManifest(t, 8).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(again.toSeq == m.toSeq, "manifest must be partitioning-invariant")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // non-power-of-two shard counts are rejected (floor(shards*u) is only
+    // engine-exact when the multiply is an exponent shift)
+    intercept[IllegalArgumentException] { PackingOps.shardManifest(t, 6) }
+  }
+
   test("checkpoint knob: identical totals, lineage truncated at the checkpoint") {
     val tk = t.documents.select(
       col("doc_id"),
