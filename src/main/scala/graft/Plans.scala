@@ -87,15 +87,17 @@ object Plans {
         operators.SnapshotOps.antiEntropyGate(t),
       "partition_spec_pruned (per-spec scans: year dirs pruned in both, month dirs in spec2)" ->
         sources.PartitionedParquet.specPrunedCounts(t),
-      "ivf_assign_cells broadcast regime (nlist 256 > 64: one-row centroid-array broadcast + transform argmin, batch side unshuffled)" ->
-        ivfAssignBroadcastPick(t))
+      "ivf_assign_cells expression regime (nlist 256 > 64: graft_ivf_assign reference-object table, join-free single Project)" ->
+        ivfAssignBroadcastPick(t),
+      "ivf_assign_cells_hier (two-level reference-object table: coarse top-p + pruned fine argmin in one codegen call, join-free)" ->
+        ivfAssignHierPick(t))
 
   /** The nlist-above-threshold assignment plan: 256 deterministic
     * synthetic centroids (KMeans at k=256 needs more vectors than the
     * plan fixture holds, and the pick documents the ASSIGNMENT plan, not
     * the quantizer fit) written once per run, then the production
     * [[operators.SimilarityOps.ivfAssignCells]] call at its default
-    * threshold — 256 > 64 selects the broadcast regime.
+    * threshold — 256 > 64 selects the reference-object expression.
     */
   private def ivfAssignBroadcastPick(t: Tables): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -109,6 +111,24 @@ object Plans {
     operators.SimilarityOps.ivfAssignCells(spark, dir,
       t.embeddings.select(col("vec_id"), col("label"),
         graft.functions.VectorFunctions.toDoubleArr(col("embedding")).as("emb")))
+  }
+
+  /** The two-level assignment plan over the same synthetic 256-cell
+    * table: coarse top-p selection, then the pruned fine argmin — one
+    * codegen call into the reference-object table, join-free.
+    */
+  private def ivfAssignHierPick(t: Tables): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_plans_ivf_h_").toString
+    Tables.deleteRecursivelyOnExit(dir)
+    (0 until 256).map(c => (c, (0 until 64).map(j => math.sin(c * 31 + j * 7) * 10.0)))
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    operators.SimilarityOps.ivfAssignCellsHier(spark, dir,
+      t.embeddings.select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.toDoubleArr(col("embedding")).as("emb")), 2)
   }
 
   def main(args: Array[String]): Unit = {

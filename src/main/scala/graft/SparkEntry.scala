@@ -841,6 +841,9 @@ object SparkEntry {
     // append gate embeds brute-force verification; the production cost is
     // the assignment projection over the ingest batch
     "ann_ivf_append" -> q(t => SimilarityOps.ivfAssignProbe(t)),
+    // hier gate embeds three assignments + verification joins; the
+    // production cost is one pruned two-level assignment over the batch
+    "ann_ivf_assign_hier" -> q(t => SimilarityOps.ivfAssignHierProbe(t)),
     "ann_brp_lsh"         -> q(t => SimilarityOps.brpLshTopK(t, 0L, 10)),
     "dedup_minhash_mllib" -> q(t => DedupOps.minhashDupPairsMllib(t, 0.7)),
     "ml_price_metrics"    -> q(t => PricePipeline.metricsTable(t,

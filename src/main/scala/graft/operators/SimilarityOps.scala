@@ -206,25 +206,27 @@ object SimilarityOps {
     *    100 TB corpus): a literal-inlined argmin would be an
     *    O(nlist·dim) expression tree — measured: at 256 cells × 64 dims
     *    the generated projection already FAILS janino compilation and
-    *    runs interpreted, and the plan itself balloons. Instead the
-    *    centroids are folded into ONE row carrying
-    *    an array<struct(n2, cell, centroid)> and BROADCAST; the argmin
-    *    becomes `array_min` over a `transform` lambda — plan size O(1),
-    *    the batch side still streams through a single
-    *    BroadcastNestedLoopJoin + Project with no exchange.
+    *    runs interpreted, and the plan itself balloons. The centroid
+    *    table instead rides the codegen `graft_ivf_assign` expression
+    *    ([[graft.plans.IvfAssignCell]]) as a REFERENCE OBJECT — one
+    *    narrow Project, no join, plan size O(1) in nlist, the bytes
+    *    shipped once per stage in the task-binary broadcast. (An earlier
+    *    round-14 formulation broadcast the table as a one-row join side
+    *    read by higher-order functions; measured at 4096–16384 cells it
+    *    was bound by the codegen-boundary `UnsafeRow.copy` of the
+    *    O(nlist·dim) arrays per VECTOR, not by arithmetic — the
+    *    IvfCentroidTable scaladoc carries the post-mortem.)
     *
     * The two paths are arithmetically BIT-IDENTICAL: |c|² is a left fold
-    * in array order on both (driver `.sum` vs `aggregate`), the dot is
-    * the same `graft_dot` fold, and the (d2, cell) struct min is the same
-    * total order — pinned by `IvfAssignPathSpec`.
+    * in array order on both (driver-side `.sum`), the dot is the same
+    * ascending fold as `graft_dot`, and the winner is the same
+    * (d2, cell) total order — pinned by `IvfAssignPathSpec`.
     */
   def ivfAssignCells(spark: org.apache.spark.sql.SparkSession, path: String,
                      batch: DataFrame, maxInlineCells: Int = 64): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val nlist = centroids.count()
-    if (nlist <= maxInlineCells) {
-      val cents = centroids.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    if (cents.length <= maxInlineCells) {
       val scored = cents.map { case (cellId, c) =>
         val reduced = lit(c.map(x => x * x).sum) -
           lit(2.0) * dot(col("emb"), typedLit(c.toSeq))
@@ -233,24 +235,23 @@ object SimilarityOps {
       batch.select(col("vec_id"), col("label"), col("emb"),
         array_min(array(scored.toIndexedSeq: _*)).getField("cell").as("cell"))
     } else {
-      // |c|² precomputed once per centroid (inside the 1-row fold), so the
-      // per-vector lambda does one O(dim) dot per cell — same op count as
-      // the literal path
-      val centsRow = centroids
-        .select(struct(
-          aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x).as("n2"),
-          col("cell"),
-          col("centroid")).as("c"))
-        .agg(collect_list(col("c")).as("cents"))
-      batch.crossJoin(broadcast(centsRow))
-        .select(col("vec_id"), col("label"), col("emb"),
-          array_min(transform(col("cents"), c =>
-            struct(
-              (c.getField("n2") - lit(2.0) * dot(col("emb"), c.getField("centroid"))).as("d2"),
-              c.getField("cell").as("cell"))))
-            .getField("cell").as("cell"))
+      val table = graft.plans.IvfCentroidTable.fromFlat(cents)
+      batch.select(col("vec_id"), col("label"), col("emb"),
+        assignColumn(table, col("emb")).as("cell"))
     }
   }
+
+  /** `graft_ivf_assign(table, emb)` as a Column — the expression carries
+    * the table as a reference object, so it can't go through the SQL
+    * function registry (no literal encodes it without bloating every
+    * plan dump).
+    */
+  private def assignColumn(table: graft.plans.IvfCentroidTable,
+                           emb: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.IvfAssignCell(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb), table))
 
   /** Two-level (coarse-quantized) nearest-centroid assignment — the rung
     * ABOVE [[ivfAssignCells]] on the nlist axis (round 14; BENCH.md's
@@ -269,18 +270,17 @@ object SimilarityOps {
     * O(2·√nlist·dim) per vector at small pcoarse — a ~32× op cut at
     * nlist = 4096.
     *
-    * Execution shape is [[ivfAssignCells]]'s broadcast regime verbatim:
-    * the two-level table folds into ONE broadcast row
-    * (array<struct(gn2, gcent, fines)>), and the whole assignment is a
-    * single Project over a BroadcastNestedLoopJoin — the batch never
-    * shuffles, plan size O(1) in nlist.
+    * Execution shape is [[ivfAssignCells]]'s above-threshold regime
+    * verbatim: the two-level table rides the codegen `graft_ivf_assign`
+    * expression as a reference object — one narrow Project, no join, the
+    * batch never shuffles, plan size O(1) in nlist.
     *
     * Exactness contract (IvfAssignHierSpec + the ann_ivf_assign_hier
     * gate):
     *  - pcoarse ≥ #groups ⇒ BIT-identical to flat [[ivfAssignCells]]:
     *    every fine cell is scanned, each d2 = |c|² − 2·v·c uses the same
-    *    left-fold |c|² and the same `graft_dot`, and the (d2, cell)
-    *    struct-min is the same total order. A theorem, not a tolerance —
+    *    left-fold |c|² and the same ascending-fold dot, and the winner is
+    *    the same (d2, cell) total order. A theorem, not a tolerance —
     *    min over a fixed set is partition-order-invariant.
     *  - pcoarse < #groups trades exactness for the op cut exactly the way
     *    an IVF probe does: a vector whose argmin cell hides in an
@@ -291,42 +291,19 @@ object SimilarityOps {
   def ivfAssignCellsHier(spark: org.apache.spark.sql.SparkSession,
                          path: String, batch: DataFrame,
                          pcoarse: Int = 2, ncoarse: Int = 0): DataFrame = {
-    import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val k = if (ncoarse > 0) ncoarse
             else math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
     val groups = coarseGroups(cents, k)
     val p = math.min(math.max(1, pcoarse), groups.length)
-    // |c|² as the same driver-side left fold the literal path uses, so d2
-    // is bit-identical across all three assignment paths
-    val gdf = groups.toSeq
-      .map { case (g, fines) =>
-        (g.map(x => x * x).sum, g.toSeq,
-          fines.map { case (cell, c) => (c.map(x => x * x).sum, cell, c.toSeq) }.toSeq)
-      }
-      .toDF("gn2", "gcent", "fines")
-      .select(struct(
-        col("gn2"), col("gcent"),
-        transform(col("fines"), f => struct(
-          f.getField("_1").as("n2"), f.getField("_2").as("cell"),
-          f.getField("_3").as("centroid"))).as("fines")).as("g"))
-      .agg(collect_list(col("g")).as("groups"))
-    batch.crossJoin(broadcast(gdf))
-      // coarse pass: (d2, group-index) structs, sorted, top-p kept — the
-      // sorted elements carry only a double + int, never the vectors
-      .withColumn("top_groups", slice(
-        array_sort(transform(col("groups"), (g, i) => struct(
-          (g.getField("gn2") - lit(2.0) * dot(col("emb"), g.getField("gcent"))).as("d2"),
-          i.as("gi")))), 1, p))
-      // fine pass: argmin over the probed groups' members only
-      .select(col("vec_id"), col("label"), col("emb"),
-        array_min(flatten(transform(col("top_groups"), s =>
-          transform(get(col("groups"), s.getField("gi")).getField("fines"), c =>
-            struct(
-              (c.getField("n2") - lit(2.0) * dot(col("emb"), c.getField("centroid"))).as("d2"),
-              c.getField("cell").as("cell"))))))
-          .getField("cell").as("cell"))
+    // One narrow Project; the two-level table rides the expression as a
+    // reference object. Formulating this as crossJoin(broadcast(oneRow))
+    // + higher-order functions was measured join-boundary-copy-bound, not
+    // op-bound — see the IvfCentroidTable scaladoc for the post-mortem.
+    val table = graft.plans.IvfCentroidTable.fromGroups(groups, p)
+    batch.select(col("vec_id"), col("label"), col("emb"),
+      assignColumn(table, col("emb")).as("cell"))
   }
 
   /** Deterministic driver-side Lloyd clustering of the fine centroids
@@ -557,6 +534,19 @@ object SimilarityOps {
     Seq((n, valid, identical, floorMet))
       .toDF("n_assigned", "cells_valid", "full_sweep_identical",
         "agreement_floor_met")
+  }
+
+  /** Bench probe for the two-level path: ONE pruned hier assignment over
+    * the full batch at the gated shape — the gate's three-way compare
+    * (flat + full-sweep + pruned, joined) is verification-only.
+    */
+  def ivfAssignHierProbe(t: Tables, nlist: Int = 64,
+                         pcoarse: Int = 4): DataFrame = {
+    val path = hierQuantCentroidsFor(t, nlist)
+    ivfAssignCellsHier(t.spark, path,
+      t.embeddings.select(col("vec_id"), col("label"),
+        toDoubleArr(col("embedding")).as("emb")),
+      pcoarse)
   }
 
   /** Rebuild advisor (round 13): the cell-balance drift meter a deployed

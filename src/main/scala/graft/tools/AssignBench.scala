@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted benchmark for the IVF cell-assignment paths across nlist —
+  * the measurement behind BENCH.md's flat-vs-two-level numbers, tracked
+  * so the probe is reproducible instead of ad hoc:
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt 'runMain graft.tools.AssignBench <sfDir> <nlist,...>'
+  *
+  * For each nlist it writes a deterministic synthetic centroid table
+  * (the IvfAssignPathSpec sin grid — no KMeans fit, the probe times
+  * ASSIGNMENT, not quantizer training), then times, min-of-2 with an
+  * untimed warm pass per path:
+  *
+  *   - `flat`: [[graft.operators.SimilarityOps.ivfAssignCells]] — the
+  *     one-row-broadcast argmin over all nlist cells, O(nlist·dim)/vector;
+  *   - `hier_p2` / `hier_full`: [[graft.operators.SimilarityOps.ivfAssignCellsHier]]
+  *     at pcoarse = 2 and pcoarse = #groups — the two-level path's
+  *     production setting and its exactness-theorem sweep.
+  *
+  * Output: one JSON line per (nlist, path) with wall seconds, suitable
+  * for bench_runs/ archives.
+  */
+object AssignBench {
+
+  private val dim = 64
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val nlists = args(1).split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val t = graft.core.Tables(spark, sfDir)
+    val batch = t.embeddings.select(col("vec_id"), col("label"),
+      graft.functions.VectorFunctions.toDoubleArr(col("embedding")).as("emb"))
+      .localCheckpoint(true) // time assignment, not the parquet scan
+    val n = batch.count()
+
+    def timed(body: => Unit): Double = {
+      body // untimed warm pass (plan, codegen, JIT)
+      def once(): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    nlists.foreach { nlist =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_assign_bench_$nlist").toString
+      graft.core.Tables.deleteRecursivelyOnExit(dir)
+      (0 until nlist)
+        .map(c => (c, (0 until dim).map(j => math.sin(c * 31 + j * 7) * 10.0)))
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+
+      def run(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+
+      val flat = timed(run(
+        graft.operators.SimilarityOps.ivfAssignCells(spark, dir, batch)))
+      val hierP2 = timed(run(
+        graft.operators.SimilarityOps.ivfAssignCellsHier(spark, dir, batch, 2)))
+      val hierFull = timed(run(
+        graft.operators.SimilarityOps.ivfAssignCellsHier(spark, dir, batch,
+          Int.MaxValue)))
+      println(s"""{"metric":"ivf_assign","sf":"$sfDir","n_vectors":$n,"dim":$dim,"nlist":$nlist,"flat_sec":${r3(flat)},"hier_p2_sec":${r3(hierP2)},"hier_full_sec":${r3(hierFull)},"runs_per_path":2,"aggregation":"min"}""")
+    }
+    spark.stop()
+  }
+
+  private def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+}

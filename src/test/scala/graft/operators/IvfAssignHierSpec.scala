@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *  (b) the pruned path (pcoarse = 2) stays inside its contract: every
   *      assignment is a valid cell and agreement with the flat argmin
   *      clears the gate floor with margin;
-  *  (c) plan shape — ONE BroadcastNestedLoopJoin, no exchange carries
-  *      batch columns, and the plan doesn't grow with nlist (the
-  *      centroids travel as broadcast data, never as literals);
+  *  (c) plan shape — one join-free Project with the table as a compact
+  *      reference object, nothing shuffles, and the plan doesn't grow
+  *      with nlist (the centroids never inline as literals);
   *  (d) [[SimilarityOps.coarseGroups]] is deterministic and always
   *      PARTITIONS the cell set — what the theorem in (a) rests on.
   */
@@ -77,26 +77,31 @@ class IvfAssignHierSpec extends SparkTestBase {
       s"gate verdicts: $row")
   }
 
-  test("plan: one broadcast nested loop, no exchange carries batch columns, size flat in nlist") {
+  test("plan: one join-free Project, nothing shuffles, size flat in nlist") {
     val d256 = writeCentroids(256)
     val df = SimilarityOps.ivfAssignCellsHier(spark, d256, batch, 2)
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      "the two-level table must arrive by broadcast")
-    assert(!exchangeInputs(df).exists(l =>
-      l.contains("vec_id") || l.contains("emb")),
-      "no exchange may carry batch columns — assignment must not shuffle the batch")
-    // plan size must not scale with nlist: the centroids are broadcast
-    // DATA, not plan literals (the failure mode the flat literal path
-    // hits at 256 cells)
+    assert(plan.contains("graft_ivf_assign"),
+      "the two-level table must ride the reference-object expression")
+    assert(!plan.contains("Join"),
+      "assignment must not plan a join — the one-row broadcast-join " +
+        "formulation was measured codegen-boundary-copy-bound " +
+        "(UnsafeRow.copy of the O(nlist*dim) arrays per vector)")
+    assert(exchangeInputs(df).isEmpty,
+      "assignment must not shuffle anything — one Project over the batch")
+    // plan size must not scale with nlist: the table is a reference
+    // object printing as its compact summary, never inlined data (the
+    // failure mode the flat literal path hits at 256 cells)
+    assert(plan.contains("IvfCentroidTable(nlist=256, ncoarse=16, pcoarse=2)"),
+      "plan dump must carry the compact table summary")
     val d16 = writeCentroids(16)
     val small = SimilarityOps.ivfAssignCellsHier(spark, d16, batch, 2)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(plan.length < small.length * 4,
-      s"plan grew with nlist (${small.length} -> ${plan.length} chars) — " +
-        "centroids are leaking into the plan as literals")
+    assert(plan.length < small.length * 2,
+      s"plan grew with nlist (${small.length} -> ${plan.length} chars) " +
+        "- centroids are leaking into the plan")
   }
 
   test("coarseGroups: deterministic, and the groups partition the cell set") {

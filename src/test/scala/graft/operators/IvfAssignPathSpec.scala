@@ -6,14 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** The nlist-thresholded IVF cell assignment (round-14 verdict item 2):
   * at or below `maxInlineCells` the centroids are inlined as literals
-  * into one codegen projection; above it they fold into a single
-  * broadcast array row and the argmin becomes a `transform` lambda —
-  * plan size O(1) instead of O(nlist·dim), batch side still unshuffled.
+  * into one codegen projection; above it they ride the codegen
+  * `graft_ivf_assign` expression as a reference object — plan size O(1)
+  * instead of O(nlist·dim), batch side still unshuffled, no join.
   *
   * Pinned here: (a) the two paths assign BIT-identically at nlist = 256
-  * (and both match a driver-side argmin recompute), (b) the broadcast
-  * path's plan joins via BroadcastNestedLoopJoin with no exchange
-  * carrying batch columns, (c) the small-nlist path stays join-free.
+  * (and both match a driver-side argmin recompute), (b) the expression
+  * path plans one join-free Project with a compact table summary and no
+  * exchange at all, (c) the small-nlist path stays join-free.
   */
 class IvfAssignPathSpec extends SparkTestBase {
   import spark.implicits._
@@ -41,16 +41,16 @@ class IvfAssignPathSpec extends SparkTestBase {
     df.select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
 
-  test("literal and broadcast paths assign bit-identically at nlist=256 and match a driver argmin") {
+  test("literal and expression paths assign bit-identically at nlist=256 and match a driver argmin") {
     val nlist = 256
     val dir = writeCentroids(nlist)
     // force each path explicitly: threshold above/below the cell count
     val viaLiteral = SimilarityOps.ivfAssignCells(spark, dir, batch,
       maxInlineCells = Int.MaxValue)
-    val viaBroadcast = SimilarityOps.ivfAssignCells(spark, dir, batch,
+    val viaExpr = SimilarityOps.ivfAssignCells(spark, dir, batch,
       maxInlineCells = 64)
     val a = cellsOf(viaLiteral)
-    val b = cellsOf(viaBroadcast)
+    val b = cellsOf(viaExpr)
     assert(a == b, "paths disagree on at least one vector's cell")
 
     // independent driver-side recompute with the same IEEE op order:
@@ -71,19 +71,23 @@ class IvfAssignPathSpec extends SparkTestBase {
     }
   }
 
-  test("broadcast path: BroadcastNestedLoopJoin, no exchange carries batch columns") {
+  test("expression path: join-free Project, compact table summary, no exchange") {
     val dir = writeCentroids(256)
     val df = SimilarityOps.ivfAssignCells(spark, dir, batch, maxInlineCells = 64)
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      "above the inline threshold the centroids must arrive by broadcast")
-    // the only allowed exchange is the O(nlist) centroid-side fold; the
-    // ingest batch itself must never shuffle
-    exchangeInputs(df).foreach { in =>
-      assert(!in.contains("vec_id") && !in.contains("emb"),
-        s"batch columns crossed an exchange: $in")
-    }
+    // above the threshold the table rides the graft_ivf_assign reference
+    // object: one narrow Project, NO join (the one-row broadcast-join
+    // formulation was measured codegen-boundary-copy-bound — the join
+    // materialized the O(nlist·dim) arrays per vector), and the plan dump
+    // stays compact because the table prints as its summary
+    assert(plan.contains("graft_ivf_assign"),
+      "above the inline threshold the assignment must be the reference-object expression")
+    assert(!plan.contains("Join"), "expression path must not plan a join")
+    assert(plan.contains("IvfCentroidTable(nlist=256"),
+      "the table must print as its compact summary in plan dumps")
+    assert(exchangeInputs(df).isEmpty,
+      "assignment must not shuffle anything — the batch streams through one Project")
   }
 
   test("small-nlist (gated) path stays a join-free literal projection") {
