@@ -104,6 +104,37 @@ class IvfAssignHierSpec extends SparkTestBase {
         "- centroids are leaking into the plan")
   }
 
+  test("IvfCentroidTable.assign == naive two-level reference across p, including coarse ties") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val d = 8
+    val rnd = new scala.util.Random(7)
+    // 24 cells in 6 groups of 4; group centroids deliberately DUPLICATED
+    // pairwise so the coarse pass has exact d2 ties (gi tie-break exercised)
+    val gcents = Array.tabulate(6)(g =>
+      Array.tabulate(d)(j => math.sin((g / 2) * 13 + j)))
+    val fines = Array.tabulate(6)(g => Array.tabulate(4) { m =>
+      (g * 4 + m, Array.tabulate(d)(j => math.sin(g * 7 + m * 3 + j) * 2))
+    })
+    val groups = gcents.zip(fines)
+    for (p <- 1 to 7) {
+      val table = graft.plans.IvfCentroidTable.fromGroups(groups, p)
+      (0 until 50).foreach { _ =>
+        val v = Array.fill(d)(rnd.nextDouble() * 4 - 2)
+        // naive reference: full (d2, gi) sort, take p, scan those fines
+        val coarse = gcents.zipWithIndex.map { case (c, gi) =>
+          (c.map(x => x * x).sum - 2.0 * c.zip(v).map(t => t._1 * t._2).sum, gi)
+        }.sorted.take(math.min(p, 6)).map(_._2)
+        val expect = coarse.flatMap(fines(_)).map { case (cell, c) =>
+          var dp = 0.0; var j = 0
+          while (j < d) { dp += v(j) * c(j); j += 1 }
+          (c.map(x => x * x).sum - 2.0 * dp, cell)
+        }.min._2
+        val got = table.assign(new GenericArrayData(v))
+        assert(got == expect, s"p=$p v=${v.toSeq}")
+      }
+    }
+  }
+
   test("coarseGroups: deterministic, and the groups partition the cell set") {
     val cents = (0 until 256)
       .map(c => (c, (0 until dim).map(j => math.sin(c * 31 + j * 7) * 10.0).toArray))
