@@ -491,6 +491,10 @@ object SparkEntry {
     // per vector instead of O(nlist·dim); full-sweep identity theorem +
     // pruned-agreement floor verdicts
     "ann_ivf_assign_hier" -> q(t => SimilarityOps.ivfAssignHierGate(t)),
+    // above-inline-threshold assignment regime (round-15): the codegen
+    // graft_ivf_assign expression over a 256-cell closed-form surrogate —
+    // per-cell histogram, FULL hash gate (the oracle replays the argmin)
+    "ann_ivf_assign_expr" -> q(t => SimilarityOps.ivfAssignExprGate(t)),
     "ann_brp_lsh"        -> q(t => SimilarityOps.brpLshVerdictGate(t)),
     // int8-quantized scoring (round-11): exact IEEE quantization rule ⇒
     // the quantized cosine AND its approximation error hash-gate, unlike
@@ -844,6 +848,9 @@ object SparkEntry {
     // hier gate embeds three assignments + verification joins; the
     // production cost is one pruned two-level assignment over the batch
     "ann_ivf_assign_hier" -> q(t => SimilarityOps.ivfAssignHierProbe(t)),
+    // the histogram aggregate is the gate's verification device; the
+    // production cost is the raw expression-path assignment projection
+    "ann_ivf_assign_expr" -> q(t => SimilarityOps.ivfAssignExprProbe(t)),
     "ann_brp_lsh"         -> q(t => SimilarityOps.brpLshTopK(t, 0L, 10)),
     "dedup_minhash_mllib" -> q(t => DedupOps.minhashDupPairsMllib(t, 0.7)),
     "ml_price_metrics"    -> q(t => PricePipeline.metricsTable(t,
@@ -2560,6 +2567,30 @@ object SparkEntry {
       """SELECT count(*) AS n_vectors, TRUE AS cells_within_nlist,
         |       TRUE AS no_dominant_cell, TRUE AS all_cells_probe_reachable
         |FROM embeddings""".stripMargin,
+    // the expression-path assignment replayed EXACTLY: the surrogate
+    // centroids are the 256 lowest-vec_id embeddings (cell = rank), |c|²
+    // and each dot are ascending list_sum folds (the graft_dot parity
+    // ann_knn_join proved), d2 = |c|² − 2·dot, argmin ties to the lowest
+    // cell — a full hash check of the codegen reference-object path
+    "ann_ivf_assign_expr" ->
+      """WITH e AS (
+        |  SELECT vec_id, [x::DOUBLE for x in embedding] AS emb FROM embeddings),
+        |c AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cent,
+        |         list_sum([x*x for x in emb]) AS n2
+        |  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 256) s),
+        |d AS (
+        |  SELECT e.vec_id, c.cell,
+        |         c.n2 - 2.0 * list_sum([e.emb[i]*c.cent[i]
+        |                                for i in range(1, len(e.emb)+1)]) AS d2
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY d2 ASC, cell ASC) AS rk
+        |  FROM d)
+        |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vecs
+        |FROM a WHERE rk = 1 GROUP BY cell ORDER BY cell""".stripMargin,
     // verdict gate for MLlib's OR-amplified minhash join: the exact-dup
     // pair count is genuinely recomputed (same shingle + maxDf pipeline
     // as the ngram family, pairs at rounded Jaccard 1.0); the LSH

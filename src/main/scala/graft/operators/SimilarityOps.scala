@@ -223,9 +223,21 @@ object SimilarityOps {
     * (d2, cell) total order — pinned by `IvfAssignPathSpec`.
     */
   def ivfAssignCells(spark: org.apache.spark.sql.SparkSession, path: String,
-                     batch: DataFrame, maxInlineCells: Int = 64): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids").collect()
+                     batch: DataFrame, maxInlineCells: Int = 64): DataFrame =
+    ivfAssignCellsOf(readCentroids(spark, path), batch, maxInlineCells)
+
+  /** The persisted O(nlist) centroid table, sorted by cell id — one read
+    * shared by every assignment entry point (the ingest router reads it
+    * ONCE to both pick the regime and feed the chosen path).
+    */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  private def ivfAssignCellsOf(cents: Array[(Int, Array[Double])],
+                               batch: DataFrame,
+                               maxInlineCells: Int): DataFrame = {
     if (cents.length <= maxInlineCells) {
       val scored = cents.map { case (cellId, c) =>
         val reduced = lit(c.map(x => x * x).sum) -
@@ -290,9 +302,12 @@ object SimilarityOps {
     */
   def ivfAssignCellsHier(spark: org.apache.spark.sql.SparkSession,
                          path: String, batch: DataFrame,
-                         pcoarse: Int = 2, ncoarse: Int = 0): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+                         pcoarse: Int = 2, ncoarse: Int = 0): DataFrame =
+    ivfAssignCellsHierOf(readCentroids(spark, path), batch, pcoarse, ncoarse)
+
+  private def ivfAssignCellsHierOf(cents: Array[(Int, Array[Double])],
+                                   batch: DataFrame,
+                                   pcoarse: Int, ncoarse: Int): DataFrame = {
     val k = if (ncoarse > 0) ncoarse
             else math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
     val groups = coarseGroups(cents, k)
@@ -358,20 +373,58 @@ object SimilarityOps {
       .toArray
   }
 
+  /** Ingest-time cell assignment ROUTED by index size — the production
+    * entry point behind [[appendToIvfIndex]] and the streaming ingest
+    * (round-14 verdict item 1: those paths called flat [[ivfAssignCells]]
+    * unconditionally, paying O(nlist·dim)/vector — 11.2 s/200k vectors at
+    * nlist = 16384 — where the two-level scan does it in ~1.4 s). One
+    * centroid read picks the regime AND feeds the chosen path:
+    *
+    *  - nlist < `hierThreshold`: flat [[ivfAssignCells]] (itself literal-
+    *    vs-expression thresholded at `maxInlineCells`). EXACT argmin —
+    *    the gated regime (nlist = 16), where [[ivfAppendGate]]'s
+    *    `appended_nearest` verdict holds by construction.
+    *  - nlist ≥ `hierThreshold`: the two-level [[ivfAssignCellsHier]] scan
+    *    at `pcoarse` probed groups — O(2·√nlist·dim)/vector instead of
+    *    O(nlist·dim). This is the standard IVF ingest approximation: a
+    *    vector whose argmin cell hides in an unprobed coarse group lands
+    *    in its best PROBED cell instead. The index stays probe-CORRECT
+    *    either way (a probe reranks exactly within whichever cell holds
+    *    the vector — recall shifts marginally, results never misscore),
+    *    which is why the threshold sits far above every gated index: the
+    *    exact-argmin contract is the gated regime's, the op cut is the
+    *    64k-cell regime's, and no gate hash moves.
+    *
+    * Both regimes are one narrow join-free Project over the batch — zero
+    * shuffle, plan size O(1) in nlist (`IvfAppendRoutingSpec` pins the
+    * plan shape on both sides of the threshold).
+    */
+  def ivfAssignForIngest(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame,
+                         hierThreshold: Int = 4096,
+                         maxInlineCells: Int = 64,
+                         pcoarse: Int = 2): DataFrame = {
+    val cents = readCentroids(spark, path)
+    if (cents.length >= hierThreshold)
+      ivfAssignCellsHierOf(cents, batch, pcoarse, ncoarse = 0)
+    else ivfAssignCellsOf(cents, batch, maxInlineCells)
+  }
+
   /** Incremental IVF maintenance (round 13): append a batch of vectors
     * to a persisted index WITHOUT a rebuild — the streaming-ingest path
-    * every deployed ANN index needs. Assignment is [[ivfAssignCells]]'s
-    * zero-shuffle projection; the write APPENDS parquet files into the
-    * existing cell partitions, so probes keep their partition pruning
-    * over old and new files alike. The centroids are FROZEN — the
-    * standard IVF ingest trade-off (cell balance drifts until the next
-    * rebuild), which is why [[ivfAppendGate]] pins conservation,
-    * full-probe exactness and nearest-assignment, not assignment
-    * stability across rebuilds.
+    * every deployed ANN index needs. Assignment is [[ivfAssignForIngest]]'s
+    * zero-shuffle projection (flat-exact below the hier threshold, the
+    * two-level scan above it — round-14 verdict item 1); the write APPENDS
+    * parquet files into the existing cell partitions, so probes keep
+    * their partition pruning over old and new files alike. The centroids
+    * are FROZEN — the standard IVF ingest trade-off (cell balance drifts
+    * until the next rebuild), which is why [[ivfAppendGate]] pins
+    * conservation, full-probe exactness and nearest-assignment, not
+    * assignment stability across rebuilds.
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        batch: DataFrame): Unit =
-    ivfAssignCells(spark, path, batch)
+    ivfAssignForIngest(spark, path, batch)
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
 
   /** One subset-built-then-appended index per (embeddings dir,
@@ -447,16 +500,22 @@ object SimilarityOps {
   }
 
   /** One data-derived quantizer-surrogate centroid table per (embeddings
-    * dir, generation): the `nlist` lowest-vec_id embeddings, cell ids in
-    * vec_id order. Deterministic per generation with NO KMeans fit — the
-    * hier gate tests the two-level ASSIGNMENT operator, not the quantizer
-    * training ([[buildIvfIndex]] owns that), and a data-derived table
-    * gives the coarse grouping real geometry to work with.
+    * dir, generation, nlist): the `nlist` lowest-vec_id embeddings, cell
+    * ids in vec_id order. Deterministic per generation with NO KMeans fit
+    * — the hier gate tests the two-level ASSIGNMENT operator, not the
+    * quantizer training ([[buildIvfIndex]] owns that), and a data-derived
+    * table gives the coarse grouping real geometry to work with. The
+    * cache nests one generation-keyed map PER nlist (round-14 advice: the
+    * old single map silently served the first caller's nlist to every
+    * later nlist in the same session).
     */
-  private val hierQuantDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private val hierQuantDirs = scala.collection.concurrent.TrieMap
+    .empty[Int, scala.collection.concurrent.TrieMap[(String, Long), String]]
   private[operators] def hierQuantCentroidsFor(t: Tables, nlist: Int): String =
-    Tables.cachedPathPerGeneration(hierQuantDirs, t.dir, "embeddings.parquet") {
+    Tables.cachedPathPerGeneration(
+        hierQuantDirs.getOrElseUpdate(nlist,
+          scala.collection.concurrent.TrieMap.empty),
+        t.dir, "embeddings.parquet") {
       val spark = t.spark
       import spark.implicits._
       val dir = java.nio.file.Files
@@ -534,6 +593,41 @@ object SimilarityOps {
     Seq((n, valid, identical, floorMet))
       .toDF("n_assigned", "cells_valid", "full_sweep_identical",
         "agreement_floor_met")
+  }
+
+  /** Hash-gated face of the ABOVE-INLINE-THRESHOLD assignment regime
+    * (round-14 verdict item 2: every previously gated index sat at
+    * nlist ≤ 64, so the `graft_ivf_assign` expression path — the regime
+    * where literal inlining fails janino — ran only in specs). The
+    * quantizer surrogate is the nlist = 256 lowest-vec_id embeddings
+    * (cell = vec_id rank), so the whole derivation is closed-form and the
+    * DuckDB oracle replays it EXACTLY: |c|² and each dot are ascending
+    * left folds (`list_sum` — the `graft_dot` parity the ann_knn_join
+    * hash gate already proved), d2 = |c|² − 2·dot the same IEEE ops, and
+    * the argmin the same (d2, cell) total order. Output is the per-cell
+    * assignment histogram — a full row/schema/hash gate over the
+    * expression path's arithmetic, not a verdict-boolean gate.
+    *
+    * Scale shape: the assignment is the one narrow join-free Project the
+    * routing spec pins (plan size O(1) in nlist); the histogram's tiny
+    * per-cell aggregate is the only exchange, and exists for the gate —
+    * production ingest appends the assigned rows instead
+    * ([[ivfAssignForIngest]]).
+    */
+  def ivfAssignExprGate(t: Tables, nlist: Int = 256): DataFrame =
+    ivfAssignExprProbe(t, nlist)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("cell")
+
+  /** The raw expression-path assignment behind [[ivfAssignExprGate]] —
+    * the production-shaped projection (no aggregate), used as the bench
+    * probe and plan-shape surface.
+    */
+  def ivfAssignExprProbe(t: Tables, nlist: Int = 256): DataFrame = {
+    val path = hierQuantCentroidsFor(t, nlist)
+    ivfAssignCells(t.spark, path,
+      t.embeddings.select(col("vec_id"), col("label"),
+        toDoubleArr(col("embedding")).as("emb")))
   }
 
   /** Bench probe for the two-level path: ONE pruned hier assignment over
@@ -615,7 +709,7 @@ object SimilarityOps {
     */
   def ivfAssignProbe(t: Tables, nlist: Int = 16): DataFrame = {
     val path = ivfAppendIndexFor(t, nlist)
-    ivfAssignCells(t.spark, path,
+    ivfAssignForIngest(t.spark, path,
       t.embeddings.filter(col("vec_id") % 7 === 0)
         .select(col("vec_id"), col("label"), toDoubleArr(col("embedding")).as("emb")))
   }

@@ -103,6 +103,25 @@ final class IvfCentroidTable(
       }
       t += 1
     }
+    if (bestCell == Int.MaxValue) {
+      // Non-finite embedding: every d2 is NaN, so no comparison above
+      // fired (round-14 advice — this used to mint the invalid cell id
+      // Int.MaxValue). Mirror the literal-inline path's (d2, cell)
+      // struct-min total order, where NaN compares equal to NaN and the
+      // tie-break picks the LOWEST probed cell id — under a full sweep
+      // that is the global minimum cell, bit-matching the literal path.
+      var t2 = 0
+      while (t2 < filled) {
+        val gi = topG(t2)
+        var f = groupOffsets(gi)
+        val end = groupOffsets(gi + 1)
+        while (f < end) {
+          if (fineCells(f) < bestCell) bestCell = fineCells(f)
+          f += 1
+        }
+        t2 += 1
+      }
+    }
     bestCell
   }
 }

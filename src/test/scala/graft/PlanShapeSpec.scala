@@ -140,4 +140,25 @@ class PlanShapeSpec extends SparkTestBase {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 1, s"expected at most the aggregate exchange, got $exchanges")
   }
+
+  test("above-threshold IVF assignment gate: reference-object expression, join-free, no batch shuffle") {
+    // the regime that fails janino as literals (nlist=256 > the inline
+    // cap) must ride the codegen graft_ivf_assign expression: one narrow
+    // Project, no join, plan size O(1) in nlist (round-14 verdict item 2)
+    val probe = SimilarityOps.ivfAssignExprProbe(t)
+    val p = plan(probe)
+    assert(p.contains("graft_ivf_assign"),
+      "expression-path gate probe must plan the reference-object expression")
+    assert(p.contains("IvfCentroidTable(nlist=256"),
+      s"the 256-cell table must print as its compact summary:\n$p")
+    assert(!p.contains("Join"), "assignment must not plan a join")
+    assert(exchangeInputs(probe).isEmpty,
+      "the assignment projection must not shuffle the batch")
+    // the gate adds ONLY the histogram's per-cell aggregate exchange
+    val gate = plan(SimilarityOps.ivfAssignExprGate(t))
+    assert(!gate.contains("Join"))
+    val exchanges = gate.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, // partial+final agg repartition + orderBy range
+      s"gate must add only the histogram exchanges, got $exchanges:\n$gate")
+  }
 }
