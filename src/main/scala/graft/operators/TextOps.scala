@@ -424,14 +424,36 @@ object TextOps {
           .empty[Int, (DataFrame, Seq[(Int, String, String, Long)])])
       .getOrElseUpdate(nMerges, bpeTrainUncached(t, nMerges))
 
+  /** Above this merge count the training loop finishes DRIVER-SIDE
+    * (round-14 verdict item 3): once the corpus has been folded into the
+    * (word, freq) dictionary — ONE distributed pass, the only part that
+    * touches the data — every merge round works on a |vocab|-bounded
+    * table that is ≪ corpus by definition. The cluster loop pays one
+    * driver-synchronized Spark job PER merge (honest at the gated
+    * nMerges = 5, a fixed ~0.2 s job quantum × 32k at a production
+    * vocabulary); the driver loop replays the identical semantics with
+    * pair-count deltas, so per-merge cost is O(affected words), not a
+    * job. The gated regime (nMerges ≤ threshold) keeps the on-cluster
+    * loop — no gate hash moves — and `BpeTrainPathSpec` pins the two
+    * paths merge-for-merge and dict-for-dict equal across the threshold.
+    */
+  private[operators] val bpeDriverMergeThreshold = 8
+
   private def bpeTrainUncached(t: Tables, nMerges: Int)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
-    var dict = t.documents
+    val dict0 = t.documents
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), concat_ws(" ", split(col("w"), "")).as("seq"), col("freq"))
       .localCheckpoint(true)
+    if (nMerges <= bpeDriverMergeThreshold) bpeTrainOnCluster(dict0, nMerges)
+    else bpeTrainOnDriver(t.spark, dict0, nMerges)
+  }
+
+  private[graft] def bpeTrainOnCluster(dict0: DataFrame, nMerges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    var dict = dict0
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to nMerges) {
       val best = dict
@@ -452,6 +474,97 @@ object TextOps {
           col("freq"))
         .localCheckpoint(true)
     }
+    (dict, learned.toSeq)
+  }
+
+  /** The cluster loop's semantics replayed driver-side over the collected
+    * (word, seq, freq) dictionary — every rule bit-faithful:
+    *
+    *  - pair counts enumerate ADJACENT POSITIONS (a word with "x x x"
+    *    contributes the pair "x x" twice, exactly like the transform/
+    *    explode enumeration);
+    *  - the argmax tie-breaks (cnt desc, pair asc) with pair compared as
+    *    UTF-8 BYTES — Spark's and DuckDB's binary string collation, not
+    *    Java's UTF-16 `compareTo` (they diverge on supplementary chars);
+    *  - the merge applies `String.replace(pair, merged)` — the same
+    *    leftmost-non-overlapping scan as Spark's `replace`, INCLUDING its
+    *    cross-symbol-boundary quirk ("ca b" matches pair "a b"): the
+    *    quirk is part of the gated/oracle-replayed semantics, so the fast
+    *    path reproduces it rather than merging on the symbol array.
+    *
+    * Per merge, only words whose seq CONTAINS the winning pair substring
+    * are touched, and the global pair-count map is updated by that
+    * word's before/after delta — no per-merge rescan of the dictionary
+    * and no Spark job. Bounds of the claim: argmax scans the pair-count
+    * map (O(distinct pairs), vocabulary-bounded) and the affected-word
+    * probe is a substring scan over the vocab (~µs/word) — per-merge
+    * cost is milliseconds at a 60k vocab where the cluster loop pays a
+    * fixed ~0.2 s job quantum (see BENCH.md's bpe_train_scaling run). If
+    * the dictionary runs out of mergeable pairs before `nMerges` (only
+    * possible past Σ(len−1) merges, far beyond any gated or benched
+    * setting — the cluster loop would throw on the empty argmax there),
+    * training stops at the last real merge.
+    */
+  private[graft] def bpeTrainOnDriver(
+      spark: org.apache.spark.sql.SparkSession, dict0: DataFrame,
+      nMerges: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    import spark.implicits._
+    val rows = dict0.select("w", "seq", "freq").collect()
+    val wordsW = rows.map(_.getString(0))
+    val seqs = rows.map(_.getString(1))
+    val freqs = rows.map(_.getLong(2))
+    val pairCounts = new java.util.HashMap[String, Long]()
+    def pairsOf(seq: String): Array[String] = {
+      val syms = seq.split(" ")
+      if (syms.length < 2) Array.empty
+      else Array.tabulate(syms.length - 1)(i => syms(i) + " " + syms(i + 1))
+    }
+    def addPairs(seq: String, sign: Long): Unit =
+      pairsOf(seq).foreach { p =>
+        val n = pairCounts.getOrDefault(p, 0L) + sign
+        if (n == 0L) pairCounts.remove(p) else pairCounts.put(p, n)
+      }
+    var i = 0
+    while (i < seqs.length) { addPairs(seqs(i), freqs(i)); i += 1 }
+
+    // (cnt desc, pair asc-by-UTF-8-bytes) — the cluster orderBy verbatim
+    def utf8Less(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      var bestPair: String = null
+      var bestCnt = Long.MinValue
+      val it = pairCounts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestCnt ||
+            (e.getValue == bestCnt && utf8Less(e.getKey, bestPair)))
+          { bestPair = e.getKey; bestCnt = e.getValue }
+      }
+      if (bestPair == null) exhausted = true
+      else {
+        val merged = bestPair.replace(" ", "")
+        learned += ((r, bestPair, merged, bestCnt))
+        var k = 0
+        while (k < seqs.length) {
+          // substring probe, not adjacent-pair membership: the replace
+          // quirk means boundary-crossing matches also rewrite the seq
+          if (seqs(k).contains(bestPair)) {
+            addPairs(seqs(k), -freqs(k))
+            seqs(k) = seqs(k).replace(bestPair, merged)
+            addPairs(seqs(k), freqs(k))
+          }
+          k += 1
+        }
+        r += 1
+      }
+    }
+    val dict = wordsW.indices.map(j => (wordsW(j), seqs(j), freqs(j)))
+      .toDF("w", "seq", "freq")
     (dict, learned.toSeq)
   }
 
