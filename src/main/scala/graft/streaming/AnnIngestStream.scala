@@ -77,8 +77,7 @@ object AnnIngestStream {
           }
         }
         .start()
-      q.processAllAvailable()
-      q.stop()
+      StreamMeter.drain(q, "ann_ivf_ingest_streaming")
       // the staged feed is consumed once the ingest query stops — delete
       // it now (round-13 advice: it was never cleaned up at all)
       Tables.deleteRecursively(feed)

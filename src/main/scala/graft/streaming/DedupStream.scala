@@ -108,8 +108,7 @@ object DedupStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "dedup_minhash_streaming")
     // a pair may collide in several bands (and across micro-batches);
     // jaccard is identical for every emission of the pair
     EventStream.drained(spark, queryName).dropDuplicates("doc_a", "doc_b")
@@ -204,8 +203,7 @@ object DedupStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "dedup_minhash_windowed")
     EventStream.drained(spark, queryName).dropDuplicates("doc_a", "doc_b")
   }
 }

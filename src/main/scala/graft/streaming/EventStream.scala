@@ -97,8 +97,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_hourly_streaming")
     // UTC session ⇒ cast to NTZ keeps wall-clock time; matches the batch twin
     drained(spark, queryName)
       .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
@@ -122,8 +121,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_dedup_streaming")
     drained(spark, queryName)
   }
 
@@ -156,8 +154,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_interval_join_streaming")
     drained(spark, queryName).orderBy("w_start")
   }
 
@@ -206,8 +203,7 @@ object EventStream {
       .option("checkpointLocation", ckptDir)
       .outputMode(OutputMode.Append())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_file_sink")
     spark.read.parquet(outDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), roundN(decSum(col("value")), 2).as("total_value"))
@@ -246,8 +242,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_stream_join")
     drained(spark, queryName)
       .groupBy("user_id")
       .agg(count(lit(1)).as("click_buy_pairs"))
@@ -321,8 +316,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_sessions_streaming")
     drained(spark, queryName)
   }
 
@@ -347,8 +341,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_sliding_streaming")
     drained(spark, queryName)
       .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
   }
@@ -377,8 +370,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_hourly_streaming_append")
     drained(spark, queryName)
       .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
       .orderBy("hour_start", "event_type")
@@ -402,8 +394,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_sliding_streaming_append")
     drained(spark, queryName)
       .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
       .orderBy("win_start", "event_type")
@@ -444,8 +435,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_stream_left_join")
     drained(spark, queryName)
       .groupBy("user_id")
       .agg(count(col("buy_ts")).as("click_buy_pairs"),
@@ -488,8 +478,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_stream_full_join")
     drained(spark, queryName)
       .groupBy("user_id")
       .agg(
@@ -526,8 +515,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_sessions_native_streaming")
     drained(spark, queryName).orderBy("user_id", "session_start")
   }
 
@@ -641,8 +629,7 @@ object EventStream {
         current = Some(upsertVersion(spark, targetDir, current, batch, id))
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamMeter.drain(q, "events_foreach_upsert")
     current match {
       case Some(p) =>
         // eagerly materialized: the NEXT call sweeps this call's target
@@ -684,7 +671,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     val rowsIngested = q.recentProgress.map(_.numInputRows).sum
-    q.stop()
+    StreamMeter.drain(q, "events_progress_ledger")
     val rowsInSink = drained(spark, queryName)
       .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
     Seq((rowsIngested, rowsInSink, rowsIngested == rowsInSink))
