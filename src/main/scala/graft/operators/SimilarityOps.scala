@@ -403,12 +403,57 @@ object SimilarityOps {
                          path: String, batch: DataFrame,
                          hierThreshold: Int = 4096,
                          maxInlineCells: Int = 64,
-                         pcoarse: Int = 2): DataFrame = {
-    val cents = readCentroids(spark, path)
-    if (cents.length >= hierThreshold)
-      ivfAssignCellsHierOf(cents, batch, pcoarse, ncoarse = 0)
-    else ivfAssignCellsOf(cents, batch, maxInlineCells)
-  }
+                         pcoarse: Int = 2): DataFrame =
+    ingestAssignPlanFor(spark, path, hierThreshold, maxInlineCells, pcoarse) match {
+      case IngestLiteral(cents) => ivfAssignCellsOf(cents, batch, Int.MaxValue)
+      case IngestTable(table) =>
+        batch.select(col("vec_id"), col("label"), col("emb"),
+          assignColumn(table, col("emb")).as("cell"))
+    }
+
+  /** The resolved per-index assignment plan — which regime, carrying the
+    * already-built centroid payload. Cached per (index dir, centroids
+    * generation) within each (thresholds, pcoarse) setting: the
+    * streaming ingest calls [[ivfAssignForIngest]] once per MICRO-BATCH,
+    * and without the cache every batch would re-read the O(nlist)
+    * centroid parquet and — above the hier threshold — re-run the
+    * driver-side Lloyd quantizer (~1 s at 16384 cells, the exact
+    * per-pass cost the round-14 AssignBench advice flagged). Centroids
+    * are FROZEN between rebuilds by the append contract, and a rebuild
+    * rewrites the centroids dir, which moves the generation stamp and
+    * evicts the stale plan.
+    */
+  private sealed trait IngestAssign
+  private final case class IngestLiteral(cents: Array[(Int, Array[Double])])
+      extends IngestAssign
+  private final case class IngestTable(table: graft.plans.IvfCentroidTable)
+      extends IngestAssign
+  private[operators] val ingestPlanBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val ingestAssignCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int),
+      scala.collection.concurrent.TrieMap[(String, Long), IngestAssign]]
+  private def ingestAssignPlanFor(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, hierThreshold: Int,
+                                  maxInlineCells: Int,
+                                  pcoarse: Int): IngestAssign =
+    Tables.cachedPerGeneration(
+        ingestAssignCache.getOrElseUpdate(
+          (hierThreshold, maxInlineCells, pcoarse),
+          scala.collection.concurrent.TrieMap.empty),
+        path, "centroids") {
+      ingestPlanBuilds.incrementAndGet()
+      val cents = readCentroids(spark, path)
+      if (cents.length >= hierThreshold) {
+        val k = math.max(1,
+          math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+        val groups = coarseGroups(cents, k)
+        IngestTable(graft.plans.IvfCentroidTable.fromGroups(
+          groups, math.min(math.max(1, pcoarse), groups.length)))
+      } else if (cents.length > maxInlineCells)
+        IngestTable(graft.plans.IvfCentroidTable.fromFlat(cents))
+      else IngestLiteral(cents)
+    }
 
   /** Incremental IVF maintenance (round 13): append a batch of vectors
     * to a persisted index WITHOUT a rebuild — the streaming-ingest path

@@ -89,6 +89,35 @@ class IvfAppendRoutingSpec extends SparkTestBase {
     assert(cellsOf(df) == cellsOf(SimilarityOps.ivfAssignCells(spark, dir, batch)))
   }
 
+  test("the ingest plan (centroid read + driver quantizer) builds ONCE per index generation") {
+    // streaming ingest calls ivfAssignForIngest once per micro-batch —
+    // without the per-generation cache every batch would re-read the
+    // centroid parquet and re-run the driver Lloyd quantizer (~1 s at
+    // 16384 cells per batch)
+    val dir = writeCentroids(4096)
+    val before = SimilarityOps.ingestPlanBuilds.get()
+    val a = cellsOf(SimilarityOps.ivfAssignForIngest(spark, dir, batch))
+    val mid = SimilarityOps.ingestPlanBuilds.get()
+    val b = cellsOf(SimilarityOps.ivfAssignForIngest(spark, dir, batch))
+    val after = SimilarityOps.ingestPlanBuilds.get()
+    assert(mid == before + 1, "first call must build the plan")
+    assert(after == mid, "second call on the same generation must reuse it")
+    assert(a == b)
+    // a rewritten centroids dir (= index rebuild) moves the generation
+    // stamp and rebuilds the plan instead of serving the stale table
+    Thread.sleep(5)
+    import spark.implicits._
+    (0 until 16)
+      .map(c => (c, (0 until dim).map(j => math.sin(c * 31 + j * 7) * 10.0)))
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val df = SimilarityOps.ivfAssignForIngest(spark, dir, batch)
+    assert(SimilarityOps.ingestPlanBuilds.get() == after + 1,
+      "a regenerated centroids dir must rebuild the ingest plan")
+    assert(!planOf(df).contains("graft_ivf_assign"),
+      "the rebuilt 16-cell index must route back to the literal path")
+  }
+
   test("non-finite embeddings assign to the same deterministic valid cell on both paths") {
     val dir = writeCentroids(16)
     val bad = Seq(
