@@ -393,7 +393,14 @@ object SimilarityOps {
     *    the vector — recall shifts marginally, results never misscore),
     *    which is why the threshold sits far above every gated index: the
     *    exact-argmin contract is the gated regime's, the op cut is the
-    *    64k-cell regime's, and no gate hash moves.
+    *    64k-cell regime's, and no gate hash moves. The default pcoarse=4
+    *    is MEASURED, not guessed (`bench_runs/r15_assign_scale.jsonl`
+    *    agreement fields): on the structured 16384-cell benchmark table
+    *    p=4 matched the flat argmin on 100.0000% of 200k vectors at
+    *    0.60 s (p=2: 99.96% at 0.38 s; flat: 11.5 s) — centroid tables
+    *    have geometric structure by construction, which is what coarse
+    *    pruning exploits; only the near-isotropic gate surrogate drops
+    *    agreement materially (0.85–0.90 at 4-of-8 groups).
     *
     * Both regimes are one narrow join-free Project over the batch — zero
     * shuffle, plan size O(1) in nlist (`IvfAppendRoutingSpec` pins the
@@ -403,7 +410,7 @@ object SimilarityOps {
                          path: String, batch: DataFrame,
                          hierThreshold: Int = 4096,
                          maxInlineCells: Int = 64,
-                         pcoarse: Int = 2): DataFrame =
+                         pcoarse: Int = 4): DataFrame =
     ingestAssignPlanFor(spark, path, hierThreshold, maxInlineCells, pcoarse) match {
       case IngestLiteral(cents) => ivfAssignCellsOf(cents, batch, Int.MaxValue)
       case IngestTable(table) =>

@@ -77,18 +77,34 @@ object AssignBench {
       val flatDf = graft.operators.SimilarityOps.ivfAssignCells(spark, dir, batch)
       val hierP2Df =
         graft.operators.SimilarityOps.ivfAssignCellsHier(spark, dir, batch, 2)
+      val hierP4Df =
+        graft.operators.SimilarityOps.ivfAssignCellsHier(spark, dir, batch, 4)
       val hierFullDf = graft.operators.SimilarityOps
         .ivfAssignCellsHier(spark, dir, batch, Int.MaxValue)
       val ingestDf = graft.operators.SimilarityOps
         .ivfAssignForIngest(spark, dir, batch)
       val flat = timed(run(flatDf))
       val hierP2 = timed(run(hierP2Df))
+      val hierP4 = timed(run(hierP4Df))
       val hierFull = timed(run(hierFullDf))
       // the routed production-ingest path (what appendToIvfIndex and the
       // streaming ingest actually call) — flat below the hier threshold,
       // two-level above it (round-14 verdict item 1's bench point)
       val ingest = timed(run(ingestDf))
-      println(s"""{"metric":"ivf_assign","sf":"$sfDir","n_vectors":$n,"dim":$dim,"nlist":$nlist,"flat_sec":${r3(flat)},"hier_p2_sec":${r3(hierP2)},"hier_full_sec":${r3(hierFull)},"ingest_assign_sec":${r3(ingest)},"runs_per_path":2,"aggregation":"min"}""")
+      // UNTIMED: the cost-vs-exactness coordinate of the pruned regimes —
+      // the fraction of vectors whose pruned cell equals the flat argmin
+      // (the vectors that differ still land in a REAL cell and probe
+      // exactly; this is the recall-style knob pcoarse trades against).
+      // Measured on the same sin-grid table as the timings, so the
+      // speedup and its price ship in one artifact row.
+      def agreement(hier: DataFrame): Double = {
+        val row = flatDf.select(col("vec_id"), col("cell").as("f"))
+          .join(hier.select(col("vec_id"), col("cell").as("h")), "vec_id")
+          .agg(avg(when(col("f") === col("h"), 1.0).otherwise(0.0)))
+          .head()
+        math.round(row.getDouble(0) * 10000) / 10000.0
+      }
+      println(s"""{"metric":"ivf_assign","sf":"$sfDir","n_vectors":$n,"dim":$dim,"nlist":$nlist,"flat_sec":${r3(flat)},"hier_p2_sec":${r3(hierP2)},"hier_p4_sec":${r3(hierP4)},"hier_full_sec":${r3(hierFull)},"ingest_assign_sec":${r3(ingest)},"hier_p2_agreement":${agreement(hierP2Df)},"hier_p4_agreement":${agreement(hierP4Df)},"runs_per_path":2,"aggregation":"min"}""")
     }
     spark.stop()
   }

@@ -63,9 +63,11 @@ class IvfAppendRoutingSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "routed ingest assignment must not plan a join")
     assert(exchangeInputs(df).isEmpty,
       "routed ingest assignment must not shuffle the batch")
-    // the routed frame IS the hier frame: identical assignment
+    // the routed frame IS the hier frame at the ingest default
+    // pcoarse = 4 (measured exact on the structured bench table;
+    // r15_assign_scale.jsonl agreement fields): identical assignment
     assert(cellsOf(df) ==
-      cellsOf(SimilarityOps.ivfAssignCellsHier(spark, dir, batch)))
+      cellsOf(SimilarityOps.ivfAssignCellsHier(spark, dir, batch, pcoarse = 4)))
   }
 
   test("between inline cap and hier threshold the route is the flat expression, bit-identical to ivfAssignCells") {
