@@ -239,6 +239,12 @@ object SparkEntry {
     // the corpus — per-language encoded token counts + exact-integer
     // compression ratio; the oracle replays training AND encoding
     "text_bpe_encode"       -> q(t => TextOps.bpeEncode(t)),
+    // thresholded training-path parity (round-15): the production
+    // driver-side merge loop vs the reference cluster loop at 12 merges
+    // (above the threshold), merge tables + final dicts compared; the
+    // oracle states vocab count + constant verdicts, GateInvariants
+    // re-runs both paths
+    "text_bpe_path_parity"  -> q(t => TextOps.bpePathParityGate(t)),
     // weak-label quality-classifier distillation (round-12): exact label
     // counts hash-gated; distillation verdicts recomputed by GateInvariants
     "ml_quality_classifier" -> q(graft.ml.QualityClassifier.classifierGate),
@@ -853,6 +859,9 @@ object SparkEntry {
     "ann_ivf_assign_expr" -> q(t => SimilarityOps.ivfAssignExprProbe(t)),
     "ann_brp_lsh"         -> q(t => SimilarityOps.brpLshTopK(t, 0L, 10)),
     "dedup_minhash_mllib" -> q(t => DedupOps.minhashDupPairsMllib(t, 0.7)),
+    // parity gate re-runs BOTH training paths; the production cost is
+    // one corpus pass + the driver-side merge loop
+    "text_bpe_path_parity" -> q(t => TextOps.bpeDriverTrainProbe(t)),
     "ml_price_metrics"    -> q(t => PricePipeline.metricsTable(t,
       Seq("LinearRegression", "DecisionTree", "GeneralizedLinear"))),
     "ml_price_metrics_full" -> q(t => PricePipeline.metricsTable(t,
@@ -2103,6 +2112,15 @@ object SparkEntry {
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(5),
     "text_bpe_encode" -> bpeEncodeSql(5),
+    // thresholded-path parity: the vocab count is genuinely recomputed
+    // (the shared corpus pass conserves), the two equality verdicts land
+    // as constants GateInvariants re-derives by re-running both paths
+    "text_bpe_path_parity" ->
+      """SELECT CAST(12 AS INT) AS n_merges,
+        |       (SELECT count(DISTINCT w) FROM (
+        |          SELECT unnest(string_split_regex(text, '\s+')) AS w
+        |          FROM documents) t WHERE len(w) > 0) AS n_vocab,
+        |       TRUE AS merges_identical, TRUE AS dicts_identical""".stripMargin,
     "sample_token_budget_encoded" -> sampleTokenBudgetEncodedSql(5, 40000L),
     // retention cohorts: exact (user, day) distinct → per-user min →
     // offset matrix, every count restated

@@ -987,6 +987,21 @@ object GateInvariants {
         s"invariant: labels_nondegenerate disagrees ($pos of $n)")
       require(acc >= 0.98 && pos > 0 && pos < n,
         s"invariant: distillation contract violated (acc=$acc, pos=$pos, n=$n)")
+    case "text_bpe_path_parity" =>
+      // re-run BOTH training paths and recompute all three facts — a
+      // doctored verdict or a silently diverged driver trainer fails here
+      val (nVocab, mergesOk, dictsOk) =
+        operators.TextOps.bpePathParityVerdicts(core.Tables(spark, sfDir), 12)
+      require(df.count() == 1, "invariant: verdict gate must emit one row")
+      val row = df.head()
+      require(row.getAs[Long]("n_vocab") == nVocab,
+        s"invariant: gate n_vocab ${row.getAs[Long]("n_vocab")} != " +
+          s"recomputed $nVocab")
+      require(row.getAs[Boolean]("merges_identical") == mergesOk &&
+        row.getAs[Boolean]("dicts_identical") == dictsOk,
+        s"invariant: gate verdicts disagree with recompute ($mergesOk, $dictsOk)")
+      require(mergesOk && dictsOk,
+        "invariant: thresholded BPE training paths diverged")
     case "dedup_revision_chains" =>
       // the gate exists to exercise star contraction on a shape that
       // genuinely NEEDS the O(log n) algorithm (round 14: the operator

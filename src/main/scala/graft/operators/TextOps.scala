@@ -439,16 +439,77 @@ object TextOps {
     */
   private[operators] val bpeDriverMergeThreshold = 8
 
-  private def bpeTrainUncached(t: Tables, nMerges: Int)
-      : (DataFrame, Seq[(Int, String, String, Long)]) = {
-    val dict0 = t.documents
+  /** The ONE distributed corpus pass both training paths share: whitespace
+    * words → (word, char-split seq, corpus frequency).
+    */
+  private[graft] def bpeDict0(t: Tables): DataFrame =
+    t.documents
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), concat_ws(" ", split(col("w"), "")).as("seq"), col("freq"))
       .localCheckpoint(true)
+
+  private def bpeTrainUncached(t: Tables, nMerges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val dict0 = bpeDict0(t)
     if (nMerges <= bpeDriverMergeThreshold) bpeTrainOnCluster(dict0, nMerges)
     else bpeTrainOnDriver(t.spark, dict0, nMerges)
+  }
+
+  /** Hash-gated face of the THRESHOLDED training loop (round 15): runs
+    * BOTH paths at `nMerges` ABOVE [[bpeDriverMergeThreshold]] — the
+    * production driver-side path and the reference cluster loop — over
+    * the same dictionary, and emits the parity verdicts the oracle
+    * states constant:
+    *
+    *  - `n_vocab`: distinct corpus words (the oracle recomputes it
+    *    directly, so the shared corpus pass is conserved);
+    *  - `merges_identical`: the learned merge tables are equal row for
+    *    row — rank, pair, merged symbol AND count;
+    *  - `dicts_identical`: the final per-word symbol sequences agree for
+    *    every word (compared distributed via a full outer join; the
+    *    driver path's local dict broadcasts).
+    *
+    * This puts the production large-merge path itself on the gated
+    * surface (BpeTrainPathSpec pins the same laws in-suite);
+    * Verify.GateInvariants re-runs both paths independently and
+    * recomputes all three facts.
+    */
+  def bpePathParityGate(t: Tables, nMerges: Int = 12): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val (nVocab, mergesOk, dictsOk) = bpePathParityVerdicts(t, nMerges)
+    Seq((nMerges, nVocab, mergesOk, dictsOk))
+      .toDF("n_merges", "n_vocab", "merges_identical", "dicts_identical")
+  }
+
+  private[graft] def bpePathParityVerdicts(t: Tables, nMerges: Int)
+      : (Long, Boolean, Boolean) = {
+    require(nMerges > bpeDriverMergeThreshold,
+      s"parity gate must exercise the driver path: nMerges=$nMerges <= " +
+        s"threshold $bpeDriverMergeThreshold")
+    val dict0 = bpeDict0(t)
+    val nVocab = dict0.count()
+    val (clusterDict, clusterMerges) = bpeTrainOnCluster(dict0, nMerges)
+    val (driverDict, driverMerges) = bpeTrainOnDriver(t.spark, dict0, nMerges)
+    val mismatched = clusterDict.select(col("w"), col("seq").as("c_seq"))
+      .join(driverDict.select(col("w"), col("seq").as("d_seq")), Seq("w"), "full")
+      .filter(col("c_seq").isNull || col("d_seq").isNull ||
+        col("c_seq") =!= col("d_seq"))
+      .count()
+    (nVocab, clusterMerges == driverMerges, mismatched == 0L)
+  }
+
+  /** Bench probe for the parity gate: the PRODUCTION path alone — one
+    * corpus pass + the driver-side merge loop (the gate's cluster re-run
+    * and dict join are verification devices).
+    */
+  def bpeDriverTrainProbe(t: Tables, nMerges: Int = 12): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    bpeTrainOnDriver(spark, bpeDict0(t), nMerges)._2
+      .toDF("rank", "pair", "merged", "cnt")
   }
 
   private[graft] def bpeTrainOnCluster(dict0: DataFrame, nMerges: Int)
