@@ -553,19 +553,31 @@ object Bench {
     // fixture; the dedup counts only when the dedup rows actually ran.
     // The sf1 replica gets its own object when the leg ran — dedup_minhash
     // is THE band-sensitive sf1 row.
-    val withDedup = only.forall(_.exists(_.startsWith("dedup_")))
+    // the candidate-pair / cluster counts attribute the MINHASH rows
+    // specifically — derive them only when one of those is in scope (a
+    // leg restricted to, say, dedup_simhash must not pay an untimed
+    // minhash pass + star contraction for fields about rows that never
+    // ran — round-15 review finding)
+    val withDedup = only.forall(_.exists(_.startsWith("dedup_minhash")))
     val workload = workloadJson(spark, sfDir, withDedup)
-    val sf1Digest =
-      if (run.sf1Results.nonEmpty) fixtureDigest("local/sf1") else "leg_not_run"
     val workloadSf1 =
       if (run.sf1Results.nonEmpty) workloadJson(spark, "local/sf1", withDedup)
       else """{"fixture_digest":"leg_not_run"}"""
-    // per-model fit walls (item 5) + per-gate streaming meter (item 6)
-    val mlWallsJson = graft.ml.PricePipeline.modelFitWalls.toSeq.sortBy(_._1)
+    // the compact line's sf1 digest comes from the already-built object —
+    // never a second full replica tree-walk
+    val sf1Digest = workloadSf1.split("\"")(3)
+    // per-model fit walls (item 5): the registry is keyed by (model,
+    // pool size) so the 3-model gate can't blend into the 9-model row's
+    // breakdown; the artifact ships the LARGEST pool that ran (the
+    // ml_price_metrics_full attribution this field exists for)
+    val mlWallsAll = graft.ml.PricePipeline.modelFitWalls.toSeq
+    val mlPool = if (mlWallsAll.isEmpty) 0 else mlWallsAll.map(_._1._2).max
+    val mlWallsJson = mlWallsAll.filter(_._1._2 == mlPool)
+      .map { case ((m, _), v) => m -> v }.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val streamMeterJson = graft.streaming.StreamMeter.snapshot.toSeq.sortBy(_._1)
       .map { case (k, m) =>
-        "\"" + k + s"""":{"batches":${m.batches},"data_batches":${m.dataBatches},"state_rows":${m.stateRows}}""" }
+        "\"" + k + s"""":{"batches":${m.batches},"data_batches":${m.dataBatches},"state_rows":${m.stateRows},"capped":${m.capped}}""" }
       .mkString("{", ",", "}")
     // Two JSON lines. The driver keeps only a fixed-size (~2 KB) tail of
     // stdout: round 6 lost the wall times to the CPU map, and round 7's

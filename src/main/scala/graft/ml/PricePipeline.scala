@@ -148,14 +148,18 @@ object PricePipeline {
     * interleaves 3 fits, so each wall includes scheduler contention from
     * its neighbors; they attribute movement (which model, roughly how
     * much) rather than stating isolated cost. Min across runs matches
-    * the suite's min-of-2 row aggregation.
+    * the suite's min-of-2 row aggregation. Keyed by (model, POOL SIZE):
+    * the 3-model and 9-model gates interleave differently, so a
+    * name-only min would blend a model's lighter 3-pool wall into the
+    * 9-pool breakdown and the full row's walls would stop reconciling
+    * with its total (round-15 review finding).
     */
   val modelFitWalls =
-    scala.collection.concurrent.TrieMap.empty[String, Double]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Double]
   def resetModelFitWalls(): Unit = modelFitWalls.clear()
-  private def recordFitWall(name: String, sec: Double): Unit = {
+  private def recordFitWall(name: String, poolSize: Int, sec: Double): Unit = {
     val rounded = math.round(sec * 1000) / 1000.0
-    modelFitWalls.updateWith(name) {
+    modelFitWalls.updateWith((name, poolSize)) {
       case Some(prev) => Some(math.min(prev, rounded))
       case None => Some(rounded)
     }
@@ -199,7 +203,7 @@ object PricePipeline {
               scala.concurrent.Future {
                 val t0 = System.nanoTime()
                 val row = fitEval(n, r, train, test)
-                recordFitWall(n, (System.nanoTime() - t0) / 1e9)
+                recordFitWall(n, selected.length, (System.nanoTime() - t0) / 1e9)
                 row
               }
             }

@@ -19,7 +19,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamMeter {
 
-  final case class Meter(batches: Int, dataBatches: Int, stateRows: Long)
+  final case class Meter(batches: Int, dataBatches: Int, stateRows: Long,
+                         capped: Boolean)
 
   private val meters =
     scala.collection.concurrent.TrieMap.empty[String, Meter]
@@ -30,17 +31,26 @@ object StreamMeter {
     * share. `batches` counts every micro-batch the engine planned;
     * `dataBatches` only those that carried input rows (the no-data
     * batches watermark/state-cleanup ticks add); `stateRows` is the sum
-    * over state operators of rows held after the final batch.
+    * over state operators of rows held after the final batch. `capped`
+    * flags when the counts hit `recentProgress`'s retention window
+    * (`spark.sql.streaming.numRecentProgressUpdates`, default 100) —
+    * a >100-batch run would otherwise report a silently clamped count
+    * (round-15 review finding); every current gate drains in ≤ 4.
     */
   def drain(q: StreamingQuery, gate: String): Unit = {
     q.processAllAvailable()
     q.stop()
     val prog = q.recentProgress
+    val retention =
+      try q.sparkSession.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+      catch { case _: Throwable => 100 }
     meters.put(gate, Meter(
       batches = prog.length,
       dataBatches = prog.count(_.numInputRows > 0L),
       stateRows = prog.lastOption
-        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)))
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
+      capped = prog.length >= retention))
   }
 
   def snapshot: Map[String, Meter] = meters.toMap

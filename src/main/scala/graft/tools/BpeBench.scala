@@ -70,15 +70,12 @@ object BpeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dict0 = (if (sfDir.startsWith("synth:"))
-        synthDict(spark, sfDir.stripPrefix("synth:").toInt)
-      else graft.core.Tables(spark, sfDir).documents
-        .select(explode(split(col("text"), "\\s+")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(col("w"), concat_ws(" ", split(col("w"), "")).as("seq"),
-          col("freq")))
-      .localCheckpoint(true)
+    // the PRODUCTION dictionary pass (TextOps.bpeDict0 — an inline copy
+    // here would silently drift from what training actually consumes)
+    val dict0 =
+      if (sfDir.startsWith("synth:"))
+        synthDict(spark, sfDir.stripPrefix("synth:").toInt).localCheckpoint(true)
+      else graft.operators.TextOps.bpeDict0(graft.core.Tables(spark, sfDir))
     val vocab = dict0.count()
 
     def timed(body: => Unit): Double = {

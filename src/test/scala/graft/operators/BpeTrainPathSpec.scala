@@ -16,12 +16,9 @@ import org.apache.spark.sql.functions._
   */
 class BpeTrainPathSpec extends SparkTestBase {
 
-  private def dict0 = t.documents
-    .select(explode(split(col("text"), "\\s+")).as("w"))
-    .filter(length(col("w")) > 0)
-    .groupBy("w").agg(count(lit(1)).as("freq"))
-    .select(col("w"), concat_ws(" ", split(col("w"), "")).as("seq"), col("freq"))
-    .localCheckpoint(true)
+  // the PRODUCTION dictionary pass — an inline copy would silently
+  // drift from what training actually consumes
+  private def dict0 = TextOps.bpeDict0(t)
 
   private def dictMap(df: org.apache.spark.sql.DataFrame): Map[String, (String, Long)] =
     df.select("w", "seq", "freq").collect()
