@@ -410,7 +410,7 @@ object Bench {
     * cost roughly one extra untimed minhash pass). -1 = not derived.
     */
   private def workloadJson(spark: SparkSession, sfDir: String,
-                           withDedup: Boolean): String =
+                           withDedup: Boolean): (String, String) =
     try {
       import org.apache.spark.sql.functions._
       val t = Tables(spark, sfDir)
@@ -425,11 +425,18 @@ object Bench {
             graft.operators.DedupOps.dupClusters(t, 0.5)
               .select("cluster_rep").distinct().count())
         else (-1L, -1L)
-      s"""{"fixture_digest":"${fixtureDigest(sfDir)}","n_docs":${doc.getLong(0)},""" +
-        s""""doc_chars":${doc.getLong(1)},"doc_ws_tokens":${doc.getLong(2)},""" +
-        s""""n_embeddings":$nEmb,"minhash_candidate_pairs":$cand,""" +
-        s""""dup_clusters":$clus}"""
-    } catch { case _: Throwable => s"""{"fixture_digest":"unavailable"}""" }
+      // the digest is returned AS A VALUE next to the serialized object
+      // (round-15 advice): the compact line used to re-parse it out of
+      // this string positionally (split("\"")(3)), which would silently
+      // pick up a field NAME if the object's field order ever changed
+      val digest = fixtureDigest(sfDir)
+      (digest,
+        s"""{"fixture_digest":"$digest","n_docs":${doc.getLong(0)},""" +
+          s""""doc_chars":${doc.getLong(1)},"doc_ws_tokens":${doc.getLong(2)},""" +
+          s""""n_embeddings":$nEmb,"minhash_candidate_pairs":$cand,""" +
+          s""""dup_clusters":$clus}""")
+    } catch { case _: Throwable =>
+      ("unavailable", s"""{"fixture_digest":"unavailable"}""") }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -559,13 +566,12 @@ object Bench {
     // minhash pass + star contraction for fields about rows that never
     // ran — round-15 review finding)
     val withDedup = only.forall(_.exists(_.startsWith("dedup_minhash")))
-    val workload = workloadJson(spark, sfDir, withDedup)
-    val workloadSf1 =
+    val (_, workload) = workloadJson(spark, sfDir, withDedup)
+    // the compact line's sf1 digest is the same VALUE the object was
+    // built from — never re-parsed out of the serialized string
+    val (sf1Digest, workloadSf1) =
       if (run.sf1Results.nonEmpty) workloadJson(spark, "local/sf1", withDedup)
-      else """{"fixture_digest":"leg_not_run"}"""
-    // the compact line's sf1 digest comes from the already-built object —
-    // never a second full replica tree-walk
-    val sf1Digest = workloadSf1.split("\"")(3)
+      else ("leg_not_run", """{"fixture_digest":"leg_not_run"}""")
     // per-model fit walls (item 5): the registry is keyed by (model,
     // pool size) so the 3-model gate can't blend into the 9-model row's
     // breakdown; the artifact ships the LARGEST pool that ran (the

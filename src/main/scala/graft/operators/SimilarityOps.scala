@@ -443,12 +443,19 @@ object SimilarityOps {
   private def ingestAssignPlanFor(spark: org.apache.spark.sql.SparkSession,
                                   path: String, hierThreshold: Int,
                                   maxInlineCells: Int,
-                                  pcoarse: Int): IngestAssign =
-    Tables.cachedPerGeneration(
-        ingestAssignCache.getOrElseUpdate(
-          (hierThreshold, maxInlineCells, pcoarse),
-          scala.collection.concurrent.TrieMap.empty),
-        path, "centroids") {
+                                  pcoarse: Int): IngestAssign = {
+    val perSetting = ingestAssignCache.getOrElseUpdate(
+      (hierThreshold, maxInlineCells, pcoarse),
+      scala.collection.concurrent.TrieMap.empty)
+    // Evict entries whose index dir no longer exists (round-15 advice):
+    // cachedPerGeneration only evicts stale GENERATIONS of the dir being
+    // queried, so plans for distinct — often temp, later-deleted — index
+    // dirs would otherwise accumulate for the JVM's lifetime, each
+    // IngestTable pinning O(nlist·dim) doubles (~8 MB at 16384×64).
+    perSetting.keys
+      .filter(k => !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(k._1)))
+      .foreach(perSetting.remove)
+    Tables.cachedPerGeneration(perSetting, path, "centroids") {
       ingestPlanBuilds.incrementAndGet()
       val cents = readCentroids(spark, path)
       if (cents.length >= hierThreshold) {
@@ -461,6 +468,7 @@ object SimilarityOps {
         IngestTable(graft.plans.IvfCentroidTable.fromFlat(cents))
       else IngestLiteral(cents)
     }
+  }
 
   /** Incremental IVF maintenance (round 13): append a batch of vectors
     * to a persisted index WITHOUT a rebuild — the streaming-ingest path

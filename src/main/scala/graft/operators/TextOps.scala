@@ -516,8 +516,17 @@ object TextOps {
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     var dict = dict0
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to nMerges) {
-      val best = dict
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // headOption, not head: a pair-exhausted dictionary (every word a
+      // single symbol — possible past Σ(len−1) merges) must stop at the
+      // last real merge exactly like the driver path, not throw on the
+      // empty argmax (round-15 advice: routing is by nMerges, so the same
+      // degenerate corpus truncated silently above the threshold but
+      // crashed at or below it, and the parity gate would crash there
+      // instead of reporting divergence).
+      val bestOpt = dict
         .select(col("freq"), split(col("seq"), " ").as("syms"))
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -526,14 +535,19 @@ object TextOps {
           .as("pair"))
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).head()
-      val p = best.getString(0)
-      val merged = p.replace(" ", "")
-      learned += ((r, p, merged, best.getLong(1)))
-      dict = dict
-        .select(col("w"), replace(col("seq"), lit(p), lit(merged)).as("seq"),
-          col("freq"))
-        .localCheckpoint(true)
+        .limit(1).collect().headOption
+      bestOpt match {
+        case None => exhausted = true
+        case Some(best) =>
+          val p = best.getString(0)
+          val merged = p.replace(" ", "")
+          learned += ((r, p, merged, best.getLong(1)))
+          dict = dict
+            .select(col("w"), replace(col("seq"), lit(p), lit(merged)).as("seq"),
+              col("freq"))
+            .localCheckpoint(true)
+          r += 1
+      }
     }
     (dict, learned.toSeq)
   }
@@ -563,8 +577,9 @@ object TextOps {
     * fixed ~0.2 s job quantum (see BENCH.md's bpe_train_scaling run). If
     * the dictionary runs out of mergeable pairs before `nMerges` (only
     * possible past Σ(len−1) merges, far beyond any gated or benched
-    * setting — the cluster loop would throw on the empty argmax there),
-    * training stops at the last real merge.
+    * setting), training stops at the last real merge — the SAME
+    * exhaustion rule the cluster loop follows, so routing by nMerges
+    * can't change degenerate-corpus behavior (BpeTrainPathSpec pins it).
     */
   private[graft] def bpeTrainOnDriver(
       spark: org.apache.spark.sql.SparkSession, dict0: DataFrame,

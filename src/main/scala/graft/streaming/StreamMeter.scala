@@ -32,10 +32,21 @@ object StreamMeter {
     * `dataBatches` only those that carried input rows (the no-data
     * batches watermark/state-cleanup ticks add); `stateRows` is the sum
     * over state operators of rows held after the final batch. `capped`
-    * flags when the counts hit `recentProgress`'s retention window
-    * (`spark.sql.streaming.numRecentProgressUpdates`, default 100) —
-    * a >100-batch run would otherwise report a silently clamped count
-    * (round-15 review finding); every current gate drains in ≤ 4.
+    * flags a run whose telemetry outgrew `recentProgress`'s retention
+    * window (`spark.sql.streaming.numRecentProgressUpdates`, default
+    * 100): batch ids are contiguous from 0 within a run, so the TRUE
+    * planned-batch count is recovered from the final event's batchId
+    * and `batches` stays exact past retention — but `dataBatches` is
+    * derived from the RETAINED WINDOW only and reads as a lower bound
+    * when `capped` (round-15/16 review findings: the old
+    * `length >= retention` rule both flagged an exactly-at-retention
+    * run that lost nothing and silently clamped `batches` itself).
+    * `stateRows` comes from the final event alone — never
+    * window-limited. A query RESTARTED from a checkpoint resumes batch
+    * ids mid-sequence; the id-vs-length gap alone therefore doesn't
+    * imply truncation, which is why `capped` also requires the window
+    * to be full (the restart gates drain in ≤ retention batches, so
+    * their this-run counts stay exact).
     */
   def drain(q: StreamingQuery, gate: String): Unit = {
     q.processAllAvailable()
@@ -45,12 +56,18 @@ object StreamMeter {
       try q.sparkSession.conf
         .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
       catch { case _: Throwable => 100 }
+    val idCount = prog.lastOption.map(_.batchId + 1L).getOrElse(0L)
+    // the engine's progress buffer dequeues WHILE length >= retention
+    // after each append, so it retains at most retention − 1 events —
+    // a full window is length == retention − 1 (measured in
+    // StreamMeterSpec: retention 3 keeps 2 events)
+    val capped = prog.length >= retention - 1 && idCount > prog.length
     meters.put(gate, Meter(
-      batches = prog.length,
+      batches = if (capped) idCount.toInt else prog.length,
       dataBatches = prog.count(_.numInputRows > 0L),
       stateRows = prog.lastOption
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
-      capped = prog.length >= retention))
+      capped = capped))
   }
 
   def snapshot: Map[String, Meter] = meters.toMap
