@@ -239,6 +239,12 @@ object SparkEntry {
     // the corpus — per-language encoded token counts + exact-integer
     // compression ratio; the oracle replays training AND encoding
     "text_bpe_encode"       -> q(t => TextOps.bpeEncode(t)),
+    // frozen-tokenizer OOV encode (round-16): train on the md5-lower half
+    // of the vocabulary, encode the FULL corpus — held-out words replay
+    // the frozen merge table rank by rank instead of being inner-joined
+    // away; the oracle replays training, the dict join AND the OOV
+    // merge-replay chain
+    "text_bpe_encode_oov"   -> q(t => TextOps.bpeEncodeOov(t)),
     // thresholded training-path parity (round-15): the production
     // driver-side merge loop vs the reference cluster loop at 12 merges
     // (above the threshold), merge tables + final dicts compared; the
@@ -656,13 +662,16 @@ object SparkEntry {
        |$rows""".stripMargin
   }
 
-  /** Shared CTE prefix for the two BPE oracles: the word-frequency dict
+  /** Shared CTE prefix for the BPE oracles: the word-frequency dict
     * (the word itself kept as the encode join key), then `n` unrolled
     * merge rounds — each round's argmax pair as a 1-row CTE (b$r)
     * consumed by scalar subqueries in the next round's literal replace.
     * Ends with relations b1..b$n and d$n (the final encoded dict).
+    * `vocabPred` restricts the TRAINING vocabulary (the OOV oracle's
+    * frozen-tokenizer split); the full-corpus dict stays available as
+    * w_all.
     */
-  private def bpeDictCtes(n: Int): String = {
+  private def bpeDictCtes(n: Int, vocabPred: String = "TRUE"): String = {
     val iters = (1 to n).map { r =>
       val src = if (r == 1) "w" else s"d${r - 1}"
       s"""p$r AS (
@@ -679,13 +688,57 @@ object SparkEntry {
          |                    replace((SELECT pair FROM b$r), ' ', '')) AS seq, freq
          |  FROM $src)""".stripMargin
     }.mkString(",\n")
-    s"""w AS (
+    s"""w_all AS (
        |  SELECT w, array_to_string(list_transform(generate_series(1, length(w)),
        |           i -> substr(w, i, 1)), ' ') AS seq,
        |         CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
+       |w AS (SELECT * FROM w_all WHERE $vocabPred),
        |$iters""".stripMargin
+  }
+
+  /** DuckDB replay of TextOps.bpeEncodeOov: train on the md5-lower half
+    * of the vocabulary, then encode the FULL corpus — seen words via the
+    * final training dict d$n, OOV words by replaying the same n merges
+    * over their char splits (v0..v$n — the identical scalar-subquery
+    * replace chain, applied to the held-out vocabulary).
+    */
+  private def bpeEncodeOovSql(n: Int): String = {
+    val oovIters = (1 to n).map { r =>
+      val src = if (r == 1) "v0" else s"v${r - 1}"
+      s"""v$r AS (
+         |  SELECT w, replace(seq, (SELECT pair FROM b$r),
+         |                    replace((SELECT pair FROM b$r), ' ', '')) AS seq
+         |  FROM $src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeDictCtes(n, "substr(md5(w), 1, 1) <= '7'")},
+       |enc AS (SELECT w, len(string_split(seq, ' ')) AS n_toks FROM d$n),
+       |lw AS (
+       |  SELECT lang, w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0 GROUP BY lang, w),
+       |v0 AS (
+       |  SELECT w, array_to_string(list_transform(generate_series(1, length(w)),
+       |           i -> substr(w, i, 1)), ' ') AS seq
+       |  FROM (SELECT DISTINCT w FROM lw WHERE w NOT IN (SELECT w FROM enc))),
+       |$oovIters,
+       |oenc AS (SELECT w, len(string_split(seq, ' ')) AS n_toks FROM v$n),
+       |j AS (
+       |  SELECT lw.lang, lw.w, lw.freq,
+       |         coalesce(enc.n_toks, oenc.n_toks) AS n_toks,
+       |         enc.w IS NULL AS oov
+       |  FROM lw LEFT JOIN enc ON lw.w = enc.w
+       |          LEFT JOIN oenc ON lw.w = oenc.w)
+       |SELECT lang,
+       |       CAST(sum(freq) AS BIGINT) AS n_words,
+       |       CAST(sum(CASE WHEN oov THEN freq ELSE 0 END) AS BIGINT)
+       |         AS n_oov_words,
+       |       CAST(sum(freq * n_toks) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN oov THEN freq * n_toks ELSE 0 END) AS BIGINT)
+       |         AS n_oov_tokens
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** DuckDB replay of TextOps.bpeEncode: the final dict d$n gives each
@@ -2112,6 +2165,7 @@ object SparkEntry {
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(5),
     "text_bpe_encode" -> bpeEncodeSql(5),
+    "text_bpe_encode_oov" -> bpeEncodeOovSql(5),
     // thresholded-path parity: the vocab count is genuinely recomputed
     // (the shared corpus pass conserves), the two equality verdicts land
     // as constants GateInvariants re-derives by re-running both paths

