@@ -489,6 +489,11 @@ object SparkEntry {
     // recall-vs-nprobe tuning curve (round-13): one row per probe width,
     // closing at exact recall when nprobe = nlist
     "ann_ivf_recall_curve" -> q(t => SimilarityOps.ivfRecallCurveGate(t)),
+    // routed-ingest recall floors (round-16): the production two-level
+    // assignment at nlist = 4096 on UNSTRUCTURED (isotropic) centroids —
+    // the worst case for coarse pruning — with measured per-width floors
+    // and an exact close at the full sweep
+    "ann_ivf_recall_routed" -> q(t => SimilarityOps.ivfRecallRoutedGate(t)),
     // incremental IVF maintenance (round-13): subset-built index +
     // zero-shuffle nearest-centroid append; conservation, id uniqueness,
     // full-probe exactness and nearest-assignment verdicts
@@ -901,6 +906,7 @@ object SparkEntry {
     // curve gate embeds 5 probes + exhaustive ground truth; the production
     // cost it meters is one wide probe
     "ann_ivf_recall_curve" -> q(t => SimilarityOps.ivfTopK(t, 0L, 10, 16, 8)),
+    "ann_ivf_recall_routed" -> q(t => SimilarityOps.ivfRecallRoutedProbe(t)),
     // append gate embeds brute-force verification; the production cost is
     // the assignment projection over the ingest batch
     "ann_ivf_append" -> q(t => SimilarityOps.ivfAssignProbe(t)),
@@ -2615,6 +2621,15 @@ object SparkEntry {
         |       TRUE AS scores_exact, TRUE AS recall_monotone,
         |       TRUE AS recall_floor_met
         |FROM (VALUES (1),(2),(4),(8),(16)) AS t(nprobe)
+        |ORDER BY nprobe""".stripMargin,
+    // the routed-ingest curve's statable contract per probe width: exact
+    // scores, monotone recall, the measured floors met (2/5/8 hits at
+    // nprobe 16/64/256 on the isotropic worst case, exact close at 4096)
+    "ann_ivf_recall_routed" ->
+      """SELECT CAST(nprobe AS INT) AS nprobe, CAST(10 AS BIGINT) AS n_neighbors,
+        |       TRUE AS scores_exact, TRUE AS recall_monotone,
+        |       TRUE AS recall_floor_met
+        |FROM (VALUES (16),(64),(256),(4096)) AS t(nprobe)
         |ORDER BY nprobe""".stripMargin,
     // append-maintenance contract: the oracle's count(*) makes the
     // subset-build + append conserve every source row; the verdicts land

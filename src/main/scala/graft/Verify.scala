@@ -415,6 +415,23 @@ object GateInvariants {
       require(fresh.forall { case (_, n, se, mono, floor) =>
         n == 10L && se && mono && floor },
         s"invariant: IVF curve contract violated: $fresh")
+    case "ann_ivf_recall_routed" =>
+      // recompute the whole routed-index curve from fresh probes (same
+      // cached index — the assignment is deterministic, so a rebuild
+      // yields identical cells) and require row-level agreement plus the
+      // contract: measured floors at the partial widths, exact close at
+      // the full sweep
+      val fresh = operators.SimilarityOps.ivfRecallRoutedRows(
+        core.Tables(spark, sfDir), 10, 4096,
+        Seq(16 -> 2, 64 -> 5, 256 -> 8, 4096 -> 10))
+      val gateRows = df.orderBy("nprobe").collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4)))
+      require(gateRows.toSeq == fresh,
+        s"invariant: gate curve ${gateRows.toSeq} != fresh recompute $fresh")
+      require(fresh.forall { case (_, n, se, mono, floor) =>
+        n == 10L && se && mono && floor },
+        s"invariant: routed-ingest recall contract violated: $fresh")
     case "ann_ivf_drift" =>
       // re-derive the drift verdicts from the appended index directory
       val tt = core.Tables(spark, sfDir)
