@@ -41,6 +41,16 @@ import org.apache.spark.sql.SparkSession
   * from the artifact. A `streaming_overhead` row also meters micro-batch
   * engine init over a 1-row input, separating init from data cost for
   * the 14 streaming rows.
+  *
+  * Round-16 (r15 q1 sf1 reconciliation — the driver leg shipped
+  * 12.3–20.0 s vs 0.67–0.69 s same-code quiet archives, with every CPU
+  * spin probe green): the sentinel now probes BOTH axes — the spin loop
+  * AND a fixed parquet-scan+shuffle bandwidth probe
+  * ([[BenchCalibration.measureBandwidth]]) — and the sf1 leg adds a
+  * row-level trip wire: any headline row reported above 3× its archived
+  * quiet-leg median ([[sf1QuietMedians]]) forces the one leg rerun and
+  * lands in `sf1_row_trips`, so a tilted row can never again ship
+  * unflagged just because the contention was invisible to the CPU loop.
   */
 object Bench {
 
@@ -52,10 +62,11 @@ object Bench {
       results: Seq[(String, Double)],
       sf1Results: Seq[(String, Double)],
       sf1Runs: Seq[(String, (Double, Double))],
-      sf1CalibPre: Double,
-      sf1CalibPost: Double,
+      sf1Calib: BenchCalibration.Probes,
+      sf1CalibPost: BenchCalibration.Probes,
       sf1LegRerun: Boolean,
-      sf1Probes: Seq[(Double, Double)],
+      sf1Probes: Seq[(BenchCalibration.Probes, BenchCalibration.Probes)],
+      sf1Trips: Seq[String],
       failed: Seq[String],
       queryCpu: Seq[(String, Double)],
       cpuPct: Double)
@@ -236,10 +247,11 @@ object Bench {
     val sf1Dir = "local/sf1"
     var sf1Results = Seq.empty[(String, Double)]
     var sf1Runs = Seq.empty[(String, (Double, Double))]
-    var sf1CalibPre = -1.0
-    var sf1CalibPost = -1.0
+    var sf1Calib = BenchCalibration.Probes(-1.0, -1.0)
+    var sf1CalibPost = BenchCalibration.Probes(-1.0, -1.0)
     var sf1LegRerun = false
-    var sf1Probes = Seq.empty[(Double, Double)]
+    var sf1Probes = Seq.empty[(BenchCalibration.Probes, BenchCalibration.Probes)]
+    var sf1Trips = Seq.empty[String]
     if (only.isEmpty && sfDir.contains("sf0.1") &&
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) {
       // Warm the replica untimed (round-13, r12 reconciliation): the
@@ -253,14 +265,18 @@ object Bench {
         Seq(tt.lineitem, tt.orders, tt.documents, tt.embeddings)
           .foreach(_.write.format("noop").mode("overwrite").save())
       } catch { case _: Throwable => () }
-      // Leg-level calibration (round-13): the suite-level probes bracket
-      // ~175 s of sf0.1 rows; contention arriving DURING this leg was
-      // invisible to them (r12's dedup_minhash sf1 row read 17.3 s vs
-      // 5.3-6.6 s quiet archives with green suite probes). These two
-      // ratios bracket the leg alone.
+      // Leg-level calibration (round-13, both axes since round 16): the
+      // suite-level probes bracket ~175 s of sf0.1 rows; contention
+      // arriving DURING this leg was invisible to them (r12's
+      // dedup_minhash sf1 row read 17.3 s vs 5.3-6.6 s quiet archives
+      // with green suite probes). These probe pairs bracket the leg
+      // alone.
+      def legProbe(): BenchCalibration.Probes = BenchCalibration.Probes(
+        BenchCalibration.ratio(BenchCalibration.measure()),
+        BenchCalibration.measureBandwidth(spark) / BenchCalibration.bwReference)
       def runLeg(): (Seq[(String, Double)], Seq[(String, (Double, Double))],
-          Double, Double) = {
-        val pre = BenchCalibration.ratio(BenchCalibration.measure())
+          BenchCalibration.Probes, BenchCalibration.Probes) = {
+        val pre = legProbe()
         val runs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
         val rows = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
           .map { case (n, fn) =>
@@ -272,30 +288,45 @@ object Bench {
               math.round(r2 * 1000) / 1000.0)
             n -> best
           }
-        val post = BenchCalibration.ratio(BenchCalibration.measure())
-        (rows, runs.toSeq, pre, post)
+        val post = legProbe()
+        (rows, runs.toSeq, pre.rounded, post.rounded)
       }
-      // Leg-level auto-rerun (round-14, verdict item 1): round 13 made
-      // the leg DETECT contention arriving mid-leg (post-probe 1.28) but
-      // gave it no way to react, so the driver artifact carried a 2.9×-
-      // inflated dedup_minhash row two rounds running. Mirror the suite's
-      // `suite_rerun` at leg granularity: if either bracketing probe
-      // exceeds 1.15 (well under the 1.5 host_degraded threshold — the
-      // leg is ~6 rows and a rerun is cheap), run the leg once more and
-      // report the pass with the quieter probes; both probe pairs ship
+      // Row-level trip wire (round-16 verdict item 1): the r15 driver leg
+      // shipped q1 at 12.3-20.0 s (same-code quiet legs: 0.67-0.69 s)
+      // with BOTH spin probes green — memory/IO tilt the CPU loop can't
+      // see. A headline row whose reported (min-of-2) wall exceeds 3x its
+      // archived quiet-leg median is evidence of tilt REGARDLESS of what
+      // the probes read, so it triggers the same leg rerun.
+      def tripsOf(rows: Seq[(String, Double)]): Seq[String] =
+        rows.collect { case (n, best)
+          if best >= 0 && sf1QuietMedians.get(n).exists(m => best > 3 * m) => n }
+      // Leg-level auto-rerun (round-14 item 1, extended round 16): if
+      // either bracketing CPU probe exceeds 1.15, either bandwidth probe
+      // exceeds 1.5 (both under their host_degraded thresholds — the leg
+      // is ~6 rows and a rerun is cheap), or any headline row trips the
+      // 3x-median rule, run the leg once more and report the pass with
+      // fewer trips (tie: quieter probes); every pass's probe pairs ship
       // in `sf1_leg_probes` so the discarded pass stays attributable.
+      def legTilted(leg: (Seq[(String, Double)], Seq[(String, (Double, Double))],
+          BenchCalibration.Probes, BenchCalibration.Probes)): Boolean =
+        math.max(leg._3.cpu, leg._4.cpu) > 1.15 ||
+          math.max(leg._3.bw, leg._4.bw) > 1.5 ||
+          tripsOf(leg._1).nonEmpty
       def sf1CpuSlice(): Seq[(String, Double)] =
         queryCpu.toSeq.filter(_._1.startsWith("sf1:"))
       var leg = runLeg()
       var legCpu = sf1CpuSlice()
-      sf1Probes = Seq((math.round(leg._3 * 100) / 100.0,
-        math.round(leg._4 * 100) / 100.0))
-      if (math.max(leg._3, leg._4) > 1.15) {
+      sf1Probes = Seq((leg._3, leg._4))
+      if (legTilted(leg)) {
         sf1LegRerun = true
         val leg2 = runLeg()
-        sf1Probes = sf1Probes :+ ((math.round(leg2._3 * 100) / 100.0,
-          math.round(leg2._4 * 100) / 100.0))
-        if (math.max(leg2._3, leg2._4) < math.max(leg._3, leg._4)) {
+        sf1Probes = sf1Probes :+ ((leg2._3, leg2._4))
+        val (t1, t2) = (tripsOf(leg._1).size, tripsOf(leg2._1).size)
+        val q1 = math.max(math.max(leg._3.cpu, leg._4.cpu),
+          math.max(leg._3.bw, leg._4.bw))
+        val q2 = math.max(math.max(leg2._3.cpu, leg2._4.cpu),
+          math.max(leg2._3.bw, leg2._4.bw))
+        if (t2 < t1 || (t2 == t1 && q2 < q1)) {
           leg = leg2
           legCpu = sf1CpuSlice()
         }
@@ -306,8 +337,9 @@ object Bench {
       legCpu.foreach { case (k, v) => queryCpu(k) = v }
       sf1Results = leg._1
       sf1Runs = leg._2
-      sf1CalibPre = leg._3
+      sf1Calib = leg._3
       sf1CalibPost = leg._4
+      sf1Trips = tripsOf(leg._1)
     }
 
     val results = queryResults ++ loadingResults ++
@@ -316,11 +348,27 @@ object Bench {
     val cpuPct = 100.0 * cpuSec /
       ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
     SuiteRun(results, sf1Results, sf1Runs,
-      math.round(sf1CalibPre * 100) / 100.0,
-      math.round(sf1CalibPost * 100) / 100.0,
-      sf1LegRerun, sf1Probes,
+      sf1Calib, sf1CalibPost,
+      sf1LegRerun, sf1Probes, sf1Trips,
       failed.toSeq, queryCpu.toSeq, cpuPct)
   }
+
+  /** Archived quiet-leg MEDIANS for the sf1 headline rows — the 3×-trip
+    * rule's baseline (round-16 verdict item 1). Medians of the three
+    * committed quiet full legs `bench_runs/r14b_sf1_full.json`,
+    * `r15_sf1_full.json`, `r15b_sf1_full.json` (q1: 0.562/0.674/0.693 →
+    * 0.674, etc.). 3× leaves ample room for honest movement — a real
+    * regression of that size would be a round headline anyway, and the
+    * rule only forces ONE leg rerun plus an artifact flag, never hides a
+    * row. Refresh when a round's quiet legs shift the medians.
+    */
+  private val sf1QuietMedians: Map[String, Double] = Map(
+    "q1_group_count_avg" -> 0.674,
+    "q2_median_by_priority" -> 0.743,
+    "q2_approx_median" -> 0.586,
+    "q3_status_share" -> 0.232,
+    "dedup_minhash" -> 7.005,
+    "ann_knn_join" -> 1.354)
 
   private val headline = Seq(
     "q1_group_count_avg", "q2_median_by_priority", "q2_approx_median",
@@ -496,15 +544,24 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // --- Contention sentinel (see object doc + BenchCalibration) ---
-    val sentinel =
-      BenchCalibration.withSentinel(() => runSuite(spark, sfDir, only))
+    // Both axes since round 16: the CPU spin loop AND the fixed
+    // scan+shuffle bandwidth probe — r15's driver capture carried 12-20x
+    // memory/IO tilt through spin probes reading 1.04 "quiet".
+    def dualProbe(): BenchCalibration.Probes = BenchCalibration.Probes(
+      BenchCalibration.ratio(BenchCalibration.measure()),
+      BenchCalibration.measureBandwidth(spark) / BenchCalibration.bwReference)
+    val sentinel = BenchCalibration.withSentinel(
+      () => runSuite(spark, sfDir, only), () => dualProbe())
     val run = sentinel.result
-    // calibration_ratio keeps its r11 meaning (the headline the driver
-    // reads) but is now the max of the PRE- and POST-suite probes; both
-    // sides ship alongside so a mid-run contention arrival is visible
+    // calibration_ratio keeps its r11 meaning (the CPU headline the
+    // driver reads) as the max of the PRE- and POST-suite spin probes;
+    // both sides of both axes ship alongside so a mid-run contention
+    // arrival — compute OR bandwidth — is visible
     val calibJson = s""""calibration_ratio":${sentinel.ratioMax},""" +
-      s""""calibration_ratio_pre":${sentinel.ratioPre},""" +
-      s""""calibration_ratio_post":${sentinel.ratioPost},""" +
+      s""""calibration_ratio_pre":${sentinel.pre.cpu},""" +
+      s""""calibration_ratio_post":${sentinel.post.cpu},""" +
+      s""""bandwidth_ratio_pre":${sentinel.pre.bw},""" +
+      s""""bandwidth_ratio_post":${sentinel.post.bw},""" +
       s""""host_degraded":${sentinel.hostDegraded},""" +
       s""""suite_rerun":${sentinel.suiteRerun}"""
 
@@ -533,11 +590,19 @@ object Bench {
     // the rerun verdict and every leg's probe pair (round-14)
     val sf1RunsJson = run.sf1Runs.map { case (k, (r1, r2)) =>
       "\"" + k + "\":[" + r1 + "," + r2 + "]" }.mkString("{", ",", "}")
-    val sf1CalibJson = s""""calibration_ratio_sf1_pre":${run.sf1CalibPre},""" +
-      s""""calibration_ratio_sf1_post":${run.sf1CalibPost},""" +
+    // sf1_leg_probes entries are [cpuPre, cpuPost, bwPre, bwPost] per
+    // pass since round 16; sf1_row_trips lists reported rows that broke
+    // the 3x-quiet-median rule (nonempty ⇒ read those rows as tilted)
+    val sf1CalibJson = s""""calibration_ratio_sf1_pre":${run.sf1Calib.cpu},""" +
+      s""""calibration_ratio_sf1_post":${run.sf1CalibPost.cpu},""" +
+      s""""bandwidth_ratio_sf1_pre":${run.sf1Calib.bw},""" +
+      s""""bandwidth_ratio_sf1_post":${run.sf1CalibPost.bw},""" +
       s""""sf1_leg_rerun":${run.sf1LegRerun},""" +
+      s""""sf1_row_trips":${run.sf1Trips
+        .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""sf1_leg_probes":${run.sf1Probes
-        .map { case (p, q) => s"[$p,$q]" }.mkString("[", ",", "]")}"""
+        .map { case (p, q) => s"[${p.cpu},${q.cpu},${p.bw},${q.bw}]" }
+        .mkString("[", ",", "]")}"""
     // overhead floor (see overheadFloorGates doc) + the total with that
     // floor subtracted per row — the "how much of the total is per-row
     // harness cost" readout

@@ -117,53 +117,141 @@ object BenchCalibration {
 
   def degraded(r: Double): Boolean = r > degradedThreshold
 
-  /** One sentinel pass: (pre-probe ratio, suite result, post-probe
-    * ratio). The reported `calibration_ratio` is the MAX of the two —
-    * round 11 showed a single pre-suite probe under-reads contention
-    * that arrives MID-run (driver capture at ratio 1.41 was ~17 % above
-    * the quiet-host archive), so the probe now brackets the suite and
-    * the artifact carries both sides.
+  // --- Memory/IO-bandwidth probe (round-16 verdict item 1) ---
+  //
+  // The CPU spin probe is blind to MEMORY/IO tilt: BENCH_r15's driver
+  // capture shipped q1_group_count_avg sf1 at 12.3–20.0 s (same code's
+  // quiet legs: 0.67–0.69 s) while the spin probe read 1.04 "quiet" —
+  // scan/shuffle-bound rows were inflated 4–20× and crunch-bound rows
+  // were flat, the signature of bandwidth contention the spin loop
+  // cannot see. This probe exercises exactly the tilted path: a fixed
+  // parquet scan (frozen deterministic fixture under local/) through a
+  // small groupBy shuffle into the noop sink — scan, decode, hash
+  // exchange, nothing else. Warm pass first (page cache + codegen), then
+  // min-of-repeats like the spin probe.
+
+  /** Committed quiet-host wall seconds for [[measureBandwidth]] on the
+    * reference host (same 32-core class as [[referenceSeconds]], measured
+    * round 16 inside live Bench-shaped JVMs at local[32]: six quiet
+    * readings 0.47–0.71 s, typical 0.52). Override with
+    * SPARK_GRAFT_CALIB_BW_REF on different hardware.
     */
-  private def bracketed[T](suite: () => T, probe: () => Double)
-      : (Double, T, Double) = {
-    val pre = ratio(probe())
+  val bwReferenceSeconds: Double = 0.52
+
+  /** Bandwidth tilt threshold. Spark-job walls carry more scheduler
+    * variance than the bare spin loop (quiet repeats within ±25% vs
+    * ±15%), so the flag trips at 2.0 — far below the 4–20× inflation it
+    * exists to catch, comfortably above quiet jitter.
+    */
+  val bwDegradedThreshold: Double = 2.0
+
+  def bwReference: Double =
+    sys.env.get("SPARK_GRAFT_CALIB_BW_REF").map(_.toDouble)
+      .getOrElse(bwReferenceSeconds)
+
+  def bwDegraded(r: Double): Boolean = r > bwDegradedThreshold
+
+  /** The frozen probe fixture: 8M rows of (id, k, h, v), all derived
+    * deterministically from `id` — regenerating it on any host yields
+    * byte-equivalent content, so the probe workload is fixed even though
+    * local/ is not committed. ~64 MB on disk; one write per checkout.
+    */
+  def ensureBwFixture(spark: org.apache.spark.sql.SparkSession): String = {
+    val path = "local/calib_bw.parquet"
+    val done = java.nio.file.Paths.get(path, "_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) synchronized {
+      if (!java.nio.file.Files.exists(done)) {
+        import org.apache.spark.sql.functions._
+        spark.range(0L, 8_000_000L, 1L, 32)
+          .select(col("id"),
+            pmod(col("id") * 2654435761L, lit(997L)).as("k"),
+            xxhash64(col("id")).as("h"),
+            col("id").bitwiseXOR(shiftright(col("id"), 13)).as("v"))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    path
+  }
+
+  /** Wall seconds for one fixed scan+shuffle pass over the frozen
+    * fixture, min of `repeats` after an untimed warm pass. Min, not
+    * mean, for the same reason as [[measure]]: if even the best repeat
+    * is slow, the bandwidth is genuinely contended.
+    */
+  def measureBandwidth(spark: org.apache.spark.sql.SparkSession,
+                       repeats: Int = 3): Double = {
+    val path = ensureBwFixture(spark)
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(path)
+        .filter(col("h") % 5 =!= 0)
+        .groupBy("k")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"), avg(col("id")).as("a"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm: page cache, codegen, parquet reader init
+    (1 to repeats).map(_ => once()).min
+  }
+
+  private def round2(r: Double): Double = math.round(r * 100) / 100.0
+
+  /** One probe reading, both axes, as RATIOS against their committed
+    * references: `cpu` from the spin loop, `bw` from the scan+shuffle
+    * probe. A host is contended when EITHER axis trips its threshold —
+    * round 15 proved the axes are independent (bandwidth tilt at spin
+    * ratio 1.04).
+    */
+  final case class Probes(cpu: Double, bw: Double) {
+    def anyDegraded: Boolean = degraded(cpu) || bwDegraded(bw)
+    def rounded: Probes = Probes(round2(cpu), round2(bw))
+  }
+
+  /** The artifact fields one sentinel run reports (round-11 contract,
+    * both axes since round 16). Probes BRACKET the suite — round 11
+    * showed a single pre-suite probe under-reads contention arriving
+    * MID-run — and the reported `calibration_ratio` stays the CPU max
+    * for cross-round comparability; the bandwidth pair ships alongside.
+    */
+  final case class Sentinel[T](result: T, pre: Probes, post: Probes,
+                               hostDegraded: Boolean, suiteRerun: Boolean) {
+    /** max CPU ratio of the reported pass — the headline
+      * `calibration_ratio` (its r11 meaning, unchanged). */
+    def ratioMax: Double = round2(math.max(pre.cpu, post.cpu))
+  }
+
+  private def bracketed[T](suite: () => T, probe: () => Probes)
+      : (Probes, T, Probes) = {
+    val pre = probe()
     val run = suite()
-    val post = ratio(probe())
+    val post = probe()
     (pre, run, post)
   }
 
-  /** The artifact fields one sentinel run reports. */
-  final case class Sentinel[T](result: T, ratioPre: Double,
-                               ratioPost: Double, hostDegraded: Boolean,
-                               suiteRerun: Boolean) {
-    /** max(pre, post) rounded — the single headline `calibration_ratio`. */
-    def ratioMax: Double =
-      math.round(math.max(ratioPre, ratioPost) * 100) / 100.0
-  }
-
-  /** The sentinel's whole contract in one testable function: probe, run
-    * the suite, probe AGAIN (contention can arrive mid-run — the
-    * round-11 driver capture did exactly that); when EITHER probe of the
-    * first pass reads degraded, re-run ONCE and report the second pass
-    * with its own bracketing probes. `BenchCalibrationSpec` pins the
-    * artifact semantics (one rerun max, flags follow the REPORTED run's
-    * probes) without timing anything.
+  /** The sentinel's whole contract in one testable function: probe both
+    * axes, run the suite, probe AGAIN; when EITHER probe of the first
+    * pass reads degraded ON EITHER AXIS, re-run ONCE and report the
+    * second pass with its own bracketing probes. `BenchCalibrationSpec`
+    * pins the artifact semantics (one rerun max, flags follow the
+    * REPORTED run's probes, bandwidth tilt alone triggers) without
+    * timing anything.
     */
-  def withSentinel[T](suite: () => T,
-                      probe: () => Double = () => measure()): Sentinel[T] = {
-    val round2 = (r: Double) => math.round(r * 100) / 100.0
+  def withSentinel[T](suite: () => T, probe: () => Probes): Sentinel[T] = {
     val (pre0, run0, post0) = bracketed(suite, probe)
-    if (!degraded(pre0) && !degraded(post0))
-      Sentinel(run0, round2(pre0), round2(post0), hostDegraded = false,
+    if (!pre0.anyDegraded && !post0.anyDegraded)
+      Sentinel(run0, pre0.rounded, post0.rounded, hostDegraded = false,
         suiteRerun = false)
     else {
       // ASCII only: the forked JVM's default charset mangles wider chars
-      System.err.println(f"[bench] calibration ratios $pre0%.2f/$post0%.2f " +
-        f"vs threshold $degradedThreshold -- host contended; " +
+      System.err.println(f"[bench] calibration cpu ${pre0.cpu}%.2f/" +
+        f"${post0.cpu}%.2f bw ${pre0.bw}%.2f/${post0.bw}%.2f vs thresholds " +
+        f"$degradedThreshold/$bwDegradedThreshold -- host contended; " +
         "re-running the suite once")
       val (pre1, run1, post1) = bracketed(suite, probe)
-      Sentinel(run1, round2(pre1), round2(post1),
-        hostDegraded = degraded(pre1) || degraded(post1), suiteRerun = true)
+      Sentinel(run1, pre1.rounded, post1.rounded,
+        hostDegraded = pre1.anyDegraded || post1.anyDegraded,
+        suiteRerun = true)
     }
   }
 }

@@ -60,33 +60,60 @@ class BenchCalibrationSpec extends AnyFunSuite {
       s"calibration wildly unrepeatable back-to-back: $a vs $b")
   }
 
+  test("bandwidth flag flips strictly above its threshold") {
+    assert(!BenchCalibration.bwDegraded(1.0))
+    assert(!BenchCalibration.bwDegraded(BenchCalibration.bwDegradedThreshold))
+    assert(BenchCalibration.bwDegraded(
+      BenchCalibration.bwDegradedThreshold + 1e-9))
+    assert(BenchCalibration.bwDegraded(12.0)) // ~the r15 q1 sf1 tilt
+    assert(BenchCalibration.bwReferenceSeconds > 0.0)
+  }
+
   test("withSentinel: quiet host runs once; degraded host re-runs ONCE; " +
-      "probes BRACKET the suite and flags follow the reported run's probes") {
-    def sentinel(probes: Double*)
-        : (Int, Double, Double, Double, Boolean, Boolean, Int) = {
+      "probes BRACKET the suite; flags follow the reported run's probes " +
+      "on EITHER axis") {
+    def sentinel(probes: (Double, Double)*)
+        : (Int, Double, Double, Double, Double, Double, Boolean, Boolean, Int) = {
       val it = probes.iterator
       var suiteRuns = 0
       val s = BenchCalibration.withSentinel(
         () => { suiteRuns += 1; suiteRuns },
-        () => it.next() * BenchCalibration.reference)
-      (s.result, s.ratioPre, s.ratioPost, s.ratioMax, s.hostDegraded,
-        s.suiteRerun, suiteRuns)
+        () => { val (c, b) = it.next(); BenchCalibration.Probes(c, b) })
+      (s.result, s.pre.cpu, s.post.cpu, s.pre.bw, s.post.bw, s.ratioMax,
+        s.hostDegraded, s.suiteRerun, suiteRuns)
     }
-    // quiet throughout: one suite pass, both probes consumed, no flags
-    assert(sentinel(1.0, 1.2) === ((1, 1.0, 1.2, 1.2, false, false, 1)))
-    // contention arriving MID-run (the round-11 driver capture): quiet
-    // pre-probe, degraded post-probe — the rerun triggers anyway; the
-    // quiet second pass reports its own bracketing probes, flag CLEAR
-    assert(sentinel(1.1, 3.0, 1.0, 1.2) ===
-      ((2, 1.0, 1.2, 1.2, false, true, 2)))
-    // contended start, quiet by the second pass: rerun recorded, flag
-    // CLEAR (the reported numbers came from a quiet pass)
-    assert(sentinel(3.0, 1.1, 1.0, 1.1) ===
-      ((2, 1.0, 1.1, 1.1, false, true, 2)))
-    // contended throughout: exactly one rerun (never loops), flag SET,
-    // headline ratio is the max of the reported pass's two probes
-    assert(sentinel(3.0, 3.5, 4.0, 2.0) ===
-      ((2, 4.0, 2.0, 4.0, true, true, 2)))
+    // quiet throughout on both axes: one pass, both probes consumed
+    assert(sentinel((1.0, 1.0), (1.2, 1.3)) ===
+      ((1, 1.0, 1.2, 1.0, 1.3, 1.2, false, false, 1)))
+    // CPU contention arriving MID-run (the round-11 capture): rerun,
+    // quiet second pass reports its own probes, flag CLEAR
+    assert(sentinel((1.1, 1.0), (3.0, 1.0), (1.0, 1.0), (1.2, 1.1)) ===
+      ((2, 1.0, 1.2, 1.0, 1.1, 1.2, false, true, 2)))
+    // BANDWIDTH tilt at quiet spin ratios — the round-15 failure mode
+    // (q1 sf1 12-20x inflated, spin probe 1.04): the bw axis alone must
+    // trigger the rerun; the quiet second pass clears the flag
+    assert(sentinel((1.04, 1.0), (1.0, 4.0), (1.0, 1.1), (1.0, 1.2)) ===
+      ((2, 1.0, 1.0, 1.1, 1.2, 1.0, false, true, 2)))
+    // contended throughout (bw on the reported pass): one rerun only,
+    // flag SET, headline ratio stays the CPU max of the reported pass
+    assert(sentinel((3.0, 1.0), (3.5, 1.0), (1.0, 4.0), (1.1, 2.5)) ===
+      ((2, 1.0, 1.1, 4.0, 2.5, 1.1, true, true, 2)))
+  }
+
+  test("measureBandwidth reads positive and repeatable on a live session") {
+    val spark = TestSpark.spark
+    val a = BenchCalibration.measureBandwidth(spark, repeats = 2)
+    val b = BenchCalibration.measureBandwidth(spark, repeats = 2)
+    assert(a > 0.0 && b > 0.0)
+    assert(math.max(a, b) / math.min(a, b) < 5.0,
+      s"bandwidth probe wildly unrepeatable back-to-back: $a vs $b")
+    // the frozen fixture is deterministic: the probe aggregate's result
+    // is a fixed value, so the work measured is the committed workload
+    import org.apache.spark.sql.functions._
+    val chk = spark.read.parquet(BenchCalibration.ensureBwFixture(spark))
+      .filter(col("h") % 5 =!= 0)
+      .agg(sum(col("v")), count(lit(1))).head()
+    assert(chk.getLong(1) > 6_000_000L && chk.getLong(1) < 8_000_000L)
   }
 
   test("synthetic oversubscription inflates the measurement the flag reads") {
