@@ -201,10 +201,26 @@ object PricePipeline {
             .sortBy { case (n, _) => costRank.getOrElse(n, Int.MaxValue) }
             .map { case (n, r) =>
               scala.concurrent.Future {
-                val t0 = System.nanoTime()
-                val row = fitEval(n, r, train, test)
-                recordFitWall(n, selected.length, (System.nanoTime() - t0) / 1e9)
-                row
+                // One FAIR scheduler pool per fit (round-16 verdict item
+                // 5): under the default FIFO job queue the whale's ~100
+                // tiny treeAggregate jobs wait behind its neighbors'
+                // stages, inflating FMRegressor's in-pool wall to 34-38 s
+                // vs ~24.6 s isolated (r15 fit walls). With
+                // spark.scheduler.mode=FAIR (set in the Bench/Verify
+                // sessions) each fit's jobs schedule in their own pool at
+                // equal share, so the row's makespan approaches the
+                // whale's isolated wall. Results are unaffected: every
+                // fit is seeded and scheduling never changes arithmetic.
+                // The local property is thread-local and the pool's
+                // threads are reused, so it is cleared per task.
+                val sc = train.sparkSession.sparkContext
+                sc.setLocalProperty("spark.scheduler.pool", s"graft_fit_$n")
+                try {
+                  val t0 = System.nanoTime()
+                  val row = fitEval(n, r, train, test)
+                  recordFitWall(n, selected.length, (System.nanoTime() - t0) / 1e9)
+                  row
+                } finally sc.setLocalProperty("spark.scheduler.pool", null)
               }
             }
           val byModel = futs
