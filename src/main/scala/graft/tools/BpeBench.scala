@@ -32,10 +32,10 @@ object BpeBench {
   /** Deterministic synthetic (word, seq, freq) dictionary via a
     * constant-seeded LCG — reruns time identical work.
     */
-  private def synthDict(spark: SparkSession, n: Int)
+  private[tools] def synthDict(spark: SparkSession, n: Int, seed: Long = 0x9E3779B97F4A7C15L)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    var s = 0x9E3779B97F4A7C15L
+    var s = seed
     def next(): Long = {
       s = s * 6364136223846793005L + 1442695040888963407L; s
     }

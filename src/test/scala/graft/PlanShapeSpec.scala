@@ -161,4 +161,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges <= 2, // partial+final agg repartition + orderBy range
       s"gate must add only the histogram exchanges, got $exchanges:\n$gate")
   }
+
+  test("OOV encode: dict broadcasts as a left join, replay chain stays inline") {
+    // the frozen-tokenizer encode's scale shape (round 16): the
+    // |vocab|-bounded dict reaches the corpus as a BROADCAST left join
+    // (map-side at 100 TB), the OOV merge replay is an inline codegen
+    // replace chain in the same projection — no second join, no
+    // SortMergeJoin anywhere, and the only corpus shuffle is the
+    // (lang, w) frequency aggregate's (map-side-combined) exchange
+    val p = plan(TextOps.bpeEncodeOov(t))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"dict must broadcast as a left join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the vocab-bounded dict must never plan a shuffle join")
+    assert("replace\\(replace\\(".r.findFirstIn(p).isDefined,
+      "the OOV replay must be the inline replace chain at gated merge counts")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      "the corpus word-frequency aggregate must combine map-side")
+  }
+
+  test("routed-recall probe: partition-pruned to the probed cells, top-k without a global sort") {
+    // the production probe of the routed index (round 16): nprobe = 64 of
+    // 4096 cells must reach the scan as PARTITION filters (the probe
+    // reads nprobe/nlist of the data — the IVF contract), the 1-row
+    // query broadcasts, and the top-k is TakeOrderedAndProject
+    val probe = SimilarityOps.ivfRecallRoutedProbe(t, 10, 4096, 64)
+    val p = plan(probe)
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("INSET"),
+      s"probe scan must carry the probed-cell partition filter:\n$scanLine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject, not a global sort")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the single query row must broadcast")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"the probe must not shuffle the scanned cells:\n$p")
+  }
 }
