@@ -155,19 +155,48 @@ object BenchCalibration {
     * deterministically from `id` — regenerating it on any host yields
     * byte-equivalent content, so the probe workload is fixed even though
     * local/ is not committed. ~64 MB on disk; one write per checkout.
+    *
+    * Publication is write-to-temp + atomic rename (round-16 advice): the
+    * check-then-write was only synchronized within one JVM, so an `sbt
+    * test` run and a concurrent Bench run sharing the checkout could
+    * both pass the `_SUCCESS` check and write the directory over each
+    * other — or one could scan a half-written directory. With the
+    * rename, a reader either sees no fixture (and builds its own temp)
+    * or a COMPLETE one; the race loser just discards its temp copy (the
+    * content is deterministic, so both copies are byte-equivalent and
+    * which one wins is immaterial).
     */
   def ensureBwFixture(spark: org.apache.spark.sql.SparkSession): String = {
     val path = "local/calib_bw.parquet"
-    val done = java.nio.file.Paths.get(path, "_SUCCESS")
+    val target = java.nio.file.Paths.get(path)
+    val done = target.resolve("_SUCCESS")
     if (!java.nio.file.Files.exists(done)) synchronized {
       if (!java.nio.file.Files.exists(done)) {
         import org.apache.spark.sql.functions._
+        val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
         spark.range(0L, 8_000_000L, 1L, 32)
           .select(col("id"),
             pmod(col("id") * 2654435761L, lit(997L)).as("k"),
             xxhash64(col("id")).as("h"),
             col("id").bitwiseXOR(shiftright(col("id"), 13)).as("v"))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(tmp)
+        try {
+          // a leftover HALF-written target (crashed run: dir exists, no
+          // _SUCCESS) blocks the rename — clear it first; a COMPLETE one
+          // can only have appeared via another JVM's atomic rename
+          if (java.nio.file.Files.exists(target) &&
+              !java.nio.file.Files.exists(done))
+            graft.core.Tables.deleteRecursively(path)
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch { case _: java.nio.file.FileSystemException =>
+          // rename lost a cross-JVM race — the winner's fixture is
+          // byte-equivalent; require it complete and drop the temp copy
+          if (!java.nio.file.Files.exists(done))
+            throw new IllegalStateException(
+              s"calib fixture rename failed and no complete fixture at $path")
+          graft.core.Tables.deleteRecursively(tmp)
+        }
       }
     }
     path

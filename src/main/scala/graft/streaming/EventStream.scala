@@ -203,7 +203,10 @@ object EventStream {
       .option("checkpointLocation", ckptDir)
       .outputMode(OutputMode.Append())
       .start()
-    StreamMeter.drain(q, "events_file_sink")
+    // the checkpoint is REUSED per input dir, so every call after the
+    // first is a resumed run (batch ids continue mid-sequence) — the
+    // meter must not recover a capped count from the final batch id
+    StreamMeter.drain(q, "events_file_sink", resumed = true)
     spark.read.parquet(outDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), roundN(decSum(col("value")), 2).as("total_value"))

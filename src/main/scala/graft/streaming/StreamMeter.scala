@@ -45,10 +45,19 @@ object StreamMeter {
     * window-limited. A query RESTARTED from a checkpoint resumes batch
     * ids mid-sequence; the id-vs-length gap alone therefore doesn't
     * imply truncation, which is why `capped` also requires the window
-    * to be full (the restart gates drain in ≤ retention batches, so
-    * their this-run counts stay exact).
+    * to be full — and why callers that REUSE a checkpoint must pass
+    * `resumed = true`: for a resumed run the id-based recovery would
+    * report a CROSS-RUN total (lastBatchId + 1 counts every batch since
+    * the checkpoint was created, not this run's), so a resumed-and-
+    * capped run reports the retained window length instead — an exact
+    * count while the run drains ≤ retention − 2 batches, a flagged
+    * lower bound from retention − 1 up (round-16 advice: the old doc
+    * claimed restart gates "stay exact" through ≤ retention batches,
+    * but a resumed run draining exactly retention − 1 fills the window,
+    * trips `capped`, and the id recovery would have shipped the
+    * cross-run total; StreamMeterSpec drives that case live).
     */
-  def drain(q: StreamingQuery, gate: String): Unit = {
+  def drain(q: StreamingQuery, gate: String, resumed: Boolean = false): Unit = {
     q.processAllAvailable()
     q.stop()
     val prog = q.recentProgress
@@ -63,7 +72,14 @@ object StreamMeter {
     // StreamMeterSpec: retention 3 keeps 2 events)
     val capped = prog.length >= retention - 1 && idCount > prog.length
     meters.put(gate, Meter(
-      batches = if (capped) idCount.toInt else prog.length,
+      batches =
+        if (!capped) prog.length
+        // fresh run: ids are contiguous from 0, so the final id recovers
+        // the true planned count past the window. Resumed run: ids
+        // started mid-sequence, the id span is a cross-run total —
+        // report the retained length (a lower bound, flagged by capped).
+        else if (!resumed) idCount.toInt
+        else prog.length,
       dataBatches = prog.count(_.numInputRows > 0L),
       stateRows = prog.lastOption
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),

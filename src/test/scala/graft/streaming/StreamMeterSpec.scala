@@ -30,13 +30,18 @@ class StreamMeterSpec extends SparkTestBase {
     val mem = MemoryStream[Long]
     val q = mem.toDF.toDF("v")
       .writeStream.format("noop").outputMode("append").start()
-    var i = 0
-    while (i < batches) {
-      mem.addData(i.toLong)
-      q.processAllAvailable()
-      i += 1
-    }
-    StreamMeter.drain(q, gate)
+    // stop unconditionally (round-16 advice): a failure mid-loop would
+    // otherwise leave the query active for the rest of the shared-session
+    // suite, adding noise to every later streaming spec
+    try {
+      var i = 0
+      while (i < batches) {
+        mem.addData(i.toLong)
+        q.processAllAvailable()
+        i += 1
+      }
+      StreamMeter.drain(q, gate)
+    } finally if (q.isActive) q.stop()
     StreamMeter.snapshot(gate)
   }
 
@@ -66,6 +71,59 @@ class StreamMeterSpec extends SparkTestBase {
     withRetention(3) {
       val m = runBatches("meter_spec_short", 1)
       assert(!m.capped && m.batches == 1 && m.dataBatches == 1, s"$m")
+    }
+  }
+
+  /** A checkpoint-RESUMED run whose window fills (round-16 advice): batch
+    * ids continue mid-sequence, so the id-based recovery would report the
+    * cross-run total (lastBatchId + 1 = 5 here) as this run's count. With
+    * `resumed = true` the meter reports the retained window length
+    * instead — exact for this 2-batch run — and still flags `capped`.
+    * MemoryStream can't resume from a checkpoint, so this drives the file
+    * source: one file per micro-batch via maxFilesPerTrigger.
+    */
+  test("resumed capped run reports the window, not the cross-run id span") {
+    withRetention(3) {
+      import spark.implicits._
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_meter_resume_").toString
+      val feed = s"$work/feed"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+      def publish(tag: String, v: Long): Unit = {
+        val staged = s"$work/staged_$tag"
+        Seq(v).toDF("v").coalesce(1).write.mode("overwrite").parquet(staged)
+        graft.core.Tables.listLocalParquetFiles(staged).zipWithIndex.foreach {
+          case (f, i) => java.nio.file.Files.move(
+            java.nio.file.Paths.get(f),
+            java.nio.file.Paths.get(feed, s"${tag}_$i.parquet"))
+        }
+      }
+      def start() = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt").start()
+      try {
+        // run 1: batches 0..2 commit into the checkpoint
+        (0 until 3).foreach(i => publish(s"a$i", i.toLong))
+        val q1 = start()
+        try StreamMeter.drain(q1, "meter_spec_resumed_r1")
+        finally if (q1.isActive) q1.stop()
+        // run 2 RESUMES: 2 more files → batch ids 3..4; the 3-retention
+        // window holds exactly 2 events, so it reads full and capped trips
+        (0 until 2).foreach(i => publish(s"b$i", 10L + i))
+        val q2 = start()
+        try StreamMeter.drain(q2, "meter_spec_resumed", resumed = true)
+        finally if (q2.isActive) q2.stop()
+        val m = StreamMeter.snapshot("meter_spec_resumed")
+        assert(m.capped, s"resumed run filling the window must flag capped: $m")
+        assert(m.batches == 2,
+          s"resumed+capped must report this run's retained window (2), " +
+            s"never the cross-run id span (5): $m")
+        assert(m.dataBatches == 2, s"$m")
+      } finally graft.core.Tables.deleteRecursively(work)
     }
   }
 }
