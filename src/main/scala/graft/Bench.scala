@@ -51,6 +51,20 @@ import org.apache.spark.sql.SparkSession
   * quiet-leg median ([[sf1QuietMedians]]) forces the one leg rerun and
   * lands in `sf1_row_trips`, so a tilted row can never again ship
   * unflagged just because the contention was invisible to the CPU loop.
+  *
+  * Round-17 (r16 dedup_minhash residue — the row tripped on BOTH passes
+  * and the artifact's headline stayed the 79.9 s tilted wall, flagged
+  * but not self-adjudicating): a row still tripping after leg selection
+  * now gets one targeted post-cool-down re-measure
+  * ([[resolveSf1Leg]]) and the artifact ships the re-measure walls
+  * (`sf1_row_remeasured`) plus the quiet medians (`sf1_row_quiet_
+  * medians` — all rows on the archival line, tripped rows on the
+  * compact line, whose raw-runs map is likewise tripped-rows-only to
+  * stay inside the driver's ~2 KB stdout tail now that the leg runs
+  * all TEN headline rows — sample_loading and the ml_fit trio
+  * included, per the round-16 advice that the IO-bound rows had no
+  * trip baseline). The medians themselves are a generated committed
+  * resource derived from the archived quiet legs, not a hand-kept map.
   */
 object Bench {
 
@@ -67,6 +81,7 @@ object Bench {
       sf1LegRerun: Boolean,
       sf1Probes: Seq[(BenchCalibration.Probes, BenchCalibration.Probes)],
       sf1Trips: Seq[String],
+      sf1Remeasured: Seq[(String, (Double, Double))],
       failed: Seq[String],
       queryCpu: Seq[(String, Double)],
       cpuPct: Double)
@@ -151,16 +166,7 @@ object Bench {
         Tables(spark, sfDir).lineitem
           .write.option("header", "true").mode("overwrite").csv(csvDir)
         Seq("sample_loading" -> timed("sample_loading") {
-          val df = spark.read
-            .option("header", "true").option("inferSchema", "true").csv(csvDir)
-          val sampleRows = df.limit(100).collect()
-          val rowBytes =
-            if (sampleRows.isEmpty) 0L
-            else sampleRows.map(_.mkString(",").length.toLong).sum / sampleRows.length
-          val estMb = rowBytes * df.count() / 1e6 // full pass, like the reference
-          require(estMb >= 0)
-          df.sample(withReplacement = false, 0.1, seed = 42)
-            .write.format("noop").mode("overwrite").save()
+          sampleLoadingPhase(spark, csvDir)
         })
       } finally {
         // best-effort temp cleanup; never lose the JSON line over it
@@ -241,9 +247,14 @@ object Bench {
     // sf1 headline leg (round-10): when benching the driver's sf0.1
     // fixture and the GenScale'd sf1 replica exists (local/sf1, 10× —
     // regenerated per round from the current fixtures), ALSO time the
-    // headline map queries a decade up. At sf0.1/local[32] most rows are
+    // headline queries a decade up. At sf0.1/local[32] most rows are
     // overhead-bound (cpu_percent ~13); the sf1 rows are data-bound and
     // the fairer 2×-gate comparison, so the driver artifact carries both.
+    // Since round 17 the leg runs ALL TEN headline rows — sample_loading
+    // and the three ml_fit rows included (round-16 advice: sample_loading
+    // is IO-bound, the exact bandwidth-tilt class the trip wire exists
+    // for, and it had no baseline) — via the same workload bodies the
+    // suite rows use, so the archived full-sf1 legs stay comparable.
     val sf1Dir = "local/sf1"
     var sf1Results = Seq.empty[(String, Double)]
     var sf1Runs = Seq.empty[(String, (Double, Double))]
@@ -252,6 +263,7 @@ object Bench {
     var sf1LegRerun = false
     var sf1Probes = Seq.empty[(BenchCalibration.Probes, BenchCalibration.Probes)]
     var sf1Trips = Seq.empty[String]
+    var sf1Remeasured = Seq.empty[(String, (Double, Double))]
     if (only.isEmpty && sfDir.contains("sf0.1") &&
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) {
       // Warm the replica untimed (round-13, r12 reconciliation): the
@@ -274,72 +286,97 @@ object Bench {
       def legProbe(): BenchCalibration.Probes = BenchCalibration.Probes(
         BenchCalibration.ratio(BenchCalibration.measure()),
         BenchCalibration.measureBandwidth(spark) / BenchCalibration.bwReference)
-      def runLeg(): (Seq[(String, Double)], Seq[(String, (Double, Double))],
-          BenchCalibration.Probes, BenchCalibration.Probes) = {
-        val pre = legProbe()
-        val runs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-        val rows = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-          .map { case (n, fn) =>
-            val benched = SparkEntry.benchProbes.getOrElse(n, fn)
-            val (best, r1, r2) = timedBoth(s"sf1:$n") {
-              benched(spark, sf1Dir).write.format("noop").mode("overwrite").save()
-            }
+      def sf1CpuSlice(): Seq[(String, Double)] =
+        queryCpu.toSeq.filter(_._1.startsWith("sf1:"))
+      // CSV for the leg's sample_loading row, derived once untimed (the
+      // content is deterministic — both passes and any remeasure time
+      // the identical workload over identical bytes)
+      val sf1Csv = java.nio.file.Files
+        .createTempDirectory("graft_bench_sf1csv").toString
+      try {
+        Tables(spark, sf1Dir).lineitem
+          .write.option("header", "true").mode("overwrite").csv(sf1Csv)
+        def queryBody(n: String): () => Unit = {
+          val benched = SparkEntry.benchProbes
+            .getOrElse(n, SparkEntry.queries(n))
+          () => benched(spark, sf1Dir).write.format("noop")
+            .mode("overwrite").save()
+        }
+        def runLeg(): LegPass = {
+          val pre = legProbe()
+          val runs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+          def time(n: String)(body: => Unit): (String, Double) = {
+            val (best, r1, r2) = timedBoth(s"sf1:$n")(body)
             runs(n) = (math.round(r1 * 1000) / 1000.0,
               math.round(r2 * 1000) / 1000.0)
             n -> best
           }
-        val post = legProbe()
-        (rows, runs.toSeq, pre.rounded, post.rounded)
-      }
-      // Row-level trip wire (round-16 verdict item 1): the r15 driver leg
-      // shipped q1 at 12.3-20.0 s (same-code quiet legs: 0.67-0.69 s)
-      // with BOTH spin probes green — memory/IO tilt the CPU loop can't
-      // see. A headline row whose reported (min-of-2) wall exceeds 3x its
-      // archived quiet-leg median is evidence of tilt REGARDLESS of what
-      // the probes read, so it triggers the same leg rerun.
-      def tripsOf(rows: Seq[(String, Double)]): Seq[String] =
-        rows.collect { case (n, best)
-          if best >= 0 && sf1QuietMedians.get(n).exists(m => best > 3 * m) => n }
-      // Leg-level auto-rerun (round-14 item 1, extended round 16): if
-      // either bracketing CPU probe exceeds 1.15, either bandwidth probe
-      // exceeds 1.5 (both under their host_degraded thresholds — the leg
-      // is ~6 rows and a rerun is cheap), or any headline row trips the
-      // 3x-median rule, run the leg once more and report the pass with
-      // fewer trips (tie: quieter probes); every pass's probe pairs ship
-      // in `sf1_leg_probes` so the discarded pass stays attributable.
-      def legTilted(leg: (Seq[(String, Double)], Seq[(String, (Double, Double))],
-          BenchCalibration.Probes, BenchCalibration.Probes)): Boolean =
-        math.max(leg._3.cpu, leg._4.cpu) > 1.15 ||
-          math.max(leg._3.bw, leg._4.bw) > 1.5 ||
-          tripsOf(leg._1).nonEmpty
-      def sf1CpuSlice(): Seq[(String, Double)] =
-        queryCpu.toSeq.filter(_._1.startsWith("sf1:"))
-      var leg = runLeg()
-      var legCpu = sf1CpuSlice()
-      sf1Probes = Seq((leg._3, leg._4))
-      if (legTilted(leg)) {
-        sf1LegRerun = true
-        val leg2 = runLeg()
-        sf1Probes = sf1Probes :+ ((leg2._3, leg2._4))
-        val (t1, t2) = (tripsOf(leg._1).size, tripsOf(leg2._1).size)
-        val q1 = math.max(math.max(leg._3.cpu, leg._4.cpu),
-          math.max(leg._3.bw, leg._4.bw))
-        val q2 = math.max(math.max(leg2._3.cpu, leg2._4.cpu),
-          math.max(leg2._3.bw, leg2._4.bw))
-        if (t2 < t1 || (t2 == t1 && q2 < q1)) {
-          leg = leg2
-          legCpu = sf1CpuSlice()
+          // the ml_fit rows share one cached feature frame per pass,
+          // built untimed — the suite rows' exact setup shape
+          val feat = graft.ml.PricePipeline.featurizedCached(Tables(spark, sf1Dir))
+          val rows =
+            try {
+              val Array(train, test) = feat.randomSplit(Array(0.8, 0.2), seed = 42)
+              headline.map { n =>
+                if (SparkEntry.queries.contains(n)) time(n)(queryBody(n)())
+                else if (n == "sample_loading")
+                  time(n)(sampleLoadingPhase(spark, sf1Csv))
+                else {
+                  val m = n.stripPrefix("ml_fit_")
+                  val reg = graft.ml.PricePipeline.regressors.toMap.apply(m)
+                  time(n) { graft.ml.PricePipeline.fitEval(m, reg, train, test); () }
+                }
+              }
+            } finally { feat.unpersist(); () }
+          val post = legProbe()
+          LegPass(rows, runs.toSeq, pre.rounded, post.rounded, sf1CpuSlice())
         }
-      }
-      // the reported per-query CPU must belong to the REPORTED leg —
-      // without this a rerun overwrites the sf1:* cpu rows even when the
-      // first pass is the one kept
-      legCpu.foreach { case (k, v) => queryCpu(k) = v }
-      sf1Results = leg._1
-      sf1Runs = leg._2
-      sf1Calib = leg._3
-      sf1CalibPost = leg._4
-      sf1Trips = tripsOf(leg._1)
+        // Targeted single-row re-measure (round-16 verdict item 1): when
+        // a row trips the 3x rule on BOTH leg passes, the old behavior
+        // shipped the tilted wall with only a flag; now the row gets ONE
+        // more timedBoth after a cool-down (sleep, then wait briefly for
+        // the probes to read quiet — bounded, never more than ~40 s) and
+        // the reported wall is the min over everything observed.
+        val remCpu = scala.collection.mutable.Map[String, Double]()
+        def remeasureRow(n: String): (Double, Double) = {
+          Thread.sleep(5000)
+          var waits = 0
+          while (waits < 2 && legProbe().anyDegraded) {
+            Thread.sleep(15000); waits += 1
+          }
+          val (_, r1, r2) =
+            if (SparkEntry.queries.contains(n)) timedBoth(s"sf1:$n")(queryBody(n)())
+            else if (n == "sample_loading")
+              timedBoth(s"sf1:$n")(sampleLoadingPhase(spark, sf1Csv))
+            else {
+              val m = n.stripPrefix("ml_fit_")
+              val reg = graft.ml.PricePipeline.regressors.toMap.apply(m)
+              val feat = graft.ml.PricePipeline.featurizedCached(Tables(spark, sf1Dir))
+              try {
+                val Array(train, test) = feat.randomSplit(Array(0.8, 0.2), seed = 42)
+                timedBoth(s"sf1:$n") {
+                  graft.ml.PricePipeline.fitEval(m, reg, train, test); ()
+                }
+              } finally { feat.unpersist(); () }
+            }
+          queryCpu.get(s"sf1:$n").foreach(remCpu(n) = _)
+          (math.round(r1 * 1000) / 1000.0, math.round(r2 * 1000) / 1000.0)
+        }
+        val outcome = resolveSf1Leg(() => runLeg(), remeasureRow, sf1QuietMedians)
+        // the reported per-query CPU must belong to the REPORTED rows —
+        // chosen leg first, then any adopted remeasure overrides its row
+        outcome.cpu.foreach { case (k, v) => queryCpu(k) = v }
+        outcome.adopted.foreach(n =>
+          remCpu.get(n).foreach(queryCpu(s"sf1:$n") = _))
+        sf1Results = outcome.rows
+        sf1Runs = outcome.runs
+        sf1Calib = outcome.pre
+        sf1CalibPost = outcome.post
+        sf1LegRerun = outcome.rerun
+        sf1Probes = outcome.probes
+        sf1Trips = outcome.trips
+        sf1Remeasured = outcome.remeasured
+      } finally graft.core.Tables.deleteRecursively(sf1Csv)
     }
 
     val results = queryResults ++ loadingResults ++
@@ -349,28 +386,160 @@ object Bench {
       ((System.nanoTime() - wallT0) / 1e9 * Runtime.getRuntime.availableProcessors())
     SuiteRun(results, sf1Results, sf1Runs,
       sf1Calib, sf1CalibPost,
-      sf1LegRerun, sf1Probes, sf1Trips,
+      sf1LegRerun, sf1Probes, sf1Trips, sf1Remeasured,
       failed.toSeq, queryCpu.toSeq, cpuPct)
   }
 
-  /** Archived quiet-leg MEDIANS for the sf1 headline rows — the 3×-trip
-    * rule's baseline (round-16 verdict item 1). Medians of the three
-    * committed quiet full legs `bench_runs/r14b_sf1_full.json`,
-    * `r15_sf1_full.json`, `r15b_sf1_full.json` (q1: 0.562/0.674/0.693 →
-    * 0.674, etc.). 3× leaves ample room for honest movement — a real
-    * regression of that size would be a round headline anyway, and the
-    * rule only forces ONE leg rerun plus an artifact flag, never hides a
-    * row. Refresh when a round's quiet legs shift the medians.
+  /** One pass over the sf1 headline leg: the rows (min-of-2 walls), both
+    * raw walls per row, the bracketing probe pair, and the pass's own
+    * sf1 per-query CPU slice (so the reported pass's CPU ships, not the
+    * last pass's).
     */
-  private val sf1QuietMedians: Map[String, Double] = Map(
-    "q1_group_count_avg" -> 0.674,
-    "q2_median_by_priority" -> 0.743,
-    "q2_approx_median" -> 0.586,
-    "q3_status_share" -> 0.232,
-    "dedup_minhash" -> 7.005,
-    "ann_knn_join" -> 1.354)
+  private[graft] final case class LegPass(
+      rows: Seq[(String, Double)],
+      runs: Seq[(String, (Double, Double))],
+      pre: BenchCalibration.Probes,
+      post: BenchCalibration.Probes,
+      cpu: Seq[(String, Double)])
 
-  private val headline = Seq(
+  /** The resolved sf1 leg after rerun selection and targeted re-measure:
+    * `rows` carry the reported walls (min over the chosen pass and any
+    * adopted re-measure), `trips` is recomputed over those FINAL walls,
+    * `remeasured` ships every re-measure's raw wall pair, and `adopted`
+    * names the rows whose reported wall came from the re-measure.
+    */
+  private[graft] final case class LegOutcome(
+      rows: Seq[(String, Double)],
+      runs: Seq[(String, (Double, Double))],
+      pre: BenchCalibration.Probes,
+      post: BenchCalibration.Probes,
+      rerun: Boolean,
+      probes: Seq[(BenchCalibration.Probes, BenchCalibration.Probes)],
+      trips: Seq[String],
+      remeasured: Seq[(String, (Double, Double))],
+      adopted: Set[String],
+      cpu: Seq[(String, Double)])
+
+  /** Row-level trip wire (round-16 verdict item 1): the r15 driver leg
+    * shipped q1 at 12.3-20.0 s (same-code quiet legs: 0.67-0.69 s) with
+    * BOTH spin probes green — memory/IO tilt the CPU loop can't see. A
+    * headline row whose reported (min-of-2) wall exceeds 3x its archived
+    * quiet-leg median is evidence of tilt REGARDLESS of what the probes
+    * read.
+    */
+  private[graft] def tripsOf(rows: Seq[(String, Double)],
+                             medians: Map[String, Double]): Seq[String] =
+    rows.collect { case (n, best)
+      if best >= 0 && medians.get(n).exists(m => best > 3 * m) => n }
+
+  /** The sf1 leg's whole tilt-handling contract in one testable function
+    * (round-17; BenchSf1TripSpec drives it with synthetic passes):
+    *
+    *  1. Run the leg. If either bracketing probe exceeds the leg
+    *     thresholds (cpu 1.15 / bw 1.5 — both under their
+    *     host_degraded cutoffs; the leg is ten rows and a rerun is
+    *     cheap) or any row trips the 3x-median rule, run it ONCE more
+    *     and keep the pass with fewer trips (tie: quieter probes).
+    *  2. Any row STILL tripping in the chosen pass gets one targeted
+    *     re-measure (`remeasureRow` — two more raw walls after a
+    *     cool-down) and reports the MIN over everything observed.
+    *     Round 16 shipped dedup_minhash sf1 at 79.9 s (flagged) while
+    *     same-digest quiet legs ran 9.0-9.6 s — a host that stayed bad
+    *     through both passes while both probe axes read quiet; the
+    *     targeted third measurement minutes later is the cheapest
+    *     honest number, and if it ALSO trips, the row stays flagged
+    *     with its quiet median shipped alongside
+    *     (`sf1_row_quiet_medians`) so the artifact self-adjudicates.
+    *
+    * Failed walls (the -1 sentinel) never win the min and never trip.
+    */
+  private[graft] def resolveSf1Leg(
+      runLeg: () => LegPass,
+      remeasureRow: String => (Double, Double),
+      medians: Map[String, Double]): LegOutcome = {
+    def maxProbe(p: LegPass): Double =
+      math.max(math.max(p.pre.cpu, p.post.cpu), math.max(p.pre.bw, p.post.bw))
+    def tilted(p: LegPass): Boolean =
+      math.max(p.pre.cpu, p.post.cpu) > 1.15 ||
+        math.max(p.pre.bw, p.post.bw) > 1.5 ||
+        tripsOf(p.rows, medians).nonEmpty
+    var leg = runLeg()
+    var probes = Seq((leg.pre, leg.post))
+    var rerun = false
+    if (tilted(leg)) {
+      rerun = true
+      val leg2 = runLeg()
+      probes = probes :+ ((leg2.pre, leg2.post))
+      val (t1, t2) =
+        (tripsOf(leg.rows, medians).size, tripsOf(leg2.rows, medians).size)
+      if (t2 < t1 || (t2 == t1 && maxProbe(leg2) < maxProbe(leg))) leg = leg2
+    }
+    val still = tripsOf(leg.rows, medians)
+    val remeasured = still.map(n => n -> remeasureRow(n))
+    val remMap = remeasured.toMap
+    var adopted = Set.empty[String]
+    val finalRows = leg.rows.map { case (n, best) =>
+      remMap.get(n) match {
+        case Some((r1, r2)) =>
+          val remWalls = Seq(r1, r2).filter(_ >= 0)
+          if (remWalls.nonEmpty && (best < 0 || remWalls.min < best)) {
+            adopted += n; n -> remWalls.min
+          } else n -> best
+        case None => n -> best
+      }
+    }
+    LegOutcome(finalRows, leg.runs, leg.pre, leg.post, rerun, probes,
+      tripsOf(finalRows, medians), remeasured, adopted, leg.cpu)
+  }
+
+  /** The reference's sample-loading phase body, shared by the suite row
+    * and the sf1 leg row: inferSchema load (a full pass) +
+    * stringified-sample size estimate + 10% sample materialization —
+    * the reference's exact workload shape over a prepared CSV dir.
+    */
+  private def sampleLoadingPhase(spark: SparkSession, csvDir: String): Unit = {
+    val df = spark.read
+      .option("header", "true").option("inferSchema", "true").csv(csvDir)
+    val sampleRows = df.limit(100).collect()
+    val rowBytes =
+      if (sampleRows.isEmpty) 0L
+      else sampleRows.map(_.mkString(",").length.toLong).sum / sampleRows.length
+    val estMb = rowBytes * df.count() / 1e6 // full pass, like the reference
+    require(estMb >= 0)
+    df.sample(withReplacement = false, 0.1, seed = 42)
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  /** Archived quiet-leg MEDIANS for the sf1 headline rows — the 3×-trip
+    * rule's baseline (round-16 verdict item 1). Loaded from the
+    * GENERATED resource `graft/sf1_quiet_medians.tsv`, which
+    * `scripts/gen_sf1_medians.py` derives from the latest two archived
+    * quiet full-sf1 legs (round-16 verdict item 2: the previous
+    * hand-edited map drifted — dedup_minhash's quiet band moved
+    * 7.0 → 9.3 s across fixture generations while the map said 7.005,
+    * leaving the 3× wire at ~2.2× effective). All TEN headline rows
+    * carry a median since round 17 (round-16 advice: sample_loading and
+    * the ml_fit rows had none). 3× leaves ample room for honest
+    * movement — a real regression of that size would be a round
+    * headline anyway, and the rule only forces ONE leg rerun, a
+    * targeted re-measure, and an artifact flag, never hides a row.
+    * Refresh per the script doc when a round's quiet legs shift.
+    */
+  private[graft] lazy val sf1QuietMedians: Map[String, Double] = {
+    val in = getClass.getResourceAsStream("/graft/sf1_quiet_medians.tsv")
+    require(in != null, "generated resource graft/sf1_quiet_medians.tsv " +
+      "is missing from the classpath — rerun scripts/gen_sf1_medians.py")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val Array(n, v) = l.split("\t")
+        n -> v.toDouble
+      }.toMap
+    finally src.close()
+  }
+
+  private[graft] val headline = Seq(
     "q1_group_count_avg", "q2_median_by_priority", "q2_approx_median",
     "q3_status_share", "sample_loading", "ml_fit_LinearRegression",
     "ml_fit_DecisionTree", "ml_fit_RandomForest",
@@ -590,11 +759,16 @@ object Bench {
     // leg-level evidence for the sf1 rows: both raw runs per row + the
     // leg-bracketing calibration ratios (-1.0 when the leg didn't run) +
     // the rerun verdict and every leg's probe pair (round-14)
-    val sf1RunsJson = run.sf1Runs.map { case (k, (r1, r2)) =>
-      "\"" + k + "\":[" + r1 + "," + r2 + "]" }.mkString("{", ",", "}")
+    def runsJsonOf(rs: Seq[(String, (Double, Double))]): String =
+      rs.map { case (k, (r1, r2)) => "\"" + k + "\":[" + r1 + "," + r2 + "]" }
+        .mkString("{", ",", "}")
+    val sf1RunsJson = runsJsonOf(run.sf1Runs)
     // sf1_leg_probes entries are [cpuPre, cpuPost, bwPre, bwPost] per
     // pass since round 16; sf1_row_trips lists reported rows that broke
-    // the 3x-quiet-median rule (nonempty ⇒ read those rows as tilted)
+    // the 3x-quiet-median rule (nonempty ⇒ read those rows as tilted);
+    // sf1_row_remeasured ships the targeted post-cool-down re-measure's
+    // raw walls for every row that tripped after leg selection (round-16
+    // verdict item 1 — the reported wall is min over leg + re-measure)
     val sf1CalibJson = s""""calibration_ratio_sf1_pre":${run.sf1Calib.cpu},""" +
       s""""calibration_ratio_sf1_post":${run.sf1CalibPost.cpu},""" +
       s""""bandwidth_ratio_sf1_pre":${run.sf1Calib.bw},""" +
@@ -602,9 +776,23 @@ object Bench {
       s""""sf1_leg_rerun":${run.sf1LegRerun},""" +
       s""""sf1_row_trips":${run.sf1Trips
         .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""sf1_row_remeasured":${runsJsonOf(run.sf1Remeasured)},""" +
       s""""sf1_leg_probes":${run.sf1Probes
         .map { case (p, q) => s"[${p.cpu},${q.cpu},${p.bw},${q.bw}]" }
         .mkString("[", ",", "]")}"""
+    // quiet-median context (round-16 verdict item 1: a tripped headline
+    // must be self-adjudicating IN the artifact). The archival line gets
+    // every headline median; the compact line — which must fit the
+    // driver's ~2 KB stdout tail whole — carries medians and raw runs
+    // for the TRIPPED rows only (empty objects on a clean capture).
+    def mediansJsonOf(names: Seq[String]): String =
+      if (run.sf1Results.isEmpty) "{}"
+      else names.flatMap(n => sf1QuietMedians.get(n).map(m =>
+        "\"" + n + "\":" + m)).mkString("{", ",", "}")
+    val sf1MediansAllJson = mediansJsonOf(run.sf1Results.map(_._1))
+    val sf1MediansTrippedJson = mediansJsonOf(run.sf1Trips)
+    val sf1RunsTrippedJson =
+      runsJsonOf(run.sf1Runs.filter(r => run.sf1Trips.contains(r._1)))
     // overhead floor (see overheadFloorGates doc) + the total with that
     // floor subtracted per row — the "how much of the total is per-row
     // harness cost" readout
@@ -662,14 +850,14 @@ object Bench {
     //  - line 2 (FINAL, driver-parsed): a compact record — suite total plus
     //    the headline queries graded against BASELINE.md — guaranteed to
     //    fit the tail window whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,$floorJson,"ceiling_rows":$ceilingJson,"variance_rows":$varianceJson,"workload":$workload,"workload_sf1":$workloadSf1,"ml_model_fit_secs":$mlWallsJson,"streaming_meter":$streamMeterJson,"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries_sf1_runs":$sf1RunsJson,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansAllJson,$floorJson,"ceiling_rows":$ceilingJson,"variance_rows":$varianceJson,"workload":$workload,"workload_sf1":$workloadSf1,"ml_model_fit_secs":$mlWallsJson,"streaming_meter":$streamMeterJson,"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries_sf1_runs":$sf1RunsJson,"queries":$qs}""")
     val resultMap = results.toMap
     val headQs = headline.flatMap(k => resultMap.get(k).map(v =>
         "\"" + k + "\":" + math.round(v * 1000) / 1000.0))
       .mkString("{", ",", "}")
     val headSf1 = run.sf1Results.map { case (k, v) =>
       "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,$floorJson,"workload":$workload,"fixture_digest_sf1":"$sf1Digest","n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries_sf1_runs":$sf1RunsJson,"queries":$headQs}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansTrippedJson,$floorJson,"workload":$workload,"fixture_digest_sf1":"$sf1Digest","n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries_sf1_runs":$sf1RunsTrippedJson,"queries":$headQs}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured
