@@ -245,6 +245,19 @@ object SparkEntry {
     // away; the oracle replays training, the dict join AND the OOV
     // merge-replay chain
     "text_bpe_encode_oov"   -> q(t => TextOps.bpeEncodeOov(t)),
+    // the same frozen-tokenizer contract ABOVE the expression threshold
+    // (round-16 verdict item 4: the production broadcast-replay regime —
+    // a 32k-merge table is a mapPartitions replay over the distinct OOV
+    // vocabulary, not a 32k-deep codegen replace chain — had spec parity
+    // but no oracle row). 66 merges > the 64-merge threshold; the
+    // trained split is md5 ≤ 'c' (24 of 31 words) because the half split
+    // exhausts at 47 learnable merges (measured, all fixture
+    // generations) and can never reach the replay regime; 66 sits 4
+    // under the 'c' split's measured 70-merge exhaustion point, and
+    // GateInvariants requires all 66 merges learned so a fixture drift
+    // toward exhaustion fails loudly instead of silently NULLing the
+    // oracle's replace chain
+    "text_bpe_encode_oov_replay" -> q(t => TextOps.bpeEncodeOov(t, 66, "c")),
     // thresholded training-path parity (round-15): the production
     // driver-side merge loop vs the reference cluster loop at 12 merges
     // (above the threshold), merge tables + final dicts compared; the
@@ -677,9 +690,14 @@ object SparkEntry {
     * w_all.
     */
   private def bpeDictCtes(n: Int, vocabPred: String = "TRUE"): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines single-reference CTEs,
+    // and each b$r is consumed TWICE by scalar subqueries — at the
+    // replay gate's 66 rounds the inlined expansion re-opened the base
+    // parquet once per expanded reference and died on the fd limit
+    // (measured; 3.5 s materialized). Results are identical either way.
     val iters = (1 to n).map { r =>
       val src = if (r == 1) "w" else s"d${r - 1}"
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq,
          |           unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -687,19 +705,19 @@ object SparkEntry {
          |    FROM (SELECT freq, string_split(seq, ' ') AS syms FROM $src)
          |    WHERE len(syms) >= 2)
          |  GROUP BY pair),
-         |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-         |d$r AS (
+         |b$r AS MATERIALIZED (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |d$r AS MATERIALIZED (
          |  SELECT w, replace(seq, (SELECT pair FROM b$r),
          |                    replace((SELECT pair FROM b$r), ' ', '')) AS seq, freq
          |  FROM $src)""".stripMargin
     }.mkString(",\n")
-    s"""w_all AS (
+    s"""w_all AS MATERIALIZED (
        |  SELECT w, array_to_string(list_transform(generate_series(1, length(w)),
        |           i -> substr(w, i, 1)), ' ') AS seq,
        |         CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
-       |w AS (SELECT * FROM w_all WHERE $vocabPred),
+       |w AS MATERIALIZED (SELECT * FROM w_all WHERE $vocabPred),
        |$iters""".stripMargin
   }
 
@@ -709,15 +727,16 @@ object SparkEntry {
     * over their char splits (v0..v$n — the identical scalar-subquery
     * replace chain, applied to the held-out vocabulary).
     */
-  private def bpeEncodeOovSql(n: Int): String = {
+  private def bpeEncodeOovSql(
+      n: Int, vocabPred: String = "substr(md5(w), 1, 1) <= '7'"): String = {
     val oovIters = (1 to n).map { r =>
       val src = if (r == 1) "v0" else s"v${r - 1}"
-      s"""v$r AS (
+      s"""v$r AS MATERIALIZED (
          |  SELECT w, replace(seq, (SELECT pair FROM b$r),
          |                    replace((SELECT pair FROM b$r), ' ', '')) AS seq
          |  FROM $src)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${bpeDictCtes(n, "substr(md5(w), 1, 1) <= '7'")},
+    s"""WITH ${bpeDictCtes(n, vocabPred)},
        |enc AS (SELECT w, len(string_split(seq, ' ')) AS n_toks FROM d$n),
        |lw AS (
        |  SELECT lang, w, CAST(count(*) AS BIGINT) AS freq
@@ -2172,6 +2191,12 @@ object SparkEntry {
     "text_bpe_merges" -> bpeMergesSql(5),
     "text_bpe_encode" -> bpeEncodeSql(5),
     "text_bpe_encode_oov" -> bpeEncodeOovSql(5),
+    // the replay-regime twin: 66 training iterations + 66 replay steps
+    // over the md5 ≤ 'c' split — the SAME scalar-subquery replace chain,
+    // just past the engine's expression threshold (the oracle has no
+    // threshold; one chain verifies both engine regimes)
+    "text_bpe_encode_oov_replay" ->
+      bpeEncodeOovSql(66, "substr(md5(w), 1, 1) <= 'c'"),
     // thresholded-path parity: the vocab count is genuinely recomputed
     // (the shared corpus pass conserves), the two equality verdicts land
     // as constants GateInvariants re-derives by re-running both paths

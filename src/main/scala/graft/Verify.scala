@@ -1041,6 +1041,34 @@ object GateInvariants {
         require(r.getAs[Long]("n_words") >= r.getAs[Long]("n_oov_words"),
           s"invariant: OOV words exceed total words in lang ${r.get(0)}")
       }
+    case "text_bpe_encode_oov_replay" =>
+      // the replay-regime twin (round-16 verdict item 4) must actually
+      // BE in the replay regime: all 66 requested merges learned (the
+      // md5 ≤ 'c' split exhausts at a measured 70 — if a fixture drift
+      // ever pushes exhaustion below 66, the oracle's fixed 66-step
+      // replace chain would replace with NULL pairs and silently corrupt,
+      // so fail loudly here instead), and 66 > the 64-merge expression
+      // threshold ⇒ the engine took the broadcast mapPartitions replay
+      // path, which is the gate's whole point (BpeEncodeOovSpec pins the
+      // path equality; PlanShapeSpec pins the plan)
+      val tt = core.Tables(spark, sfDir)
+      val (_, learned) = operators.TextOps.bpeTrainOovCached(tt, 66, "c")
+      require(learned.size == 66,
+        s"invariant: replay gate learned ${learned.size} of 66 requested " +
+          "merges — training exhausted; the fixture vocabulary drifted " +
+          "toward the split's exhaustion point and the oracle chain is " +
+          "no longer sound")
+      val rows = df.collect()
+      require(rows.nonEmpty, "invariant: OOV replay gate emitted no rows")
+      val oovWords = rows.map(_.getAs[Long]("n_oov_words")).sum
+      require(oovWords > 0,
+        "invariant: md5 ≤ 'c' split produced zero OOV words — the gate is vacuous")
+      rows.foreach { r =>
+        require(r.getAs[Long]("n_oov_tokens") >= r.getAs[Long]("n_oov_words"),
+          s"invariant: OOV words dropped from token counts in lang ${r.get(0)}")
+        require(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"),
+          s"invariant: encoded token count below word count in lang ${r.get(0)}")
+      }
     case "dedup_revision_chains" =>
       // the gate exists to exercise star contraction on a shape that
       // genuinely NEEDS the O(log n) algorithm (round 14: the operator

@@ -48,7 +48,8 @@ object RoutedRecallBench {
     val k = 10
     val truth = graft.operators.SimilarityOps.bruteForceTopK(t, 0L, k)
       .collect().map(_.getLong(0)).toSet
-    val widths = Seq(16, 64, 256, nlist)
+    val widths = (Seq(16, 64, 256, 1024, 4096) ++ Seq(nlist))
+      .filter(_ <= nlist).distinct
     val recalls = widths.map { np =>
       val ids = graft.operators.SimilarityOps
         .ivfRecallRoutedProbe(t, k, nlist, np)

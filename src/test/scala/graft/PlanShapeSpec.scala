@@ -180,6 +180,47 @@ class PlanShapeSpec extends SparkTestBase {
       "the corpus word-frequency aggregate must combine map-side")
   }
 
+  test("OOV encode replay regime: both dict joins broadcast, replay is mapPartitions") {
+    // ABOVE the 64-merge expression threshold (round-16 verdict item 4)
+    // the OOV side must plan as the broadcast mapPartitions replay: the
+    // distinct held-out vocabulary goes through the object-level merge
+    // replay (no SQL form at production table sizes) and comes back as a
+    // SECOND |OOV|-bounded broadcast left join — still no shuffle join
+    // anywhere, still one corpus aggregate exchange
+    val p = plan(TextOps.bpeEncodeOov(t, 66, "c"))
+    // ≥ 2: dict join + oov-replay join (the replay's INPUT subtree also
+    // re-plans the dict join to find the OOV words, so 3 appear in full)
+    assert(p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")) >= 2,
+      s"dict AND oov-replay joins must both broadcast as left joins:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"the replay regime must plan the object-level mapPartitions:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the vocab-bounded joins must never plan a shuffle join")
+  }
+
+  test("OOV encode dict join survives an auto-broadcast threshold cross") {
+    // round-16 verdict item 5: the dict is |vocab|-bounded by design,
+    // but a 32k-merge production dict can cross
+    // autoBroadcastJoinThreshold — without the explicit broadcast()
+    // hint, Catalyst would silently degrade the dict join to a
+    // sort-merge join that SHUFFLES THE CORPUS. Disabling auto-broadcast
+    // entirely is the strongest form of the cross: the hint alone must
+    // keep both regimes' joins broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      Seq(TextOps.bpeEncodeOov(t), TextOps.bpeEncodeOov(t, 66, "c")).foreach { df =>
+        val p = plan(df)
+        assert(p.contains("BroadcastHashJoin"),
+          s"dict join must stay broadcast with auto-broadcast off:\n$p")
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+          s"dict join degraded to a shuffle join:\n$p")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("routed-recall probe: partition-pruned to the probed cells, top-k without a global sort") {
     // the production probe of the routed index (round 16): nprobe = 64 of
     // 4096 cells must reach the scan as PARTITION filters (the probe
