@@ -507,6 +507,13 @@ object SparkEntry {
     // the worst case for coarse pruning — with measured per-width floors
     // and an exact close at the full sweep
     "ann_ivf_recall_routed" -> q(t => SimilarityOps.ivfRecallRoutedGate(t)),
+    // the same contract ABOVE the hier threshold (round-16 verdict item
+    // 3): nlist = 16384 — ncoarse = 128, pcoarse = 4, the regime where
+    // the two-level assignment is the measured production win (8.0 s
+    // flat vs 0.5 s routed per 200k vectors) — with floors measured on
+    // the sparse fixture indexes and an exact close at the full sweep
+    "ann_ivf_recall_routed_hier" ->
+      q(t => SimilarityOps.ivfRecallRoutedHierGate(t)),
     // incremental IVF maintenance (round-13): subset-built index +
     // zero-shuffle nearest-centroid append; conservation, id uniqueness,
     // full-probe exactness and nearest-assignment verdicts
@@ -926,6 +933,8 @@ object SparkEntry {
     // cost it meters is one wide probe
     "ann_ivf_recall_curve" -> q(t => SimilarityOps.ivfTopK(t, 0L, 10, 16, 8)),
     "ann_ivf_recall_routed" -> q(t => SimilarityOps.ivfRecallRoutedProbe(t)),
+    "ann_ivf_recall_routed_hier" ->
+      q(t => SimilarityOps.ivfRecallRoutedProbe(t, 10, 16384, 64)),
     // append gate embeds brute-force verification; the production cost is
     // the assignment projection over the ingest batch
     "ann_ivf_append" -> q(t => SimilarityOps.ivfAssignProbe(t)),
@@ -2655,6 +2664,15 @@ object SparkEntry {
         |       TRUE AS scores_exact, TRUE AS recall_monotone,
         |       TRUE AS recall_floor_met
         |FROM (VALUES (16),(64),(256),(4096)) AS t(nprobe)
+        |ORDER BY nprobe""".stripMargin,
+    // the deep-hier twin at nlist = 16384 (floors 1/5/7/8 at nprobe
+    // 16/64/256/1024, exact at the full sweep — GateInvariants
+    // recomputes the whole curve from fresh probes)
+    "ann_ivf_recall_routed_hier" ->
+      """SELECT CAST(nprobe AS INT) AS nprobe, CAST(10 AS BIGINT) AS n_neighbors,
+        |       TRUE AS scores_exact, TRUE AS recall_monotone,
+        |       TRUE AS recall_floor_met
+        |FROM (VALUES (16),(64),(256),(1024),(16384)) AS t(nprobe)
         |ORDER BY nprobe""".stripMargin,
     // append-maintenance contract: the oracle's count(*) makes the
     // subset-build + append conserve every source row; the verdicts land

@@ -434,6 +434,22 @@ object GateInvariants {
       require(fresh.forall { case (_, n, se, mono, floor) =>
         n == 10L && se && mono && floor },
         s"invariant: routed-ingest recall contract violated: $fresh")
+    case "ann_ivf_recall_routed_hier" =>
+      // the deep-hier twin (round-16 verdict item 3): same recompute
+      // discipline against the 16384-cell routed index — the index the
+      // gate probed is cached per generation, assignment is
+      // deterministic, so fresh probes must reproduce the curve exactly
+      val fresh = operators.SimilarityOps.ivfRecallRoutedRows(
+        core.Tables(spark, sfDir), 10, 16384,
+        Seq(16 -> 1, 64 -> 5, 256 -> 7, 1024 -> 8, 16384 -> 10))
+      val gateRows = df.orderBy("nprobe").collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4)))
+      require(gateRows.toSeq == fresh,
+        s"invariant: gate curve ${gateRows.toSeq} != fresh recompute $fresh")
+      require(fresh.forall { case (_, n, se, mono, floor) =>
+        n == 10L && se && mono && floor },
+        s"invariant: deep-hier routed recall contract violated: $fresh")
     case "ann_ivf_drift" =>
       // re-derive the drift verdicts from the appended index directory
       val tt = core.Tables(spark, sfDir)

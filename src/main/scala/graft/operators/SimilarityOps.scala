@@ -1119,6 +1119,38 @@ object SimilarityOps {
                            nprobe: Int = 64): DataFrame =
     ivfProbeOf(t, routedIngestIndexFor(t, nlist), 0L, k, nprobe)
 
+  /** The routed-recall gate ABOVE the hier threshold (round-16 verdict
+    * item 3): [[ivfRecallRoutedGate]]'s nlist = 4096 sits exactly AT the
+    * threshold, so the regime where the two-level assignment is the
+    * production win — nlist = 16384, where r15's measured flat scan took
+    * 8.0 s/200k vectors and the routed path 0.46-0.50 s
+    * (`bench_runs/r15_assign_scale.jsonl`) — had bench evidence but no
+    * oracle gate; a regression in the deep-hier path would only surface
+    * via bench archaeology. This sibling ingests every fixture vector
+    * through the 16384-cell isotropic index (ncoarse = 128, the ingest
+    * default pcoarse = 4, cell-coalesced layout — the exact production
+    * backfill shape; IvfAppendRoutingSpec pins the plan on THIS index's
+    * dir) and states recall floors per probe width. Floor calibration at
+    * k = 10, MEASURED across the sf0.001/0.01/0.1 fixtures (500-2000
+    * vectors, so cells are mostly singleton — the sparse-index worst
+    * case): 3-4 hits at nprobe = 16 (0.1% of cells), 7 at 64, 9-10 at
+    * 256 and 1024, 10 from 4096. Gated floors sit 1-2 under each band's
+    * low end for regeneration margin; the full sweep must close EXACT at
+    * k — which also proves the deep two-level append CONSERVED every
+    * vector.
+    */
+  def ivfRecallRoutedHierGate(t: Tables, k: Int = 10, nlist: Int = 16384,
+                              floors: Seq[(Int, Int)] =
+                                Seq(16 -> 1, 64 -> 5, 256 -> 7, 1024 -> 8,
+                                  16384 -> 10))
+      : DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    ivfRecallRoutedRows(t, k, nlist, floors)
+      .toDF("nprobe", "n_neighbors", "scores_exact", "recall_monotone",
+        "recall_floor_met")
+  }
+
   /** Hash-gated face of [[brpLshTopK]] (round-9, was rows-only). The
     * score tolerance covers the 1 − d²/2 reconstruction on unit vectors:
     * two 1e-6 roundings.

@@ -120,6 +120,45 @@ class IvfAppendRoutingSpec extends SparkTestBase {
       "the rebuilt 16-cell index must route back to the literal path")
   }
 
+  test("the 16384-cell routed-recall gate's OWN ingest plans the deep two-level expression") {
+    // round-16 verdict item 3: the deep-hier gate
+    // (ann_ivf_recall_routed_hier) must be probing an index whose ingest
+    // actually took the two-level path — pin the routed plan on the
+    // gate's own index dir, not a synthetic surrogate: ncoarse = √16384
+    // = 128 at the ingest default pcoarse = 4, join-free, exchange-free
+    val dir = SimilarityOps.routedIngestIndexFor(t, 16384)
+    val df = SimilarityOps.ivfAssignForIngest(spark, dir, batch)
+    val plan = planOf(df)
+    assert(plan.contains("IvfCentroidTable(nlist=16384, ncoarse=128, pcoarse=4)"),
+      s"the gate's ingest must ride the deep two-level table:\n$plan")
+    assert(!plan.contains("Join"), "routed ingest must not plan a join")
+    assert(exchangeInputs(df).isEmpty,
+      "routed ingest assignment must not shuffle the batch")
+  }
+
+  test("coalesceCells lands at most one vector file per non-empty cell on a wide backfill") {
+    // round-16 fix, previously bench-verified only: the default
+    // zero-shuffle append writes one file per (task, cell) — a wide
+    // backfill from many tasks mints O(tasks·cells) near-empty files
+    // (measured ~10⁵ at 200k×4096×32). With coalesceCells the batch is
+    // repartitioned BY CELL first, so the layout contract is ≤ one file
+    // per non-empty cell regardless of input partitioning.
+    val dir = writeCentroids(64)
+    SimilarityOps.appendToIvfIndex(spark, dir,
+      batch.repartition(8), coalesceCells = true)
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    val nonEmptyCells = vecs.select("cell").distinct().count()
+    val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/vectors"))
+    val nFiles =
+      try stream.filter(p => p.toString.endsWith(".parquet")).count()
+      finally stream.close()
+    assert(nFiles <= nonEmptyCells,
+      s"coalesced backfill wrote $nFiles files for $nonEmptyCells non-empty " +
+        "cells — the one-file-per-cell layout contract broke")
+    assert(vecs.count() == batch.count(),
+      "the coalesced layout must conserve every appended row")
+  }
+
   test("non-finite embeddings assign to the same deterministic valid cell on both paths") {
     val dir = writeCentroids(16)
     val bad = Seq(
