@@ -65,6 +65,12 @@ import org.apache.spark.sql.SparkSession
   * included, per the round-16 advice that the IO-bound rows had no
   * trip baseline). The medians themselves are a generated committed
   * resource derived from the archived quiet legs, not a hand-kept map.
+  * Every reported run additionally meters its stop-the-world GC
+  * seconds ([[gcTotalSec]] deltas; `query_gc_sec` on the archival
+  * line, `sf1_gc_tripped` on the compact line) — the one in-JVM
+  * contention axis neither probe sees, so a row that trips with quiet
+  * probes adjudicates between heap pressure and external tilt from
+  * the artifact alone.
   */
 object Bench {
 
@@ -84,7 +90,20 @@ object Bench {
       sf1Remeasured: Seq[(String, (Double, Double))],
       failed: Seq[String],
       queryCpu: Seq[(String, Double)],
+      queryGc: Seq[(String, Double)],
       cpuPct: Double)
+
+  /** Cumulative stop-the-world collection time reported by every GC
+    * bean, in seconds — deltas across a timed span attribute that
+    * span's GC pauses (round-17; see the `queryGc` rationale in
+    * [[runSuite]]). Beans that don't track time report -1 and are
+    * floored to 0.
+    */
+  private[graft] def gcTotalSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
 
   private def runSuite(spark: SparkSession, sfDir: String,
                        only: Option[Set[String]]): SuiteRun = {
@@ -113,29 +132,42 @@ object Bench {
     // scheduling-bound query reads low, a parallel scan reads high.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val queryCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // GC attribution (round-17): the r16 dedup_minhash sf1 row tripped
+    // the 3x rule on BOTH passes while BOTH probe axes read quiet — a
+    // third contention axis neither the CPU spin nor the bandwidth
+    // fixture sees. Stop-the-world GC is the one in-JVM axis we can
+    // meter directly, so each reported run also ships the GC seconds
+    // that accrued during it: a tripped row with gc ≈ the wall gap
+    // adjudicates as JVM heap pressure; gc ≈ 0 points outside the JVM
+    // (page cache, scheduler, a noisy neighbor).
+    val queryGc = scala.collection.mutable.LinkedHashMap[String, Double]()
     // timedBoth exposes both raw wall times alongside the min — the sf1
     // leg records them so a cold-cache first run (r12's 17.3 s driver row
     // vs 5.3-6.6 s quiet archives) is attributable IN the artifact: two
     // slow runs reads as contention/data, one slow + one fast as cold init.
     def timedBoth(name: String)(body: => Unit): (Double, Double, Double) = {
-      def once(): (Double, Double) = {
+      def once(): (Double, Double, Double) = {
+        val g0 = gcTotalSec()
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         try body
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failed += name
-          return (-1.0, -1.0)
+          return (-1.0, -1.0, -1.0)
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-        (wall, 100.0 * cpu / (wall * Runtime.getRuntime.availableProcessors()))
+        (wall, 100.0 * cpu / (wall * Runtime.getRuntime.availableProcessors()),
+          gcTotalSec() - g0)
       }
       val (a, b) = (once(), once())
-      if (a._1 < 0 || b._1 < 0) { queryCpu(name) = -1.0; (-1.0, a._1, b._1) }
-      else {
+      if (a._1 < 0 || b._1 < 0) {
+        queryCpu(name) = -1.0; queryGc(name) = -1.0; (-1.0, a._1, b._1)
+      } else {
         val best = if (a._1 <= b._1) a else b
         queryCpu(name) = math.round(best._2 * 10) / 10.0
+        queryGc(name) = math.round(best._3 * 1000) / 1000.0
         (best._1, a._1, b._1)
       }
     }
@@ -288,6 +320,8 @@ object Bench {
         BenchCalibration.measureBandwidth(spark) / BenchCalibration.bwReference)
       def sf1CpuSlice(): Seq[(String, Double)] =
         queryCpu.toSeq.filter(_._1.startsWith("sf1:"))
+      def sf1GcSlice(): Seq[(String, Double)] =
+        queryGc.toSeq.filter(_._1.startsWith("sf1:"))
       // CSV for the leg's sample_loading row, derived once untimed (the
       // content is deterministic — both passes and any remeasure time
       // the identical workload over identical bytes)
@@ -329,7 +363,8 @@ object Bench {
               }
             } finally { feat.unpersist(); () }
           val post = legProbe()
-          LegPass(rows, runs.toSeq, pre.rounded, post.rounded, sf1CpuSlice())
+          LegPass(rows, runs.toSeq, pre.rounded, post.rounded,
+            sf1CpuSlice(), sf1GcSlice())
         }
         // Targeted single-row re-measure (round-16 verdict item 1): when
         // a row trips the 3x rule on BOTH leg passes, the old behavior
@@ -338,6 +373,7 @@ object Bench {
         // the probes to read quiet — bounded, never more than ~40 s) and
         // the reported wall is the min over everything observed.
         val remCpu = scala.collection.mutable.Map[String, Double]()
+        val remGc = scala.collection.mutable.Map[String, Double]()
         def remeasureRow(n: String): (Double, Double) = {
           Thread.sleep(5000)
           var waits = 0
@@ -360,14 +396,18 @@ object Bench {
               } finally { feat.unpersist(); () }
             }
           queryCpu.get(s"sf1:$n").foreach(remCpu(n) = _)
+          queryGc.get(s"sf1:$n").foreach(remGc(n) = _)
           (math.round(r1 * 1000) / 1000.0, math.round(r2 * 1000) / 1000.0)
         }
         val outcome = resolveSf1Leg(() => runLeg(), remeasureRow, sf1QuietMedians)
         // the reported per-query CPU must belong to the REPORTED rows —
         // chosen leg first, then any adopted remeasure overrides its row
         outcome.cpu.foreach { case (k, v) => queryCpu(k) = v }
-        outcome.adopted.foreach(n =>
-          remCpu.get(n).foreach(queryCpu(s"sf1:$n") = _))
+        outcome.gc.foreach { case (k, v) => queryGc(k) = v }
+        outcome.adopted.foreach { n =>
+          remCpu.get(n).foreach(queryCpu(s"sf1:$n") = _)
+          remGc.get(n).foreach(queryGc(s"sf1:$n") = _)
+        }
         sf1Results = outcome.rows
         sf1Runs = outcome.runs
         sf1Calib = outcome.pre
@@ -387,7 +427,7 @@ object Bench {
     SuiteRun(results, sf1Results, sf1Runs,
       sf1Calib, sf1CalibPost,
       sf1LegRerun, sf1Probes, sf1Trips, sf1Remeasured,
-      failed.toSeq, queryCpu.toSeq, cpuPct)
+      failed.toSeq, queryCpu.toSeq, queryGc.toSeq, cpuPct)
   }
 
   /** One pass over the sf1 headline leg: the rows (min-of-2 walls), both
@@ -400,7 +440,8 @@ object Bench {
       runs: Seq[(String, (Double, Double))],
       pre: BenchCalibration.Probes,
       post: BenchCalibration.Probes,
-      cpu: Seq[(String, Double)])
+      cpu: Seq[(String, Double)],
+      gc: Seq[(String, Double)])
 
   /** The resolved sf1 leg after rerun selection and targeted re-measure:
     * `rows` carry the reported walls (min over the chosen pass and any
@@ -418,7 +459,8 @@ object Bench {
       trips: Seq[String],
       remeasured: Seq[(String, (Double, Double))],
       adopted: Set[String],
-      cpu: Seq[(String, Double)])
+      cpu: Seq[(String, Double)],
+      gc: Seq[(String, Double)])
 
   /** Row-level trip wire (round-16 verdict item 1): the r15 driver leg
     * shipped q1 at 12.3-20.0 s (same-code quiet legs: 0.67-0.69 s) with
@@ -489,7 +531,7 @@ object Bench {
       }
     }
     LegOutcome(finalRows, leg.runs, leg.pre, leg.post, rerun, probes,
-      tripsOf(finalRows, medians), remeasured, adopted, leg.cpu)
+      tripsOf(finalRows, medians), remeasured, adopted, leg.cpu, leg.gc)
   }
 
   /** The reference's sample-loading phase body, shared by the suite row
@@ -754,6 +796,8 @@ object Bench {
     val failedJson = run.failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qcpu = run.queryCpu.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qgc = run.queryGc.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val sf1Json = run.sf1Results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // leg-level evidence for the sf1 rows: both raw runs per row + the
@@ -793,6 +837,15 @@ object Bench {
     val sf1MediansTrippedJson = mediansJsonOf(run.sf1Trips)
     val sf1RunsTrippedJson =
       runsJsonOf(run.sf1Runs.filter(r => run.sf1Trips.contains(r._1)))
+    // GC context for tripped rows (round-17, the third-axis
+    // adjudicator): the reported run's stop-the-world GC seconds — a
+    // tripped wall that is mostly GC reads as heap pressure; near-zero
+    // GC points outside the JVM. Compact line carries tripped rows
+    // only; the archival line has the full query_gc_sec map.
+    val gcMap = run.queryGc.toMap
+    val sf1GcTrippedJson = run.sf1Trips
+      .flatMap(n => gcMap.get(s"sf1:$n").map(g => "\"" + n + "\":" + g))
+      .mkString("{", ",", "}")
     // overhead floor (see overheadFloorGates doc) + the total with that
     // floor subtracted per row — the "how much of the total is per-row
     // harness cost" readout
@@ -850,14 +903,14 @@ object Bench {
     //  - line 2 (FINAL, driver-parsed): a compact record — suite total plus
     //    the headline queries graded against BASELINE.md — guaranteed to
     //    fit the tail window whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansAllJson,$floorJson,"ceiling_rows":$ceilingJson,"variance_rows":$varianceJson,"workload":$workload,"workload_sf1":$workloadSf1,"ml_model_fit_secs":$mlWallsJson,"streaming_meter":$streamMeterJson,"query_cpu_percent":$qcpu,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries_sf1_runs":$sf1RunsJson,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansAllJson,$floorJson,"ceiling_rows":$ceilingJson,"variance_rows":$varianceJson,"workload":$workload,"workload_sf1":$workloadSf1,"ml_model_fit_secs":$mlWallsJson,"streaming_meter":$streamMeterJson,"query_cpu_percent":$qcpu,"query_gc_sec":$qgc,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries_sf1_runs":$sf1RunsJson,"queries":$qs}""")
     val resultMap = results.toMap
     val headQs = headline.flatMap(k => resultMap.get(k).map(v =>
         "\"" + k + "\":" + math.round(v * 1000) / 1000.0))
       .mkString("{", ",", "}")
     val headSf1 = run.sf1Results.map { case (k, v) =>
       "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansTrippedJson,$floorJson,"workload":$workload,"fixture_digest_sf1":"$sf1Digest","n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries_sf1_runs":$sf1RunsTrippedJson,"queries":$headQs}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansTrippedJson,"sf1_gc_tripped":$sf1GcTrippedJson,$floorJson,"workload":$workload,"fixture_digest_sf1":"$sf1Digest","n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries_sf1_runs":$sf1RunsTrippedJson,"queries":$headQs}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured

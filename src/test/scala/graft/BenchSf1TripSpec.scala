@@ -23,7 +23,8 @@ class BenchSf1TripSpec extends AnyFunSuite {
     Bench.LegPass(rows,
       rows.map { case (n, v) => n -> (v, v + 0.1) },
       pre, post,
-      rows.map { case (n, _) => s"sf1:$n" -> 50.0 })
+      rows.map { case (n, _) => s"sf1:$n" -> 50.0 },
+      rows.map { case (n, _) => s"sf1:$n" -> 0.05 })
 
   private val medians = Map("qa" -> 1.0, "qb" -> 2.0)
 
@@ -61,6 +62,20 @@ class BenchSf1TripSpec extends AnyFunSuite {
     assert(out.rerun && out.probes.size == 2)
     assert(out.rows == Seq("qa" -> 0.8), "quieter second pass must be kept")
     assert(out.trips.isEmpty && out.remeasured.isEmpty)
+    assert(out.cpu == Seq("sf1:qa" -> 50.0) && out.gc == Seq("sf1:qa" -> 0.05),
+      "the chosen pass's cpu AND gc slices must ship, not the mix")
+  }
+
+  test("gcTotalSec is non-negative and never decreases") {
+    val g0 = Bench.gcTotalSec()
+    assert(g0 >= 0.0)
+    // provoke collection work; explicit gc may be a no-op on some JVMs,
+    // so the assertion is monotonicity, not a strict increase
+    var junk: Array[Byte] = null
+    (1 to 50).foreach { _ => junk = new Array[Byte](4 << 20) }
+    require(junk != null)
+    System.gc()
+    assert(Bench.gcTotalSec() >= g0, "cumulative GC time must not go backwards")
   }
 
   test("row tripping both passes gets a targeted re-measure; a quiet " +
