@@ -470,7 +470,7 @@ object SparkEntry {
     "graph_community_leaders" -> q(t => GraphOps.communityLeaders(t)),
     "dedup_incremental"   -> q(t => DedupOps.incrementalDedup(t, "src0")),
     "dedup_decontaminate" -> q(t => DedupOps.decontaminate(t, "src15")),
-    "dedup_substring_spans" -> q(t => DedupOps.duplicateSpans(t.documents)),
+    "dedup_substring_spans" -> q(t => DedupOps.duplicateSpans(t.documentsBalanced)),
     // composed intake pipeline: quality → repetition → exact-dup →
     // decontamination, first-failing reason per doc + per-source rollup
     "pipeline_intake_decisions" -> q(t => PipelineOps.intakeDecisions(t)),

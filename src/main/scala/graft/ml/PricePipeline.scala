@@ -281,6 +281,13 @@ object PricePipeline {
           .setLabelCol("label").setPredictionCol("prediction"))
         .setNumFolds(3)
         .setSeed(42)
+        // round-17: the 3-fold x 2-point sweep is 6 independent seeded
+        // fits over one cached frame — CrossValidator's own job-level
+        // parallelism knob interleaves them (the metricsTable posture;
+        // guide §2.6 "overlap independent jobs"). Fold assignment and
+        // every fit are seeded, so avgMetrics and the winner are
+        // unchanged; only the scheduling overlaps.
+        .setParallelism(3)
       val model = cv.fit(data)
       val bestReg = model.bestModel.asInstanceOf[LinearRegressionModel].getRegParam
       grid.zip(model.avgMetrics).toSeq

@@ -30,7 +30,7 @@ object Recommender {
         .setVocabSize(1 << 16).setMinDF(1.0),
       new IDF().setInputCol("tf").setOutputCol("tfidf").setMinDocFreq(5),
       new Normalizer().setInputCol("tfidf").setOutputCol("features_norm").setP(2.0)))
-    val docs = t.documents.select("doc_id", "text", "lang", "source")
+    val docs = t.documentsBalanced.select("doc_id", "text", "lang", "source")
     pipeline.fit(docs).transform(docs)
       .select("doc_id", "lang", "source", "features_norm")
   }

@@ -123,7 +123,7 @@ object MultimodalOps {
     */
   def syntheticAssets(t: Tables): Dataset[Asset] = {
     import t.spark.implicits._
-    t.documents.select(col("doc_id"), col("source")).as[(Long, String)]
+    t.documentsBalanced.select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, source) =>
           val (w, h) = assetDims(id)
@@ -367,7 +367,7 @@ object MultimodalOps {
     * for the object-store video fetch. */
   def syntheticVideos(t: Tables): Dataset[VideoAsset] = {
     import t.spark.implicits._
-    t.documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    t.documentsBalanced.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val nf = videoFrameCount(id)
         val bos = new ByteArrayOutputStream()
@@ -456,7 +456,7 @@ object MultimodalOps {
     */
   def syntheticVideosShared(t: Tables): Dataset[VideoAsset] = {
     import t.spark.implicits._
-    t.documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    t.documentsBalanced.select(col("doc_id")).as[Long].mapPartitions { it =>
       // only 7×8 distinct patterns exist BY CONSTRUCTION — render each
       // once per partition instead of once per frame (PNG encoding was
       // 98% of the synthesis wall at the sf10 decade leg; the fixture is

@@ -133,7 +133,7 @@ object DedupOps {
     * DuckDB oracle.
     */
   def decontaminate(t: Tables, evalSource: String = "src15", n: Int = 3): DataFrame = {
-    val docs = t.documents.select(
+    val docs = t.documentsBalanced.select(
       col("doc_id"), col("source"), shingleHashSet(col("text"), n).as("sh"))
     val evalShingles = docs.filter(col("source") === evalSource)
       .select(explode(col("sh")).as("s")).distinct()
@@ -249,7 +249,7 @@ object DedupOps {
     * boilerplate shingles.
     */
   private def shingleCandidatePairs(t: Tables, maxDf: Int): DataFrame = {
-    val docs = t.documents
+    val docs = t.documentsBalanced
       .select(col("doc_id"), shingleHashSet(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
@@ -361,7 +361,7 @@ object DedupOps {
   def minhashCandidatePairs(t: Tables, k: Int = 16, bands: Int = 8,
                             maxBand: Int = 1000): DataFrame = {
     val banded = bandedDocs(
-        t.documents.withColumn("h2", substring(md5(col("text")), 1, 2)),
+        t.documentsBalanced.withColumn("h2", substring(md5(col("text")), 1, 2)),
         k, bands, carry = Seq("h2"))
       .select("doc_id", "band", "h2")
     val bandDf = banded.groupBy("band").agg(count(lit(1)).as("bdf"))
@@ -411,7 +411,7 @@ object DedupOps {
     // one shingle set per doc (the banded frame repeats it per band row);
     // recomputing the hashed set here is pure codegen CPU — far cheaper
     // than carrying it through the band exchanges
-    val sh = t.documents
+    val sh = t.documentsBalanced
       .select(col("doc_id"), shingleHashSet(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -580,7 +580,7 @@ object DedupOps {
     */
   def minhashDupPairsMllib(t: Tables, minJaccard: Double = 0.8,
                            numHashTables: Int = 8): DataFrame =
-    minhashDupPairsMllibOn(t.documents, minJaccard, numHashTables)
+    minhashDupPairsMllibOn(t.documentsBalanced, minJaccard, numHashTables)
 
   def minhashDupPairsMllibOn(documents: DataFrame, minJaccard: Double = 0.8,
                              numHashTables: Int = 8): DataFrame = {
@@ -660,7 +660,7 @@ object DedupOps {
       val a = ascii(substring(col("h"), p + 1, 1))
       when(a >= 97, a - 87).otherwise(a - 48)
     }
-    val bitSums = t.documents
+    val bitSums = t.documentsBalanced
       .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
       .select(col("doc_id"), md5(col("tk")).as("h"))
       .select(col("doc_id") +: (0 until 16).map(p => nib(p).as(s"n$p")): _*)
@@ -784,7 +784,7 @@ object DedupOps {
     */
   def minhashHotBandStats(t: Tables, k: Int = 16, bands: Int = 8,
                           maxBand: Int = 1000): DataFrame =
-    bandedDocs(t.documents, k, bands)
+    bandedDocs(t.documentsBalanced, k, bands)
       .groupBy("band")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBand)

@@ -36,7 +36,7 @@ object PipelineOps {
       minTokens: Int = 20,
       maxTokens: Int = 100,
       minStopRatio: Double = 0.05): DataFrame = {
-    val cand = t.documents
+    val cand = t.documentsBalanced
       .filter(col("source") =!= evalSource)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).as("n_tokens"),

@@ -38,7 +38,7 @@ object TextOps {
 
   /** Per-document quality scores, aggregated per language label. */
   def qualityByLang(t: Tables): DataFrame =
-    t.documents
+    t.documentsBalanced
       .select(
         col("lang"),
         qualityScore(col("text")).as("q"),
@@ -74,7 +74,7 @@ object TextOps {
     // Grouping carries (doc_id, doc_md5) — hashing the text BEFORE the
     // explode so the exchange key is a 32-char digest, never the document
     // body ("shuffle digests, not documents").
-    t.documents
+    t.documentsBalanced
       .select(col("doc_id"), md5(col("text")).as("doc_md5"),
         explode_outer(shingles(col("text"), 3)).as("s"))
       .groupBy("doc_id", "doc_md5")
@@ -85,7 +85,7 @@ object TextOps {
     * determinism is covered by tests; not SQL-oracle-expressible).
     */
   def rollingHashes(t: Tables): DataFrame =
-    t.documents
+    t.documentsBalanced
       .select(col("doc_id"), rollingHash(col("text")).as("rolling_hash"))
 
   /** U1-style keyword categorization (native when-chain, no UDF) rolled up
@@ -165,7 +165,7 @@ object TextOps {
     * keeps docs in a token-length band with healthy stopword share.
     */
   def qualityFilter(t: Tables): DataFrame =
-    t.documents
+    t.documentsBalanced
       .withColumn("n_tokens", size(tokens(col("text"))))
       .filter(col("n_tokens") >= 20 && col("n_tokens") <= 100)
       .filter(stopwordRatio(col("text")) >= 0.05)
@@ -191,7 +191,7 @@ object TextOps {
     */
   def repetitionStats(t: Tables, maxTopTokFrac: Double = 0.2,
                       maxDupBigramFrac: Double = 0.3): DataFrame = {
-    val bigrams = t.documents
+    val bigrams = t.documentsBalanced
       .withColumn("bg", shingles(col("text"), 2))
       .select(
         col("doc_id"), col("source"),
@@ -200,7 +200,7 @@ object TextOps {
             (size(col("bg")) - size(array_distinct(col("bg")))).cast("double")
               / size(col("bg")), 4))
           .as("dup_bigram_frac"))
-    val dominance = t.documents
+    val dominance = t.documentsBalanced
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
       .groupBy("doc_id", "h")
@@ -364,7 +364,7 @@ object TextOps {
     * quantile, and keep-count).
     */
   def calibratedQualityCutoffs(t: Tables): DataFrame = {
-    val scored = t.documents
+    val scored = t.documentsBalanced
       .select(col("lang"), qualityScore(col("text")).as("q"))
     val cuts = scored.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),

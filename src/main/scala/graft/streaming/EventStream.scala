@@ -86,7 +86,8 @@ object EventStream {
     * sums per event type. Late events beyond 2 hours are dropped — state
     * stays bounded however long the stream runs.
     */
-  def hourlyCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def hourlyCounts(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
@@ -110,7 +111,8 @@ object EventStream {
     * Emits per-type counts of the deduplicated stream; equals the batch
     * distinct count, which the oracle checks.
     */
-  def dedupCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def dedupCounts(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
@@ -139,7 +141,8 @@ object EventStream {
     * forbids count(DISTINCT), so this emits n_events only — the batch
     * gate keeps the distinct-user column).
     */
-  def intervalJoinStreaming(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def intervalJoinStreaming(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val wb = graft.operators.EventOps
       .busyWindowBuckets(graft.core.Tables(spark, dir), 20)
     val agg = readEvents(spark, dir)
@@ -225,7 +228,8 @@ object EventStream {
     * pair set is exactly the batch interval join, which the oracle states
     * directly; the per-user rollup runs in batch on the drained sink.
     */
-  def clickPurchaseJoin(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def clickPurchaseJoin(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val clicks = readEvents(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("u"), col("ts").as("click_ts"))
@@ -276,7 +280,8 @@ object EventStream {
     * item 4). The oracle states that contract directly: batch sessions
     * QUALIFY session_id < max(session_id) per user.
     */
-  def sessionize(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     import spark.implicits._
     val ds = readEvents(spark, dir).as[Ev]
     val out = ds
@@ -333,7 +338,8 @@ object EventStream {
     * deployment flips to append + watermark eviction, the mode the
     * session twin exercises).
     */
-  def slidingCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def slidingCounts(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "2 hours", "1 hour").getField("start").as("win_start"),
@@ -361,7 +367,8 @@ object EventStream {
     * session twin) — the open tail windows stay in state, and the oracle
     * states that closed-window predicate directly.
     */
-  def hourlyCountsAppend(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def hourlyCountsAppend(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -385,7 +392,8 @@ object EventStream {
     * closes when the watermark passes `win_start + 2 h`, so at any moment
     * at most (delay + width) / slide windows per key are live.
     */
-  def slidingCountsAppend(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def slidingCountsAppend(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
@@ -417,7 +425,8 @@ object EventStream {
     * sessions of the session twin. The gate rolls up per user: matched
     * pair count and closed unmatched count.
     */
-  def clickPurchaseLeftJoin(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def clickPurchaseLeftJoin(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val clicks = readEvents(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("u"), col("ts").as("click_ts"))
@@ -459,7 +468,8 @@ object EventStream {
     * user: matched pairs, closed unmatched clicks, closed unmatched
     * purchases.
     */
-  def clickPurchaseFullJoin(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def clickPurchaseFullJoin(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val clicks = readEvents(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("u"), col("ts").as("click_ts"))
@@ -504,7 +514,8 @@ object EventStream {
     * (max event time − 2 h) — the open tails stay unemitted, and the
     * oracle states that closed-session predicate directly.
     */
-  def sessionizeNativeWindows(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  def sessionizeNativeWindows(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -606,7 +617,8 @@ object EventStream {
   }
   private val upsertCalls = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def foreachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+  def foreachBatchUpsert(spark: SparkSession, dir: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     val call = upsertCalls.incrementAndGet()
     val (targetRoot, ckptRoot) = upsertDirs
     // the previous call's final version is dead once a new call begins
@@ -662,7 +674,8 @@ object EventStream {
     * zero-trigger or truncated ledger would break the hash loudly).
     */
   def progressLedger(spark: SparkSession, dir: String,
-                     queryName: String): DataFrame = {
+                     queryName: String): DataFrame =
+    StreamTuning.withStatePartitions(spark, dir, "events.parquet") {
     import spark.implicits._
     val counts = readEvents(spark, dir)
       .groupBy(col("event_type"))

@@ -57,8 +57,26 @@ object StreamMeter {
     * trips `capped`, and the id recovery would have shipped the
     * cross-run total; StreamMeterSpec drives that case live).
     */
+  /** Last drained run's micro-batch physical plan per gate (round-17):
+    * `q.explain()` renders the executed streaming plan — state-store
+    * operators and exchange partition counts included — which is the
+    * only place the state-partition sizing ([[StreamTuning]]) is
+    * observable; batch `DataFrame.explain` on a gate's drained output
+    * never shows the stream side. Captured before `stop()` (the plan is
+    * gone afterwards), kept for the plan-evidence dumps.
+    */
+  private val plans =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def lastPlan(gate: String): Option[String] = plans.get(gate)
+
   def drain(q: StreamingQuery, gate: String, resumed: Boolean = false): Unit = {
     q.processAllAvailable()
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(q.explain())
+      plans.put(gate, bos.toString("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
     q.stop()
     val prog = q.recentProgress
     val retention =
