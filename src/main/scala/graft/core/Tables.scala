@@ -132,15 +132,6 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def lineitemBalanced: DataFrame = balancedByKey("lineitem", "l_orderkey")
 
-  /** [[events]] rebalanced for per-row-heavy consumers (JSON parsing,
-    * per-event feature math) — same contract as [[documentsBalanced]].
-    */
-  def eventsBalanced: DataFrame = {
-    if (sys.env.get("SPARK_GRAFT_SCAN_REBALANCE").contains("off")) events
-    else if (scanUnits("events") >= spark.sparkContext.defaultParallelism) events
-    else events.repartition(spark.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col("event_id"))
-  }
 }
 
 object Tables {

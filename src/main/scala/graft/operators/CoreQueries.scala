@@ -388,7 +388,7 @@ object CoreQueries {
     * boolean and the hash goes red, instead of hiding behind rows-only.
     */
   def aggApproxDistinct(t: Tables): DataFrame =
-    t.lineitemBalanced
+    t.lineitem
       .groupBy("l_returnflag")
       .agg(
         countDistinct("l_partkey").as("n_exact"),
@@ -845,7 +845,7 @@ object CoreQueries {
     * the already-k-bounded merge input, never the corpus.
     */
   def sketchKmvMerge(t: Tables, k: Int = 32): DataFrame =
-    sketchKmvMergeOn(t.documentsBalanced, k)
+    sketchKmvMergeOn(t.documents, k)
 
   /** [[sketchKmvMerge]] over an explicit (source, text) frame — the spec
     * seam for sub-k and hand-built shard corpora. */
@@ -907,7 +907,7 @@ object CoreQueries {
     *    plausible drift.
     */
   def sketchHllMerge(t: Tables, lgK: Int = 12): DataFrame =
-    sketchHllMergeOn(t.documentsBalanced, lgK)
+    sketchHllMergeOn(t.documents, lgK)
 
   /** [[sketchHllMerge]] over an explicit (source, text) frame. */
   def sketchHllMergeOn(docs: DataFrame, lgK: Int): DataFrame = {
@@ -957,7 +957,7 @@ object CoreQueries {
     Tables.cachedPathPerGeneration(hllSketchDirCache, t.dir, "documents.parquet") {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_hll_sketch_table").toString
-      t.documentsBalanced.filter(col("text").isNotNull)
+      t.documents.filter(col("text").isNotNull)
         .groupBy("source")
         .agg(hll_sketch_agg(col("text"), lgK).as("sk"))
         .write.mode("overwrite").parquet(dir)
@@ -994,7 +994,7 @@ object CoreQueries {
     val fromStorage = stored.agg(
       count(lit(1)).as("stored_rows"),
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("stored_est"))
-    val d = t.documentsBalanced.filter(col("text").isNotNull)
+    val d = t.documents.filter(col("text").isNotNull)
     val live = d.groupBy("source")
       .agg(hll_sketch_agg(col("text"), lgK).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("live_est"))

@@ -70,9 +70,17 @@ object StreamMeter {
 
   def lastPlan(gate: String): Option[String] = plans.get(gate)
 
+  /** Plan capture is opt-in (`SPARK_GRAFT_STREAM_PLAN=1`, set by the
+    * PlanDump tool): rendering a complex micro-batch plan costs real
+    * milliseconds inside the gates' timed drain, and the bench must not
+    * pay for evidence it isn't collecting (measured ~0.3–0.6 s on the
+    * banded flatMapGroupsWithState gates).
+    */
+  private val capturePlans = sys.env.get("SPARK_GRAFT_STREAM_PLAN").contains("1")
+
   def drain(q: StreamingQuery, gate: String, resumed: Boolean = false): Unit = {
     q.processAllAvailable()
-    try {
+    if (capturePlans) try {
       val bos = new java.io.ByteArrayOutputStream()
       Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(q.explain())
       plans.put(gate, bos.toString("UTF-8"))

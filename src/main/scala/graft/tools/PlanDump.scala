@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   *
   * `sbt 'runMain graft.tools.PlanDump <outDir> <suffix> <name>[,<name>…] [sfDir]'`
   *
+  * For streaming gates, additionally set `SPARK_GRAFT_STREAM_PLAN=1` so
+  * StreamMeter captures the micro-batch plan (it is opt-in — the capture
+  * costs milliseconds inside the gates' timed drains, which the bench
+  * must not pay).
+  *
   * Each query lands at `<outDir>/<name>_<suffix>.txt`. The session mirrors
   * Bench's (extensions, UTC, ANSI off, shuffle partitions = cores) so the
   * dumped plan is the one the bench times, not a differently-configured
