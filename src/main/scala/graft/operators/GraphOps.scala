@@ -82,16 +82,24 @@ object GraphOps {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src"))
         .agg(min("label").as("nmin"))
+      // the changed-label count rides the checkpoint job via observe()
+      // (round-17, same rationale as the star-contraction checksum): the
+      // separate filter().count() action per round doubled the loop's
+      // synchronized job count for the same scalar.
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_changed_$rounds")
       val updated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(
           col("id"),
           col("label").as("old_label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .observe(obs, coalesce(sum(
+          when(col("label") < col("old_label"), 1L).otherwise(0L)), lit(0L))
+          .as("changed"))
         .localCheckpoint(true)
       changed2 = prev
       prev = changed
-      changed = updated.filter(col("label") < col("old_label")).count()
+      changed = obs.get.apply("changed").asInstanceOf[Long]
       labels = updated.select("id", "label")
       rounds += 1
       // not halving every two rounds after the optimistic window ⇒ a
@@ -133,20 +141,29 @@ object GraphOps {
       .distinct()
       .localCheckpoint(true)
 
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
+    // convergence scalars ride the checkpoint job via observe()
+    // (round-17): the loop is driver-latency-bound on a small edge list,
+    // and a separate checksum action per round doubled the synchronized
+    // job count. CollectMetrics evaluates during the eager checkpoint's
+    // own pass, so each round is ONE job; the checkpointed frame's
+    // lineage is already truncated past the metrics node, so downstream
+    // consumers never re-fire it. Metric values are identical to the
+    // old separate aggregate (count + hash-sum over the same rows).
+    def checkpointWithSig(e: DataFrame, round: Int): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_sig_$round")
+      val out = e.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (out, (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long]))
     }
 
-    var edges = p0.distinct().localCheckpoint(true)
-    var sig    = checksum(edges)
+    var (edges, sig) = checkpointWithSig(p0.distinct(), 0)
     var rounds = 0
     var done   = false
     while (!done && rounds < maxRounds) {
-      val next    = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextSig = checksum(next)
+      val (next, nextSig) = checkpointWithSig(smallStar(largeStar(edges)), rounds + 1)
       done = nextSig == sig
       edges = next
       sig = nextSig
