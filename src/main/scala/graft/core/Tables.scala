@@ -78,7 +78,13 @@ final case class Tables(spark: SparkSession, dir: String) {
             fs.listStatus(root).toSeq
               .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           else Seq(fs.getFileStatus(root))
-        files.map { st =>
+        // an EMPTY listing means a layout this non-recursive walk cannot
+        // see (hive-partitioned/nested part files) — report "assume
+        // parallel" like the unreadable case, so balancedByKey never adds
+        // an exchange on a layout it didn't actually measure (round-18
+        // advice; 0 would have made the condition fire unconditionally)
+        if (files.isEmpty) Int.MaxValue
+        else files.map { st =>
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
           try reader.getRowGroups.size

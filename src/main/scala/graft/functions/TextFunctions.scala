@@ -41,6 +41,23 @@ object TextFunctions {
   /** Distinct shingle set (for Jaccard). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
+  /** Cheap scan-side equivalent of `size(shingleSet(text, n)) > 0` /
+    * `size(shingleHashSet(text, n)) > 0` (round-18, guide §1.2 "per-task
+    * work" + §7.2 duplicated subtrees): a filter phrased over the shingle
+    * ARRAY gets predicate-pushed below the scan-rebalance exchange, where
+    * it re-evaluates the whole shingle pipeline ON THE SCAN TASK — the
+    * exact serial pass the rebalance exists to avoid — while the
+    * projection above the exchange computes it again. The shingle count
+    * is `max(0, n_tokens − (n−1))` by construction (the zip_with tail
+    * padding nulls exactly the last n−1 slots, and `array_distinct` of a
+    * non-empty array is non-empty), so "any shingle survives" is
+    * precisely "at least n whitespace tokens" — one `split` at the scan
+    * instead of the full shingle/hash chain. Null text: `size(tokens)`
+    * is null, the comparison is null, the row drops — identical to
+    * `size(null shingle array) > 0`.
+    */
+  def hasShingles(text: Column, n: Int): Column = size(tokens(text)) >= n
+
   /** Distinct shingles hashed to 64-bit keys. Set operations (Jaccard,
     * minhash) are invariant under the hashing modulo collisions (~n²/2⁶⁴ —
     * negligible), and every downstream shuffle carries 8-byte longs instead

@@ -217,7 +217,32 @@ object PricePipeline {
                 sc.setLocalProperty("spark.scheduler.pool", s"graft_fit_$n")
                 try {
                   val t0 = System.nanoTime()
-                  val row = fitEval(n, r, train, test)
+                  // round-18: FMRegressor is the table's compute whale —
+                  // minibatch GD runs ~100 full gradient passes over the
+                  // train split, so its cost is compute × passes, unlike
+                  // the scheduling-bound L-BFGS/tree fits the shared
+                  // frame's iteration-friendly grain (rows >> 15
+                  // partitions; featurizedCached doc) is sized for. When
+                  // that grain under-parallelizes the session (sf0.1: 4
+                  // partitions on 32 cores — the same signature as the
+                  // round-17 scan rebalance, guide §2.5), re-grain THIS
+                  // fit's input only: one extra cached materialization at
+                  // session width, amortized over the 100 passes. The
+                  // other models keep the shared frame untouched, and at
+                  // grains ≥ cores (sf1 and up) the condition is false
+                  // and nothing changes. Gradient accumulation order
+                  // shifts with partitioning; the gate's verdict booleans
+                  // are partition-independent (oracle re-proved).
+                  // SPARK_GRAFT_FM_REGRAIN=off is the A/B kill switch.
+                  val par = sc.defaultParallelism
+                  val regrain = n == "FMRegressor" &&
+                    !sys.env.get("SPARK_GRAFT_FM_REGRAIN").contains("off") &&
+                    train.rdd.getNumPartitions < par
+                  val fitTrain =
+                    if (regrain) train.repartition(par).persist() else train
+                  val row =
+                    try fitEval(n, r, fitTrain, test)
+                    finally if (regrain) { fitTrain.unpersist(); () }
                   recordFitWall(n, selected.length, (System.nanoTime() - t0) / 1e9)
                   row
                 } finally sc.setLocalProperty("spark.scheduler.pool", null)

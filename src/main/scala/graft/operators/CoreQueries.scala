@@ -732,6 +732,13 @@ object CoreQueries {
     * truth it approximates.
     */
   def aggExactPercentiles(t: Tables): DataFrame =
+    // round-18 A/B'd the conditional scan rebalance here (guide §2.5 —
+    // the 1-row-group orders layout builds every percentile buffer on one
+    // task) and measured it SLOWER, 0.86 → 1.20 s (4/4 interleaved arms):
+    // the partial buffers are cheap hash-map inserts, so the added
+    // exchange of the (priority, price) rows costs more than the parallel
+    // build saves — the same verdict round 17 recorded for
+    // agg_approx_distinct. The plain scan stays.
     t.orders
       .groupBy("o_orderpriority")
       .agg(

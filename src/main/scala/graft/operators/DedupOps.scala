@@ -332,9 +332,13 @@ object DedupOps {
         "(bands*rows == k, or the signature tail is silently ignored)")
     val rows = k / bands
     documents
+      // hasShingles BEFORE the projection (round-18): the old
+      // size(sh_txt) > 0 filter was predicate-pushed below the rebalance
+      // exchange and re-evaluated the whole shingle pipeline serially on
+      // the scan task — see the helper's doc for the exact equivalence
+      .filter(hasShingles(col("text"), 3))
       .select(col("doc_id") +: carry.map(col) :+
         shingleSet(col("text"), 3).as("sh_txt"): _*)
-      .filter(size(col("sh_txt")) > 0)
       .repartition(col("doc_id"))
       .withColumn("sig", md5MinhashSignature(col("sh_txt"), k))
       .withColumn("band", explode(md5BandKeys(col("sig"), bands, rows)))
@@ -412,8 +416,8 @@ object DedupOps {
     // recomputing the hashed set here is pure codegen CPU — far cheaper
     // than carrying it through the band exchanges
     val sh = t.documentsBalanced
+      .filter(hasShingles(col("text"), 3)) // round-18: see bandedDocs
       .select(col("doc_id"), shingleHashSet(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
 
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -586,8 +590,8 @@ object DedupOps {
                              numHashTables: Int = 8): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     val docs = documents
+      .filter(hasShingles(col("text"), 3)) // round-18: see bandedDocs
       .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
     val tf = new HashingTF().setInputCol("sh").setOutputCol("vec")
       .setNumFeatures(1 << 18).setBinary(true)
     val vecs = tf.transform(docs)

@@ -11,6 +11,44 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Round-17 landed the convergence scalars on the eager checkpoint via
+    * `observe()` (one driver-synchronized job per round instead of two);
+    * round-18 A/Bs that fusion per the verdict. `SPARK_GRAFT_GRAPH_OBSERVE=off`
+    * pins the pre-fusion path — scalar computed by a SEPARATE aggregate
+    * action after the checkpoint — reproducing the round-16 job structure
+    * exactly (the kill switch for plan dumps and perf triage).
+    */
+  private def observeFusion: Boolean =
+    !sys.env.get("SPARK_GRAFT_GRAPH_OBSERVE").contains("off")
+
+  /** Round-18 per-round plan fusions (guide §2.4 "remove shuffles
+    * outright", verdict item 3): fewer exchanges per driver-synchronized
+    * round in the three iterative loops, with the per-round edge/label
+    * SETS — and therefore the convergence scalars, the round counts and
+    * the output — provably unchanged (see each site's comment).
+    * `SPARK_GRAFT_GRAPH_FUSE=off` pins the round-17 shapes (the A/B kill
+    * switch for plan dumps and perf triage).
+    */
+  private def roundFusion: Boolean =
+    !sys.env.get("SPARK_GRAFT_GRAPH_FUSE").contains("off")
+
+  /** The observed metrics row, with the wait BOUNDED (round-18 advice):
+    * `Observation.get` blocks on the listener bus delivering the metrics
+    * event, so a dropped event (bus overload) would hang the driver where
+    * the old separate `count()` action could not. After 60 s the scalar
+    * is recomputed with `fallback` — an explicit aggregate over the
+    * already-checkpointed frame, whose lineage is truncated, so the
+    * fallback is one cheap job over materialized rows and is value-
+    * identical (same aggregates over the same rows).
+    */
+  private def observedRow(obs: org.apache.spark.sql.Observation,
+                          fallback: => org.apache.spark.sql.Row)
+      : org.apache.spark.sql.Row =
+    try {
+      import scala.concurrent.duration._
+      scala.concurrent.Await.result(obs.future, 60.seconds)
+    } catch { case _: java.util.concurrent.TimeoutException => fallback }
+
   /** Connected components by min-label propagation.
     *
     * Input: an undirected edge list as (a, b) pairs (any column names,
@@ -78,28 +116,60 @@ object GraphOps {
     var rounds   = 0
     var stagnant = false
     while (changed > 0 && !stagnant && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src"))
-        .agg(min("label").as("nmin"))
       // the changed-label count rides the checkpoint job via observe()
       // (round-17, same rationale as the star-contraction checksum): the
       // separate filter().count() action per round doubled the loop's
-      // synchronized job count for the same scalar.
-      val obs = org.apache.spark.sql.Observation(s"graft_cc_changed_$rounds")
-      val updated = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(
-          col("id"),
-          col("label").as("old_label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .observe(obs, coalesce(sum(
-          when(col("label") < col("old_label"), 1L).otherwise(0L)), lit(0L))
-          .as("changed"))
-        .localCheckpoint(true)
+      // synchronized job count for the same scalar. Wait bounded +
+      // SPARK_GRAFT_GRAPH_OBSERVE=off kill switch — see observedRow /
+      // observeFusion.
+      val changedExpr = coalesce(sum(
+        when(col("label") < col("old_label"), 1L).otherwise(0L)), lit(0L))
+        .as("changed")
+      // round-18 fusion (verdict item 3, guide §2.4): the round-17 body
+      // was join → agg → LEFT JOIN back to labels (the re-attach of each
+      // node's own label). Unioning the self-labels INTO the aggregate
+      // removes that second join: per id, min(label) over {own label} ∪
+      // {neighbour labels} is exactly least(own, nmin), and old_label
+      // rides the self branch (null on neighbour rows; min over one
+      // non-null recovers it — every node HAS a self row, so it is never
+      // null). Same values, one join + one aggregate per round.
+      val next =
+        if (roundFusion) {
+          val self = labels.select(col("id"), col("label"),
+            col("label").as("old_label"))
+          val neighbor = edges
+            .join(labels, edges("dst") === labels("id"))
+            .select(edges("src").as("id"), col("label"),
+              lit(null).cast(labels.schema("label").dataType).as("old_label"))
+          self.union(neighbor)
+            .groupBy("id")
+            .agg(min("label").as("label"), min("old_label").as("old_label"))
+            .select(col("id"), col("old_label"), col("label"))
+        } else {
+          val neighborMin = edges
+            .join(labels, edges("dst") === labels("id"))
+            .groupBy(edges("src"))
+            .agg(min("label").as("nmin"))
+          labels
+            .join(neighborMin, labels("id") === neighborMin("src"), "left")
+            .select(
+              col("id"),
+              col("label").as("old_label"),
+              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        }
+      val (updated, changedNow) =
+        if (observeFusion) {
+          val obs = org.apache.spark.sql.Observation(s"graft_cc_changed_$rounds")
+          val out = next.observe(obs, changedExpr).localCheckpoint(true)
+          (out, observedRow(obs, out.agg(changedExpr).head())
+            .getAs[Long]("changed"))
+        } else {
+          val out = next.localCheckpoint(true)
+          (out, out.agg(changedExpr).head().getAs[Long]("changed"))
+        }
       changed2 = prev
       prev = changed
-      changed = obs.get.apply("changed").asInstanceOf[Long]
+      changed = changedNow
       labels = updated.select("id", "label")
       rounds += 1
       // not halving every two rounds after the optimistic window ⇒ a
@@ -150,13 +220,18 @@ object GraphOps {
     // consumers never re-fire it. Metric values are identical to the
     // old separate aggregate (count + hash-sum over the same rows).
     def checkpointWithSig(e: DataFrame, round: Int): (DataFrame, (Long, Long)) = {
-      val obs = org.apache.spark.sql.Observation(s"graft_cc_sig_$round")
-      val out = e.observe(obs,
-          count(lit(1)).as("n"),
-          coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
-        .localCheckpoint(true)
-      val m = obs.get
-      (out, (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long]))
+      val nExpr = count(lit(1)).as("n")
+      val hExpr = coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")
+      if (observeFusion) {
+        val obs = org.apache.spark.sql.Observation(s"graft_cc_sig_$round")
+        val out = e.observe(obs, nExpr, hExpr).localCheckpoint(true)
+        val m = observedRow(obs, out.agg(nExpr, hExpr).head())
+        (out, (m.getAs[Long]("n"), m.getAs[Long]("h")))
+      } else {
+        val out = e.localCheckpoint(true)
+        val m = out.agg(nExpr, hExpr).head()
+        (out, (m.getAs[Long]("n"), m.getAs[Long]("h")))
+      }
     }
 
     var (edges, sig) = checkpointWithSig(p0.distinct(), 0)
@@ -185,11 +260,22 @@ object GraphOps {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val mins = sym.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src"), least(col("src"), col("mn")).as("m"))
-    sym.filter(col("dst") > col("src"))
+    val attached = sym.filter(col("dst") > col("src"))
       .join(mins, "src")
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // round-18 fusion: the intermediate dedup is redundant — every round
+    // ends in smallStar's distinct(), whose output SET (and thus the
+    // convergence signature and the final star map) is identical with or
+    // without it: min/groupBy/union-distinct are multiset-insensitive.
+    // Duplicates here cannot explode — the join emits exactly ONE row per
+    // oriented input edge (the filter keeps one direction per undirected
+    // edge, and `mins` has one row per src), so the multiset size equals
+    // the round's input edge count regardless — so dropping the distinct
+    // removes one full edge-list exchange per contraction round for a
+    // bounded extra row count into smallStar's aggregate, which dedups
+    // anyway.
+    if (roundFusion) attached else attached.distinct()
   }
 
   /** Small-star: every node attaches its smaller-or-equal neighbours (and
@@ -336,10 +422,17 @@ object GraphOps {
     */
   def triangleStats(t: graft.core.Tables, cap: Int = 10): DataFrame = {
     val edges = coActivityEdges(t, cap).localCheckpoint(true)
-    val deg = edges.select(col("u").as("id"))
+    // round-18: deg is no longer eagerly checkpointed — it is ONE cheap
+    // aggregate over the already-checkpointed edge list, and its three
+    // consumers sit in two jobs (the `oriented` checkpoint job, where the
+    // u- and v-side copies dedup via ReuseExchange, and the final
+    // aggregate job). Recomputing the agg there costs one extra stage per
+    // job; the eager checkpoint cost a whole extra driver-synchronized
+    // job. SPARK_GRAFT_GRAPH_FUSE=off pins the round-17 shape.
+    val degPlain = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    val deg = if (roundFusion) degPlain else degPlain.localCheckpoint(true)
     val withDeg = edges
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
@@ -396,6 +489,15 @@ object GraphOps {
     * one rank row per node. Shared by [[pagerankTop]] and
     * [[communityLeaders]] so composed queries derive the edge list once.
     */
+  // Round-18 note (verdict item 3): a degree-carrying fusion — edge list
+  // checkpointed WITH the destination degree so each iteration is one
+  // join + one grouped sum instead of ranks⋈deg + edges⋈shares — was
+  // implemented and A/B'd (5 interleaved pairs, sf0.1): median 1.76 s
+  // fused vs 1.74 s unfused on graph_pagerank; the extra upfront symDeg
+  // checkpoint job cancels the saved per-round join at this scale, and
+  // the node-table join it removes is broadcast-sized here. Measured a
+  // wash ⇒ reverted per the keep-only-wins rule; the two-join round
+  // below stays the round-17 shape.
   private[graft] def pagerankOf(e: DataFrame, iters: Int): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)

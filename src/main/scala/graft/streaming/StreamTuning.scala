@@ -54,7 +54,17 @@ object StreamTuning {
 
   private[streaming] def statePartitions(spark: SparkSession, bytes: Long): Int = {
     val configured = spark.sessionState.conf.numShufflePartitions
-    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.trim.toInt).getOrElse {
+    // validated parse (round-18 advice): a malformed or non-positive
+    // override must fail HERE with a clear message, not as a
+    // NumberFormatException deep inside a gate or an invalid
+    // spark.sql.shuffle.partitions setting — the env var is an A/B pin,
+    // and a typo silently ignored would invalidate the A/B.
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map { raw =>
+      val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_SHUFFLE must be an integer, got '$raw'"))
+      require(v >= 1, s"SPARK_GRAFT_STREAM_SHUFFLE must be >= 1, got $v")
+      v
+    }.getOrElse {
       val derived = math.max(4L, (bytes + bytesPerPartition - 1) / bytesPerPartition)
       math.min(configured.toLong, derived).toInt
     }
@@ -68,6 +78,14 @@ object StreamTuning {
     * Batch queries planned inside `body` (foreachBatch merges) see the
     * same reduced value — their inputs are the same micro-batches, so
     * the sizing argument holds for them too.
+    *
+    * NOT thread-safe / reentrant (round-18 advice): the set/restore
+    * mutates the SHARED session conf, so concurrent gates on one session
+    * would see each other's override, and nested use restores the inner
+    * value. Safe under the engine's actual execution model — Verify and
+    * Bench run gates serially on the session — but a caller that ever
+    * parallelizes gates must scope the override via `spark.newSession()`
+    * instead.
     */
   def withStatePartitions[T](spark: SparkSession, dir: String,
                              fixture: String)(body: => T): T = {

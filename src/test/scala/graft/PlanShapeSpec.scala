@@ -221,6 +221,44 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("scan rebalance is a NO-OP on a layout with row groups >= session cores") {
+    // round-18 verdict item 4: the production no-op contract of
+    // Tables.balancedByKey was bench-proven (kill-switch dumps) but not
+    // spec-pinned. A documents layout with >= defaultParallelism row
+    // groups (here: one file per core, 1 row group each) must plan the
+    // balanced accessor WITHOUT any exchange — at 100 TB the condition is
+    // false and no corpus bytes may cross an added shuffle.
+    val par = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_rgtest").toString
+    try {
+      t.documents.repartition(par, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val tt = graft.core.Tables(spark, dir)
+      assert(tt.scanUnits("documents") >= par,
+        "fixture setup: expected one row group per core")
+      val p = plan(tt.documentsBalanced)
+      assert(!p.contains("Exchange"),
+        s"balancedByKey added an exchange on a >=cores layout:\n$p")
+    } finally graft.core.Tables.deleteRecursively(dir)
+  }
+
+  test("scan rebalance exchange keeps its explicit partition count under AQE") {
+    // the other half of the round-17 contract: on a 1-row-group layout
+    // the rebalance must fire with an EXPLICIT count that AQE leaves
+    // alone — a bare repartition(col) would be advisory-coalesced right
+    // back to one post-shuffle partition (the r17 dedup_minhash 3.95 →
+    // 7.43 s regression). Execute a consumer and assert the runtime
+    // partition count.
+    val par = spark.sparkContext.defaultParallelism
+    assert(t.scanUnits("documents") < par,
+      "fixture expectation: sf0.001 documents ships fewer row groups than cores")
+    val balanced = t.documentsBalanced
+    assert(plan(balanced).contains("REPARTITION_BY_NUM"),
+      "rebalance must request an explicit, AQE-stable partition count")
+    assert(balanced.rdd.getNumPartitions == par,
+      "the explicit count must survive to runtime (AQE must not coalesce it)")
+  }
+
   test("routed-recall probe: partition-pruned to the probed cells, top-k without a global sort") {
     // the production probe of the routed index (round 16): nprobe = 64 of
     // 4096 cells must reach the scan as PARTITION filters (the probe
