@@ -567,9 +567,30 @@ object Bench {
     * targeted re-measure, and an artifact flag, never hides a row.
     * Refresh per the script doc when a round's quiet legs shift.
     */
-  private[graft] lazy val sf1QuietMedians: Map[String, Double] = {
-    val in = getClass.getResourceAsStream("/graft/sf1_quiet_medians.tsv")
-    require(in != null, "generated resource graft/sf1_quiet_medians.tsv " +
+  private[graft] lazy val sf1QuietMedians: Map[String, Double] =
+    quietMedianResource("/graft/sf1_quiet_medians.tsv")
+
+  /** Archived quiet MEDIANS for the sf0.1 headline rows (round-18
+    * verdict item 7): the sf1 leg has had a 3×-median trip wire since
+    * round 16, but the sf0.1 suite rows — the driver's primary
+    * round-over-round comparison — had none, so transient host tilt on a
+    * headline row (e.g. r17's agg_incremental_rollup_streamed reading
+    * 9.7 s in one leg vs 2.68 s quiet, code byte-identical) could only
+    * be adjudicated by re-running by hand. The suite now FLAGS any
+    * sf0.1 headline row above 3× its archived quiet median
+    * (`sf01_row_trips` + quiet-median context in both JSON lines) — a
+    * flag only, deliberately no extra rerun machinery: the suite-level
+    * dual-axis sentinel already forces the one rerun on a degraded
+    * host, and the flag makes a row-level tilt readable from the
+    * artifact alone. Generated resource, same pipeline as the sf1
+    * medians: `scripts/gen_sf1_medians.py --sf01 <quiet legs>`.
+    */
+  private[graft] lazy val sf01QuietMedians: Map[String, Double] =
+    quietMedianResource("/graft/sf01_quiet_medians.tsv")
+
+  private def quietMedianResource(path: String): Map[String, Double] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"generated resource $path " +
       "is missing from the classpath — rerun scripts/gen_sf1_medians.py")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.getLines().map(_.trim)
@@ -850,6 +871,18 @@ object Bench {
     // floor subtracted per row — the "how much of the total is per-row
     // harness cost" readout
     val resultMapAll = results.toMap
+    // sf0.1 row tilt flag (round-18 verdict item 7; see sf01QuietMedians):
+    // computed only when benching the sf0.1 fixture — the medians are
+    // meaningless at other scales — and only over headline rows that ran
+    val sf01Trips =
+      if (!sfDir.contains("sf0.1")) Seq.empty[String]
+      else tripsOf(headline.flatMap(k => resultMapAll.get(k).map(k -> _)),
+        sf01QuietMedians)
+    val sf01TripsJson = s""""sf01_row_trips":${sf01Trips
+      .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    def sf01MediansJsonOf(names: Seq[String]): String =
+      names.flatMap(n => sf01QuietMedians.get(n).map(m => "\"" + n + "\":" + m))
+        .mkString("{", ",", "}")
     val floorWalls = overheadFloorGates.flatMap(resultMapAll.get).filter(_ >= 0).sorted
     val overheadFloor =
       if (floorWalls.isEmpty) -1.0
@@ -903,14 +936,16 @@ object Bench {
     //  - line 2 (FINAL, driver-parsed): a compact record — suite total plus
     //    the headline queries graded against BASELINE.md — guaranteed to
     //    fit the tail window whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansAllJson,$floorJson,"ceiling_rows":$ceilingJson,"variance_rows":$varianceJson,"workload":$workload,"workload_sf1":$workloadSf1,"ml_model_fit_secs":$mlWallsJson,"streaming_meter":$streamMeterJson,"query_cpu_percent":$qcpu,"query_gc_sec":$qgc,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries_sf1_runs":$sf1RunsJson,"queries":$qs}""")
+    val sf01MediansAllJson =
+      if (sfDir.contains("sf0.1")) sf01MediansJsonOf(headline) else "{}"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansAllJson,$sf01TripsJson,"sf01_row_quiet_medians":$sf01MediansAllJson,$floorJson,"ceiling_rows":$ceilingJson,"variance_rows":$varianceJson,"workload":$workload,"workload_sf1":$workloadSf1,"ml_model_fit_secs":$mlWallsJson,"streaming_meter":$streamMeterJson,"query_cpu_percent":$qcpu,"query_gc_sec":$qgc,"runs_per_query":2,"aggregation":"min","probe_benched":$probeBenchedJson,"failed_queries":$failedJson,"queries_sf1":$sf1Json,"queries_sf1_runs":$sf1RunsJson,"queries":$qs}""")
     val resultMap = results.toMap
     val headQs = headline.flatMap(k => resultMap.get(k).map(v =>
         "\"" + k + "\":" + math.round(v * 1000) / 1000.0))
       .mkString("{", ",", "}")
     val headSf1 = run.sf1Results.map { case (k, v) =>
       "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansTrippedJson,"sf1_gc_tripped":$sf1GcTrippedJson,$floorJson,"workload":$workload,"fixture_digest_sf1":"$sf1Digest","n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries_sf1_runs":$sf1RunsTrippedJson,"queries":$headQs}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","input_bytes":$sfBytes,"cpu_percent":${math.round(run.cpuPct * 10) / 10.0},$calibJson,$sf1CalibJson,"sf1_row_quiet_medians":$sf1MediansTrippedJson,"sf1_gc_tripped":$sf1GcTrippedJson,$sf01TripsJson,"sf01_row_quiet_medians":${sf01MediansJsonOf(sf01Trips)},$floorJson,"workload":$workload,"fixture_digest_sf1":"$sf1Digest","n_queries":${results.size},"runs_per_query":2,"aggregation":"min","failed_queries":$failedJson,"queries_sf1":$headSf1,"queries_sf1_runs":$sf1RunsTrippedJson,"queries":$headQs}""")
 
     // X3 parity (ref `performance_py/...py:1457-1465`): results as a
     // driver-built table -> header CSV, when a sink path is configured

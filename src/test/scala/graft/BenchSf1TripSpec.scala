@@ -133,9 +133,21 @@ class BenchSf1TripSpec extends AnyFunSuite {
   }
 
   test("generated medians resource matches a recompute from its archived legs") {
+    mediansResourceMatchesLegs("/graft/sf1_quiet_medians.tsv", Bench.sf1QuietMedians)
+  }
+
+  test("generated sf0.1 medians resource matches a recompute from its archived legs") {
+    // round-18 verdict item 7: the sf0.1 row tilt flag's baseline gets the
+    // same provenance check as the sf1 one — the committed medians must be
+    // recomputable from the archived legs named in the resource header
+    mediansResourceMatchesLegs("/graft/sf01_quiet_medians.tsv", Bench.sf01QuietMedians)
+  }
+
+  private def mediansResourceMatchesLegs(
+      resource: String, loaded: Map[String, Double]): Unit = {
     import org.json4s.jackson.JsonMethods
     val srcLines = {
-      val in = getClass.getResourceAsStream("/graft/sf1_quiet_medians.tsv")
+      val in = getClass.getResourceAsStream(resource)
       assert(in != null, "resource missing — run scripts/gen_sf1_medians.py")
       val s = scala.io.Source.fromInputStream(in, "UTF-8")
       try s.getLines().toVector finally s.close()
@@ -166,11 +178,11 @@ class BenchSf1TripSpec extends AnyFunSuite {
     Bench.headline.foreach { n =>
       val expected = median(walls.getOrElse(n,
         fail(s"archived legs lack headline row $n")))
-      assert(Bench.sf1QuietMedians.get(n).contains(expected),
-        s"median for $n drifted: resource ${Bench.sf1QuietMedians.get(n)} " +
+      assert(loaded.get(n).contains(expected),
+        s"median for $n drifted: resource ${loaded.get(n)} " +
           s"vs recomputed $expected — rerun scripts/gen_sf1_medians.py")
     }
-    assert(Bench.sf1QuietMedians.keySet == Bench.headline.toSet,
+    assert(loaded.keySet == Bench.headline.toSet,
       "every headline row (and only those) carries a quiet median")
   }
 }
